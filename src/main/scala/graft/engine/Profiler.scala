@@ -1,0 +1,188 @@
+package graft.engine
+
+import graft.ColumnProfile
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.datasketches.memory.Memory
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+/** Single-pass per-column statistics: null rate, min/max, approx-distinct
+  * (HLL), type conformance. Two interchangeable engines:
+  *
+  *  - [[profile]] — composes Catalyst builtins (`count/sum(when)/min/max/
+  *    approx_count_distinct`) into ONE `df.agg` job. Whole-stage codegen'd,
+  *    map-side partial aggregation, shuffles exactly one row per task. This
+  *    is the default/fast path.
+  *  - [[profileTyped]] — a typed `Aggregator[Row, ProfileBuf, ...]` carrying
+  *    mergeable datasketches HLL sketches in its buffer (the north rule
+  *    names a single-pass typed Aggregator explicitly). Runs as
+  *    ObjectHashAggregate (no codegen) but its buffers are bounded (~2 KB
+  *    HLL per column) and merge associatively across partitions — the
+  *    serialized sketch bytes can be persisted into a checkpoint and
+  *    unioned across incremental runs, which the builtin path cannot do.
+  *    Buffers hold LIVE sketch objects; (de)serialization happens only at
+  *    partition-exchange boundaries via the writeObject/readObject hooks.
+  *
+  * Both return identical exact counts; approx-distinct differs only by
+  * sketch error (~1.6% rsd). ProfilerSpec asserts agreement on exact fields.
+  */
+object Profiler {
+
+  val DefaultLgK = 12 // 2^12 HLL buckets → ~1.6% relative standard error
+
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true; case _ => false
+  }
+
+  /** Builtin-agg single-pass profile. For string columns callers may pass
+    * `expectedTypes` (e.g. "bigint") to check type conformance of the text. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              expectedTypes: Map[String, String] = Map.empty,
+              rsd: Double = 0.016): Seq[ColumnProfile] = {
+    val cols = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
+    val schema = df.schema
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { name =>
+      val dt = schema(name).dataType
+      val c = col(name)
+      val nullCond = if (isFloating(dt)) c.isNull || isnan(c) else c.isNull
+      val conform = expectedTypes.get(name) match {
+        case Some(t) => sum(when(c.isNotNull && expr(s"try_cast(`$name` AS $t)").isNotNull, 1L).otherwise(0L))
+        case None    => sum(when(c.isNotNull, 1L).otherwise(0L))
+      }
+      Seq(
+        sum(when(nullCond, 1L).otherwise(0L)).as(s"__null_$name"),
+        min(c).cast(StringType).as(s"__min_$name"),
+        max(c).cast(StringType).as(s"__max_$name"),
+        approx_count_distinct(c, rsd).as(s"__ad_$name"),
+        conform.as(s"__conf_$name"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    cols.zipWithIndex.map { case (name, i) =>
+      val base = 1 + i * 5
+      val nulls = if (row.isNullAt(base)) 0L else row.getLong(base)
+      ColumnProfile(
+        column = name,
+        dataType = schema(name).dataType.simpleString,
+        total_count = total,
+        null_count = nulls,
+        null_rate = if (total == 0) 0.0 else nulls.toDouble / total,
+        min_value = Option(row.getString(base + 1)),
+        max_value = Option(row.getString(base + 2)),
+        approx_distinct = if (row.isNullAt(base + 3)) 0L else row.getLong(base + 3),
+        type_conforming = if (row.isNullAt(base + 4)) 0L else row.getLong(base + 4))
+    }
+  }
+
+  // ---------------------------------------------------------------- typed path
+
+  /** Mutable aggregation buffer. Sketches are live heap objects during
+    * accumulation; Java serialization (only at exchange) writes the compact
+    * sketch byte images. */
+  final class ProfileBuf(val n: Int, val lgK: Int) extends Serializable {
+    var total: Long = 0L
+    val nulls: Array[Long] = new Array[Long](n)
+    val conforming: Array[Long] = new Array[Long](n)
+    val minV: Array[String] = new Array[String](n)
+    val maxV: Array[String] = new Array[String](n)
+    @transient var sketches: Array[HllSketch] =
+      Array.fill(n)(new HllSketch(lgK, TgtHllType.HLL_8))
+
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      var i = 0
+      while (i < n) {
+        val b = sketches(i).toCompactByteArray
+        out.writeInt(b.length); out.write(b); i += 1
+      }
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      sketches = new Array[HllSketch](n)
+      var i = 0
+      while (i < n) {
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        sketches(i) = HllSketch.heapify(Memory.wrap(b)); i += 1
+      }
+    }
+  }
+
+  /** Typed single-pass profiler. Input rows must be pre-projected to exactly
+    * `columns` (ordinal access — no per-row name lookups). */
+  class ProfileAggregator(
+      columns: Seq[String],
+      types: Seq[DataType],
+      lgK: Int = DefaultLgK
+  ) extends Aggregator[Row, ProfileBuf, Seq[ColumnProfile]] {
+
+    private val n = columns.length
+    private val numeric: Array[Boolean] = types.map(_.isInstanceOf[NumericType]).toArray
+    private val floating: Array[Boolean] = types.map(isFloating).toArray
+
+    override def zero: ProfileBuf = new ProfileBuf(n, lgK)
+
+    private def lt(a: String, b: String, i: Int): Boolean =
+      if (numeric(i)) a.toDouble < b.toDouble else a < b
+
+    override def reduce(b: ProfileBuf, row: Row): ProfileBuf = {
+      b.total += 1
+      var i = 0
+      while (i < n) {
+        val isNull = row.isNullAt(i) || (floating(i) && (types(i) match {
+          case DoubleType => java.lang.Double.isNaN(row.getDouble(i))
+          case _          => java.lang.Float.isNaN(row.getFloat(i))
+        }))
+        if (isNull) b.nulls(i) += 1
+        else {
+          b.conforming(i) += 1
+          val s = String.valueOf(row.get(i))
+          if (b.minV(i) == null || lt(s, b.minV(i), i)) b.minV(i) = s
+          if (b.maxV(i) == null || lt(b.maxV(i), s, i)) b.maxV(i) = s
+          b.sketches(i).update(s)
+        }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: ProfileBuf, c: ProfileBuf): ProfileBuf = {
+      a.total += c.total
+      var i = 0
+      while (i < n) {
+        a.nulls(i) += c.nulls(i)
+        a.conforming(i) += c.conforming(i)
+        if (c.minV(i) != null && (a.minV(i) == null || lt(c.minV(i), a.minV(i), i))) a.minV(i) = c.minV(i)
+        if (c.maxV(i) != null && (a.maxV(i) == null || lt(a.maxV(i), c.maxV(i), i))) a.maxV(i) = c.maxV(i)
+        val u = new Union(lgK)
+        u.update(a.sketches(i)); u.update(c.sketches(i))
+        a.sketches(i) = u.getResult(TgtHllType.HLL_8)
+        i += 1
+      }
+      a
+    }
+
+    override def finish(b: ProfileBuf): Seq[ColumnProfile] =
+      columns.indices.map { i =>
+        ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
+          if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
+          Option(b.minV(i)), Option(b.maxV(i)),
+          math.round(b.sketches(i).getEstimate),
+          b.conforming(i))
+      }
+
+    override def bufferEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]
+    override def outputEncoder: Encoder[Seq[ColumnProfile]] =
+      Encoders.kryo[Seq[ColumnProfile]]
+  }
+
+  def profileTyped(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnProfile] = {
+    val cols = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
+    val types = cols.map(c => df.schema(c).dataType)
+    val projected = df.select(cols.map(col): _*)
+    val agg = new ProfileAggregator(cols, types)
+    projected.as(Encoders.row(projected.schema)).select(agg.toColumn).head()
+  }
+}

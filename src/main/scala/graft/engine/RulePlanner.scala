@@ -1,0 +1,145 @@
+package graft.engine
+
+import graft._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles a rule list into the minimum number of Spark jobs.
+  *
+  * The reference executes every rule as TWO actions — a full `count()` plus a
+  * rule-specific `filter().count()` (`/root/reference/src/data_validator/engines/
+  * pyspark_engine.py:72` and 75-123) — i.e. 2R scans for R rules. Here all
+  * "fusible" rules (completeness / range / pattern / type_conformance) compile
+  * to conditional-sum columns inside ONE `df.agg(...)` job, sharing a single
+  * scan and a single driver→executor boundary crossing. Only uniqueness
+  * (needs a shuffle on the key), referential (needs a join) and custom SQL
+  * remain separate jobs. All counters are Catalyst builtin expressions, so the
+  * whole fused aggregate runs inside whole-stage codegen with map-side partial
+  * aggregation — it scales linearly with input and shuffles O(1) rows.
+  */
+object RulePlanner {
+
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case _                      => false
+  }
+
+  private def fieldType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+
+  /** NULL-or-NaN failure condition for completeness; NaN only checked on
+    * floating columns (a blind `isnan` on strings breaks under Spark 4 ANSI
+    * mode). Mirrors the pyspark engine's NULL ∪ NaN semantics
+    * (`pyspark_engine.py:75-80`). */
+  def completenessFailCond(schema: StructType, column: String): Column = {
+    val c = col(column)
+    if (fieldType(schema, column).exists(isFloating)) c.isNull || isnan(c) else c.isNull
+  }
+
+  /** Inclusive range [min,max]; NULLs are NOT failures (3-valued logic:
+    * `when(null-cond)` falls to otherwise(0)). `pyspark_engine.py:90-99`. */
+  def rangeFailCond(rule: ValidationRule): Column = {
+    val c = col(rule.column)
+    val lo = rule.paramDouble("min")
+    val hi = rule.paramDouble("max")
+    (lo, hi) match {
+      case (Some(a), Some(b)) => !(c >= lit(a) && c <= lit(b))
+      case (Some(a), None)    => c < lit(a)
+      case (None, Some(b))    => c > lit(b)
+      case _ => throw new IllegalArgumentException(
+        s"range rule '${rule.name}' needs min and/or max parameters")
+    }
+  }
+
+  /** Unanchored regex match (Spark `rlike` ≡ python `re.search` semantics used
+    * by the reference, `pyspark_engine.py:101-107`); NULLs not failed. */
+  def patternFailCond(schema: StructType, rule: ValidationRule): Column = {
+    val pattern = rule.expression.orElse(rule.param("pattern")).getOrElse(
+      throw new IllegalArgumentException(s"pattern rule '${rule.name}' needs a regex"))
+    val c0 = col(rule.column)
+    val c = if (fieldType(schema, rule.column).contains(StringType)) c0 else c0.cast(StringType)
+    c.isNotNull && !c.rlike(pattern)
+  }
+
+  /** Type conformance (north-rule extension): non-null values that fail
+    * `try_cast` to the expected type. NULLs conform (completeness owns them). */
+  def typeConformanceFailCond(rule: ValidationRule): Column = {
+    val t = rule.param("expected_type").getOrElse("bigint")
+    val c = col(rule.column)
+    c.isNotNull && expr(s"try_cast(`${rule.column}` AS $t)").isNull
+  }
+
+  /** True for rule types that fuse into the shared single-pass aggregate. */
+  def fusible(rule: ValidationRule): Boolean = rule.ruleType match {
+    case RuleType.Completeness | RuleType.Range | RuleType.Pattern |
+        RuleType.TypeConformance => true
+    case _ => false
+  }
+
+  def failCondition(schema: StructType, rule: ValidationRule): Column = rule.ruleType match {
+    case RuleType.Completeness    => completenessFailCond(schema, rule.column)
+    case RuleType.Range           => rangeFailCond(rule)
+    case RuleType.Pattern         => patternFailCond(schema, rule)
+    case RuleType.TypeConformance => typeConformanceFailCond(rule)
+    case other => throw new IllegalArgumentException(s"not a fusible rule type: $other")
+  }
+
+  private def failCounter(schema: StructType, rule: ValidationRule): Column =
+    sum(when(failCondition(schema, rule), 1L).otherwise(0L))
+
+  /** One fused job: total row count + one failure counter per fusible rule.
+    * Returns (total, ruleName -> failedCount). Missing columns surface as a
+    * per-rule error result upstream, not a job failure: rules referencing
+    * unknown columns are rejected before planning. */
+  def runFused(df: DataFrame, rules: Seq[ValidationRule]): (Long, Map[String, Long]) = {
+    val schema = df.schema
+    val counters = rules.zipWithIndex.map { case (r, i) =>
+      failCounter(schema, r).cast(LongType).as(s"f_$i")
+    }
+    val aggCols = count(lit(1)).as("total") +: counters
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val total = row.getLong(0)
+    val failed = rules.zipWithIndex.map { case (r, i) =>
+      r.name -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+    }.toMap
+    (total, failed)
+  }
+
+  /** The row-filter interpretation of rules ("data cleaning" mode,
+    * `validator.py:133-162` + `pyspark_engine.py:175-198`): each supported
+    * rule KEEPS conforming rows; unsupported types pass data through.
+    * Extension beyond the reference: uniqueness keeps the first row per key
+    * under a stable ordering (the reference cannot filter uniqueness). */
+  def filterColumn(schema: StructType, rule: ValidationRule): Option[Column] =
+    rule.ruleType match {
+      case RuleType.Completeness | RuleType.Range | RuleType.Pattern |
+          RuleType.TypeConformance =>
+        // keep = NOT failed; for range/pattern NULL rows were not failures,
+        // but the reference's FILTER semantics drop NULLs for range (between
+        // is null-rejecting) and pattern (rlike null → null → dropped).
+        rule.ruleType match {
+          case RuleType.Completeness => Some(!completenessFailCond(schema, rule.column))
+          case RuleType.Range        => Some(!rangeFailCond(rule)) // null → dropped
+          case RuleType.Pattern =>
+            val p = rule.expression.orElse(rule.param("pattern")).get
+            Some(col(rule.column).rlike(p)) // null → dropped, matches reference
+          case _ => Some(!typeConformanceFailCond(rule))
+        }
+      case RuleType.Custom => rule.expression.map(expr)
+      case _ => None // uniqueness etc. handled separately / passed through
+    }
+
+  def applyFilters(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
+    val schema = df.schema
+    rules.filter(_.enabled).foldLeft(df) { (acc, rule) =>
+      rule.ruleType match {
+        case RuleType.Uniqueness if rule.parameters.get("dedup_order").isDefined =>
+          // opt-in extension: keep first row per key by dedup_order column
+          Checks.keepFirstPerKey(acc, rule.columns, rule.parameters("dedup_order"))
+        case _ =>
+          filterColumn(schema, rule).map(acc.filter).getOrElse(acc)
+      }
+    }
+  }
+}

@@ -1,0 +1,247 @@
+package graft.engine
+
+import graft._
+import graft.state.Checkpoint
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Orchestration: validateTable / validateAllTables / report assembly.
+  * Semantics mirror the reference (`/root/reference/src/data_validator/
+  * validator.py:71-162`, `engines/__init__.py:74-114`), with the per-rule
+  * execution re-planned into fused Spark jobs (see [[RulePlanner]]).
+  */
+class Validator(
+    spark: SparkSession,
+    config: ValidationConfig,
+    /** resolver for referential rules: table name → DataFrame */
+    tableResolver: String => Option[DataFrame] = _ => None,
+    checkpoint: Option[Checkpoint] = None
+) {
+  config.validateSqlRules()
+
+  private val viewCounter = new AtomicLong(0)
+
+  /** Execute all enabled rules for `tableName` against `df`.
+    * Fusible rules share ONE aggregate job; each uniqueness key-set, each
+    * referential rule and each custom SQL rule is its own job. Result order
+    * matches rule order (globals first — observable contract). */
+  def executeRules(df: DataFrame, rules: Seq[ValidationRule], tableName: String): ValidationSummary = {
+    val t0 = System.nanoTime()
+    val schema = df.schema
+
+    val (wellFormedFusible, rest) = rules.partition { r =>
+      RulePlanner.fusible(r) && r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    }
+
+    // 1. one fused job for all fusible rules (plus total count reused below)
+    val fusedStart = System.nanoTime()
+    val fusedOutcome: Either[Throwable, (Long, Map[String, Long])] =
+      try Right(RulePlanner.runFused(df, wellFormedFusible))
+      catch { case e: Throwable => Left(e) }
+    val fusedMs = (System.nanoTime() - fusedStart) / 1e6
+
+    val fusedResults: Map[String, ValidationResult] = fusedOutcome match {
+      case Right((total, failedByRule)) =>
+        wellFormedFusible.map { r =>
+          r.name -> ValidationResult.verdict(r, failedByRule(r.name), total, fusedMs,
+            Map("fused" -> "true"))
+        }.toMap
+      case Left(e) =>
+        wellFormedFusible.map(r => r.name -> ValidationResult.failure(r, e, fusedMs)).toMap
+    }
+    val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
+
+    // 2. remaining rules, preserving overall rule order in the result list
+    val results: Seq[ValidationResult] = rules.map { r =>
+      fusedResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount))
+    }
+
+    ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
+  }
+
+  private def totalOf(df: DataFrame, cached: Option[Long]): Long =
+    cached.getOrElse(df.count())
+
+  private def executeSingle(
+      df: DataFrame, rule: ValidationRule, tableName: String,
+      cachedTotal: Option[Long]): ValidationResult = {
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1e6
+    try {
+      rule.ruleType match {
+        case RuleType.Uniqueness =>
+          val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+          val total = totalOf(df, cachedTotal)
+          val distinct = Checks.distinctKeyCount(df, keys)
+          ValidationResult.verdict(rule, total - distinct, total, ms,
+            Map("keys" -> keys.mkString(",")))
+
+        case RuleType.Referential =>
+          val refTable = rule.param("ref_table").getOrElse(
+            throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
+          val refColumn = rule.param("ref_column").getOrElse(rule.column)
+          val dim = tableResolver(refTable).getOrElse(
+            throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+          val bcast = rule.param("broadcast").forall(_.toBoolean)
+          val total = totalOf(df, cachedTotal)
+          val orphanCount = Checks.orphans(df, rule.column, dim, refColumn, bcast).count()
+          ValidationResult.verdict(rule, orphanCount, total, ms,
+            Map("ref_table" -> refTable, "ref_column" -> refColumn))
+
+        case RuleType.Custom =>
+          // pyspark convention: expression is full SQL with {table} placeholder;
+          // failed_count = number of ROWS returned (`pyspark_engine.py:109-123`)
+          val sqlText = rule.expression.getOrElse(
+            throw new IllegalArgumentException(s"custom rule '${rule.name}' needs expression"))
+          val view = s"temp_view_${tableName}_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          try {
+            val failed = spark.sql(sqlText.replace("{table}", view)).count()
+            val total = totalOf(df, cachedTotal)
+            ValidationResult.verdict(rule, failed, total, ms)
+          } finally spark.catalog.dropTempView(view)
+
+        case RuleType.CustomAgg =>
+          // duckdb convention: first scalar of the result IS the failed count
+          // (`duckdb_engine.py:122-128`)
+          val sqlText = rule.expression.getOrElse(
+            throw new IllegalArgumentException(s"custom_agg rule '${rule.name}' needs expression"))
+          val view = s"temp_view_${tableName}_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(view)
+          try {
+            val first = spark.sql(sqlText.replace("{table}", view)).head()
+            val failed = if (first.isNullAt(0)) 0L else first.get(0) match {
+              case l: Long => l; case i: Int => i.toLong
+              case d: Double => d.toLong; case other => other.toString.toDouble.toLong
+            }
+            val total = totalOf(df, cachedTotal)
+            ValidationResult.verdict(rule, failed, total, ms)
+          } finally spark.catalog.dropTempView(view)
+
+        case RuleType.drift =>
+          executeDrift(df, rule, ms _, cachedTotal)
+
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported rule type: $other")
+      }
+    } catch {
+      case e: Throwable => ValidationResult.failure(rule, e, ms)
+    }
+  }
+
+  /** Drift rule: compares the distribution of `rule.column` against a
+    * baseline histogram table resolved via parameters.
+    *   method=chi_square: statistic > parameters("critical") ⇒ all rows
+    *     "failed" (drift is a table-level verdict; we report failed=total on
+    *     drift so thresholds behave intuitively), else 0.
+    *   method=ks: same with the KS D statistic.
+    * Baseline: ref_table param (resolved) or baseline_hist (view name with
+    * bucket/cnt columns). For numeric KS: params lo/hi/bins bucketize. */
+  private def executeDrift(
+      df: DataFrame, rule: ValidationRule, ms: () => Double,
+      cachedTotal: Option[Long]): ValidationResult = {
+    val method = rule.param("method").getOrElse("chi_square")
+    val critical = rule.paramDouble("critical").getOrElse(
+      throw new IllegalArgumentException(s"drift rule '${rule.name}' needs critical"))
+    val baseline = rule.param("ref_table").flatMap(tableResolver).getOrElse(
+      throw new IllegalArgumentException(s"drift rule '${rule.name}' needs resolvable ref_table"))
+    val (stat, detail) = method match {
+      case "chi_square" =>
+        val (s, dof) = Checks.chiSquare(
+          Checks.categoricalHistogram(df, rule.column),
+          Checks.categoricalHistogram(baseline, rule.column))
+        (s, Map("dof" -> dof.toString))
+      case "ks" =>
+        val lo = rule.paramDouble("lo").getOrElse(0.0)
+        val hi = rule.paramDouble("hi").getOrElse(1000.0)
+        val bins = rule.param("bins").map(_.toInt).getOrElse(64)
+        val va = Checks.numericHistogram(df, col(rule.column).cast("double"), lo, hi, bins)
+        val vb = Checks.numericHistogram(baseline, col(rule.column).cast("double"), lo, hi, bins)
+        (Checks.ksFromHistograms(va, vb), Map.empty[String, String])
+      case other => throw new IllegalArgumentException(s"unknown drift method: $other")
+    }
+    val total = totalOf(df, cachedTotal)
+    val failed = if (stat > critical) total else 0L
+    ValidationResult.verdict(rule, failed, total, ms(),
+      detail ++ Map("method" -> method, "statistic" -> stat.toString, "critical" -> critical.toString))
+  }
+
+  /** Validate one table end-to-end; marks checkpoint state on success
+    * (reference `validator.py:71-99`). */
+  def validateTable(df: DataFrame, tableName: String): ValidationSummary = {
+    val rules = config.enabledRules(tableName)
+    val summary = executeRules(df, rules, tableName)
+    checkpoint.foreach(_.markCompleted(tableName,
+      Map("passed_rules" -> summary.passed_rules.toString,
+          "failed_rules" -> summary.failed_rules.toString)))
+    summary
+  }
+
+  /** Validate all configured tables, skipping those already completed in the
+    * checkpoint (reference `validator.py:101-131`; skip contract asserted in
+    * `tests/test_state.py:60-65` — a fully-completed rerun returns empty). */
+  def validateAllTables(load: String => DataFrame): Map[String, ValidationSummary] =
+    config.tables.flatMap { t =>
+      if (checkpoint.exists(_.isCompleted(t.name))) None
+      else Some(t.name -> validateTable(load(t.name), t.name))
+    }.toMap
+
+  /** Per-partition verdicts (north rule): evaluate every fusible rule's
+    * failure counter grouped by a partition expression — ONE job emitting a
+    * typed Dataset[PartitionVerdict]. */
+  def partitionVerdicts(
+      df: DataFrame, rules: Seq[ValidationRule],
+      partitionExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[PartitionVerdict] = {
+    import df.sparkSession.implicits._
+    val schema = df.schema
+    val fusible = rules.filter(RulePlanner.fusible)
+    val counters = fusible.zipWithIndex.map { case (r, i) =>
+      sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L)).as(s"f_$i")
+    }
+    val grouped = df.groupBy(partitionExpr.cast("string").as("partition"))
+      .agg(count(lit(1)).as("total"), counters: _*)
+    grouped.flatMap { row =>
+      val part = row.getString(0)
+      val total = row.getLong(1)
+      fusible.zipWithIndex.map { case (r, i) =>
+        val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
+        val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+        val passed = r.threshold match {
+          case Some(t) if t != 0.0 => rate >= t
+          case _                   => failed == 0
+        }
+        PartitionVerdict(part, r.name, passed, failed, total, rate)
+      }
+    }
+  }
+
+  /** Full nested report (reference `validator.py:197-228`): single table is
+    * keyed "single_table"; overall stats summed across tables. */
+  def report(summaries: Map[String, ValidationSummary], engineType: String = "spark"): Report = {
+    val keyed = if (summaries.size == 1) Map("single_table" -> summaries.head._2) else summaries
+    val allResults = keyed.values.flatMap(_.results)
+    val totalRules = allResults.size
+    val passed = allResults.count(_.passed)
+    Report(
+      validation_timestamp = java.time.Instant.now().toString,
+      engine_type = engineType,
+      total_tables = keyed.size,
+      total_rules = totalRules,
+      passed_rules = passed,
+      failed_rules = totalRules - passed,
+      overall_success_rate = if (totalRules == 0) 1.0 else passed.toDouble / totalRules,
+      table_results = keyed)
+  }
+}
+
+final case class Report(
+    validation_timestamp: String,
+    engine_type: String,
+    total_tables: Int,
+    total_rules: Int,
+    passed_rules: Int,
+    failed_rules: Int,
+    overall_success_rate: Double,
+    table_results: Map[String, ValidationSummary]
+)

@@ -1,0 +1,39 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source dispatch (reference `load_data`, `/root/reference/src/
+  * data_validator/engines/pyspark_engine.py:52-63` + duckdb/polars variants):
+  * path suffix or explicit format → reader. A `TableProvider` seam so a real
+  * Iceberg/Delta catalog can slot in unchanged (the sandbox has no Iceberg
+  * jar — partitioned Parquet + `graft.state.Checkpoint.snapshotId` stands in
+  * for snapshot-aware reads, see SURVEY.md §7).
+  */
+trait TableProvider {
+  def load(spark: SparkSession, source: String): DataFrame
+}
+
+object Tables extends TableProvider {
+
+  /** `source` forms: `/path/x.parquet`, `/path/x.csv`, `/path/x.json`,
+    * `parquet:/path`, `csv:/path`, `json:/path`, `table:name`, bare `name`
+    * (catalog/temp view). */
+  override def load(spark: SparkSession, source: String): DataFrame = source match {
+    case s if s.startsWith("parquet:") => spark.read.parquet(s.stripPrefix("parquet:"))
+    case s if s.startsWith("csv:")     => csv(spark, s.stripPrefix("csv:"))
+    case s if s.startsWith("json:")    => spark.read.json(s.stripPrefix("json:"))
+    case s if s.startsWith("table:")   => spark.table(s.stripPrefix("table:"))
+    case s if s.endsWith(".parquet")   => spark.read.parquet(s)
+    case s if s.endsWith(".csv")       => csv(spark, s)
+    case s if s.endsWith(".json")      => spark.read.json(s)
+    case s if s.contains("/")          => spark.read.parquet(s) // directory table
+    case name                          => spark.table(name)
+  }
+
+  private def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Convenience: the driver-provided testdata tables. */
+  def testTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

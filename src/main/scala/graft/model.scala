@@ -1,0 +1,205 @@
+package graft
+
+/** Core data model of the validation engine.
+  *
+  * Shapes mirror the reference semantics (see /root/reference:
+  * `src/data_validator/config.py:17-133` for rules/config and
+  * `src/data_validator/engines/__init__.py:11-39` for results), re-expressed
+  * as Scala case classes with typed Spark Encoders.
+  */
+object Severity {
+  val Error = "error"
+  val Warning = "warning"
+  val Info = "info"
+  val all: Set[String] = Set(Error, Warning, Info)
+  def validate(s: String): String = {
+    val v = s.toLowerCase
+    require(all.contains(v), s"Severity must be one of $all, got '$s'")
+    v
+  }
+}
+
+object RuleType {
+  val Completeness = "completeness" // null (and NaN for numeric) check
+  val Uniqueness = "uniqueness" // single- or composite-column key uniqueness
+  val Range = "range" // inclusive [min,max] bounds on a numeric column
+  val Pattern = "pattern" // unanchored regex match on a string column
+  val Custom = "custom" // SQL returning violation ROWS (pyspark convention)
+  val CustomAgg = "custom_agg" // SQL returning failed count as first scalar (duckdb convention)
+  val Referential = "referential" // FK column must exist in a reference table/column
+  val TypeConformance = "type_conformance" // values castable to an expected type
+  val drift = "drift" // distribution drift (chi-square / KS) vs a baseline
+}
+
+/** One validation rule.
+  *
+  * Reference: `ValidationRule` pydantic model (`config.py:17-55`): threshold in
+  * [0,1] (validator at 51-55), severity in {error,warning,info} (44-49).
+  *
+  * @param columns   target column(s); head is "the" column for single-column
+  *                  rules, multiple entries form a composite key for uniqueness
+  * @param threshold minimum success rate in [0,1]; None => pass iff 0 failures.
+  *                  NOTE the reference treats threshold=0.0 as "unset" in the
+  *                  message format (python truthiness) — we reproduce that.
+  */
+final case class ValidationRule(
+    name: String,
+    ruleType: String,
+    columns: Seq[String] = Nil,
+    expression: Option[String] = None,
+    threshold: Option[Double] = None,
+    severity: String = Severity.Error,
+    enabled: Boolean = true,
+    parameters: Map[String, String] = Map.empty
+) {
+  require(threshold.forall(t => t >= 0.0 && t <= 1.0),
+    s"Threshold must be between 0.0 and 1.0, got $threshold")
+  Severity.validate(severity)
+  def column: String = columns.headOption.getOrElse(
+    throw new IllegalArgumentException(s"Rule '$name' ($ruleType) requires a column"))
+  def param(key: String): Option[String] = parameters.get(key)
+  def paramDouble(key: String): Option[Double] = parameters.get(key).map(_.toDouble)
+}
+
+/** Per-table config: table name + its rules (reference `config.py:58-71`). */
+final case class TableConfig(
+    name: String,
+    rules: Seq[ValidationRule] = Nil,
+    source: Option[String] = None,
+    filterMode: Boolean = false
+)
+
+final case class EngineConfig(
+    engineType: String = "spark",
+    connectionParams: Map[String, String] = Map.empty,
+    options: Map[String, String] = Map.empty
+)
+
+/** Whole-config (reference `ValidationConfig`, `config.py:113-193`). */
+final case class ValidationConfig(
+    engine: EngineConfig = EngineConfig(),
+    tables: Seq[TableConfig] = Nil,
+    globalRules: Seq[ValidationRule] = Nil,
+    requireSqlRules: Boolean = false,
+    stateFile: Option[String] = None
+) {
+  /** Global rules first, then table rules, enabled only — ordering is
+    * observable in the results list (reference `config.py:161-180`,
+    * asserted in `tests/test_config.py:238-241`). */
+  def enabledRules(tableName: String): Seq[ValidationRule] = {
+    val tableRules = tables.find(_.name == tableName).map(_.rules).getOrElse(Nil)
+    (globalRules ++ tableRules).filter(_.enabled)
+  }
+  /** `require_sql_rules` check (reference `config.py:182-193`). */
+  def validateSqlRules(): Unit =
+    if (requireSqlRules) {
+      val missing = (globalRules ++ tables.flatMap(_.rules))
+        .filter(r => r.enabled && r.expression.forall(_.trim.isEmpty))
+      require(missing.isEmpty,
+        s"require_sql_rules=true but rules missing SQL expression: ${missing.map(_.name).mkString(", ")}")
+    }
+}
+
+/** Outcome of one rule (reference `ValidationResult`, `engines/__init__.py:11-24`).
+  * Error path sentinel: failed_count = total_count = -1, success_rate = 0.0,
+  * severity forced to "error" (`engines/pyspark_engine.py:158-173`). */
+final case class ValidationResult(
+    rule_name: String,
+    rule_type: String,
+    passed: Boolean,
+    failed_count: Long,
+    total_count: Long,
+    success_rate: Double,
+    message: String,
+    severity: String,
+    execution_time_ms: Double,
+    metadata: Map[String, String] = Map.empty
+)
+
+object ValidationResult {
+  /** Threshold verdict + message (reference `pyspark_engine.py:128-143`):
+    *   success_rate = (total - failed) / total, 1.0 when total == 0
+    *   passed       = rate >= threshold when threshold set, else failed == 0
+    *   message      = "Rule 'name': F/T failed records" and, only when the
+    *                  threshold is "truthy" (non-zero!), an appended
+    *                  " (success rate: X.XX%, threshold: Y.YY%)".
+    */
+  def verdict(
+      rule: ValidationRule,
+      failed: Long,
+      total: Long,
+      elapsedMs: Double,
+      metadata: Map[String, String] = Map.empty
+  ): ValidationResult = {
+    val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+    val passed = rule.threshold match {
+      case Some(t) if t != 0.0 => rate >= t
+      case Some(_)             => failed == 0 // 0.0 behaves as unset (python truthiness)
+      case None                => failed == 0
+    }
+    val base = s"Rule '${rule.name}': $failed/$total failed records"
+    val message = rule.threshold match {
+      case Some(t) if t != 0.0 =>
+        base + f" (success rate: ${rate * 100}%.2f%%, threshold: ${t * 100}%.2f%%)"
+      case _ => base
+    }
+    ValidationResult(rule.name, rule.ruleType, passed, failed, total, rate,
+      message, rule.severity, elapsedMs, metadata)
+  }
+
+  def failure(rule: ValidationRule, err: Throwable, elapsedMs: Double): ValidationResult =
+    ValidationResult(rule.name, rule.ruleType, passed = false, failed_count = -1L,
+      total_count = -1L, success_rate = 0.0,
+      message = s"Rule execution failed: ${err.getMessage}",
+      severity = Severity.Error, execution_time_ms = elapsedMs)
+}
+
+/** Per-table summary (reference `ValidationSummary`, `engines/__init__.py:27-39`;
+  * counting semantics at 89-107: warning/error tallies count FAILED rules of
+  * that severity; info failures appear in neither). */
+final case class ValidationSummary(
+    table_name: String,
+    total_rules: Int,
+    passed_rules: Int,
+    failed_rules: Int,
+    warning_rules: Int,
+    error_rules: Int,
+    overall_success_rate: Double,
+    total_execution_time_ms: Double,
+    results: Seq[ValidationResult]
+)
+
+object ValidationSummary {
+  def from(tableName: String, results: Seq[ValidationResult], totalMs: Double): ValidationSummary = {
+    val total = results.size
+    val passed = results.count(_.passed)
+    val failed = total - passed
+    val warn = results.count(r => !r.passed && r.severity == Severity.Warning)
+    val err = results.count(r => !r.passed && r.severity == Severity.Error)
+    val rate = if (total == 0) 1.0 else passed.toDouble / total
+    ValidationSummary(tableName, total, passed, failed, warn, err, rate, totalMs, results)
+  }
+}
+
+/** Single-pass per-column statistics (north-rule profiler). */
+final case class ColumnProfile(
+    column: String,
+    dataType: String,
+    total_count: Long,
+    null_count: Long,
+    null_rate: Double,
+    min_value: Option[String],
+    max_value: Option[String],
+    approx_distinct: Long,
+    type_conforming: Long
+)
+
+/** Per-partition verdict (north rule: "per-partition pass/fail verdicts"). */
+final case class PartitionVerdict(
+    partition: String,
+    rule_name: String,
+    passed: Boolean,
+    failed_count: Long,
+    total_count: Long,
+    success_rate: Double
+)

@@ -1,0 +1,114 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Resumable pipeline state with per-partition lineage + metrics.
+  *
+  * Superset of the reference's `PipelineState` (`/root/reference/src/
+  * data_validator/state.py:9-40`, a flat {table: "completed"} JSON file):
+  * here each table carries a snapshot id and a partition map
+  * {partition -> {status, rowCount, metrics}} so a resumed run can
+  * revalidate only partitions that are new/changed since the recorded
+  * snapshot (north rule: "resumable from checkpoint with per-partition
+  * lineage + metrics").
+  *
+  * Snapshot id = content hash of the table's partition file listing
+  * (name+size+mtime) — the same role an Iceberg snapshot id plays; the
+  * checkpoint records it so a real Iceberg catalog can slot in unchanged.
+  * Writes are atomic (tmp file + move) so a crash never corrupts state.
+  */
+final case class PartitionState(
+    status: String, // "completed" | "failed" | "pending"
+    rowCount: Long = 0L,
+    metrics: Map[String, String] = Map.empty)
+
+final case class TableState(
+    status: String,
+    snapshotId: String = "",
+    partitions: Map[String, PartitionState] = Map.empty,
+    metrics: Map[String, String] = Map.empty)
+
+class Checkpoint(path: String) {
+  private implicit val formats: Formats = DefaultFormats
+  private var tables: Map[String, TableState] = load()
+
+  private def load(): Map[String, TableState] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = Files.readString(p)
+      if (txt.trim.isEmpty) Map.empty
+      else JsonMethods.parse(txt).extract[Map[String, TableState]]
+    }
+  }
+
+  private def save(): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp: Path = Paths.get(path + ".tmp")
+    Files.writeString(tmp, Serialization.writePretty(tables))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def isCompleted(table: String): Boolean =
+    tables.get(table).exists(_.status == "completed")
+
+  def isPartitionCompleted(table: String, partition: String): Boolean =
+    tables.get(table).exists(_.partitions.get(partition).exists(_.status == "completed"))
+
+  /** Partitions of `table` still needing validation given the current
+    * snapshot: all of them if the snapshot changed, else only non-completed. */
+  def pendingPartitions(table: String, snapshotId: String, all: Seq[String]): Seq[String] =
+    tables.get(table) match {
+      case Some(ts) if ts.snapshotId == snapshotId =>
+        all.filterNot(p => ts.partitions.get(p).exists(_.status == "completed"))
+      case _ => all
+    }
+
+  def markCompleted(table: String, metrics: Map[String, String] = Map.empty): Unit = synchronized {
+    val prev = tables.getOrElse(table, TableState("pending"))
+    tables += table -> prev.copy(status = "completed", metrics = prev.metrics ++ metrics)
+    save()
+  }
+
+  def markPartition(table: String, partition: String, snapshotId: String,
+                    rowCount: Long, metrics: Map[String, String] = Map.empty,
+                    status: String = "completed"): Unit = synchronized {
+    val prev = tables.getOrElse(table, TableState("pending"))
+    val partState = PartitionState(status, rowCount, metrics)
+    val allDone = (prev.partitions + (partition -> partState)).values.forall(_.status == "completed")
+    tables += table -> prev.copy(
+      status = if (allDone && status == "completed") prev.status else "pending",
+      snapshotId = snapshotId,
+      partitions = prev.partitions + (partition -> partState))
+    save()
+  }
+
+  def completedTables: Set[String] = tables.filter(_._2.status == "completed").keySet
+  def tableState(table: String): Option[TableState] = tables.get(table)
+
+  def reset(): Unit = synchronized { tables = Map.empty; save() }
+}
+
+object Checkpoint {
+  /** Snapshot id of a directory of data files: order-independent hash of
+    * (relative name, size, mtime) — cheap (metadata only), deterministic,
+    * changes iff the file set changes. Stand-in for an Iceberg snapshot id. */
+  def snapshotId(dir: String): String = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return "absent"
+    val stream = Files.walk(root)
+    try {
+      val entries = stream.filter(Files.isRegularFile(_)).toArray.map(_.asInstanceOf[Path])
+        .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      entries.foreach(e => md.update(e.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    } finally stream.close()
+  }
+}

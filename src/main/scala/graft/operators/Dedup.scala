@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All stages are pure Catalyst expression pipelines (no UDFs): shingling,
+  * MinHash signatures and LSH banding are `transform`/`array_min`/`xxhash64`
+  * compositions that run inside whole-stage codegen. The only shuffles are
+  * the LSH bucket-join (on band hashes — payload is (id, band) pairs, never
+  * documents) and the final candidate verification join, which is why the
+  * pipeline survives a 100× scale-up: candidate generation is linear in
+  * corpus size, quadratic only within an LSH bucket.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- shingling
+
+  /** Lower-cased word tokens (letters+digits runs). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of `text`. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", ts))))
+  }
+
+  /** Distinct character n-gram shingles (robust for CJK / no-whitespace). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - n + 1), i => substring(t, i, lit(n))))
+        .otherwise(array(t)))
+  }
+
+  // ---------------------------------------------------------- exact dedup
+
+  /** Exact duplicate groups by content hash: (text_hash, dup_count) with
+    * count > 1. Hash-groupBy shuffles only (hash, 1) pairs, map-side
+    * combined — the canonical exact-dedup plan at any scale. */
+  def exactDuplicateGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one row per distinct text (first by `orderCol` — deterministic). */
+  def dedupExact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature of a shingle array: k independent permutations
+    * simulated by `min over shingles of xxhash64(shingle, seed_i)`. Returns
+    * an array<long> of length `numHashes`; null when no shingles. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val seeds = typedLit((1 to numHashes).map(_.toLong))
+    transform(seeds, s => array_min(transform(shingles, sh => xxhash64(sh, s))))
+  }
+
+  /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`,
+    * each band hashed to one long. Two docs sharing ANY band hash become a
+    * candidate pair; with b bands of r rows the match probability is the
+    * classic 1-(1-s^r)^b S-curve over true Jaccard s. */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** End-to-end MinHash+LSH near-duplicate pairs.
+    *
+    * Plan shape: shingle+sign (narrow, codegen) → posexplode bands →
+    * self-join on (band_idx, band_hash) = the LSH bucket join → distinct
+    * candidate (a,b) pairs → exact-Jaccard verification join against the
+    * shingle sets. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= minJaccard.
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.5, charGrams: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = if (charGrams) charShingles(col(textCol), shingleSize)
+             else wordShingles(col(textCol), shingleSize)
+    val docs = df
+      .select(col(idCol).as("id"), sh.as("shingles"))
+      .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+
+    val banded = docs.select(col("id"),
+      posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------ exact n-gram Jaccard
+
+  /** Exact all-pairs n-gram Jaccard via the inverted-index join:
+    * explode distinct shingles → join on shingle → count intersections →
+    * jaccard = |∩| / (|A|+|B|−|∩|). Exact (oracle-checkable in ANSI SQL);
+    * cost is Σ_bucket |bucket|² so it is the small/medium-scale oracle path —
+    * [[minHashLshPairs]] is the 100 TB path. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = docs.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = docs.select(col("id").as("id_a"), col("sh"))
+      .join(docs.select(col("id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token array: bit i is set iff the majority of token
+    * hashes have bit i set. Pure expression (bitwise ops + filter/size over
+    * the token array, bit loop unrolled at plan-build time) — no UDF. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val nTokens = size(hashes)
+    (0 until 64).map { i =>
+      val mask = lit(1L << i)
+      val onBits = size(filter(hashes, h => h.bitwiseAND(mask) =!= 0L))
+      when(onBits * 2 >= nTokens, mask).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    * Pigeonhole banding: the 64-bit simhash splits into `maxHamming+1`
+    * chunks; any pair within the Hamming radius must agree on at least one
+    * full chunk, so candidates are an equi-join on (chunk_idx, chunk_value)
+    * — a linear-cost bucket join, verified by `bit_count(xor) <= k`. */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val docs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val banded = docs.select(col("id"), col("sim"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sim"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine >= threshold. Candidates via
+    * random-hyperplane LSH buckets (see [[Similarity.hyperplaneSignature]]),
+    * verified with the exact cosine — same candidate-then-verify shape as
+    * MinHash, so the all-pairs cross join never materializes. */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95,
+      planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), dim, planes, seed))
+    val a = docs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = docs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+}

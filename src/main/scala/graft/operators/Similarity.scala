@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Three tiers:
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast cross join of
+  *    the (small) query set against the corpus. The correctness baseline;
+  *    linear in corpus × queries, no shuffle of the corpus itself.
+  *  - [[lshTopK]] — random-hyperplane LSH with multi-probe: corpus bucketed
+  *    once by sign-signature, queries probe their own bucket plus all
+  *    1-bit-flip neighbors. Sub-linear candidate sets; the scale path.
+  *  - [[ivfTopK]] — IVF: corpus assigned to nearest of k sampled centroids;
+  *    queries scan the `nprobe` nearest cells. Centroids are tiny →
+  *    broadcast; the cell assignment is the only corpus-wide shuffle.
+  *
+  * All vector math is `zip_with` + `aggregate` expressions (codegen'd); no
+  * UDFs anywhere.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 for zero vectors (guarded, no NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0d, 0.0d).otherwise(dot(a, b) / denom)
+  }
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+
+  /** Exact cosine top-k for each query row. `queries` must be small enough
+    * to broadcast (the `broadcast` hint is applied). Deterministic: ties
+    * broken by corpus id. Output: (query_id, id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus
+      .select(col(corpusId).as("id"), col(corpusVec).as("v"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `planes` vectors of `dim` components
+    * drawn from a seeded RNG (tiny constants — ship with the plan). */
+  private def planeVectors(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-signature bucket id: bit p set iff dot(v, plane_p) >= 0.
+    * Bit loop unrolled at plan-build time (plane count is a constant). */
+  def hyperplaneSignature(v: Column, dim: Int, planes: Int, seed: Long): Column =
+    planeVectors(dim, planes, seed).zipWithIndex.map { case (plane, i) =>
+      when(dot(v, typedLit(plane)) >= 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** All bucket ids within Hamming distance 1 of the signature (multi-probe:
+    * the query's own bucket plus each 1-bit flip). */
+  def probeBuckets(sig: Column, planes: Int): Column =
+    array((sig +: (0 until planes).map(i => sig.bitwiseXOR(lit(1L << i)))): _*)
+
+  /** LSH ANN top-k: corpus bucketed by hyperplane signature; each query
+    * probes its bucket + 1-bit neighbors; exact cosine ranks candidates.
+    * Recall < 1.0 by construction — [[bruteForceTopK]] is the oracle. */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = corpus
+      .select(col(corpusId).as("id"), col(corpusVec).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), dim, planes, seed))
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("sig", hyperplaneSignature(col("qv"), dim, planes, seed))
+      .select(col("query_id"), col("qv"),
+        explode(probeBuckets(col("sig"), planes)).as("bucket"))
+    val candidates = bucketed.join(broadcast(probed), "bucket")
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
+  /** IVF index: assign every corpus vector to its nearest centroid.
+    * Centroids are sampled deterministically from the corpus (every
+    * `corpusSize/k`-th row by id order) — k-means would drop in here
+    * unchanged. Returns the corpus with a `cell` column. */
+  def ivfAssign(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cLit = typedLit(centroids.map(_._2))
+    val idsLit = typedLit(centroids.map(_._1))
+    val v = col(corpusVec)
+    // argmin over euclidean distance, expression-only
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+    val best = array_position(dists, array_min(dists)).cast("int")
+    corpus.withColumn("cell", element_at(idsLit, best))
+  }
+
+  /** Sample `k` centroids deterministically (small collect — index build
+    * time only, never per-query). */
+  def sampleCentroids(corpus: DataFrame, corpusId: String, corpusVec: String, k: Int): Seq[(Long, Seq[Double])] = {
+    val n = corpus.count()
+    val step = math.max(n / k, 1L)
+    corpus.select(col(corpusId).cast("long").as("id"), col(corpusVec).cast("array<double>").as("v"))
+      .filter(pmod(col("id"), lit(step)) === 0)
+      .orderBy("id").limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+  }
+
+  /** IVF ANN top-k with `nprobe` probed cells per query. */
+  def ivfTopK(
+      corpusWithCells: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 2): DataFrame = {
+    val cLit = typedLit(centroids.map(_._2))
+    val idsLit = typedLit(centroids.map(_._1))
+    val qv = col("qv")
+    val dists = transform(cLit, c =>
+      aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (a, x) => a + x))
+    // nprobe nearest cells: sort (dist, id) pairs as structs, take first n
+    val pairs = zip_with(dists, idsLit, (d, id) => struct(d.as("d"), id.as("id")))
+    val probeCells = transform(slice(array_sort(pairs), 1, nprobe), p => p.getField("id"))
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeCells).as("cell"))
+    val candidates = corpusWithCells
+      .select(col(corpusId).as("id"), col(corpusVec).as("v"), col("cell"))
+      .join(broadcast(probed), "cell")
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+}

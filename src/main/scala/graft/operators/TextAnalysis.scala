@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions — per-row, embarrassingly parallel, no shuffle. */
+object TextAnalysis {
+
+  /** Word-token count: runs of letters/digits (engine-portable regex). */
+  def tokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z0-9]+")), lit(0))
+
+  /** BPE-ish subword token estimate: words + punctuation marks count one
+    * each, long words pay ~1 extra token per 6 chars beyond the first 6 —
+    * a cheap deterministic proxy for a BPE tokenizer's piece count. */
+  def tokenEstimate(text: Column): Column = {
+    val words = regexp_count(text, lit("[A-Za-z0-9]+"))
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+    val longWordExtra = regexp_count(text, lit("[A-Za-z0-9]{7,12}")) +
+      regexp_count(text, lit("[A-Za-z0-9]{13,}")) * 2
+    coalesce(words + punct + longWordExtra, lit(0))
+  }
+
+  /** Character n-gram language-ID heuristic: per-language stopword hit
+    * counts; winner = max count with deterministic tie-break on language
+    * order. Returns "und" when nothing matches. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|for|with|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|des|que|pour|dans)\\b",
+    "es" -> "\\b(el|la|los|las|es|una|que|por|para|con)\\b",
+    "it" -> "\\b(il|la|che|di|non|per|una|sono|con|del)\\b"
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, re) => lang -> regexp_count(lower(text), lit(re)) }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: weighted blend of length band, alpha ratio,
+    * punctuation ratio, mean word length band. Deterministic double
+    * arithmetic from integer counts. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
+    val nPunct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val nWords = greatest(tokenCount(text).cast("double"), lit(1.0d))
+    val alphaRatio = when(len > 0, nAlpha / len).otherwise(0.0d)
+    val punctRatio = when(len > 0, nPunct / len).otherwise(0.0d)
+    val meanWordLen = nAlpha / nWords
+    val lenScore = when(len >= 20 && len <= 5000, 1.0d)
+      .when(len > 0, 0.5d).otherwise(0.0d)
+    val wordLenScore = when(meanWordLen >= 2.5d && meanWordLen <= 9.0d, 1.0d).otherwise(0.4d)
+    val punctScore = when(punctRatio <= 0.2d, 1.0d).otherwise(0.3d)
+    round(lenScore * 0.3d + alphaRatio * 0.3d + wordLenScore * 0.2d + punctScore * 0.2d, 6)
+  }
+
+  /** Stable content fingerprint: md5 of whitespace/case-normalized text —
+    * the exact-dedup key (portable: any engine reproduces it). */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style rolling fingerprint: the `k` smallest xxhash64 values
+    * over character shingles, as a sorted array<long>. Two documents sharing
+    * most fingerprint hashes are near-duplicates; mergeable and fixed-size
+    * per doc (bottom-k sketch of the shingle set). */
+  def rollingFingerprint(text: Column, shingleSize: Int = 8, k: Int = 16): Column =
+    slice(array_sort(transform(Dedup.charShingles(text, shingleSize), sh => xxhash64(sh))), 1, k)
+
+  /** Convenience: attach the full text-analysis column family. */
+  def enrich(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("token_count", tokenCount(t))
+      .withColumn("token_estimate", tokenEstimate(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("fingerprint", contentFingerprint(t))
+  }
+}

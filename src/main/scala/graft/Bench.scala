@@ -1,24 +1,76 @@
 package graft
+
+import graft.bench.TranscriptSuite
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract: ONE JSON line on stdout).
+  *
+  * Three sections:
+  *  1. every SparkEntry query timed at the driver-given parallelism
+  *     (`SPARK_GRAFT_CPUS`, default 32) over `SPARK_GRAFT_SF_DIR`;
+  *  2. the full north-rule transcript constraint suite over a materialized
+  *     ~`BENCH_CONVS`-conversation table → validated turns/sec;
+  *  3. the two-cluster-size scaling evidence (BASELINE.md): the SAME suite
+  *     on the SAME input at local[N] and local[4N] → throughput at both and
+  *     efficiency = (tps_hi / tps_lo) / 4, target ≥ 0.8.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def newSession(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toLong
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
+    val lowCpus = math.max(cpus / 4, 1)
+
+    // --- section 1: query suite at driver parallelism ---------------------
+    var spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- section 2+3: transcript suite + scaling evidence -----------------
+    val nTurns = TranscriptSuite.materialize(spark, workDir, benchConvs, cpus)
+    val hi = TranscriptSuite.run(spark, workDir)
     spark.stop()
+
+    spark = newSession(lowCpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val lo = TranscriptSuite.run(spark, workDir)
+    spark.stop()
+
+    val efficiency = (hi.turnsPerSec / lo.turnsPerSec) / (cpus.toDouble / lowCpus)
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum
+    val scaling =
+      s"""{"cpus_low":$lowCpus,"cpus_high":$cpus,"turns":$nTurns,""" +
+      f""""tps_low":${lo.turnsPerSec}%.1f,"tps_high":${hi.turnsPerSec}%.1f,""" +
+      f""""suite_sec_low":${lo.elapsedSec}%.2f,"suite_sec_high":${hi.elapsedSec}%.2f,""" +
+      f""""efficiency":$efficiency%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","validated_turns_per_sec":${hi.turnsPerSec}%.1f,"scaling":$scaling%s}""")
   }
 }

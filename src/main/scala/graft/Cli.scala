@@ -1,0 +1,82 @@
+package graft
+
+import graft.config.ConfigLoader
+import graft.engine.Validator
+import graft.io.Tables
+import graft.state.Checkpoint
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
+  * --sources s.yaml --output report.json [--table t]`.
+  * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
+  * cli.py:15-74`): sources YAML maps table name → path; report JSON written
+  * to --output or stdout.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList)
+    val configPath = opts.getOrElse("config",
+      sys.error("--config is required"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-validator")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+
+    try {
+      val config = ConfigLoader.fromYamlFile(configPath)
+      val checkpoint = config.stateFile.map(new Checkpoint(_))
+      val sources: Map[String, String] = opts.get("sources")
+        .map(p => loadSources(p)).getOrElse(Map.empty)
+
+      def resolver(name: String) =
+        sources.get(name).map(Tables.load(spark, _))
+          .orElse(scala.util.Try(spark.table(name)).toOption)
+
+      val validator = new Validator(spark, config, resolver, checkpoint)
+
+      val summaries: Map[String, ValidationSummary] = opts.get("table") match {
+        case Some(t) =>
+          val df = Tables.load(spark, sources.getOrElse(t, t))
+          Map(t -> validator.validateTable(df, t))
+        case None =>
+          validator.validateAllTables(name =>
+            Tables.load(spark, sources.getOrElse(name, name)))
+      }
+
+      val report = validator.report(summaries)
+      val json = Json.write(report)
+      opts.get("output") match {
+        case Some(path) => Files.writeString(Paths.get(path), json)
+        case None       => println(json)
+      }
+      if (report.failed_rules > 0) sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =
+    args match {
+      case flag :: value :: rest if flag.startsWith("--") =>
+        parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
+      case Nil => acc
+      case other => sys.error(s"unparsable args: $other")
+    }
+
+  private def loadSources(path: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val raw = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](Files.readString(Paths.get(path)))
+    if (raw == null) Map.empty else raw.asScala.map { case (k, v) => k -> v.toString }.toMap
+  }
+}
+
+/** Minimal JSON writer for the report tree (no extra dependencies). */
+object Json {
+  import org.json4s.DefaultFormats
+  import org.json4s.jackson.Serialization
+  private implicit val formats: DefaultFormats.type = DefaultFormats
+  def write(report: graft.engine.Report): String = Serialization.writePretty(report)
+}

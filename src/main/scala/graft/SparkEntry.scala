@@ -1,13 +1,425 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.{Checks, RulePlanner, Validator}
+import graft.io.{Tables, TranscriptConfig, Transcripts}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per operator (SURVEY.md §2), with
+  * DuckDB-runnable ANSI SQL oracles in [[oracleSql]] wherever the operator
+  * is SQL-expressible. Column names and values are engineered to agree
+  * bit-for-bit with the oracle: money sums go through DECIMAL(18,2) (exact)
+  * before a final cast to double; all double math is plain left-associative
+  * arithmetic over integer counts (reproducible by any IEEE-754 engine); no
+  * `pow`/`round` (libm/rounding-mode variance); every result is ORDER BY'd.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.testTable(s, dir, name)
+
+  private def dec(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // -------------------------------------------------------------- transcripts
+
+  /** Deterministic north-rule transcripts slice used by entry + the
+    * rows-only transcript queries (seeded; same rows at any parallelism). */
+  val entryConfig: TranscriptConfig = TranscriptConfig(numConvs = 500L, hotConvExtraTurns = 800L)
+
+  private def transcriptRules: Seq[ValidationRule] = Seq(
+    ValidationRule("text_completeness", RuleType.Completeness, Seq("text"), threshold = Some(0.97)),
+    ValidationRule("role_completeness", RuleType.Completeness, Seq("role"), threshold = Some(0.97)),
+    ValidationRule("conv_id_pattern", RuleType.Pattern, Seq("conv_id"),
+      expression = Some("^(conv|orph)-[0-9a-f]{8}$"), threshold = Some(0.99)),
+    ValidationRule("turn_idx_range", RuleType.Range, Seq("turn_idx"),
+      parameters = Map("min" -> "0", "max" -> "100000"), threshold = Some(0.99)),
+    ValidationRule("role_type_conformance", RuleType.TypeConformance, Seq("role"),
+      parameters = Map("expected_type" -> "bigint", "reject" -> "true"),
+      threshold = Some(0.98), severity = Severity.Warning),
+    ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
+      threshold = Some(0.99)),
+    ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
+      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"), threshold = Some(0.98))
+  )
+
+  /** Flagship: the full north-rule constraint suite over the synthetic
+    * transcripts table — fused stats pass + composite-key uniqueness +
+    * referential integrity — returning one row per rule verdict. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cfg = entryConfig
+    val turns = Transcripts.turns(spark, cfg)
+    val index = Transcripts.convIndex(spark, cfg)
+    val config = ValidationConfig(tables = Seq(TableConfig("transcripts", transcriptRules)))
+    val validator = new Validator(spark, config,
+      name => if (name == "conv_index") Some(index) else None)
+    val summary = validator.validateTable(turns, "transcripts")
+    summary.results
+      .map(r => (r.rule_name, r.rule_type, r.passed, r.failed_count, r.total_count, r.success_rate, r.severity))
+      .toDF("rule_name", "rule_type", "passed", "failed_count", "total_count", "success_rate", "severity")
+      .orderBy("rule_name")
+  }
+
+  // ------------------------------------------------------------- query suite
+
+  /** (name, spark plan, optional DuckDB oracle SQL). */
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  private val ruleSuiteForFilters = Seq(
+    ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
+    ValidationRule("value_range", RuleType.Range, Seq("value"),
+      parameters = Map("min" -> "0", "max" -> "100")),
+    ValidationRule("type_pattern", RuleType.Pattern, Seq("event_type"),
+      expression = Some("^[a-z]+$")))
+
+  private def all: Seq[Q] = Seq(
+
+    // ---- aggregation / scan pushdown -------------------------------------
+    Q("q1_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec(col("l_quantity")).as("sum_qty"),
+          dec(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- completeness (fused-aggregate rule) -----------------------------
+    Q("q_completeness_events",
+      (s, d) => t(s, d, "events").agg(
+        count(lit(1)).as("total_count"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        sum(when(col("value").isNull || isnan(col("value")), 1L).otherwise(0L)).as("null_value"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        CAST(SUM(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
+        FROM events""")),
+
+    // ---- range rule, grouped (per-partition verdict shape) ---------------
+    Q("q_range_events",
+      (s, d) => t(s, d, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("total_count"),
+        sum(when(!(col("value") >= 0 && col("value") <= 100), 1L).otherwise(0L)).as("range_failed"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN NOT (value >= 0 AND value <= 100) THEN 1 ELSE 0 END) AS BIGINT) AS range_failed
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- pattern rule ----------------------------------------------------
+    Q("q_pattern_events",
+      (s, d) => t(s, d, "events").agg(
+        count(lit(1)).as("total_count"),
+        sum(when(col("event_type").isNotNull && !col("event_type").rlike("^(click|view|signup)$"), 1L)
+          .otherwise(0L)).as("pattern_failed")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^(click|view|signup)$') THEN 1 ELSE 0 END) AS BIGINT) AS pattern_failed
+        FROM events""")),
+
+    // ---- composite-key uniqueness ----------------------------------------
+    Q("q_uniqueness_lineitem",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        li.agg(count(lit(1)).as("total_count"))
+          .crossJoin(li.select("l_orderkey", "l_linenumber").distinct()
+            .agg(count(lit(1)).as("distinct_keys")))
+          .select(col("total_count"), col("distinct_keys"),
+            (col("total_count") - col("distinct_keys")).as("dup_count"))
+      },
+      Some("""SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS total_count,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS distinct_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) - (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS dup_count""")),
+
+    // ---- uniqueness violation groups -------------------------------------
+    Q("q_dup_keys_lineitem",
+      (s, d) => Checks.duplicateKeys(t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- referential integrity (anti-join) -------------------------------
+    Q("q_referential_orphans",
+      (s, d) => Checks.orphans(
+        t(s, d, "orders").filter(col("o_custkey").isNotNull), "o_custkey",
+        t(s, d, "customer"), "c_custkey", broadcastDim = true)
+        .agg(count(lit(1)).as("orphan_count")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS orphan_count FROM orders
+        WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)""")),
+
+    // ---- broadcast join + rollup -----------------------------------------
+    Q("q_segment_revenue",
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dec(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- distribution drift: chi-square ----------------------------------
+    Q("q_chisq_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.chiSquareContributions(
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), "event_type"),
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(obs_a, 0.0) AS obs_a, coalesce(obs_b, 0.0) AS obs_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(obs_a) AS ta, SUM(obs_b) AS tb, SUM(obs_a) + SUM(obs_b) AS g FROM j)
+        SELECT bucket, obs_a, obs_b,
+          (obs_a - (obs_a + obs_b) * ta / g) * (obs_a - (obs_a + obs_b) * ta / g) / ((obs_a + obs_b) * ta / g) AS contrib_a,
+          (obs_b - (obs_a + obs_b) * tb / g) * (obs_b - (obs_a + obs_b) * tb / g) / ((obs_a + obs_b) * tb / g) AS contrib_b
+        FROM j, tot ORDER BY bucket""")),
+
+    // ---- distribution drift: KS over histograms --------------------------
+    Q("q_ks_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.ksCdfTable(
+          Checks.numericHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), col("value"), 0.0, 500.0, 50),
+          Checks.numericHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), col("value"), 0.0, 500.0, 50))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        c AS (SELECT bucket, cnt_a, cnt_b, SUM(cnt_a) OVER (ORDER BY bucket) AS cum_a, SUM(cnt_b) OVER (ORDER BY bucket) AS cum_b FROM j),
+        tot AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta, CAST(SUM(cnt_b) AS DOUBLE) AS tb FROM j)
+        SELECT bucket, cnt_a, cnt_b, CAST(cum_a AS DOUBLE) / ta AS cdf_a, CAST(cum_b AS DOUBLE) / tb AS cdf_b
+        FROM c, tot ORDER BY bucket""")),
+
+    // ---- sessionization (window + lag) -----------------------------------
+    Q("q_sessions_events",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
+        SELECT user_id, CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        CAST(COUNT(*) AS BIGINT) AS n_events FROM x GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- keep-first dedup filter (window) --------------------------------
+    Q("q_keep_first_events",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events").withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select("event_id", "user_id", "ts")
+          .orderBy("user_id")
+      },
+      Some("""SELECT event_id, user_id, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        ORDER BY user_id""")),
+
+    // ---- single-pass profile (SQL-parity subset; HLL tier is profile()) --
+    Q("q_profile_events",
+      (s, d) => t(s, d, "events").agg(
+        count(lit(1)).as("total_count"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(col("event_type")).as("distinct_types")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types
+        FROM events""")),
+
+    // ---- rule-filter composition (data-cleaning mode) --------------------
+    Q("q_filter_clean_events",
+      (s, d) => RulePlanner.applyFilters(t(s, d, "events"), ruleSuiteForFilters)
+        .orderBy("event_id"),
+      Some("""SELECT * FROM events
+        WHERE props IS NOT NULL AND value >= 0 AND value <= 100
+          AND regexp_matches(event_type, '^[a-z]+$')
+        ORDER BY event_id""")),
+
+    // ---- text analysis ----------------------------------------------------
+    Q("q_token_stats_docs",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("token_count"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id,
+          CAST(length(text) AS DOUBLE) AS len,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS token_count,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+          FROM documents),
+        g AS (SELECT doc_id, len, token_count, fingerprint,
+          CASE WHEN len >= 20 AND len <= 5000 THEN 1.0 WHEN len > 0 THEN 0.5 ELSE 0.0 END AS len_score,
+          CASE WHEN len > 0 THEN n_alpha / len ELSE 0.0 END AS alpha_ratio,
+          CASE WHEN len > 0 THEN n_punct / len ELSE 0.0 END AS punct_ratio,
+          n_alpha / greatest(CAST(token_count AS DOUBLE), 1.0) AS mwl
+          FROM f)
+        SELECT doc_id, token_count,
+          len_score * 0.3 + alpha_ratio * 0.3 +
+          (CASE WHEN mwl >= 2.5 AND mwl <= 9.0 THEN 1.0 ELSE 0.4 END) * 0.2 +
+          (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 AS quality_score,
+          fingerprint
+        FROM g ORDER BY doc_id""")),
+
+    Q("q_langid_docs",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, lang,
+          len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|for|with|was)\b')) AS s_en,
+          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\b')) AS s_de,
+          len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|des|que|pour|dans)\b')) AS s_fr,
+          len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|que|por|para|con)\b')) AS s_es,
+          len(regexp_extract_all(lower(text), '\b(il|la|che|di|non|per|una|sono|con|del)\b')) AS s_it
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+               ELSE 'it' END AS lang_pred
+        FROM s ORDER BY doc_id""")),
+
+    // ---- exact dedup summary ---------------------------------------------
+    Q("q_exact_dedup_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("distinct_texts"))
+          .select(col("n_docs"), col("distinct_texts"),
+            (col("n_docs") - col("distinct_texts")).as("exact_dup_docs"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+        CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+        FROM documents""")),
+
+    // ---- exact n-gram Jaccard near-dup pairs (oracle-checkable tier) -----
+    Q("q_ngram_dups_docs",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> array_to_string(list_slice(w, i, i + 2), ' ')) ELSE [array_to_string(w, ' ')] END) AS s FROM toks),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ---- MinHash+LSH near-dups (scale tier; hash-based → rows-only) ------
+    Q("q_minhash_lsh_docs",
+      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- SimHash near-dups (rows-only) -----------------------------------
+    Q("q_simhash_docs",
+      (s, d) => Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- ANN: exact brute-force cosine top-k (rows-only) -----------------
+    Q("q_knn_brute_embeddings",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- ANN: LSH-bucketed top-k (rows-only; recall vs brute in tests) ---
+    Q("q_knn_lsh_embeddings",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 10, planes = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- embedding cosine near-dup pairs (rows-only) ---------------------
+    Q("q_embedding_neardups",
+      (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, planes = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- transcripts: constraint suite + partition verdicts (rows-only) --
+    Q("q_transcripts_suite",
+      (s, _) => entry(s),
+      None),
+
+    Q("q_transcripts_partition_verdicts",
+      (s, _) => {
+        val turns = Transcripts.turns(s, entryConfig)
+        val cfg = ValidationConfig(tables = Seq(TableConfig("transcripts", transcriptRules)))
+        new Validator(s, cfg).partitionVerdicts(
+          turns, transcriptRules, pmod(xxhash64(col("conv_id")), lit(8)))
+          .toDF().orderBy("partition", "rule_name")
+      },
+      None),
+
+    Q("q_transcripts_dup_keys",
+      (s, _) => Checks.duplicateKeysSalted(
+        Transcripts.turns(s, entryConfig), Seq("conv_id", "turn_idx"))
+        .orderBy("conv_id", "turn_idx"),
+      None),
+
+    // ---- multimodal plumbing (rows-only; codec stubbed) ------------------
+    Q("q_media_features",
+      (s, _) => {
+        import s.implicits._
+        Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200L))
+          .select(col("media_id"), col("kind"), col("decode_ok"), size(col("feature")).as("feature_dim"))
+          .orderBy("media_id")
+      },
+      None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.replaceAll("\\s+", " ").trim)).toMap
 }

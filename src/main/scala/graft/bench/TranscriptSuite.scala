@@ -1,0 +1,89 @@
+package graft.bench
+
+import graft._
+import graft.engine.Validator
+import graft.io.{TranscriptConfig, Transcripts}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full north-rule constraint suite over a materialized transcripts
+  * table, used by both Bench (turns/sec + scaling efficiency) and tests.
+  *
+  * The suite is exactly what BASELINE.md defines as "full constraint-suite
+  * pass": single-pass fused column stats (completeness / pattern / range /
+  * type-conformance), composite-key uniqueness on (conv_id, turn_idx),
+  * referential integrity of conv_id against the conversation index
+  * (broadcast anti-join), chi-square drift on role and KS drift on
+  * text-length vs a drifted snapshot, and per-partition verdicts over
+  * conv_id buckets.
+  */
+object TranscriptSuite {
+
+  def rules: Seq[ValidationRule] = Seq(
+    ValidationRule("text_completeness", RuleType.Completeness, Seq("text"), threshold = Some(0.97)),
+    ValidationRule("role_completeness", RuleType.Completeness, Seq("role"), threshold = Some(0.97)),
+    ValidationRule("conv_id_pattern", RuleType.Pattern, Seq("conv_id"),
+      expression = Some("^(conv|orph)-[0-9a-f]{8}$"), threshold = Some(0.99)),
+    ValidationRule("turn_idx_range", RuleType.Range, Seq("turn_idx"),
+      parameters = Map("min" -> "0", "max" -> "100000"), threshold = Some(0.99)),
+    ValidationRule("role_type_conformance", RuleType.TypeConformance, Seq("role"),
+      parameters = Map("expected_type" -> "bigint", "reject" -> "true"),
+      threshold = Some(0.98), severity = Severity.Warning),
+    ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
+      threshold = Some(0.99)),
+    ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
+      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"),
+      threshold = Some(0.98)),
+    ValidationRule("role_drift", RuleType.drift, Seq("role"),
+      parameters = Map("method" -> "chi_square", "ref_table" -> "baseline",
+        "critical" -> "10000"), severity = Severity.Warning),
+    ValidationRule("text_len_drift", RuleType.drift, Seq("text_len"),
+      parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+        "lo" -> "0", "hi" -> "2000", "bins" -> "64", "critical" -> "0.3"),
+      severity = Severity.Warning)
+  )
+
+  /** Materialize a deterministic transcripts table (+ drifted baseline +
+    * conversation index) to parquet, partitioned like the production layout
+    * (repartition on conv_id so downstream key-local ops start co-located).
+    * Returns the turn count. Not part of the timed suite. */
+  def materialize(spark: SparkSession, dir: String, numConvs: Long, shufflePartitions: Int): Long = {
+    val cfg = TranscriptConfig(numConvs = numConvs, hotConvExtraTurns = numConvs / 10)
+    val turns = Transcripts.turns(spark, cfg)
+      .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
+    turns.repartition(shufflePartitions, col("conv_id"))
+      .write.mode("overwrite").parquet(s"$dir/turns")
+    Transcripts.turns(spark, Transcripts.drifted(cfg.copy(numConvs = math.max(numConvs / 4, 1))))
+      .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
+      .write.mode("overwrite").parquet(s"$dir/baseline")
+    Transcripts.convIndex(spark, cfg).write.mode("overwrite").parquet(s"$dir/conv_index")
+    spark.read.parquet(s"$dir/turns").count()
+  }
+
+  final case class SuiteRun(
+      turns: Long,
+      elapsedSec: Double,
+      turnsPerSec: Double,
+      results: Seq[ValidationResult],
+      partitionVerdicts: Long)
+
+  /** Timed: read the materialized table and run the complete suite. */
+  def run(spark: SparkSession, dir: String): SuiteRun = {
+    val turns = spark.read.parquet(s"$dir/turns")
+    val baseline = spark.read.parquet(s"$dir/baseline")
+    val convIndex = spark.read.parquet(s"$dir/conv_index")
+    val config = ValidationConfig(tables = Seq(TableConfig("transcripts", rules)))
+    val validator = new Validator(spark, config, {
+      case "baseline"   => Some(baseline)
+      case "conv_index" => Some(convIndex)
+      case _            => None
+    })
+    val t0 = System.nanoTime()
+    val summary = validator.executeRules(turns, rules, "transcripts")
+    val verdicts = validator.partitionVerdicts(
+      turns, rules, pmod(xxhash64(col("conv_id")), lit(32))).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val total = summary.results.map(_.total_count).max
+    SuiteRun(total, elapsed, total / elapsed, summary.results, verdicts)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.config
+
+import graft._
+import org.yaml.snakeyaml.Yaml
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** YAML config loading with env-var overrides.
+  *
+  * Mirrors the reference's load path (`/root/reference/src/data_validator/
+  * settings.py:66-105`): YAML → deep-merge of environment overrides with
+  * prefix `VALIDATOR_` and `__` as the nesting separator
+  * (`settings.py:26-63`) → model validation. Uses snakeyaml (present in
+  * /opt/spark/jars) — no extra dependency.
+  */
+object ConfigLoader {
+
+  def fromYamlFile(path: String, env: Map[String, String] = sys.env): ValidationConfig =
+    fromYamlString(Files.readString(Paths.get(path)), env)
+
+  def fromYamlString(yamlText: String, env: Map[String, String] = sys.env): ValidationConfig = {
+    val raw = new Yaml().load[java.util.Map[String, Object]](yamlText)
+    val base: Map[String, Any] = if (raw == null) Map.empty[String, Any]
+      else toScala(raw).asInstanceOf[Map[String, Any]]
+    build(deepMerge(base, envOverrides(env)))
+  }
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_]   => l.asScala.map(toScala).toList
+    case other                  => other
+  }
+
+  /** `VALIDATOR_ENGINE__TYPE=duckdb` → Map("engine" -> Map("type" -> "duckdb"))
+    * (reference `settings.py:54-63`). Keys lower-cased. */
+  def envOverrides(env: Map[String, String]): Map[String, Any] =
+    env.collect { case (k, v) if k.startsWith("VALIDATOR_") =>
+      k.stripPrefix("VALIDATOR_").toLowerCase.split("__").toList -> (v: Any)
+    }.foldLeft(Map.empty[String, Any]) { case (acc, (path, v)) => mergePath(acc, path, v) }
+
+  private def mergePath(m: Map[String, Any], path: List[String], v: Any): Map[String, Any] =
+    path match {
+      case key :: Nil => m + (key -> v)
+      case key :: rest =>
+        val sub = m.get(key) match {
+          case Some(s: Map[String, Any] @unchecked) => s
+          case _ => Map.empty[String, Any]
+        }
+        m + (key -> mergePath(sub, rest, v))
+      case Nil => m
+    }
+
+  /** Right-biased deep merge (reference `settings.py:44-51`). */
+  def deepMerge(base: Map[String, Any], over: Map[String, Any]): Map[String, Any] =
+    over.foldLeft(base) { case (acc, (k, v)) =>
+      (acc.get(k), v) match {
+        case (Some(a: Map[String, Any] @unchecked), b: Map[String, Any] @unchecked) =>
+          acc + (k -> deepMerge(a, b))
+        case _ => acc + (k -> v)
+      }
+    }
+
+  // ------------------------------------------------------------- model build
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).map(_.toString).filter(_.nonEmpty)
+
+  private def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean =
+    m.get(k).map(_.toString.toBoolean).getOrElse(dflt)
+
+  private def rule(m: Map[String, Any]): ValidationRule = {
+    val params: Map[String, String] = m.get("parameters") match {
+      case Some(p: Map[String, Any] @unchecked) => p.map { case (k, v) => k -> v.toString }
+      case _ => Map.empty
+    }
+    val cols: Seq[String] = m.get("columns") match {
+      case Some(l: List[Any] @unchecked) => l.map(_.toString)
+      case _ => str(m, "column").toSeq
+    }
+    ValidationRule(
+      name = str(m, "name").getOrElse(throw new IllegalArgumentException("rule needs a name")),
+      ruleType = str(m, "rule_type").orElse(str(m, "type")).getOrElse(
+        throw new IllegalArgumentException("rule needs rule_type")),
+      columns = cols,
+      expression = str(m, "expression"),
+      threshold = m.get("threshold").map(_.toString.toDouble),
+      severity = str(m, "severity").getOrElse(Severity.Error),
+      enabled = bool(m, "enabled", dflt = true),
+      parameters = params)
+  }
+
+  private def rules(m: Map[String, Any], key: String): Seq[ValidationRule] =
+    m.get(key) match {
+      case Some(l: List[Any] @unchecked) =>
+        l.collect { case r: Map[String, Any] @unchecked => rule(r) }
+      case _ => Nil
+    }
+
+  private def build(m: Map[String, Any]): ValidationConfig = {
+    val engine = m.get("engine") match {
+      case Some(e: Map[String, Any] @unchecked) =>
+        val conn = e.get("connection_params") match {
+          case Some(p: Map[String, Any] @unchecked) => p.map { case (k, v) => k -> v.toString }
+          case _ => Map.empty[String, String]
+        }
+        val opts = e.get("options") match {
+          case Some(p: Map[String, Any] @unchecked) => p.map { case (k, v) => k -> v.toString }
+          case _ => Map.empty[String, String]
+        }
+        EngineConfig(str(e, "type").getOrElse("spark"), conn, opts)
+      case _ => EngineConfig()
+    }
+    val tables = m.get("tables") match {
+      case Some(l: List[Any] @unchecked) =>
+        l.collect { case t: Map[String, Any] @unchecked =>
+          TableConfig(
+            name = str(t, "name").getOrElse(throw new IllegalArgumentException("table needs name")),
+            rules = rules(t, "rules"),
+            source = str(t, "source"),
+            filterMode = bool(t, "filter_mode", dflt = false))
+        }
+      case _ => Nil
+    }
+    ValidationConfig(
+      engine = engine,
+      tables = tables,
+      globalRules = rules(m, "global_rules"),
+      requireSqlRules = bool(m, "require_sql_rules", dflt = false),
+      stateFile = str(m, "state_file"))
+  }
+}

@@ -117,10 +117,12 @@ object Checks {
     val grand = totA + totB
     val expA = (col("obs_a") + col("obs_b")) * lit(totA) / lit(grand)
     val expB = (col("obs_a") + col("obs_b")) * lit(totB) / lit(grand)
+    // (o-e)*(o-e) not pow(o-e,2): explicit multiply is codegen-cheaper and
+    // bit-reproducible across engines (libm pow implementations vary)
     j.select(
       col("bucket"), col("obs_a"), col("obs_b"),
-      (pow(col("obs_a") - expA, 2) / expA).as("contrib_a"),
-      (pow(col("obs_b") - expB, 2) / expB).as("contrib_b"))
+      ((col("obs_a") - expA) * (col("obs_a") - expA) / expA).as("contrib_a"),
+      ((col("obs_b") - expB) * (col("obs_b") - expB) / expB).as("contrib_b"))
   }
 
   /** Kolmogorov–Smirnov statistic over two histograms sharing a bucket axis:

@@ -63,11 +63,16 @@ object RulePlanner {
   }
 
   /** Type conformance (north-rule extension): non-null values that fail
-    * `try_cast` to the expected type. NULLs conform (completeness owns them). */
+    * `try_cast` to the expected type. NULLs conform (completeness owns them).
+    * With parameter reject=true the polarity flips: values that DO cast are
+    * the violations (e.g. a categorical `role` column must not contain
+    * numeric-looking strings). */
   def typeConformanceFailCond(rule: ValidationRule): Column = {
     val t = rule.param("expected_type").getOrElse("bigint")
     val c = col(rule.column)
-    c.isNotNull && expr(s"try_cast(`${rule.column}` AS $t)").isNull
+    val casted = expr(s"try_cast(`${rule.column}` AS $t)")
+    if (rule.param("reject").contains("true")) c.isNotNull && casted.isNotNull
+    else c.isNotNull && casted.isNull
   }
 
   /** True for rule types that fuse into the shared single-pass aggregate. */

@@ -63,7 +63,9 @@ object TextAnalysis {
       .when(len > 0, 0.5d).otherwise(0.0d)
     val wordLenScore = when(meanWordLen >= 2.5d && meanWordLen <= 9.0d, 1.0d).otherwise(0.4d)
     val punctScore = when(punctRatio <= 0.2d, 1.0d).otherwise(0.3d)
-    round(lenScore * 0.3d + alphaRatio * 0.3d + wordLenScore * 0.2d + punctScore * 0.2d, 6)
+    // plain left-assoc double arithmetic (no round()): bit-reproducible by
+    // any engine evaluating the same formula over the same integer counts
+    lenScore * 0.3d + alphaRatio * 0.3d + wordLenScore * 0.2d + punctScore * 0.2d
   }
 
   /** Stable content fingerprint: md5 of whitespace/case-normalized text —

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft._
+import graft.engine.{RulePlanner, Validator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming validation: micro-batch reuse of the batch path via
+  * `foreachBatch`, mirroring the reference's generated streaming job
+  * (`/root/reference/src/data_validator/databricks_utils.py:425-450`:
+  * readStream → foreachBatch(validate + filter + append) →
+  * checkpointLocation + processing-time trigger).
+  *
+  * Each micro-batch runs the SAME fused batch plan (one aggregate job per
+  * batch), clean rows append to the sink, and per-batch summaries stream to
+  * `onResult` — so batch and streaming validation can never diverge.
+  */
+object StreamValidator {
+
+  final case class BatchOutcome(batchId: Long, summary: ValidationSummary)
+
+  /** Wire a streaming DataFrame through per-batch validation.
+    *
+    * @param input          streaming DataFrame (`spark.readStream...`)
+    * @param validatedSink  path for clean (filter-passing) rows; None = skip
+    * @param checkpointDir  Structured Streaming checkpoint location
+    * @param triggerMs      processing-time trigger (reference default 60 s)
+    * @param onResult       callback per micro-batch (metrics/alerting hook)
+    */
+  def start(
+      spark: SparkSession,
+      input: DataFrame,
+      config: ValidationConfig,
+      tableName: String,
+      checkpointDir: String,
+      validatedSink: Option[String] = None,
+      triggerMs: Long = 60000L,
+      onResult: BatchOutcome => Unit = _ => ()): StreamingQuery = {
+
+    val rules = config.enabledRules(tableName)
+
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val validator = new Validator(spark, config)
+        val summary = validator.executeRules(batch, rules, tableName)
+        onResult(BatchOutcome(batchId, summary))
+        validatedSink.foreach { sink =>
+          RulePlanner.applyFilters(batch, rules)
+            .write.mode("append").parquet(sink)
+        }
+        ()
+      }
+      .start()
+  }
+}

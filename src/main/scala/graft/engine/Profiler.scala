@@ -50,7 +50,9 @@ object Profiler {
       val nullCond = if (isFloating(dt)) c.isNull || isnan(c) else c.isNull
       val conform = expectedTypes.get(name) match {
         case Some(t) => sum(when(c.isNotNull && expr(s"try_cast(`$name` AS $t)").isNotNull, 1L).otherwise(0L))
-        case None    => sum(when(c.isNotNull, 1L).otherwise(0L))
+        // no expected type: conforming = present (non-null, non-NaN) — keeps
+        // builtin and typed paths consistent on floating columns
+        case None => sum(when(!nullCond, 1L).otherwise(0L))
       }
       Seq(
         sum(when(nullCond, 1L).otherwise(0L)).as(s"__null_$name"),

@@ -70,6 +70,13 @@ class Validator(
     def ms = (System.nanoTime() - t0) / 1e6
     try {
       rule.ruleType match {
+        // a fusible rule reaching here referenced a missing/ambiguous column
+        // or rode solo — run it as its own single-rule aggregate so the real
+        // analysis error (if any) surfaces in this rule's failure result
+        case rt if RulePlanner.fusible(rule) =>
+          val (total, failed) = RulePlanner.runFused(df, Seq(rule))
+          ValidationResult.verdict(rule, failed(rule.name), total, ms)
+
         case RuleType.Uniqueness =>
           val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
           val total = totalOf(df, cachedTotal)

@@ -1,0 +1,106 @@
+package graft
+
+import graft.engine.Checks
+import graft.io.{TranscriptConfig, Transcripts}
+import org.apache.spark.sql.functions._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateKeys and salted variant produce identical verdicts") {
+    val t = Transcripts.turns(spark, TranscriptConfig(numConvs = 300L, hotConvExtraTurns = 500L))
+    val plain = Checks.duplicateKeys(t, Seq("conv_id", "turn_idx"))
+      .orderBy("conv_id", "turn_idx").collect()
+    val salted = Checks.duplicateKeysSalted(t, Seq("conv_id", "turn_idx"), saltBuckets = 16)
+      .orderBy("conv_id", "turn_idx").collect()
+    plain.length shouldBe salted.length
+    plain.zip(salted).foreach { case (a, b) =>
+      a.getString(0) shouldBe b.getString(0)
+      a.getInt(1) shouldBe b.getInt(1)
+      a.getLong(2) shouldBe b.getLong(2)
+    }
+  }
+
+  test("distinctKeyCount matches groupBy count") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1)).toDF("k1", "k2")
+    Checks.distinctKeyCount(df, Seq("k1", "k2")) shouldBe 3
+  }
+
+  test("duplicateRows returns full violating rows") {
+    val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z")).toDF("k1", "k2", "v")
+    val dups = Checks.duplicateRows(df, Seq("k1", "k2")).collect()
+    dups.length shouldBe 2
+    dups.map(_.getString(2)).toSet shouldBe Set("x", "y")
+  }
+
+  test("orphans: anti-join finds fact keys missing from dim") {
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (99L, "x")).toDF("fk", "v")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val o = Checks.orphans(fact, "fk", dim, "pk").collect()
+    o.length shouldBe 1
+    o.head.getLong(0) shouldBe 99L
+    // non-broadcast path agrees
+    Checks.orphans(fact, "fk", dim, "pk", broadcastDim = false).count() shouldBe 1
+  }
+
+  test("chi-square matches hand computation") {
+    // 2x2 contingency: A: x=30,y=10; B: x=20,y=40
+    // row totals: x=50,y=50; col totals: A=40,B=60; grand=100
+    // e(x,A)=20 e(x,B)=30 e(y,A)=20 e(y,B)=30
+    // chi2 = 100/20+100/30+100/20+100/30 = 5+3.333+5+3.333 = 16.6667
+    val a = Seq(("x", 30L), ("y", 10L)).toDF("bucket", "cnt")
+    val b = Seq(("x", 20L), ("y", 40L)).toDF("bucket", "cnt")
+    val (stat, dof) = Checks.chiSquare(a, b)
+    stat shouldBe 16.666666 +- 1e-4
+    dof shouldBe 1
+  }
+
+  test("chi-square handles buckets absent from one side") {
+    val a = Seq(("x", 10L), ("z", 5L)).toDF("bucket", "cnt")
+    val b = Seq(("x", 10L)).toDF("bucket", "cnt")
+    val (stat, _) = Checks.chiSquare(a, b)
+    stat should be > 0.0
+    stat.isNaN shouldBe false
+  }
+
+  test("KS statistic matches hand computation") {
+    // A: bucket 0: 50, bucket 1: 50 → cdf .5, 1.0
+    // B: bucket 0: 10, bucket 1: 90 → cdf .1, 1.0 → D = .4
+    val a = Seq((0, 50L), (1, 50L)).toDF("bucket", "cnt")
+    val b = Seq((0, 10L), (1, 90L)).toDF("bucket", "cnt")
+    Checks.ksFromHistograms(a, b) shouldBe 0.4 +- 1e-12
+  }
+
+  test("KS is 0 for identical distributions, 1 for disjoint") {
+    val a = Seq((0, 10L), (1, 20L)).toDF("bucket", "cnt")
+    Checks.ksFromHistograms(a, a) shouldBe 0.0
+    val lo = Seq((0, 10L)).toDF("bucket", "cnt")
+    val hi = Seq((5, 10L)).toDF("bucket", "cnt")
+    Checks.ksFromHistograms(lo, hi) shouldBe 1.0 +- 1e-12
+  }
+
+  test("numericHistogram clamps out-of-range values to edge bins") {
+    val df = Seq(-5.0, 0.0, 5.0, 99.0, 500.0).toDF("v")
+    val h = Checks.numericHistogram(df, col("v"), 0.0, 100.0, 10)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    h(0) shouldBe 3 // -5 clamped, 0.0, 5.0
+    h(9) shouldBe 2 // 99 + 500 clamped
+  }
+
+  test("keepFirstPerKey keeps exactly one row per key, deterministically") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 1, "only"))
+      .toDF("k", "ord", "v")
+    val kept = Checks.keepFirstPerKey(df, Seq("k"), "ord")
+      .orderBy("k").collect()
+    kept.length shouldBe 2
+    kept(0).getString(2) shouldBe "first"
+    kept(1).getString(2) shouldBe "only"
+  }
+
+  test("verdicts are invariant under repartitioning (property)") {
+    val t = Transcripts.turns(spark, TranscriptConfig(numConvs = 100L))
+    val r1 = Checks.distinctKeyCount(t, Seq("conv_id", "turn_idx"))
+    val r2 = Checks.distinctKeyCount(t.repartition(17), Seq("conv_id", "turn_idx"))
+    r1 shouldBe r2
+  }
+}

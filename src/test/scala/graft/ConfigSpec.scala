@@ -1,0 +1,82 @@
+package graft
+
+import graft.config.ConfigLoader
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ConfigSpec extends AnyFunSuite with Matchers {
+
+  val yaml: String =
+    """engine:
+      |  type: spark
+      |  options:
+      |    spark.sql.adaptive.enabled: "true"
+      |global_rules:
+      |  - name: global_not_empty
+      |    rule_type: custom
+      |    expression: "SELECT COUNT(*) FROM {table} HAVING COUNT(*) = 0"
+      |    severity: error
+      |tables:
+      |  - name: customers
+      |    rules:
+      |      - name: id_complete
+      |        rule_type: completeness
+      |        column: customer_id
+      |        threshold: 0.9
+      |      - name: disabled_rule
+      |        rule_type: completeness
+      |        column: x
+      |        enabled: false
+      |      - name: key_unique
+      |        rule_type: uniqueness
+      |        columns: [customer_id, region]
+      |        severity: warning
+      |""".stripMargin
+
+  test("YAML parses into the full model") {
+    val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
+    c.engine.engineType shouldBe "spark"
+    c.engine.options("spark.sql.adaptive.enabled") shouldBe "true"
+    c.globalRules.map(_.name) shouldBe Seq("global_not_empty")
+    c.tables.head.rules.size shouldBe 3
+    c.tables.head.rules(2).columns shouldBe Seq("customer_id", "region")
+  }
+
+  test("enabled rules: global first, then table, disabled dropped (config.py:161-180)") {
+    val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
+    c.enabledRules("customers").map(_.name) shouldBe
+      Seq("global_not_empty", "id_complete", "key_unique")
+    c.enabledRules("unknown_table").map(_.name) shouldBe Seq("global_not_empty")
+  }
+
+  test("env override with VALIDATOR_ prefix and __ nesting (settings.py:54-63)") {
+    val c = ConfigLoader.fromYamlString(yaml,
+      env = Map("VALIDATOR_ENGINE__TYPE" -> "duckdb", "UNRELATED" -> "x"))
+    c.engine.engineType shouldBe "duckdb"
+  }
+
+  test("require_sql_rules rejects enabled rules without expression (config.py:182-193)") {
+    val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
+      .copy(requireSqlRules = true)
+    val ex = intercept[IllegalArgumentException](c.validateSqlRules())
+    ex.getMessage should include("id_complete")
+    // config with only SQL rules passes
+    val ok = ValidationConfig(
+      globalRules = Seq(ValidationRule("r", RuleType.Custom, Seq(),
+        expression = Some("SELECT 1"))),
+      requireSqlRules = true)
+    noException should be thrownBy ok.validateSqlRules()
+  }
+
+  test("threshold outside [0,1] rejected (config.py:51-55)") {
+    intercept[IllegalArgumentException] {
+      ValidationRule("bad", RuleType.Completeness, Seq("c"), threshold = Some(1.5))
+    }
+  }
+
+  test("invalid severity rejected (config.py:44-49)") {
+    intercept[IllegalArgumentException] {
+      ValidationRule("bad", RuleType.Completeness, Seq("c"), severity = "critical")
+    }
+  }
+}

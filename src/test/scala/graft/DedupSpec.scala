@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with planted near-dup pair (1,2), exact-dup pair (3,4), and
+    * unrelated docs. */
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "completely identical text body"),
+    (4L, "completely identical text body"),
+    (5L, "an entirely different document about spark query optimization and shuffles"),
+    (6L, "yet another unrelated piece of text mentioning neither foxes nor dogs at all")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups by content hash") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text").collect()
+    groups.length shouldBe 1
+    groups.head.getLong(1) shouldBe 2
+  }
+
+  test("dedupExact keeps one row per distinct text") {
+    Dedup.dedupExact(docs, "text", "doc_id").count() shouldBe 5
+    // deterministic: keeps the lowest doc_id
+    Dedup.dedupExact(docs, "text", "doc_id")
+      .filter(col("text") === "completely identical text body")
+      .head().getLong(0) shouldBe 3L
+  }
+
+  test("exact n-gram Jaccard finds the planted near-dup pair with the exact value") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs.keySet should contain((3L, 4L))
+    pairs((3L, 4L)) shouldBe 1.0
+    // doc1/doc2: 14 tokens each → 12 shingles each, 11 shared → 11/13
+    pairs((1L, 2L)) shouldBe (11.0 / 13.0) +- 1e-12
+  }
+
+  test("MinHash LSH finds planted near-dups and no false positives above threshold") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((3L, 4L))
+    pairs.size shouldBe 2 // verification join kills sub-threshold candidates
+  }
+
+  test("MinHash LSH pairs are a subset of exact Jaccard pairs (no false positives)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(exact) shouldBe true
+    // recall on strong near-dups (jaccard >= .9) should be complete at 64x16
+    val strong = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    strong.diff(lsh) shouldBe empty
+  }
+
+  test("SimHash: identical docs distance 0; near-dups within radius") {
+    val hashes = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hashes(3L) shouldBe hashes(4L)
+    java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) should be <= 12
+    val nd = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    nd should contain((3L, 4L))
+  }
+
+  test("embedding near-dups via hyperplane LSH buckets") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.0f, 0.0f)), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    nd shouldBe Set((1L, 2L))
+  }
+
+  test("shingling edge cases: short and empty texts don't explode") {
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "single")).toDF("doc_id", "text")
+    noException should be thrownBy
+      Dedup.ngramJaccardPairs(edge, "doc_id", "text", 3, 0.1).collect()
+    noException should be thrownBy
+      Dedup.minHashLshPairs(edge, "doc_id", "text", 3, 16, 4, 0.1).collect()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.engine.Profiler
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  def df = Seq(
+    (Some(1L), Some("a"), Some(1.5)),
+    (Some(2L), Some("b"), Some(Double.NaN)),
+    (Some(2L), None, None),
+    (None, Some("c"), Some(-3.0)),
+    (Some(4L), Some("a"), Some(10.0))
+  ).toDF("id", "s", "d")
+
+  test("builtin single-pass profile: exact counts, min/max, conformance") {
+    val p = Profiler.profile(df).map(c => c.column -> c).toMap
+    p("id").total_count shouldBe 5
+    p("id").null_count shouldBe 1
+    p("id").null_rate shouldBe 0.2 +- 1e-12
+    p("id").min_value shouldBe Some("1")
+    p("id").max_value shouldBe Some("4")
+    p("s").null_count shouldBe 1
+    p("s").min_value shouldBe Some("a")
+    p("s").max_value shouldBe Some("c")
+    // NaN counts as null for floating columns (pyspark parity)
+    p("d").null_count shouldBe 2
+    p("d").min_value shouldBe Some("-3.0")
+  }
+
+  test("typed Aggregator profile agrees with builtin on exact fields") {
+    val a = Profiler.profile(df).map(c => c.column -> c).toMap
+    val b = Profiler.profileTyped(df).map(c => c.column -> c).toMap
+    for (c <- Seq("id", "s", "d")) {
+      b(c).total_count shouldBe a(c).total_count
+      b(c).null_count shouldBe a(c).null_count
+      b(c).type_conforming shouldBe a(c).type_conforming
+    }
+    // string min/max (typed path stringifies); id: "1".."4"
+    b("id").min_value shouldBe Some("1")
+    b("s").max_value shouldBe Some("c")
+  }
+
+  test("HLL approx distinct is within rsd tolerance on larger data") {
+    val big = spark.range(100000).selectExpr("cast(id % 5000 as string) as k")
+    val p = Profiler.profile(big).head
+    p.approx_distinct.toDouble shouldBe 5000.0 +- 500.0
+    val pt = Profiler.profileTyped(big).head
+    pt.approx_distinct.toDouble shouldBe 5000.0 +- 500.0
+  }
+
+  test("type conformance flags non-castable strings") {
+    val mixed = Seq("1", "2", "x", "4", "y").toDF("v")
+    val p = Profiler.profile(mixed, expectedTypes = Map("v" -> "bigint")).head
+    p.type_conforming shouldBe 3
+  }
+
+  test("typed profile merges across many partitions") {
+    val big = spark.range(10000).repartition(8)
+      .selectExpr("id", "cast(id as string) as s", "cast(id as double) as d")
+    val p = Profiler.profileTyped(big).map(c => c.column -> c).toMap
+    p("id").total_count shouldBe 10000
+    p("id").null_count shouldBe 0
+    p("id").approx_distinct.toDouble shouldBe 10000.0 +- 600.0
+  }
+}

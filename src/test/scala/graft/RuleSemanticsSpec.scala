@@ -1,0 +1,135 @@
+package graft
+
+import graft.engine.{RulePlanner, Validator}
+import org.apache.spark.sql.DataFrame
+
+/** Ports the reference's integration fixture and asserts identical rule
+  * outcomes (see /root/repo/FIXTURES.md §1, derived from
+  * /root/reference/tests/test_integration.py:18-123). */
+class RuleSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 10-row customers frame with seeded defects: row 4 null id, row 5 null
+    * name, row 3 invalid email, row 9 age 155. */
+  def customers: DataFrame = Seq(
+    (Some(1L), Some("Alice"), "alice@example.com", 25, 88, "active"),
+    (Some(2L), Some("Bob"), "bob@example.com", 34, 72, "active"),
+    (Some(3L), Some("Carol"), "invalid-email", 41, 95, "inactive"),
+    (Some(4L), None, "dave@example.com", 29, 60, "active"),
+    (None, Some("Eve"), "eve@example.com", 52, 81, "active"),
+    (Some(6L), Some("Frank"), "frank@example.com", 47, 77, "inactive"),
+    (Some(7L), Some("Grace"), "grace@example.com", 36, 90, "active"),
+    (Some(8L), Some("Heidi"), "heidi@example.com", 63, 55, "active"),
+    (Some(9L), Some("Ivan"), "ivan@example.com", 155, 66, "active"),
+    (Some(10L), Some("Judy"), "judy@example.com", 28, 99, "active")
+  ).toDF("customer_id", "name", "email", "age", "score", "status")
+
+  val emailRe = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$"
+
+  def rules: Seq[ValidationRule] = Seq(
+    ValidationRule("customer_id_completeness", RuleType.Completeness, Seq("customer_id"),
+      threshold = Some(0.9), severity = Severity.Error),
+    ValidationRule("name_completeness", RuleType.Completeness, Seq("name"),
+      threshold = Some(0.8), severity = Severity.Warning),
+    ValidationRule("email_pattern", RuleType.Pattern, Seq("email"),
+      expression = Some(emailRe), threshold = Some(0.9), severity = Severity.Warning),
+    ValidationRule("age_range", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "0", "max" -> "120"), threshold = Some(0.95), severity = Severity.Error),
+    ValidationRule("score_range", RuleType.Range, Seq("score"),
+      parameters = Map("min" -> "0", "max" -> "100"), threshold = Some(1.0), severity = Severity.Error)
+  )
+
+  def runSuite(): Map[String, ValidationResult] = {
+    val validator = new Validator(spark, ValidationConfig())
+    validator.executeRules(customers, rules, "customers").results
+      .map(r => r.rule_name -> r).toMap
+  }
+
+  test("reference integration fixture: exact failed counts and verdicts") {
+    val r = runSuite()
+    r("customer_id_completeness").failed_count shouldBe 1
+    r("customer_id_completeness").total_count shouldBe 10
+    r("customer_id_completeness").passed shouldBe true // 0.9 >= 0.9
+    r("name_completeness").failed_count shouldBe 1
+    r("name_completeness").passed shouldBe true
+    r("email_pattern").failed_count shouldBe 1
+    r("email_pattern").passed shouldBe true
+    r("age_range").failed_count shouldBe 1
+    r("age_range").passed shouldBe false // 0.9 < 0.95
+    r("score_range").failed_count shouldBe 0
+    r("score_range").passed shouldBe true
+  }
+
+  test("success_rate formula and message format match the reference") {
+    val r = runSuite()
+    r("age_range").success_rate shouldBe 0.9 +- 1e-12
+    r("age_range").message shouldBe
+      "Rule 'age_range': 1/10 failed records (success rate: 90.00%, threshold: 95.00%)"
+    // threshold None → no suffix
+    val noThresh = ValidationResult.verdict(
+      ValidationRule("x", RuleType.Completeness, Seq("c")), 3, 10, 0.0)
+    noThresh.message shouldBe "Rule 'x': 3/10 failed records"
+    noThresh.passed shouldBe false
+    // threshold 0.0 behaves as unset (python truthiness, pyspark_engine.py:141-143)
+    val zeroThresh = ValidationResult.verdict(
+      ValidationRule("x", RuleType.Completeness, Seq("c"), threshold = Some(0.0)), 0, 10, 0.0)
+    zeroThresh.message shouldBe "Rule 'x': 0/10 failed records"
+    zeroThresh.passed shouldBe true
+  }
+
+  test("empty input: success_rate 1.0, passes without threshold") {
+    val v = ValidationResult.verdict(ValidationRule("e", RuleType.Range, Seq("c"),
+      parameters = Map("min" -> "0", "max" -> "1")), 0, 0, 0.0)
+    v.success_rate shouldBe 1.0
+    v.passed shouldBe true
+  }
+
+  test("summary math matches engines/__init__.py:89-107") {
+    val validator = new Validator(spark, ValidationConfig())
+    val s = validator.executeRules(customers, rules, "customers")
+    s.total_rules shouldBe 5
+    s.passed_rules shouldBe 4
+    s.failed_rules shouldBe 1
+    s.error_rules shouldBe 1 // age_range failed with severity error
+    s.warning_rules shouldBe 0 // no failed warnings
+    s.overall_success_rate shouldBe 0.8 +- 1e-12
+  }
+
+  test("filter mode removes defective rows (6 of 10 remain)") {
+    val filtered = RulePlanner.applyFilters(customers, rules)
+    filtered.count() shouldBe 6
+  }
+
+  test("error path: bad rule → sentinel result, severity forced to error") {
+    val validator = new Validator(spark, ValidationConfig())
+    val bad = ValidationRule("broken", RuleType.Custom, Seq(),
+      expression = Some("SELECT nonexistent_fn(1) FROM {table}"), severity = Severity.Warning)
+    val r = validator.executeRules(customers, Seq(bad), "customers").results.head
+    r.passed shouldBe false
+    r.failed_count shouldBe -1
+    r.total_count shouldBe -1
+    r.success_rate shouldBe 0.0
+    r.severity shouldBe Severity.Error
+    r.message should startWith("Rule execution failed:")
+  }
+
+  test("custom rule: pyspark rows-returned vs duckdb first-scalar conventions") {
+    val validator = new Validator(spark, ValidationConfig())
+    val rows = ValidationRule("neg_rows", RuleType.Custom, Seq(),
+      expression = Some("SELECT * FROM {table} WHERE age > 100"))
+    val scalar = ValidationRule("neg_scalar", RuleType.CustomAgg, Seq(),
+      expression = Some("SELECT COUNT(*) FROM {table} WHERE age > 100"))
+    val rs = validator.executeRules(customers, Seq(rows, scalar), "t").results
+    rs(0).failed_count shouldBe 1 // one row returned
+    rs(1).failed_count shouldBe 1 // scalar count
+  }
+
+  test("uniqueness counts NULL as one distinct value (pyspark semantics)") {
+    val df = Seq(Some(1), Some(1), Some(2), None, None).toDF("k")
+    val validator = new Validator(spark, ValidationConfig())
+    val r = validator.executeRules(df,
+      Seq(ValidationRule("u", RuleType.Uniqueness, Seq("k"))), "t").results.head
+    // distinct values = {1, 2, NULL} = 3 → failed = 5 - 3 = 2
+    r.failed_count shouldBe 2
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm expressions compute correctly") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("b"))).collect()
+    r(0).getDouble(0) shouldBe 0.0
+    r(0).getDouble(1) shouldBe 0.0
+    r(1).getDouble(1) shouldBe 1.0 +- 1e-7
+  }
+
+  test("cosine guards zero vectors (no NaN)") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) shouldBe 0.0
+  }
+
+  test("brute-force top-k returns correct neighbors in rank order") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f))).toDF("id", "v")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val top = Similarity.bruteForceTopK(corpus, "id", "v", queries, "qid", "qv", 2)
+      .orderBy("rank").collect()
+    top.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L)
+    top.head.getDouble(2) shouldBe 1.0 +- 1e-7
+  }
+
+  test("LSH top-k achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      dim = 64, k = 5, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-match (rank 1) must always be found: the query's own bucket is probed
+    (0L until 5L).foreach { q => lsh should contain((q, q)) }
+    // recall sanity on spread-out vectors (max pairwise cosine in this table
+    // is ~0.51, so true neighbors are genuinely far): 6-plane multiprobe
+    // must still recover a meaningful fraction of the true top-5
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    recall should be >= 0.3
+  }
+
+  test("IVF assigns cells and finds the self-match") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    centroids.length shouldBe 8
+    val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    indexed.select("cell").distinct().count() should be <= 8L
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // each query's nearest neighbor (itself, cosine 1.0) is recovered when
+    // its own cell is among the probed ones — with nprobe=3 of 8 this holds
+    val selfFound = (0L until 3L).count(q => top.exists(t => t._1 == q && t._2 == q))
+    selfFound should be >= 2
+  }
+}

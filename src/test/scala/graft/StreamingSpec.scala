@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.StreamValidator
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.collection.mutable
+
+class StreamingSpec extends SparkSpec {
+
+  test("foreachBatch micro-batch validation mirrors the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Option[String])]
+    val input = stream.toDF().toDF("id", "payload")
+
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("payload_complete", RuleType.Completeness, Seq("payload"),
+        threshold = Some(0.5))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val sink = Files.createTempDirectory("stream_sink").toString + "/clean"
+    val chk = Files.createTempDirectory("stream_chk").toString
+
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, validatedSink = Some(sink), triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o })
+
+    stream.addData(("a", Some("x")), ("b", None), ("c", Some("y")))
+    query.processAllAvailable()
+    stream.addData(("d", None), ("e", None), ("f", None))
+    query.processAllAvailable()
+    query.stop()
+
+    outcomes.size shouldBe 2
+    val r1 = outcomes(0).summary.results.head
+    r1.failed_count shouldBe 1
+    r1.total_count shouldBe 3
+    r1.passed shouldBe true // 2/3 >= 0.5
+    val r2 = outcomes(1).summary.results.head
+    r2.failed_count shouldBe 3
+    r2.passed shouldBe false
+
+    // clean rows appended across batches: only non-null payloads
+    val clean = spark.read.parquet(sink)
+    clean.count() shouldBe 2
+    clean.filter(col("payload").isNull).count() shouldBe 0
+  }
+}

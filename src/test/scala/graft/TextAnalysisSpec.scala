@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and estimate") {
+    val df = Seq("hello world, this is text!", "", "one").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.tokenEstimate(col("text"))).collect()
+    r(0).getInt(0) shouldBe 5
+    r(0).getInt(1) shouldBe 7 // 5 words + 2 punct
+    r(1).getInt(0) shouldBe 0
+    r(2).getInt(0) shouldBe 1
+  }
+
+  test("language id identifies clear samples, und for gibberish") {
+    val df = Seq(
+      "the cat and the dog is in that house for sure it was good",
+      "der hund ist nicht mit der katze und das ist gut zu wissen",
+      "le chat est dans la maison et les chiens pour que dans",
+      "el perro es una mascota que vive por la casa para siempre con",
+      "zzz qqq xxx kkk").toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    langs shouldBe Array("en", "de", "fr", "es", "und")
+  }
+
+  test("quality score in [0,1], higher for clean prose") {
+    val df = Seq(
+      "This is a perfectly reasonable sentence with normal words and structure.",
+      "!!!???;;;###@@@",
+      "").toDF("text")
+    val r = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    all(r) should (be >= 0.0 and be <= 1.0)
+    r(0) should be > r(1)
+  }
+
+  test("content fingerprint is whitespace/case-normalized") {
+    val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
+    val fp = df.select(TextAnalysis.contentFingerprint(col("text"))).collect().map(_.getString(0))
+    fp(0) shouldBe fp(1)
+    fp(0) should not be fp(2)
+  }
+
+  test("rolling fingerprint: near-dup texts share most hashes") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the shore"),
+      (3L, "completely different content here about something else entirely")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sim12 = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    val sim13 = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    sim12 should be > 0.5
+    sim13 should be < 0.2
+  }
+
+  test("enrich attaches the full column family") {
+    val df = Seq("some text here").toDF("text")
+    val cols = TextAnalysis.enrich(df, "text").columns.toSet
+    cols should contain allOf ("token_count", "token_estimate", "lang_id", "quality_score", "fingerprint")
+  }
+}

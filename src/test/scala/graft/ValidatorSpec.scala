@@ -1,0 +1,116 @@
+package graft
+
+import graft.engine.Validator
+import graft.io.{TranscriptConfig, Transcripts}
+import org.apache.spark.sql.functions._
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("referential rule counts orphans via anti-join") {
+    val fact = Seq(("c1", 0), ("c1", 1), ("zz", 0)).toDF("conv_id", "turn_idx")
+    val dim = Seq("c1", "c2").toDF("conv_id")
+    val rule = ValidationRule("ref", RuleType.Referential, Seq("conv_id"),
+      parameters = Map("ref_table" -> "dim"))
+    val v = new Validator(spark, ValidationConfig(),
+      name => if (name == "dim") Some(dim) else None)
+    val r = v.executeRules(fact, Seq(rule), "fact").results.head
+    r.failed_count shouldBe 1
+    r.total_count shouldBe 3
+  }
+
+  test("drift rule fires on drifted snapshot, quiet on identical") {
+    val cfg = TranscriptConfig(numConvs = 300L)
+    val base = Transcripts.turns(spark, cfg)
+    val drifted = Transcripts.turns(spark, Transcripts.drifted(cfg))
+    val rule = ValidationRule("role_drift", RuleType.drift, Seq("role"),
+      parameters = Map("method" -> "chi_square", "ref_table" -> "baseline", "critical" -> "50"))
+    def run(current: org.apache.spark.sql.DataFrame, baseline: org.apache.spark.sql.DataFrame) =
+      new Validator(spark, ValidationConfig(),
+        n => if (n == "baseline") Some(baseline) else None)
+        .executeRules(current, Seq(rule), "t").results.head
+
+    val quiet = run(base, base)
+    quiet.failed_count shouldBe 0
+    quiet.passed shouldBe true
+
+    val loud = run(drifted, base)
+    loud.failed_count shouldBe loud.total_count
+    loud.passed shouldBe false
+    loud.metadata("statistic").toDouble should be > 50.0
+  }
+
+  test("KS drift rule detects text-length shift") {
+    val cfg = TranscriptConfig(numConvs = 300L)
+    val base = Transcripts.turns(spark, cfg)
+      .withColumn("text_len", coalesce(org.apache.spark.sql.functions.length(col("text")), lit(0)).cast("double"))
+    val drifted = Transcripts.turns(spark, Transcripts.drifted(cfg))
+      .withColumn("text_len", coalesce(org.apache.spark.sql.functions.length(col("text")), lit(0)).cast("double"))
+    val rule = ValidationRule("len_drift", RuleType.drift, Seq("text_len"),
+      parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+        "lo" -> "0", "hi" -> "2000", "bins" -> "64", "critical" -> "0.05"))
+    val r = new Validator(spark, ValidationConfig(),
+      n => if (n == "baseline") Some(base) else None)
+      .executeRules(drifted, Seq(rule), "t").results.head
+    r.metadata("statistic").toDouble should be > 0.05
+    r.passed shouldBe false
+  }
+
+  test("per-partition verdicts: one verdict per (partition, fusible rule)") {
+    val turns = Transcripts.turns(spark, TranscriptConfig(numConvs = 200L))
+    val rules = Seq(
+      ValidationRule("text_c", RuleType.Completeness, Seq("text"), threshold = Some(0.9)),
+      ValidationRule("turn_r", RuleType.Range, Seq("turn_idx"),
+        parameters = Map("min" -> "0", "max" -> "100000"), threshold = Some(0.9)))
+    val v = new Validator(spark, ValidationConfig())
+    val verdicts = v.partitionVerdicts(turns, rules, pmod(xxhash64(col("conv_id")), lit(4)))
+      .collect()
+    verdicts.length shouldBe 8 // 4 partitions × 2 fusible rules
+    // each rule's partition totals partition the data
+    verdicts.filter(_.rule_name == "text_c").map(_.total_count).sum shouldBe turns.count()
+    // partition totals partition the data
+    verdicts.groupBy(_.partition).values.foreach { g =>
+      g.map(_.total_count).distinct.length shouldBe 1
+    }
+  }
+
+  test("report: single table keyed single_table; stats summed (validator.py:197-228)") {
+    val df = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
+    val rules = Seq(ValidationRule("c", RuleType.Completeness, Seq("id")))
+    val v = new Validator(spark, ValidationConfig())
+    val s = v.executeRules(df, rules, "t1")
+    val rep = v.report(Map("t1" -> s))
+    rep.total_tables shouldBe 1
+    rep.table_results.keySet shouldBe Set("single_table")
+    rep.failed_rules shouldBe 1
+    // two tables, one passing one failing → 0.5
+    val pass = v.executeRules(Seq((Some(1), "a")).toDF("id", "v"), rules, "t2")
+    val rep2 = v.report(Map("t1" -> s, "t2" -> pass))
+    rep2.total_tables shouldBe 2
+    rep2.overall_success_rate shouldBe 0.5 +- 1e-12
+    rep2.table_results.keySet shouldBe Set("t1", "t2")
+  }
+
+  test("fused execution preserves rule order (globals first) in results") {
+    val df = Seq((Some(1), "a")).toDF("id", "v")
+    val config = ValidationConfig(
+      globalRules = Seq(ValidationRule("g1", RuleType.Completeness, Seq("id"))),
+      tables = Seq(TableConfig("t", Seq(
+        ValidationRule("t1", RuleType.Completeness, Seq("v")),
+        ValidationRule("t2", RuleType.Uniqueness, Seq("id"))))))
+    val v = new Validator(spark, config)
+    v.validateTable(df, "t").results.map(_.rule_name) shouldBe Seq("g1", "t1", "t2")
+  }
+
+  test("missing column surfaces as per-rule error, not job failure") {
+    val df = Seq(1).toDF("v")
+    val v = new Validator(spark, ValidationConfig())
+    val rs = v.executeRules(df, Seq(
+      ValidationRule("ok", RuleType.Completeness, Seq("v")),
+      ValidationRule("missing", RuleType.Completeness, Seq("nope"))), "t").results
+    rs.find(_.rule_name == "ok").get.passed shouldBe true
+    val bad = rs.find(_.rule_name == "missing").get
+    bad.passed shouldBe false
+    bad.failed_count shouldBe -1
+  }
+}

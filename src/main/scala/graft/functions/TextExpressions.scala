@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`filter`) have NO
+  * codegen — every lambda element evaluates through the interpreted
+  * expression walker, which measured ~70x slower than compiled loops for the
+  * MinHash pipeline (35 s for 500 docs × 64 hashes). These expressions keep
+  * the DataFrame API surface but run the inner loops as tight JVM bytecode
+  * (`CodegenFallback` costs one virtual call per ROW, the per-shingle /
+  * per-hash work is compiled Scala). This is preference tier (b) of the
+  * build rules: a custom Expression where builtins can't express the
+  * semantics efficiently.
+  */
+object TextExpressions {
+
+  private val SPACE = ' '.toByte
+
+  /** Lower-cased alnum token runs of `text` (shared tokenizer — must stay
+    * semantically identical to `split(lower(text), "[^a-z0-9]+")` + drop
+    * empties, which the DuckDB oracle replicates). */
+  def tokenize(text: String): Array[String] = {
+    val s = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && !isAlnum(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && isAlnum(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** Distinct word n-gram shingles; texts shorter than n words fall back to
+    * the single all-tokens shingle (matches the Column/SQL formulation). */
+  def wordShingleSet(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  def charShingleSet(text: String, n: Int): Array[String] = {
+    val s = text.toLowerCase
+    if (s.length < n) Array(s)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  @inline def hash64(s: String, seed: Long): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+}
+
+abstract class StringUnaryExpression extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  protected def ofString(s: String): Any
+  override def nullSafeEval(input: Any): Any =
+    ofString(input.asInstanceOf[UTF8String].toString)
+}
+
+/** array<string> of distinct word (or char) n-gram shingles. */
+case class ShinglesExpr(child: Expression, n: Int, charGrams: Boolean)
+    extends StringUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def ofString(s: String): Any = {
+    val sh = if (charGrams) TextExpressions.charShingleSet(s, n)
+             else TextExpressions.wordShingleSet(s, n)
+    new GenericArrayData(sh.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from a shingle array (array<string> → array<long>):
+  * k minimums over shingle hashes, via the standard two-hash scheme
+  * h_i(x) = h1(x) + i·h2(x) (Broder-style affine combinations) — 2 string
+  * hashes per shingle instead of k. Empty shingle sets (or the lone empty
+  * shingle an empty text produces) yield NULL — the doc drops out of LSH. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    if (m == 1 && arr.getUTF8String(0).numBytes() == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val u = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0L)
+      val h2 = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0x9E3779B97F4A7C15L) | 1L
+      var j = 0
+      var h = h1
+      while (j < k) {
+        if (h < mins(j)) mins(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band hashes of a minhash signature (array<long> → array<long> of
+  * length `bands`; band b hashes signature rows [b·r, (b+1)·r)). */
+case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong * 0xC2B2AE3D27D4EB4FL
+      var j = 0
+      while (j < rowsPerBand) {
+        val v = sig.getLong(b * rowsPerBand + j)
+        // xxh64-style avalanche mix of the band elements
+        h = java.lang.Long.rotateLeft(h ^ (v * 0x87C37B91114253D5L), 31) * 0x4CF5AD432745937FL + 0x52DCE729L
+        j += 1
+      }
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      out(b) = java.lang.Long.valueOf(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over word tokens (majority vote per bit). */
+case class SimHash64Expr(child: Expression) extends StringUnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def ofString(s: String): Any = {
+    val toks = TextExpressions.tokenize(s)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextExpressions.hash64(toks(i), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Bottom-k sketch of character-shingle hashes (winnowing-style rolling
+  * fingerprint): the k smallest xxh64 values, sorted ascending. */
+case class RollingFingerprintExpr(child: Expression, shingleSize: Int, k: Int)
+    extends StringUnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def ofString(s: String): Any = {
+    val shingles = TextExpressions.charShingleSet(s, shingleSize)
+    val hs = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) { hs(i) = TextExpressions.hash64(shingles(i), 0L); i += 1 }
+    java.util.Arrays.sort(hs)
+    val m = math.min(k, hs.length)
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = java.lang.Long.valueOf(hs(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ catalyst Expression bridge (via the org.apache.spark.sql.graft
+  * shim — Spark 4 scopes its conversion helpers private[sql]) plus the
+  * user-facing Column builders for graft's native expressions. */
+package object functions {
+
+  def toColumn(e: Expression): Column = org.apache.spark.sql.graft.bridge.column(e)
+  def toExpr(c: Column): Expression = org.apache.spark.sql.graft.bridge.expression(c)
+
+  /** Distinct word n-gram shingles of a text column. */
+  def word_shingles(text: Column, n: Int): Column =
+    toColumn(ShinglesExpr(toExpr(text), n, charGrams = false))
+
+  /** Distinct character n-gram shingles. */
+  def char_shingles(text: Column, n: Int): Column =
+    toColumn(ShinglesExpr(toExpr(text), n, charGrams = true))
+
+  /** MinHash signature (array<long>, length k) of a shingle-array column. */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    toColumn(MinHashSigExpr(toExpr(shingles), k))
+
+  /** LSH band hashes of a minhash signature. */
+  def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toColumn(BandHashesExpr(toExpr(sig), bands, rowsPerBand))
+
+  /** 64-bit SimHash of a text column. */
+  def simhash64(text: Column): Column = toColumn(SimHash64Expr(toExpr(text)))
+
+  /** Bottom-k rolling fingerprint (sorted array<long>). */
+  def rolling_fingerprint(text: Column, shingleSize: Int, k: Int): Column =
+    toColumn(RollingFingerprintExpr(toExpr(text), shingleSize, k))
+
+  def dot_product(a: Column, b: Column): Column =
+    toColumn(DotProductExpr(toExpr(a), toExpr(b)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  def euclidean_dist(a: Column, b: Column): Column =
+    toColumn(EuclideanDistExpr(toExpr(a), toExpr(b)))
+
+  def hyperplane_sig(v: Column, planes: Seq[Seq[Double]]): Column =
+    toColumn(HyperplaneSigExpr(toExpr(v), planes))
+
+  def nearest_cells(v: Column, centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    toColumn(NearestCellsExpr(toExpr(v), centroids, nprobe))
+}

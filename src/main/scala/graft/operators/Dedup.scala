@@ -17,29 +17,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ------------------------------------------------------------- shingling
-
-  /** Lower-cased word tokens (letters+digits runs). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  // Native expressions (graft.functions) — the higher-order-function
+  // formulation (`transform`+`slice`+`concat_ws`) is interpreted per element
+  // in Spark and measured ~70x slower; semantics are identical and pinned by
+  // the DuckDB oracle on q_ngram_dups_docs.
 
   /** Distinct word n-gram shingles of `text`. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      when(size(ts) >= n,
-        transform(sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", ts))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.word_shingles(text, n)
 
   /** Distinct character n-gram shingles (robust for CJK / no-whitespace). */
-  def charShingles(text: Column, n: Int): Column = {
-    val t = lower(text)
-    array_distinct(
-      when(length(t) >= n,
-        transform(sequence(lit(1), length(t) - n + 1), i => substring(t, i, lit(n))))
-        .otherwise(array(t)))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.char_shingles(text, n)
 
   // ---------------------------------------------------------- exact dedup
 
@@ -59,21 +48,19 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** MinHash signature of a shingle array: k independent permutations
-    * simulated by `min over shingles of xxhash64(shingle, seed_i)`. Returns
-    * an array<long> of length `numHashes`; null when no shingles. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val seeds = typedLit((1 to numHashes).map(_.toLong))
-    transform(seeds, s => array_min(transform(shingles, sh => xxhash64(sh, s))))
-  }
+  /** MinHash signature of a shingle array: k permutations via the two-hash
+    * affine scheme (native expression — one pass over the shingles, 2 string
+    * hashes each). Returns array<long> of length `numHashes`; null when the
+    * doc has no usable shingles. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.minhash_signature(shingles, numHashes)
 
   /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`,
     * each band hashed to one long. Two docs sharing ANY band hash become a
     * candidate pair; with b bands of r rows the match probability is the
     * classic 1-(1-s^r)^b S-curve over true Jaccard s. */
   def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))): _*)
+    graft.functions.band_hashes(signature, bands, rowsPerBand)
 
   /** End-to-end MinHash+LSH near-duplicate pairs.
     *
@@ -142,18 +129,9 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token array: bit i is set iff the majority of token
-    * hashes have bit i set. Pure expression (bitwise ops + filter/size over
-    * the token array, bit loop unrolled at plan-build time) — no UDF. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val nTokens = size(hashes)
-    (0 until 64).map { i =>
-      val mask = lit(1L << i)
-      val onBits = size(filter(hashes, h => h.bitwiseAND(mask) =!= 0L))
-      when(onBits * 2 >= nTokens, mask).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash over word tokens: bit i set iff the majority of token
+    * hashes have bit i set (native expression, single pass per row). */
+  def simHash(text: Column): Column = graft.functions.simhash64(text)
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
     * Pigeonhole banding: the 64-bit simhash splits into `maxHamming+1`

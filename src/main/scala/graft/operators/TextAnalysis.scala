@@ -73,12 +73,12 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Winnowing-style rolling fingerprint: the `k` smallest xxhash64 values
-    * over character shingles, as a sorted array<long>. Two documents sharing
-    * most fingerprint hashes are near-duplicates; mergeable and fixed-size
-    * per doc (bottom-k sketch of the shingle set). */
+  /** Winnowing-style rolling fingerprint: the `k` smallest hash values over
+    * character shingles, as a sorted array<long> (native expression). Two
+    * documents sharing most fingerprint hashes are near-duplicates;
+    * mergeable and fixed-size per doc (bottom-k sketch of the shingle set). */
   def rollingFingerprint(text: Column, shingleSize: Int = 8, k: Int = 16): Column =
-    slice(array_sort(transform(Dedup.charShingles(text, shingleSize), sh => xxhash64(sh))), 1, k)
+    graft.functions.rolling_fingerprint(text, shingleSize, k)
 
   /** Convenience: attach the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String): DataFrame = {

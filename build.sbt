@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // fixed pre-faulted heap: avoids allocation-time page-fault/compaction
+  // stalls that made repeated large scans progressively slower in this VM
+  "-XX:+AlwaysPreTouch",
 )

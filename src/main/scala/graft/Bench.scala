@@ -33,7 +33,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toLong
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "400000").toLong
     val workDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
     val lowCpus = math.max(cpus / 4, 1)
 
@@ -52,6 +52,7 @@ object Bench {
 
     // --- section 2+3: transcript suite + scaling evidence -----------------
     val nTurns = TranscriptSuite.materialize(spark, workDir, benchConvs, cpus)
+    TranscriptSuite.run(spark, workDir) // warmup: JIT + codegen cache (JVM-wide)
     val hi = TranscriptSuite.run(spark, workDir)
     spark.stop()
 

@@ -51,7 +51,8 @@ object TranscriptSuite {
     val cfg = TranscriptConfig(numConvs = numConvs, hotConvExtraTurns = numConvs / 10)
     val turns = Transcripts.turns(spark, cfg)
       .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
-    turns.repartition(shufflePartitions, col("conv_id"))
+    // 4 tasks per core: even waves at high parallelism, bounded stragglers
+    turns.repartition(shufflePartitions * 4, col("conv_id"))
       .write.mode("overwrite").parquet(s"$dir/turns")
     Transcripts.turns(spark, Transcripts.drifted(cfg.copy(numConvs = math.max(numConvs / 4, 1))))
       .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
@@ -79,9 +80,10 @@ object TranscriptSuite {
       case _            => None
     })
     val t0 = System.nanoTime()
-    val summary = validator.executeRules(turns, rules, "transcripts")
-    val verdicts = validator.partitionVerdicts(
-      turns, rules, pmod(xxhash64(col("conv_id")), lit(32))).count()
+    // per-partition verdicts + global verdicts from the SAME fused pass
+    val (summary, partVerdicts) = validator.executeRulesPartitioned(
+      turns, rules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(32))))
+    val verdicts = partVerdicts.size.toLong
     val elapsed = (System.nanoTime() - t0) / 1e9
     val total = summary.results.map(_.total_count).max
     SuiteRun(total, elapsed, total / elapsed, summary.results, verdicts)

@@ -70,9 +70,16 @@ object RulePlanner {
   def typeConformanceFailCond(rule: ValidationRule): Column = {
     val t = rule.param("expected_type").getOrElse("bigint")
     val c = col(rule.column)
-    val casted = expr(s"try_cast(`${rule.column}` AS $t)")
-    if (rule.param("reject").contains("true")) c.isNotNull && casted.isNotNull
-    else c.isNotNull && casted.isNull
+    // integer targets use the native digit-check (TryCast throws a caught
+    // JVM exception per non-conforming row — catastrophic on mostly-bad
+    // columns); other types keep try_cast
+    val conforms: Column = t.toLowerCase match {
+      case "bigint" | "long" | "int" | "integer" | "smallint" | "tinyint" =>
+        graft.functions.long_castable(c.cast(StringType))
+      case _ => expr(s"try_cast(`${rule.column}` AS $t)").isNotNull
+    }
+    if (rule.param("reject").contains("true")) c.isNotNull && conforms
+    else c.isNotNull && !conforms
   }
 
   /** True for rule types that fuse into the shared single-pass aggregate. */

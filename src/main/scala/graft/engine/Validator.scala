@@ -23,26 +23,67 @@ class Validator(
   private val viewCounter = new AtomicLong(0)
 
   /** Execute all enabled rules for `tableName` against `df`.
-    * Fusible rules share ONE aggregate job; each uniqueness key-set, each
+    * Fusible rules share ONE aggregate job; all drift rules share one
+    * multi-histogram scan per table side; each uniqueness key-set, each
     * referential rule and each custom SQL rule is its own job. Result order
     * matches rule order (globals first — observable contract). */
-  def executeRules(df: DataFrame, rules: Seq[ValidationRule], tableName: String): ValidationSummary = {
+  def executeRules(df: DataFrame, rules: Seq[ValidationRule], tableName: String): ValidationSummary =
+    executeRulesPartitioned(df, rules, tableName, None)._1
+
+  /** Like [[executeRules]] but, when `partitionExpr` is given, the fused
+    * aggregate groups by it — per-partition verdicts AND global verdicts
+    * come out of the SAME single pass (global counts are the driver-side
+    * roll-up of the per-partition rows). */
+  def executeRulesPartitioned(
+      df: DataFrame, rules: Seq[ValidationRule], tableName: String,
+      partitionExpr: Option[org.apache.spark.sql.Column]): (ValidationSummary, Seq[PartitionVerdict]) = {
     val t0 = System.nanoTime()
     val schema = df.schema
 
-    val (wellFormedFusible, rest) = rules.partition { r =>
+    val wellFormedFusible = rules.filter { r =>
       RulePlanner.fusible(r) && r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     }
 
-    // 1. one fused job for all fusible rules (plus total count reused below)
+    // 1. one fused job for all fusible rules (optionally partition-grouped)
     val fusedStart = System.nanoTime()
-    val fusedOutcome: Either[Throwable, (Long, Map[String, Long])] =
-      try Right(RulePlanner.runFused(df, wellFormedFusible))
-      catch { case e: Throwable => Left(e) }
+    val fusedOutcome: Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict])] =
+      try {
+        partitionExpr match {
+          case None =>
+            val (total, failed) = RulePlanner.runFused(df, wellFormedFusible)
+            Right((total, failed, Nil))
+          case Some(p) =>
+            val counters = wellFormedFusible.zipWithIndex.map { case (r, i) =>
+              sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L))
+                .cast("long").as(s"f_$i")
+            }
+            val rows = df.groupBy(p.cast("string").as("__part"))
+              .agg(count(lit(1)).as("__total"), counters: _*)
+              .collect()
+            val total = rows.map(_.getLong(1)).sum
+            val failedByRule = wellFormedFusible.zipWithIndex.map { case (r, i) =>
+              r.name -> rows.map(row => if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)).sum
+            }.toMap
+            val verdicts = rows.toSeq.flatMap { row =>
+              val part = row.getString(0)
+              val ptotal = row.getLong(1)
+              wellFormedFusible.zipWithIndex.map { case (r, i) =>
+                val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
+                val rate = if (ptotal == 0) 1.0 else (ptotal - failed).toDouble / ptotal
+                val passed = r.threshold match {
+                  case Some(t) if t != 0.0 => rate >= t
+                  case _                   => failed == 0
+                }
+                PartitionVerdict(part, r.name, passed, failed, ptotal, rate)
+              }
+            }
+            Right((total, failedByRule, verdicts))
+        }
+      } catch { case e: Throwable => Left(e) }
     val fusedMs = (System.nanoTime() - fusedStart) / 1e6
 
     val fusedResults: Map[String, ValidationResult] = fusedOutcome match {
-      case Right((total, failedByRule)) =>
+      case Right((total, failedByRule, _)) =>
         wellFormedFusible.map { r =>
           r.name -> ValidationResult.verdict(r, failedByRule(r.name), total, fusedMs,
             Map("fused" -> "true"))
@@ -52,12 +93,73 @@ class Validator(
     }
     val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
 
-    // 2. remaining rules, preserving overall rule order in the result list
+    // 2. all drift rules batched: one multi-histogram job over df + one per
+    // distinct baseline table (instead of 2 jobs per rule)
+    val driftResults: Map[String, ValidationResult] =
+      executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount)
+
+    // 3. remaining rules, preserving overall rule order in the result list
     val results: Seq[ValidationResult] = rules.map { r =>
-      fusedResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount))
+      fusedResults.getOrElse(r.name,
+        driftResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount)))
     }
 
-    ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
+    val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
+    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil))
+  }
+
+  /** Histogram bucket expression for one drift rule. */
+  private def driftBucket(rule: ValidationRule): org.apache.spark.sql.Column =
+    rule.param("method").getOrElse("chi_square") match {
+      case "ks" =>
+        Checks.numericBucket(col(rule.column).cast("double"),
+          rule.paramDouble("lo").getOrElse(0.0),
+          rule.paramDouble("hi").getOrElse(1000.0),
+          rule.param("bins").map(_.toInt).getOrElse(64))
+      case _ => col(rule.column)
+    }
+
+  private def executeDriftBatch(
+      df: DataFrame, driftRules: Seq[ValidationRule],
+      cachedTotal: Option[Long]): Map[String, ValidationResult] = {
+    if (driftRules.isEmpty) return Map.empty
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1e6
+    try {
+      val total = totalOf(df, cachedTotal)
+      val specs = driftRules.map(r => r.name -> driftBucket(r))
+      val curHists = Checks.multiHistogram(df, specs) // ONE scan for all rules
+      driftRules.groupBy(_.param("ref_table")).flatMap { case (refOpt, group) =>
+        try {
+          val refTable = refOpt.getOrElse(
+            throw new IllegalArgumentException("drift rule needs ref_table"))
+          val baseline = tableResolver(refTable).getOrElse(
+            throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+          val baseHists = Checks.multiHistogram(baseline, group.map(r => r.name -> driftBucket(r)))
+          group.map { rule =>
+            val critical = rule.paramDouble("critical").getOrElse(
+              throw new IllegalArgumentException(s"drift rule '${rule.name}' needs critical"))
+            val method = rule.param("method").getOrElse("chi_square")
+            val ha = curHists.getOrElse(rule.name, Map.empty)
+            val hb = baseHists.getOrElse(rule.name, Map.empty)
+            val (stat, detail) = method match {
+              case "chi_square" =>
+                val (s, dof) = Checks.chiSquareStat(ha, hb); (s, Map("dof" -> dof.toString))
+              case "ks"    => (Checks.ksStat(ha, hb), Map.empty[String, String])
+              case other   => throw new IllegalArgumentException(s"unknown drift method: $other")
+            }
+            val failed = if (stat > critical) total else 0L
+            rule.name -> ValidationResult.verdict(rule, failed, total, ms,
+              detail ++ Map("method" -> method, "statistic" -> stat.toString,
+                "critical" -> critical.toString))
+          }
+        } catch {
+          case e: Throwable => group.map(r => r.name -> ValidationResult.failure(r, e, ms))
+        }
+      }
+    } catch {
+      case e: Throwable => driftRules.map(r => r.name -> ValidationResult.failure(r, e, ms)).toMap
+    }
   }
 
   private def totalOf(df: DataFrame, cached: Option[Long]): Long =
@@ -126,52 +228,12 @@ class Validator(
             ValidationResult.verdict(rule, failed, total, ms)
           } finally spark.catalog.dropTempView(view)
 
-        case RuleType.drift =>
-          executeDrift(df, rule, ms _, cachedTotal)
-
         case other =>
           throw new IllegalArgumentException(s"Unsupported rule type: $other")
       }
     } catch {
       case e: Throwable => ValidationResult.failure(rule, e, ms)
     }
-  }
-
-  /** Drift rule: compares the distribution of `rule.column` against a
-    * baseline histogram table resolved via parameters.
-    *   method=chi_square: statistic > parameters("critical") ⇒ all rows
-    *     "failed" (drift is a table-level verdict; we report failed=total on
-    *     drift so thresholds behave intuitively), else 0.
-    *   method=ks: same with the KS D statistic.
-    * Baseline: ref_table param (resolved) or baseline_hist (view name with
-    * bucket/cnt columns). For numeric KS: params lo/hi/bins bucketize. */
-  private def executeDrift(
-      df: DataFrame, rule: ValidationRule, ms: () => Double,
-      cachedTotal: Option[Long]): ValidationResult = {
-    val method = rule.param("method").getOrElse("chi_square")
-    val critical = rule.paramDouble("critical").getOrElse(
-      throw new IllegalArgumentException(s"drift rule '${rule.name}' needs critical"))
-    val baseline = rule.param("ref_table").flatMap(tableResolver).getOrElse(
-      throw new IllegalArgumentException(s"drift rule '${rule.name}' needs resolvable ref_table"))
-    val (stat, detail) = method match {
-      case "chi_square" =>
-        val (s, dof) = Checks.chiSquare(
-          Checks.categoricalHistogram(df, rule.column),
-          Checks.categoricalHistogram(baseline, rule.column))
-        (s, Map("dof" -> dof.toString))
-      case "ks" =>
-        val lo = rule.paramDouble("lo").getOrElse(0.0)
-        val hi = rule.paramDouble("hi").getOrElse(1000.0)
-        val bins = rule.param("bins").map(_.toInt).getOrElse(64)
-        val va = Checks.numericHistogram(df, col(rule.column).cast("double"), lo, hi, bins)
-        val vb = Checks.numericHistogram(baseline, col(rule.column).cast("double"), lo, hi, bins)
-        (Checks.ksFromHistograms(va, vb), Map.empty[String, String])
-      case other => throw new IllegalArgumentException(s"unknown drift method: $other")
-    }
-    val total = totalOf(df, cachedTotal)
-    val failed = if (stat > critical) total else 0L
-    ValidationResult.verdict(rule, failed, total, ms(),
-      detail ++ Map("method" -> method, "statistic" -> stat.toString, "critical" -> critical.toString))
   }
 
   /** Validate one table end-to-end; marks checkpoint state on success

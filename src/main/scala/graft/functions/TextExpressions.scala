@@ -185,6 +185,31 @@ case class SimHash64Expr(child: Expression) extends StringUnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** True iff the string parses as a signed 64-bit integer. Replaces
+  * `try_cast(c AS bigint) IS NOT NULL` in conformance checks: ANSI TryCast
+  * throws (and catches) a JVM exception per non-conforming row — measured
+  * ~10 s for 7M mostly-non-numeric rows vs ~30 ms for this digit loop. */
+case class LongCastableExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString.trim
+    val n = s.length
+    if (n == 0) return java.lang.Boolean.FALSE
+    var i = if (s.charAt(0) == '-' || s.charAt(0) == '+') 1 else 0
+    if (i == n || n - i > 19) return java.lang.Boolean.FALSE
+    var ok = true
+    while (i < n && ok) { val c = s.charAt(i); ok = c >= '0' && c <= '9'; i += 1 }
+    if (!ok) return java.lang.Boolean.FALSE
+    // length <= 19 can still overflow; exact check only for the edge length
+    if (s.length - (if (s.charAt(0) == '-' || s.charAt(0) == '+') 1 else 0) == 19) {
+      try { s.toLong; java.lang.Boolean.TRUE } catch { case _: NumberFormatException => java.lang.Boolean.FALSE }
+    } else java.lang.Boolean.TRUE
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bottom-k sketch of character-shingle hashes (winnowing-style rolling
   * fingerprint): the k smallest xxh64 values, sorted ascending. */
 case class RollingFingerprintExpr(child: Expression, shingleSize: Int, k: Int)

@@ -34,6 +34,9 @@ package object functions {
   def rolling_fingerprint(text: Column, shingleSize: Int, k: Int): Column =
     toColumn(RollingFingerprintExpr(toExpr(text), shingleSize, k))
 
+  /** Fast `can this string cast to bigint` (no exception churn). */
+  def long_castable(c: Column): Column = toColumn(LongCastableExpr(toExpr(c)))
+
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpr(a), toExpr(b)))
 

@@ -31,8 +31,12 @@ object TranscriptSuite {
       threshold = Some(0.98), severity = Severity.Warning),
     ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
       threshold = Some(0.99)),
+    // broadcast=false: the conversation index is ~turns/18 rows (10^9-scale
+    // dim at the design point) — a broadcast would serialize a driver-side
+    // hash build; shuffle join scales with the cluster and AQE can still
+    // downgrade to broadcast when the dim is genuinely small
     ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
-      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"),
+      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "false"),
       threshold = Some(0.98)),
     ValidationRule("role_drift", RuleType.drift, Seq("role"),
       parameters = Map("method" -> "chi_square", "ref_table" -> "baseline",

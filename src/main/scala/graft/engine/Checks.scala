@@ -77,6 +77,27 @@ object Checks {
     fact.join(right, Seq(factKey), "left_anti")
   }
 
+  /** Orphan COUNT without a join: tag fact keys t=1 and dim keys d=1, union,
+    * hash-aggregate by key, sum fact-counts of keys never seen in the dim.
+    * One hash shuffle with map-side combine (fact keys collapse to one row
+    * per distinct key per task) and NO sort — beats the sort-merge anti-join
+    * when only the count is needed; [[orphans]] remains the violation-ROWS
+    * extractor. NULL fact keys are not orphans (match [[orphans]] semantics
+    * where a NULL never joins — callers filter NULLs per their rule). */
+  def orphanCount(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): Long = {
+    val f = fact.select(col(factKey).as("__k"), lit(1L).as("__t"), lit(0L).as("__d"))
+      .filter(col("__k").isNotNull)
+    val d = dim.select(col(dimKey).as("__k"), lit(0L).as("__t"), lit(1L).as("__d"))
+      .filter(col("__k").isNotNull)
+    val row = f.unionByName(d)
+      .groupBy("__k")
+      .agg(sum("__t").as("__nt"), max("__d").as("__nd"))
+      .filter(col("__nd") === 0)
+      .agg(coalesce(sum("__nt"), lit(0L)))
+      .head()
+    row.getLong(0)
+  }
+
   /** Categorical histogram of a column (NULL bucketed as the literal string
     * "__NULL__" so drift on nullability is visible). */
   def categoricalHistogram(df: DataFrame, column: String): DataFrame =

@@ -192,9 +192,13 @@ class Validator(
           val refColumn = rule.param("ref_column").getOrElse(rule.column)
           val dim = tableResolver(refTable).getOrElse(
             throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
-          val bcast = rule.param("broadcast").forall(_.toBoolean)
           val total = totalOf(df, cachedTotal)
-          val orphanCount = Checks.orphans(df, rule.column, dim, refColumn, bcast).count()
+          // broadcast=true → anti-join against a broadcast dim (small dims);
+          // otherwise the sort-free union/hash-agg count (large dims)
+          val orphanCount =
+            if (rule.param("broadcast").contains("true"))
+              Checks.orphans(df, rule.column, dim, refColumn, broadcastDim = true).count()
+            else Checks.orphanCount(df, rule.column, dim, refColumn)
           ValidationResult.verdict(rule, orphanCount, total, ms,
             Map("ref_table" -> refTable, "ref_column" -> refColumn))
 

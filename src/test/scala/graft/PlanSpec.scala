@@ -1,0 +1,95 @@
+package graft
+
+import graft.engine.{Checks, RulePlanner}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations we rely on at scale must be
+  * visible in `explain` output, not assumed — filter/column pushdown to the
+  * parquet scan, broadcast vs shuffle join selection, whole-stage codegen
+  * around the fused aggregate. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def events: DataFrame = spark.read.parquet(s"$sf/events.parquet")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimizedOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("rule filters push down to the parquet scan") {
+    val rules = Seq(
+      ValidationRule("props", RuleType.Completeness, Seq("props")),
+      ValidationRule("value", RuleType.Range, Seq("value"),
+        parameters = Map("min" -> "0", "max" -> "100")))
+    val plan = planOf(RulePlanner.applyFilters(events, rules))
+    plan should include("PushedFilters")
+    plan should include("IsNotNull(props)")
+    plan should include("GreaterThanOrEqual(value,0.0)")
+  }
+
+  test("fused aggregate prunes to referenced columns only") {
+    val rules = Seq(
+      ValidationRule("props", RuleType.Completeness, Seq("props")),
+      ValidationRule("value", RuleType.Range, Seq("value"),
+        parameters = Map("min" -> "0", "max" -> "100")))
+    val counters = rules.map(r => sum(when(RulePlanner.failCondition(events.schema, r), 1L).otherwise(0L)))
+    val agg = events.agg(count(lit(1)), counters: _*)
+    val scan = agg.queryExecution.executedPlan.collectLeaves().head.toString
+    // ReadSchema must contain only the two referenced columns
+    scan should include("ReadSchema")
+    scan should include("props")
+    scan should include("value")
+    scan should not include "event_type"
+    scan should not include "user_id"
+  }
+
+  test("fused aggregate runs inside whole-stage codegen") {
+    val rules = Seq(ValidationRule("props", RuleType.Completeness, Seq("props")))
+    val counters = rules.map(r => sum(when(RulePlanner.failCondition(events.schema, r), 1L).otherwise(0L)))
+    val agg = events.agg(counters.head)
+    agg.head() // materialize: AQE only finalizes (and codegens) executed plans
+    planOf(agg) should include("WholeStageCodegen")
+  }
+
+  test("small-dim referential check uses a broadcast join") {
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val plan = planOf(Checks.orphans(orders, "o_custkey", dim, "c_custkey", broadcastDim = true))
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+  }
+
+  test("large-dim orphan count plans a hash aggregate, not a sort-merge join") {
+    val fact = spark.range(1000).selectExpr("cast(id as string) as k")
+    val dim = spark.range(500).selectExpr("cast(id as string) as pk")
+    // orphanCount is eager; re-build its plan here for inspection
+    val f = fact.select(col("k").as("__k"), lit(1L).as("__t"), lit(0L).as("__d"))
+    val d = dim.select(col("pk").as("__k"), lit(0L).as("__t"), lit(1L).as("__d"))
+    val plan = planOf(f.unionByName(d).groupBy("__k")
+      .agg(sum("__t").as("__nt"), max("__d").as("__nd"))
+      .filter(col("__nd") === 0).agg(sum("__nt")))
+    plan should include("HashAggregate")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("uniqueness distinct shuffles only the key columns") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val distinctPlan = li.select("l_orderkey", "l_linenumber").distinct()
+    val scan = distinctPlan.queryExecution.executedPlan.collectLeaves().head.toString
+    scan should include("l_orderkey")
+    scan should not include "l_extendedprice"
+    // partial aggregation before the exchange (map-side dedup)
+    val plan = planOf(distinctPlan)
+    plan.indexOf("HashAggregate") should be < plan.indexOf("Exchange")
+  }
+
+  test("partition-pruned scan: filter on partition-style column pushes down") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+    planOf(li) should include("PushedFilters")
+    planOf(li) should include("GreaterThanOrEqual(l_shipdate")
+  }
+}

@@ -50,8 +50,10 @@ class PlanSpec extends SparkSpec {
     val rules = Seq(ValidationRule("props", RuleType.Completeness, Seq("props")))
     val counters = rules.map(r => sum(when(RulePlanner.failCondition(events.schema, r), 1L).otherwise(0L)))
     val agg = events.agg(counters.head)
-    agg.head() // materialize: AQE only finalizes (and codegens) executed plans
-    planOf(agg) should include("WholeStageCodegen")
+    agg.collect() // materialize THIS QueryExecution: AQE only finalizes
+    // (and codegens) executed plans; head() would build a separate limit plan
+    // codegen'd spans print as "*(n) Operator" in the final adaptive plan
+    planOf(agg) should include("*(1) HashAggregate")
   }
 
   test("small-dim referential check uses a broadcast join") {

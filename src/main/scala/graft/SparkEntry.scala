@@ -171,6 +171,47 @@ object SparkEntry {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- multi-join rollup (TPC-H Q3-flavored shipping priority) ---------
+    Q("q3_shipping_priority",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        // decimal-cast BOTH factors before multiplying: engines round a
+        // computed double→decimal cast differently at half-cent edges, but
+        // 2dp-valued doubles cast to DECIMAL(18,2) identically and decimal
+        // arithmetic is exact from there
+        val price = col("l_extendedprice").cast(DecimalType(18, 2))
+        val disc = col("l_discount").cast(DecimalType(18, 2))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(price * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - disc))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- semi-join (EXISTS) ----------------------------------------------
+    Q("q_semi_join_customers",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("active_customers"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS active_customers
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- distribution drift: chi-square ----------------------------------
     Q("q_chisq_events",
       (s, d) => {

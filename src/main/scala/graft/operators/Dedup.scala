@@ -77,10 +77,15 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = if (charGrams) charShingles(col(textCol), shingleSize)
              else wordShingles(col(textCol), shingleSize)
+    // persist the signature "index": it feeds the band join (both sides) and
+    // the verification join (both sides) — without it the shingling work
+    // re-runs up to 4x. At warehouse scale this table is what you'd
+    // materialize to storage once per corpus snapshot.
     val docs = df
       .select(col(idCol).as("id"), sh.as("shingles"))
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs.select(col("id"),
       posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))

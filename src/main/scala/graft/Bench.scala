@@ -58,22 +58,33 @@ object Bench {
     // evidenced on every adjacent pair. Each level runs the suite twice and
     // keeps the best — the sandbox VM shows bursty scheduling noise and the
     // min reflects actual capacity.
-    val nTurns = TranscriptSuite.materialize(spark, workDir, benchConvs, cpus)
-    TranscriptSuite.run(spark, workDir) // warmup: JIT + codegen cache (JVM-wide)
-    val levels = Seq(cpus, math.max(cpus / 4, 1), math.max(cpus / 16, 1)).distinct
-    val runs: Seq[(Int, TranscriptSuite.SuiteRun)] = levels.map { lvl =>
-      val s = if (lvl == cpus) spark else {
-        spark.stop(); newSession(lvl)
+    // any failure in the scaling section must not lose the query timings —
+    // the JSON line below prints regardless
+    val runs: Seq[(Int, TranscriptSuite.SuiteRun)] = try {
+      val turns0 = TranscriptSuite.materialize(spark, workDir, benchConvs, cpus)
+      require(turns0 > 0)
+      TranscriptSuite.run(spark, workDir) // warmup: JIT + codegen cache (JVM-wide)
+      val levels = Seq(cpus, math.max(cpus / 4, 1), math.max(cpus / 16, 1)).distinct
+      levels.map { lvl =>
+        val s = if (lvl == cpus) spark else {
+          spark.stop(); newSession(lvl)
+        }
+        s.sparkContext.setLogLevel("WARN")
+        val best = (1 to 3).map(_ => TranscriptSuite.run(s, workDir)).minBy(_.elapsedSec)
+        spark = s
+        lvl -> best
       }
-      s.sparkContext.setLogLevel("WARN")
-      val best = (1 to 3).map(_ => TranscriptSuite.run(s, workDir)).minBy(_.elapsedSec)
-      spark = s
-      lvl -> best
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scaling section failed: ${e.getMessage}")
+        Nil
+    } finally {
+      try spark.stop() catch { case _: Throwable => () }
     }
-    spark.stop()
 
-    val byLevel = runs.toMap
-    val hi = byLevel(cpus)
+    val nTurns = runs.headOption.map(_._2.turns).getOrElse(0L)
+    val hi = runs.headOption.map(_._2)
+      .getOrElse(TranscriptSuite.SuiteRun(0L, 0.0, 0.0, Nil, 0L))
     val pairs = runs.zip(runs.tail).map { case ((hiC, hiR), (loC, loR)) =>
       val eff = (hiR.turnsPerSec / loR.turnsPerSec) / (hiC.toDouble / loC)
       (loC, hiC, eff)

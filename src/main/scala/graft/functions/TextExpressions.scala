@@ -185,6 +185,40 @@ case class SimHash64Expr(child: Expression) extends StringUnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Language-ID over per-language stopword sets: one tokenize pass, hash-set
+  * membership counts, argmax with ties to the earliest language; "und" when
+  * nothing matches. Token-equality counting is equivalent to the
+  * `\b(w1|w2|…)\b` regex formulation on digit/underscore-free text (all
+  * markers are pure ASCII letters; `\b` and the [a-z0-9] tokenizer then
+  * agree on word boundaries) and ~10x faster than 5 regex scans per row. */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends StringUnaryExpression {
+  override def dataType: DataType = StringType
+  private lazy val langs: Array[String] = markers.map(_._1).toArray
+  private lazy val sets: Array[java.util.HashSet[String]] = markers.map { case (_, ws) =>
+    val s = new java.util.HashSet[String](); ws.foreach(s.add); s
+  }.toArray
+  override protected def ofString(s: String): Any = {
+    val toks = TextExpressions.tokenize(s)
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < langs.length) {
+        if (sets(l).contains(toks(i))) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) { if (counts(l) > counts(best)) best = l; l += 1 }
+    if (counts(best) == 0) UTF8String.fromString("und")
+    else UTF8String.fromString(langs(best))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** True iff the string parses as a signed 64-bit integer. Replaces
   * `try_cast(c AS bigint) IS NOT NULL` in conformance checks: ANSI TryCast
   * throws (and catches) a JVM exception per non-conforming row — measured

@@ -34,6 +34,10 @@ package object functions {
   def rolling_fingerprint(text: Column, shingleSize: Int, k: Int): Column =
     toColumn(RollingFingerprintExpr(toExpr(text), shingleSize, k))
 
+  /** Stopword-set language ID (argmax, ties to earliest language). */
+  def lang_id(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    toColumn(LangIdExpr(toExpr(text), markers))
+
   /** Fast `can this string cast to bigint` (no exception churn). */
   def long_castable(c: Column): Column = toColumn(LongCastableExpr(toExpr(c)))
 

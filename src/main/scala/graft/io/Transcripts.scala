@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * rates, so expected counts are exactly computable by re-running the same
   * predicate — tests assert closed-form agreement.
   */
+/** Typed row of the transcripts table (exact input-hint schema). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp)
+
 final case class TranscriptConfig(
     numConvs: Long = 1000L,
     seed: Long = 42L,
@@ -128,6 +137,13 @@ object Transcripts {
       text.as("text"),
       tool.as("tool"),
       ts.as("ts"))
+  }
+
+  /** Typed view of [[turns]] — compile-time field checks for user code
+    * (`ds.filter(_.role == "tool")`); the untyped plan is identical. */
+  def turnsTyped(spark: SparkSession, cfg: TranscriptConfig): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    turns(spark, cfg).as[Turn]
   }
 
   /** The conversation index (dimension side of the referential check):

@@ -67,6 +67,14 @@ class TranscriptsSpec extends SparkSpec {
     toolShare(drift) should be > toolShare(base) + 0.05
   }
 
+  test("typed Dataset[Turn] surface agrees with the DataFrame") {
+    val ds = Transcripts.turnsTyped(spark, cfg)
+    ds.count() shouldBe Transcripts.turns(spark, cfg).count()
+    val toolTurns = ds.filter(t => t.role == "tool" && t.tool != null)
+    toolTurns.count() should be > 0L
+    toolTurns.head().tool should not be null
+  }
+
   test("ts is monotone within a conversation (well-formed rows)") {
     val t = Transcripts.turns(spark, cfg)
       .filter(col("conv_id").startsWith("conv-") && col("turn_idx") >= 0)

@@ -150,6 +150,16 @@ object SparkEntry {
         FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // ---- uniqueness violation ROWS (window over key partition) ----------
+    Q("q_dup_rows_lineitem",
+      (s, d) => Checks.duplicateRows(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
+
     // ---- referential integrity (anti-join) -------------------------------
     Q("q_referential_orphans",
       (s, d) => Checks.orphans(

@@ -20,11 +20,15 @@ object Cli {
     val configPath = opts.getOrElse("config",
       sys.error("--config is required"))
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-validator")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
+    // under spark-submit the master comes from the launcher; standalone
+    // invocations (tests, local runs) fall back to all local cores
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
 
     try {
       val config = ConfigLoader.fromYamlFile(configPath)

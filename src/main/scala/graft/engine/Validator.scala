@@ -240,6 +240,45 @@ class Validator(
     }
   }
 
+  /** Violating ROWS for one rule — the real quarantine feed (the reference
+    * declares a quarantine sink but leaves it a no-op placeholder,
+    * `validator.py:264-274`). Fusible rules filter by their failure
+    * condition (predicate pushes to the scan); uniqueness uses the window
+    * count; referential the anti-join. Custom rows-returned rules return
+    * their own result set. */
+  def violations(df: DataFrame, rule: ValidationRule): DataFrame = rule.ruleType match {
+    case _ if RulePlanner.fusible(rule) =>
+      df.filter(RulePlanner.failCondition(df.schema, rule))
+    case RuleType.Uniqueness =>
+      Checks.duplicateRows(df, if (rule.columns.nonEmpty) rule.columns else Seq(rule.column))
+    case RuleType.Referential =>
+      val refTable = rule.param("ref_table").getOrElse(
+        throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
+      val dim = tableResolver(refTable).getOrElse(
+        throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+      Checks.orphans(df, rule.column, dim, rule.param("ref_column").getOrElse(rule.column),
+        rule.param("broadcast").forall(_.toBoolean))
+    case RuleType.Custom =>
+      val view = s"violations_view_${viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      spark.sql(rule.expression.getOrElse(
+        throw new IllegalArgumentException(s"custom rule '${rule.name}' needs expression"))
+        .replace("{table}", view))
+    case _ => df.limit(0) // drift & custom_agg are table-level verdicts: no row set
+  }
+
+  /** Quarantine: violating rows for every enabled rule, tagged with the rule
+    * name, appended to `path` as parquet — one union plan, one write job. */
+  def quarantine(df: DataFrame, rules: Seq[ValidationRule], path: String): Long = {
+    val tagged = rules.filter(_.enabled).flatMap { r =>
+      scala.util.Try(violations(df, r).withColumn("__rule_name", lit(r.name))).toOption
+    }
+    if (tagged.isEmpty) return 0L
+    val all = tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    all.write.mode("append").parquet(path)
+    spark.read.parquet(path).count()
+  }
+
   /** Validate one table end-to-end; marks checkpoint state on success
     * (reference `validator.py:71-99`). */
   def validateTable(df: DataFrame, tableName: String): ValidationSummary = {

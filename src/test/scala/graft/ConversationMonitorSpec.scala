@@ -1,0 +1,60 @@
+package graft
+
+import graft.io.Turn
+import graft.streaming.ConversationMonitor
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class ConversationMonitorSpec extends SparkSpec {
+
+  private def turn(conv: String, idx: Int, ts: Long = 1700000000000L): Turn =
+    Turn(conv, idx, "user", "text", null, new Timestamp(ts))
+
+  test("stateful monitor flags cross-batch duplicates and out-of-order turns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Turn]
+    val anomalies = ConversationMonitor.anomalies(stream.toDS())
+    val query = anomalies.writeStream
+      .format("memory").queryName("anomalies").outputMode("append").start()
+
+    // batch 1: clean ascending turns for c1; c2 starts
+    stream.addData(turn("c1", 0), turn("c1", 1), turn("c1", 2), turn("c2", 0))
+    query.processAllAvailable()
+    // batch 2: c1 repeats turn 1 (cross-batch duplicate!), c2 jumps to 5 then
+    // back to 3 (out-of-order), plus a negative index
+    stream.addData(turn("c1", 1), turn("c2", 5), turn("c2", 3), turn("c2", -1))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("anomalies").as[ConversationMonitor.TurnAnomaly].collect()
+    val byKind = rows.groupBy(_.kind).view.mapValues(_.map(a => (a.conv_id, a.turn_idx)).toSet).toMap
+    byKind("duplicate_turn") shouldBe Set(("c1", 1))
+    byKind("out_of_order") shouldBe Set(("c2", 3))
+    byKind("negative_turn") shouldBe Set(("c2", -1))
+    rows.length shouldBe 3 // nothing else flagged
+  }
+
+  test("watermarked role histogram aggregates per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Turn]
+    val hist = ConversationMonitor.roleHistogram(stream.toDS().toDF(), "1 minute", "1 minute", "1 minute")
+    val query = hist.writeStream
+      .format("memory").queryName("rolehist").outputMode("update").start()
+
+    val base = 1700000000000L
+    stream.addData(
+      Turn("c1", 0, "user", "t", null, new Timestamp(base)),
+      Turn("c1", 1, "assistant", "t", null, new Timestamp(base + 1000)),
+      Turn("c1", 2, "user", "t", null, new Timestamp(base + 2000)))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("rolehist").collect()
+    rows.map(_.getString(1)).toSet shouldBe Set("user", "assistant")
+    rows.find(_.getString(1) == "user").get.getLong(2) shouldBe 2L
+  }
+}

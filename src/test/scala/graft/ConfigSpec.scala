@@ -74,6 +74,16 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("shipped example config parses and covers the full rule vocabulary") {
+    val c = ConfigLoader.fromYamlFile("examples/transcripts_config.yaml", env = Map.empty)
+    c.tables.map(_.name) shouldBe Seq("transcripts")
+    val types = c.enabledRules("transcripts").map(_.ruleType).toSet
+    types shouldBe Set(RuleType.Custom, RuleType.Completeness, RuleType.Pattern,
+      RuleType.Range, RuleType.TypeConformance, RuleType.Uniqueness,
+      RuleType.Referential, RuleType.drift)
+    c.stateFile shouldBe defined
+  }
+
   test("invalid severity rejected (config.py:44-49)") {
     intercept[IllegalArgumentException] {
       ValidationRule("bad", RuleType.Completeness, Seq("c"), severity = "critical")

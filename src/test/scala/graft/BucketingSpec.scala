@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-location: the at-rest layout that removes the shuffle
+  * from repeated key-joins (referential checks, uniqueness audits) over the
+  * same join key — the design the 100 TB deployment would use for the
+  * turns ⋈ conv_index join. */
+class BucketingSpec extends SparkSpec {
+
+  test("pre-bucketed tables join without an exchange on either side") {
+    val sf = "/root/testdata/sf0.001"
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      spark.read.parquet(s"$sf/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself must not reshuffle its inputs: no Exchange below the
+      // SortMergeJoin (the final single-partition agg exchange is expected)
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      joinSection should not include "Exchange hashpartitioning(l_orderkey"
+      joinSection should not include "Exchange hashpartitioning(o_orderkey"
+      plan should include("SortMergeJoin")
+      // and results are correct
+      j.agg(sum("n")).head().getLong(0) shouldBe
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .join(spark.read.parquet(s"$sf/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey")).count()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}

@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
     plan.indexOf("HashAggregate") should be < plan.indexOf("Exchange")
   }
 
+  test("minhash LSH reuses the persisted signature index (no recompute per join side)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+    pairs.collect()
+    planOf(pairs) should include("InMemoryTableScan")
+  }
+
   test("partition-pruned scan: filter on partition-style column pushes down") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))

@@ -165,16 +165,23 @@ object Checks {
     (stat, math.max(buckets.size - 1, 1))
   }
 
-  /** Driver-side KS over collected integer-bucketed histograms. */
+  /** Driver-side KS over collected integer-bucketed histograms. Non-numeric
+    * buckets (the "__NULL__" bucket multiHistogram emits for NULL values)
+    * are excluded from BOTH distributions — KS compares the numeric CDFs
+    * only; nullability drift belongs to completeness / chi-square rules. */
   def ksStat(a: Map[String, Long], b: Map[String, Long]): Double = {
-    val buckets = (a.keySet ++ b.keySet).map(_.toInt).toSeq.sorted
-    val totA = a.values.sum.toDouble
-    val totB = b.values.sum.toDouble
+    def numeric(m: Map[String, Long]): Map[Int, Long] =
+      m.flatMap { case (k, v) => k.toIntOption.map(_ -> v) }
+    val na = numeric(a)
+    val nb = numeric(b)
+    val buckets = (na.keySet ++ nb.keySet).toSeq.sorted
+    val totA = na.values.sum.toDouble
+    val totB = nb.values.sum.toDouble
     if (totA == 0 || totB == 0) return 0.0
     var cumA = 0L; var cumB = 0L; var d = 0.0
     buckets.foreach { k =>
-      cumA += a.getOrElse(k.toString, 0L)
-      cumB += b.getOrElse(k.toString, 0L)
+      cumA += na.getOrElse(k, 0L)
+      cumB += nb.getOrElse(k, 0L)
       d = math.max(d, math.abs(cumA / totA - cumB / totB))
     }
     d

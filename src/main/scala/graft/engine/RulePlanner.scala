@@ -41,8 +41,10 @@ object RulePlanner {
     * `when(null-cond)` falls to otherwise(0)). `pyspark_engine.py:90-99`. */
   def rangeFailCond(rule: ValidationRule): Column = {
     val c = col(rule.column)
-    val lo = rule.paramDouble("min")
-    val hi = rule.paramDouble("max")
+    // the reference engine reads min_value/max_value (pyspark_engine.py:92-94);
+    // accept both spellings so upstream-framework configs run unchanged
+    val lo = rule.paramDouble("min").orElse(rule.paramDouble("min_value"))
+    val hi = rule.paramDouble("max").orElse(rule.paramDouble("max_value"))
     (lo, hi) match {
       case (Some(a), Some(b)) => !(c >= lit(a) && c <= lit(b))
       case (Some(a), None)    => c < lit(a)

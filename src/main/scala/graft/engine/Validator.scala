@@ -70,11 +70,8 @@ class Validator(
               wellFormedFusible.zipWithIndex.map { case (r, i) =>
                 val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
                 val rate = if (ptotal == 0) 1.0 else (ptotal - failed).toDouble / ptotal
-                val passed = r.threshold match {
-                  case Some(t) if t != 0.0 => rate >= t
-                  case _                   => failed == 0
-                }
-                PartitionVerdict(part, r.name, passed, failed, ptotal, rate)
+                PartitionVerdict(part, r.name,
+                  ValidationResult.passedOf(r.threshold, failed, rate), failed, ptotal, rate)
               }
             }
             Right((total, failedByRule, verdicts))
@@ -319,11 +316,8 @@ class Validator(
       fusible.zipWithIndex.map { case (r, i) =>
         val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
         val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
-        val passed = r.threshold match {
-          case Some(t) if t != 0.0 => rate >= t
-          case _                   => failed == 0
-        }
-        PartitionVerdict(part, r.name, passed, failed, total, rate)
+        PartitionVerdict(part, r.name,
+          ValidationResult.passedOf(r.threshold, failed, rate), failed, total, rate)
       }
     }
   }

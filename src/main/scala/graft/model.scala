@@ -117,6 +117,17 @@ final case class ValidationResult(
 )
 
 object ValidationResult {
+  /** Pass/fail for a (threshold, failed, rate) triple (reference
+    * `pyspark_engine.py:130-135`: `if rule.threshold is not None`) — ANY set
+    * threshold compares the rate, including 0.0 (which therefore always
+    * passes); only an UNSET threshold requires zero failures. Python
+    * truthiness affects the MESSAGE suffix alone (see [[verdict]]). */
+  def passedOf(threshold: Option[Double], failed: Long, rate: Double): Boolean =
+    threshold match {
+      case Some(t) => rate >= t
+      case None    => failed == 0
+    }
+
   /** Threshold verdict + message (reference `pyspark_engine.py:128-143`):
     *   success_rate = (total - failed) / total, 1.0 when total == 0
     *   passed       = rate >= threshold when threshold set, else failed == 0
@@ -132,11 +143,7 @@ object ValidationResult {
       metadata: Map[String, String] = Map.empty
   ): ValidationResult = {
     val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
-    val passed = rule.threshold match {
-      case Some(t) if t != 0.0 => rate >= t
-      case Some(_)             => failed == 0 // 0.0 behaves as unset (python truthiness)
-      case None                => failed == 0
-    }
+    val passed = passedOf(rule.threshold, failed, rate)
     val base = s"Rule '${rule.name}': $failed/$total failed records"
     val message = rule.threshold match {
       case Some(t) if t != 0.0 =>

@@ -26,6 +26,9 @@ object StreamValidator {
     * @param checkpointDir  Structured Streaming checkpoint location
     * @param triggerMs      processing-time trigger (reference default 60 s)
     * @param onResult       callback per micro-batch (metrics/alerting hook)
+    * @param tableResolver  reference-table lookup for referential/drift rules
+    *                       (passed through to each per-batch Validator —
+    *                       without it those rules fail "unknown ref_table")
     */
   def start(
       spark: SparkSession,
@@ -35,7 +38,8 @@ object StreamValidator {
       checkpointDir: String,
       validatedSink: Option[String] = None,
       triggerMs: Long = 60000L,
-      onResult: BatchOutcome => Unit = _ => ()): StreamingQuery = {
+      onResult: BatchOutcome => Unit = _ => (),
+      tableResolver: String => Option[DataFrame] = _ => None): StreamingQuery = {
 
     val rules = config.enabledRules(tableName)
 
@@ -43,7 +47,7 @@ object StreamValidator {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val validator = new Validator(spark, config)
+        val validator = new Validator(spark, config, tableResolver)
         val summary = validator.executeRules(batch, rules, tableName)
         onResult(BatchOutcome(batchId, summary))
         validatedSink.foreach { sink =>

@@ -70,10 +70,13 @@ class RuleSemanticsSpec extends SparkSpec {
       ValidationRule("x", RuleType.Completeness, Seq("c")), 3, 10, 0.0)
     noThresh.message shouldBe "Rule 'x': 3/10 failed records"
     noThresh.passed shouldBe false
-    // threshold 0.0 behaves as unset (python truthiness, pyspark_engine.py:141-143)
+    // threshold 0.0: the VERDICT compares the rate (`is not None`,
+    // pyspark_engine.py:130-133 — rate >= 0.0 is always true, so it passes
+    // even with failures); python truthiness suppresses only the MESSAGE
+    // suffix (pyspark_engine.py:141-143)
     val zeroThresh = ValidationResult.verdict(
-      ValidationRule("x", RuleType.Completeness, Seq("c"), threshold = Some(0.0)), 0, 10, 0.0)
-    zeroThresh.message shouldBe "Rule 'x': 0/10 failed records"
+      ValidationRule("x", RuleType.Completeness, Seq("c"), threshold = Some(0.0)), 7, 10, 0.0)
+    zeroThresh.message shouldBe "Rule 'x': 7/10 failed records"
     zeroThresh.passed shouldBe true
   }
 

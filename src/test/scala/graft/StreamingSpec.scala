@@ -47,4 +47,31 @@ class StreamingSpec extends SparkSpec {
     clean.count() shouldBe 2
     clean.filter(col("payload").isNull).count() shouldBe 0
   }
+
+  test("referential rules resolve ref tables through the streaming tableResolver") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = Seq("a", "c").toDF("id")
+    val stream = MemoryStream[String]
+    val input = stream.toDF().toDF("id")
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("fk", RuleType.Referential, Seq("id"),
+        parameters = Map("ref_table" -> "dim"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val chk = Files.createTempDirectory("stream_chk_ref").toString
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o },
+      tableResolver = n => if (n == "dim") Some(dim) else None)
+
+    stream.addData("a", "b", "c")
+    query.processAllAvailable()
+    query.stop()
+
+    val r = outcomes.head.summary.results.head
+    r.failed_count shouldBe 1 // "b" is an orphan — NOT an unknown-ref_table error
+    r.total_count shouldBe 3
+  }
 }

@@ -56,6 +56,33 @@ class ValidatorSpec extends SparkSpec {
     r.passed shouldBe false
   }
 
+  test("KS drift on a NULL-containing column yields a verdict, not an error") {
+    // text has injected NULLs; no coalesce — the NULL histogram bucket must
+    // be excluded from the KS CDFs instead of exploding on toInt
+    val cfg = TranscriptConfig(numConvs = 300L)
+    val base = Transcripts.turns(spark, cfg)
+      .withColumn("text_len", org.apache.spark.sql.functions.length(col("text")).cast("double"))
+    val rule = ValidationRule("len_drift", RuleType.drift, Seq("text_len"),
+      parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+        "lo" -> "0", "hi" -> "2000", "bins" -> "64", "critical" -> "0.3"))
+    val r = new Validator(spark, ValidationConfig(),
+      n => if (n == "baseline") Some(base) else None)
+      .executeRules(base, Seq(rule), "t").results.head
+    r.failed_count should not be -1L
+    r.metadata("statistic").toDouble shouldBe 0.0 +- 1e-12 // identical snapshots
+    r.passed shouldBe true
+  }
+
+  test("range rule accepts the reference's min_value/max_value spellings") {
+    val df = Seq(-5.0, 1.0, 50.0, 120.0).toDF("score")
+    val rule = ValidationRule("r", RuleType.Range, Seq("score"),
+      parameters = Map("min_value" -> "0", "max_value" -> "100"))
+    val r = new Validator(spark, ValidationConfig())
+      .executeRules(df, Seq(rule), "t").results.head
+    r.failed_count shouldBe 2 // -5 and 120
+    r.total_count shouldBe 4
+  }
+
   test("per-partition verdicts: one verdict per (partition, fusible rule)") {
     val turns = Transcripts.turns(spark, TranscriptConfig(numConvs = 200L))
     val rules = Seq(

@@ -20,10 +20,16 @@ object Cli {
     val configPath = opts.getOrElse("config",
       sys.error("--config is required"))
 
+    // config FIRST: engine connection_params/options become session confs,
+    // exactly like the reference's connect (`pyspark_engine.py:34-42`)
+    val config = ConfigLoader.fromYamlFile(configPath)
     val builder = SparkSession.builder()
       .appName("graft-validator")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    (config.engine.connectionParams ++ config.engine.options).foreach {
+      case (k, v) => builder.config(k, v)
+    }
     // under spark-submit the master comes from the launcher; standalone
     // invocations (tests, local runs) fall back to all local cores
     if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
@@ -31,7 +37,6 @@ object Cli {
     val spark = builder.getOrCreate()
 
     try {
-      val config = ConfigLoader.fromYamlFile(configPath)
       val checkpoint = config.stateFile.map(new Checkpoint(_))
       val sources: Map[String, String] = opts.get("sources")
         .map(p => loadSources(p)).getOrElse(Map.empty)
@@ -51,13 +56,25 @@ object Cli {
             Tables.load(spark, sources.getOrElse(name, name)))
       }
 
+      // data-cleaning mode: tables flagged filter_mode additionally write
+      // their rule-filtered rows to --clean-dir/<table> (reference library
+      // surface `validator.py:133-162`, wired here as the CLI consumer)
+      for {
+        cleanDir <- opts.get("clean-dir").toSeq
+        table <- config.tables if table.filterMode && summaries.contains(table.name)
+      } {
+        val df = Tables.load(spark, sources.getOrElse(table.name, table.name))
+        validator.cleanTable(df, table.name)
+          .write.mode("overwrite").parquet(s"$cleanDir/${table.name}")
+      }
+
       val report = validator.report(summaries)
       val json = Json.write(report)
       opts.get("output") match {
         case Some(path) => Files.writeString(Paths.get(path), json)
         case None       => println(json)
       }
-      if (report.failed_rules > 0) sys.exit(1)
+      if (report.overall_stats.total_failed > 0) sys.exit(1)
     } finally spark.stop()
   }
 

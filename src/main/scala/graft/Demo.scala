@@ -30,8 +30,8 @@ object Demo {
     val summary = v.executeRules(df, rules, "demo")
     summary.results.foreach(r => println(s"[demo] ${r.message} passed=${r.passed}"))
     val qdir = java.nio.file.Files.createTempDirectory("qdemo").toString + "/q"
-    val total = v.quarantine(df, rules, qdir)
-    println(s"[demo] quarantined rows total=$total")
+    val outcome = v.quarantine(df, rules, qdir)
+    println(s"[demo] quarantined rows total=${outcome.written}")
     spark.read.parquet(qdir).groupBy("__rule_name").count()
       .collect().foreach(r => println(s"[demo] quarantine ${r.getString(0)} -> ${r.getLong(1)}"))
 

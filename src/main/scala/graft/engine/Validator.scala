@@ -265,15 +265,24 @@ class Validator(
   }
 
   /** Quarantine: violating rows for every enabled rule, tagged with the rule
-    * name, appended to `path` as parquet — one union plan, one write job. */
-  def quarantine(df: DataFrame, rules: Seq[ValidationRule], path: String): Long = {
-    val tagged = rules.filter(_.enabled).flatMap { r =>
-      scala.util.Try(violations(df, r).withColumn("__rule_name", lit(r.name))).toOption
+    * name, appended to `path` as parquet — one union plan, one write job.
+    * The row count rides the write itself via `observe` (no second scan, and
+    * it counts THIS run's rows — not the cumulative sink like a re-read
+    * would). Rules whose violation plan fails to build are reported in
+    * `ruleErrors` instead of being silently dropped. */
+  def quarantine(df: DataFrame, rules: Seq[ValidationRule], path: String): QuarantineOutcome = {
+    val attempts = rules.filter(_.enabled).map { r =>
+      r.name -> scala.util.Try(violations(df, r).withColumn("__rule_name", lit(r.name)))
     }
-    if (tagged.isEmpty) return 0L
+    val errors = attempts.collect {
+      case (name, scala.util.Failure(e)) => name -> String.valueOf(e.getMessage)
+    }.toMap
+    val tagged = attempts.collect { case (_, scala.util.Success(d)) => d }
+    if (tagged.isEmpty) return QuarantineOutcome(0L, errors)
     val all = tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    all.write.mode("append").parquet(path)
-    spark.read.parquet(path).count()
+    val obs = org.apache.spark.sql.Observation()
+    all.observe(obs, count(lit(1)).as("rows")).write.mode("append").parquet(path)
+    QuarantineOutcome(obs.get("rows").asInstanceOf[Long], errors)
   }
 
   /** Validate one table end-to-end; marks checkpoint state on success
@@ -322,32 +331,88 @@ class Validator(
     }
   }
 
-  /** Full nested report (reference `validator.py:197-228`): single table is
-    * keyed "single_table"; overall stats summed across tables. */
-  def report(summaries: Map[String, ValidationSummary], engineType: String = "spark"): Report = {
-    val keyed = if (summaries.size == 1) Map("single_table" -> summaries.head._2) else summaries
-    val allResults = keyed.values.flatMap(_.results)
-    val totalRules = allResults.size
-    val passed = allResults.count(_.passed)
+  /** Data-cleaning mode (`filter_mode` in a table config — reference
+    * `validator.py:133-162`): apply every enabled rule as a row FILTER and
+    * return the cleaned DataFrame. */
+  def cleanTable(df: DataFrame, tableName: String): DataFrame =
+    RulePlanner.applyFilters(df, config.enabledRules(tableName))
+
+  /** Full nested report, key-for-key the reference's shape
+    * (`validator.py:197-228` and `_calculate_overall_stats` at 279-295):
+    * top level `validation_timestamp/engine_type/total_tables/overall_stats/
+    * table_results`; per table `total_rules/passed_rules/failed_rules/
+    * success_rate/execution_time_ms/rules`; per rule `name/type/passed/
+    * success_rate/message/severity`. A dict input keeps its table keys
+    * (the reference CLI test asserts `"customers" in table_results`,
+    * `tests/test_cli.py:52-55`); only a BARE summary is keyed
+    * "single_table" — use [[report(summary:graft\.ValidationSummary)*]]. */
+  def report(summaries: Map[String, ValidationSummary]): Report = {
+    val totalRules = summaries.values.map(_.total_rules).sum
+    val totalPassed = summaries.values.map(_.passed_rules).sum
     Report(
       validation_timestamp = java.time.Instant.now().toString,
-      engine_type = engineType,
-      total_tables = keyed.size,
-      total_rules = totalRules,
-      passed_rules = passed,
-      failed_rules = totalRules - passed,
-      overall_success_rate = if (totalRules == 0) 1.0 else passed.toDouble / totalRules,
-      table_results = keyed)
+      engine_type = config.engine.engineType,
+      total_tables = summaries.size,
+      overall_stats = OverallStats(
+        total_rules = totalRules,
+        total_passed = totalPassed,
+        total_failed = summaries.values.map(_.failed_rules).sum,
+        overall_success_rate = if (totalRules == 0) 1.0 else totalPassed.toDouble / totalRules,
+        total_execution_time_ms = summaries.values.map(_.total_execution_time_ms).sum),
+      table_results = summaries.map { case (name, s) =>
+        name -> TableReport(
+          total_rules = s.total_rules,
+          passed_rules = s.passed_rules,
+          failed_rules = s.failed_rules,
+          success_rate = s.overall_success_rate,
+          execution_time_ms = s.total_execution_time_ms,
+          rules = s.results.map(r => RuleReport(r.rule_name, r.rule_type, r.passed,
+            r.success_rate, r.message, r.severity)))
+      })
   }
+
+  /** Bare-summary overload: keyed "single_table" (reference
+    * `validator.py:204-206`). */
+  def report(summary: ValidationSummary): Report =
+    report(Map("single_table" -> summary))
 }
+
+/** This-run quarantine outcome: rows written plus per-rule plan failures. */
+final case class QuarantineOutcome(written: Long, ruleErrors: Map[String, String])
+
+/** Per-rule entry in the report (reference `validator.py:213-222`). */
+final case class RuleReport(
+    name: String,
+    `type`: String,
+    passed: Boolean,
+    success_rate: Double,
+    message: String,
+    severity: String
+)
+
+/** Per-table entry in the report (reference `validator.py:207-224`). */
+final case class TableReport(
+    total_rules: Int,
+    passed_rules: Int,
+    failed_rules: Int,
+    success_rate: Double,
+    execution_time_ms: Double,
+    rules: Seq[RuleReport]
+)
+
+/** Cross-table rollup (reference `_calculate_overall_stats`). */
+final case class OverallStats(
+    total_rules: Int,
+    total_passed: Int,
+    total_failed: Int,
+    overall_success_rate: Double,
+    total_execution_time_ms: Double
+)
 
 final case class Report(
     validation_timestamp: String,
     engine_type: String,
     total_tables: Int,
-    total_rules: Int,
-    passed_rules: Int,
-    failed_rules: Int,
-    overall_success_rate: Double,
-    table_results: Map[String, ValidationSummary]
+    overall_stats: OverallStats,
+    table_results: Map[String, TableReport]
 )

@@ -44,9 +44,65 @@ class CliSpec extends SparkSpec {
     val report = validator.report(Map("customers" -> summary))
     val json = Json.write(report)
     val parsed = JsonMethods.parse(json)
+    // exact reference shape: tests/test_cli.py:52-55 asserts total_tables
+    // and "customers" in table_results; validator.py:200-228 pins the
+    // nested overall_stats and per-rule key names
     (parsed \ "total_tables").extract[Int] shouldBe 1
-    (parsed \ "table_results" \ "single_table" \ "total_rules").extract[Int] shouldBe 2
+    (parsed \ "table_results" \ "customers" \ "total_rules").extract[Int] shouldBe 2
     (parsed \ "engine_type").extract[String] shouldBe "spark"
+    (parsed \ "overall_stats" \ "total_rules").extract[Int] shouldBe 2
+    (parsed \ "overall_stats" \ "total_passed").extract[Int] shouldBe 2
+    (parsed \ "overall_stats" \ "total_failed").extract[Int] shouldBe 0
+    (parsed \ "overall_stats" \ "overall_success_rate").extract[Double] shouldBe 1.0
+    (parsed \ "overall_stats" \ "total_execution_time_ms").extract[Double] should be > 0.0
+    val rule0 = (parsed \ "table_results" \ "customers" \ "rules")(0)
+    rule0.asInstanceOf[JObject].obj.map(_._1) shouldBe
+      List("name", "type", "passed", "success_rate", "message", "severity")
+    (rule0 \ "name").extract[String] shouldBe "id_complete"
+    (rule0 \ "type").extract[String] shouldBe "completeness"
+    // a BARE summary (not a dict) is the one keyed single_table
+    validator.report(summary).table_results.keySet shouldBe Set("single_table")
+  }
+
+  test("engine connection_params/options apply to the Spark session (pyspark_engine.py:34-42)") {
+    val configYaml =
+      """engine:
+        |  type: spark
+        |  connection_params:
+        |    spark.sql.shuffle.partitions: "7"
+        |  options:
+        |    spark.graft.test.option: "on"
+        |""".stripMargin
+    val config = graft.config.ConfigLoader.fromYamlString(configYaml, env = Map.empty)
+    // same application step Cli.main performs before getOrCreate
+    (config.engine.connectionParams ++ config.engine.options).foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe "7"
+    spark.conf.get("spark.graft.test.option") shouldBe "on"
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // restore suite default
+  }
+
+  test("filter_mode table cleaning writes rule-filtered rows") {
+    val dir = Files.createTempDirectory("cliclean")
+    val configYaml =
+      """tables:
+        |  - name: customers
+        |    filter_mode: true
+        |    rules:
+        |      - name: id_complete
+        |        rule_type: completeness
+        |        column: id
+        |""".stripMargin
+    val config = graft.config.ConfigLoader.fromYamlString(configYaml, env = Map.empty)
+    config.tables.head.filterMode shouldBe true
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("id", "name")
+    val v = new graft.engine.Validator(spark, config)
+    val out = s"$dir/clean/customers"
+    v.cleanTable(df, "customers").write.mode("overwrite").parquet(out)
+    val clean = spark.read.parquet(out)
+    clean.count() shouldBe 2
+    clean.filter($"id".isNull).count() shouldBe 0
   }
 
   test("JSON source path loads") {

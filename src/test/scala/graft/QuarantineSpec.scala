@@ -32,13 +32,35 @@ class QuarantineSpec extends SparkSpec {
   test("quarantine writes tagged violation rows for all rules in one pass") {
     val path = Files.createTempDirectory("quarantine").toString + "/q"
     val v = new Validator(spark, ValidationConfig())
-    val total = v.quarantine(df, rules, path)
-    total shouldBe 5 // 1 null-id + 1 bad-email + 1 age + 2 dup rows
+    val outcome = v.quarantine(df, rules, path)
+    outcome.written shouldBe 5 // 1 null-id + 1 bad-email + 1 age + 2 dup rows
+    outcome.ruleErrors shouldBe empty
     val q = spark.read.parquet(path)
     q.columns should contain("__rule_name")
     q.groupBy("__rule_name").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
       Map("id_complete" -> 1L, "email_pattern" -> 1L, "age_range" -> 1L, "id_unique" -> 2L)
+  }
+
+  test("second quarantine run against the same sink counts only its own rows") {
+    val path = Files.createTempDirectory("quarantine2").toString + "/q"
+    val v = new Validator(spark, ValidationConfig())
+    v.quarantine(df, rules, path).written shouldBe 5
+    // the sink now holds 5 rows; a re-run must report 5 again (this run's
+    // rows), not the cumulative 10 a sink re-read would produce
+    v.quarantine(df, rules, path).written shouldBe 5
+    spark.read.parquet(path).count() shouldBe 10
+  }
+
+  test("rules whose violation plan fails surface in ruleErrors, not silently dropped") {
+    val path = Files.createTempDirectory("quarantine3").toString + "/q"
+    val v = new Validator(spark, ValidationConfig()) // no tableResolver
+    val broken = ValidationRule("fk", RuleType.Referential, Seq("id"),
+      parameters = Map("ref_table" -> "nope"))
+    val outcome = v.quarantine(df, rules :+ broken, path)
+    outcome.written shouldBe 5
+    outcome.ruleErrors.keySet shouldBe Set("fk")
+    outcome.ruleErrors("fk") should include("nope")
   }
 
   test("drift rules contribute no quarantine rows (table-level verdicts)") {

@@ -101,20 +101,27 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
-  test("report: single table keyed single_table; stats summed (validator.py:197-228)") {
+  test("report: dict keeps table keys, bare summary keyed single_table; stats summed (validator.py:197-228)") {
     val df = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
     val rules = Seq(ValidationRule("c", RuleType.Completeness, Seq("id")))
     val v = new Validator(spark, ValidationConfig())
     val s = v.executeRules(df, rules, "t1")
+    // dict input keeps its keys even with ONE entry (test_cli.py:52-55
+    // expects "customers" in table_results, not single_table)
     val rep = v.report(Map("t1" -> s))
     rep.total_tables shouldBe 1
-    rep.table_results.keySet shouldBe Set("single_table")
-    rep.failed_rules shouldBe 1
+    rep.table_results.keySet shouldBe Set("t1")
+    rep.overall_stats.total_failed shouldBe 1
+    rep.table_results("t1").rules.head.`type` shouldBe "completeness"
+    // a bare summary is what gets the single_table key (validator.py:204-206)
+    v.report(s).table_results.keySet shouldBe Set("single_table")
     // two tables, one passing one failing → 0.5
     val pass = v.executeRules(Seq((Some(1), "a")).toDF("id", "v"), rules, "t2")
     val rep2 = v.report(Map("t1" -> s, "t2" -> pass))
     rep2.total_tables shouldBe 2
-    rep2.overall_success_rate shouldBe 0.5 +- 1e-12
+    rep2.overall_stats.overall_success_rate shouldBe 0.5 +- 1e-12
+    rep2.overall_stats.total_execution_time_ms shouldBe
+      (s.total_execution_time_ms + pass.total_execution_time_ms) +- 1e-9
     rep2.table_results.keySet shouldBe Set("t1", "t2")
   }
 

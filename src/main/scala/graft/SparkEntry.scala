@@ -429,6 +429,19 @@ object SparkEntry {
       },
       None),
 
+    // ---- ANN: IVF top-k (rows-only; recall vs brute in SimilaritySpec) ---
+    Q("q_knn_ivf_embeddings",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+        val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+        Similarity.ivfTopK(indexed, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, k = 10, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- embedding cosine near-dup pairs (rows-only) ---------------------
     Q("q_embedding_neardups",
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -37,21 +36,35 @@ object Similarity {
 
   def euclidean(a: Column, b: Column): Column = graft.functions.euclidean_dist(a, b)
 
+  /** Rank scored candidates to (query_id, id, cosine, rank): bounded-heap
+    * top-k aggregate (see [[graft.functions.TopKByScore]]) instead of a
+    * `row_number` window — map-side partial aggregation caps the shuffle at
+    * k entries per (query, input partition) and no query's candidate set
+    * ever funnels through a single reducer task. Ordering identical to the
+    * window formulation: cosine desc, ties by ascending id. */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val agg = graft.functions.TopK.topKAgg(k)
+    candidates
+      .groupBy(col("query_id"))
+      .agg(agg(col("id"), col("cosine")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__sc")))
+      .select(col("query_id"), col("__sc.id").as("id"), col("__sc.cosine").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact cosine top-k for each query row. `queries` must be small enough
-    * to broadcast (the `broadcast` hint is applied). Deterministic: ties
-    * broken by corpus id. Output: (query_id, id, cosine, rank). */
+    * to broadcast (the `broadcast` hint is applied); corpus ids must be
+    * (castable to) long. Deterministic: ties broken by corpus id.
+    * Output: (query_id, id, cosine, rank). */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int): DataFrame = {
     val joined = corpus
-      .select(col(corpusId).as("id"), col(corpusVec).as("v"))
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("v"))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))))
       .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(joined, k)
   }
 
   /** Deterministic random hyperplanes: `planes` vectors of `dim` components
@@ -79,7 +92,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
     val bucketed = corpus
-      .select(col(corpusId).as("id"), col(corpusVec).as("v"))
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), dim, planes, seed))
     val probed = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
@@ -88,10 +101,7 @@ object Similarity {
         explode(probeBuckets(col("sig"), planes)).as("bucket"))
     val candidates = bucketed.join(broadcast(probed), "bucket")
       .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(candidates, k)
   }
 
   /** IVF index: assign every corpus vector to its nearest centroid.
@@ -127,12 +137,9 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(graft.functions.nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
     val candidates = corpusWithCells
-      .select(col(corpusId).as("id"), col(corpusVec).as("v"), col("cell"))
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("v"), col("cell"))
       .join(broadcast(probed), "cell")
       .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    rankTopK(candidates, k)
   }
 }

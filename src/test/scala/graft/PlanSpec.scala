@@ -95,6 +95,21 @@ class PlanSpec extends SparkSpec {
     planOf(pairs) should include("InMemoryTableScan")
   }
 
+  test("brute-force top-k plans a partial-aggregating bounded heap, no per-query window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = graft.operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    top.collect()
+    val plan = planOf(top)
+    // the old shape shuffled every (corpus row × query) to one task per
+    // query via Window.partitionBy(query_id); the aggregate shape must show
+    // object aggregation with a partial pass before the exchange and no
+    // window operator at all
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    plan.indexOf("ObjectHashAggregate") should be < plan.indexOf("Exchange")
+  }
+
   test("partition-pruned scan: filter on partition-style column pushes down") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))

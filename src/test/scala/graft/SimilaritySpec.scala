@@ -33,6 +33,23 @@ class SimilaritySpec extends SparkSpec {
     top.head.getDouble(2) shouldBe 1.0 +- 1e-7
   }
 
+  test("bounded-heap top-k equals the window row_number formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 7)
+    val agg = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val joined = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    val windowed = joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    agg shouldBe windowed
+  }
+
   test("LSH top-k achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
@@ -48,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     // must still recover a meaningful fraction of the true top-5
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     recall should be >= 0.3
+  }
+
+  test("IVF top-k recall vs brute force at the harness query params") {
+    // same parameters as SparkEntry's q_knn_ivf_embeddings (16 cells, nprobe 4)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing 4 of 16 cells scans ~25% of a corpus whose vectors are nearly
+    // orthogonal (max pairwise cosine ~0.51) — self-match must always land
+    // and a meaningful fraction of the true top-10 must be recovered
+    (0L until 5L).foreach { q => ivf should contain((q, q)) }
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    recall should be >= 0.25
   }
 
   test("IVF assigns cells and finds the self-match") {

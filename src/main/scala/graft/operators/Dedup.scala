@@ -108,26 +108,60 @@ object Dedup {
 
   // ------------------------------------------------ exact n-gram Jaccard
 
-  /** Exact all-pairs n-gram Jaccard via the inverted-index join:
-    * explode distinct shingles → join on shingle → count intersections →
-    * jaccard = |∩| / (|A|+|B|−|∩|). Exact (oracle-checkable in ANSI SQL);
-    * cost is Σ_bucket |bucket|² so it is the small/medium-scale oracle path —
-    * [[minHashLshPairs]] is the 100 TB path. */
+  /** Exact all-pairs n-gram Jaccard with PPJoin-style prefix filtering
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008).
+    *
+    * Candidate generation indexes only each document's PREFIX — its
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles under a global (document-frequency,
+    * shingle) order. Any pair with true Jaccard ≥ t must share a prefix
+    * shingle, so the result is EXACT while the inverted index shrinks ~2×
+    * at t=0.5 and, because prefixes hold the RAREST shingles, hot buckets
+    * (stop-shingles) vanish from the self-join — the Σ|bucket|² blow-up the
+    * naive index suffers at scale. A length filter (t ≤ |A|/|B| ≤ 1/t) prunes
+    * candidates further; survivors are verified with the exact Jaccard over
+    * the full shingle arrays.
+    *
+    * `maxShingleDf` (0 = off) additionally drops shingles with document
+    * frequency above the cap from the index — a belt-and-braces guard for
+    * adversarial corpora. With the cap on, a pair sharing ONLY above-cap
+    * shingles is missed, so results are exact only for pairs below it
+    * (route such corpora to [[minHashLshPairs]]). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = docs.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = docs.select(col("id").as("id_a"), col("sh"))
-      .join(docs.select(col("id").as("id_b"), col("sh")), "sh")
+      shingleSize: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Long = 0L): DataFrame = {
+    // persist the shingle-set "index": it feeds the document-frequency pass,
+    // the prefix build and the verification join (both sides)
+    val docs = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = docs.select(col("id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val dfreq0 = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxShingleDf > 0) dfreq0.filter(col("df") <= maxShingleDf) else dfreq0
+    // rarest-first global order (df, sh); epsilon keeps ⌈t·n⌉ from rounding
+    // UP on floating-point noise, which would shorten the prefix (unsafe
+    // direction) — a longer prefix is always correct
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val prefixLen = col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - lit(1e-9)) + 1
+    val prefix = exploded.join(dfreq, "sh")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .select("sh", "id", "n_sh")
+    val a = prefix.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = prefix.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    val candidates = a.join(b, "sh")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .filter(col("n_b") >= col("n_a") * lit(minJaccard) - lit(1e-9) &&
+        col("n_a") >= col("n_b") * lit(minJaccard) - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }

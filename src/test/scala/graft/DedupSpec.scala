@@ -41,6 +41,29 @@ class DedupSpec extends SparkSpec {
     pairs((1L, 2L)) shouldBe (11.0 / 13.0) +- 1e-12
   }
 
+  test("hot-shingle df cap drops pairs whose only shared shingle exceeds it") {
+    // "x y z" occurs in all five docs (df=5); docs 1 and 2 overlap ONLY on it
+    val hot = Seq(
+      (1L, "x y z"),
+      (2L, "x y z w"),
+      (3L, "x y z a b c d e f"),
+      (4L, "x y z g h i j k l"),
+      (5L, "x y z m n o p q r")).toDF("doc_id", "text")
+    val noCap = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    noCap shouldBe Set((1L, 2L)) // J(1,2) = 1/2 exactly; all other pairs < 0.5
+    // cap below the hot shingle's df: the only connecting shingle leaves the
+    // index, so the pair is (documentedly) missed — the adversarial-corpus
+    // guard trades that tail for bounded bucket sizes
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.5, maxShingleDf = 4L)
+      .collect()
+    capped shouldBe empty
+    // cap above every df: exact results unchanged
+    val highCap = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.5, maxShingleDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    highCap shouldBe Set((1L, 2L))
+  }
+
   test("MinHash LSH finds planted near-dups and no false positives above threshold") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)

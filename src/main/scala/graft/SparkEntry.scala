@@ -456,11 +456,17 @@ object SparkEntry {
 
     Q("q_transcripts_partition_verdicts",
       (s, _) => {
+        // full per-partition surface: fusible rules from the grouped fused
+        // pass PLUS uniqueness (within-partition dups) and referential
+        // (grouped orphan counts) — 8 buckets × 7 rules
+        import s.implicits._
         val turns = Transcripts.turns(s, entryConfig)
+        val index = Transcripts.convIndex(s, entryConfig)
         val cfg = ValidationConfig(tables = Seq(TableConfig("transcripts", transcriptRules)))
-        new Validator(s, cfg).partitionVerdicts(
-          turns, transcriptRules, pmod(xxhash64(col("conv_id")), lit(8)))
-          .toDF().orderBy("partition", "rule_name")
+        val v = new Validator(s, cfg, n => if (n == "conv_index") Some(index) else None)
+        val (_, verdicts) = v.executeRulesPartitioned(
+          turns, transcriptRules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(8))))
+        verdicts.toDF().orderBy("partition", "rule_name")
       },
       None),
 

@@ -63,18 +63,20 @@ object Checks {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Referential integrity: rows of `fact` whose `factKey` has no match in
-    * `dim(dimKey)` (left-anti join). `broadcastDim=true` forces a broadcast
-    * hash join (right for small dimension tables); otherwise Catalyst/AQE
-    * choose (sort-merge for large-large, converted at runtime if the built
-    * side turns out small). */
+  /** Referential integrity: rows of `fact` whose non-NULL `factKey` has no
+    * match in `dim(dimKey)` (left-anti join). NULL fact keys are NOT orphans
+    * (they are completeness's job) — same contract as [[orphanCount]], so
+    * the broadcast and union/hash-agg paths always agree. `broadcastDim=true`
+    * forces a broadcast hash join (right for small dimension tables);
+    * otherwise Catalyst/AQE choose (sort-merge for large-large, converted at
+    * runtime if the built side turns out small). */
   def orphans(
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       broadcastDim: Boolean = true): DataFrame = {
     val d = dim.select(col(dimKey).as(factKey)).distinct()
     val right = if (broadcastDim) broadcast(d) else d
-    fact.join(right, Seq(factKey), "left_anti")
+    fact.filter(col(factKey).isNotNull).join(right, Seq(factKey), "left_anti")
   }
 
   /** Orphan COUNT without a join: tag fact keys t=1 and dim keys d=1, union,

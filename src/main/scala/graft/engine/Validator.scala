@@ -30,10 +30,25 @@ class Validator(
   def executeRules(df: DataFrame, rules: Seq[ValidationRule], tableName: String): ValidationSummary =
     executeRulesPartitioned(df, rules, tableName, None)._1
 
-  /** Like [[executeRules]] but, when `partitionExpr` is given, the fused
-    * aggregate groups by it — per-partition verdicts AND global verdicts
-    * come out of the SAME single pass (global counts are the driver-side
-    * roll-up of the per-partition rows). */
+  /** Maximum distinct values a partition expression may produce. Verdicts
+    * collect O(partitions × rules) rows to the driver, so the expression
+    * must be a BUCKETING expression (e.g. `pmod(xxhash64(col), lit(32))`),
+    * never a raw high-cardinality column — enforced after the grouped
+    * aggregate, before anything else collects. */
+  val maxPartitionBuckets: Int = 65536
+
+  /** Like [[executeRules]] but, when `partitionExpr` is given, per-partition
+    * verdicts come out alongside the global ones:
+    *  - fusible rules: the fused aggregate groups by the expression — global
+    *    counts are the driver-side roll-up of the SAME single pass;
+    *  - uniqueness: one extra grouped job per key set; a partition's verdict
+    *    assesses uniqueness WITHIN that partition (cross-partition duplicates
+    *    appear only in the global verdict, so per-partition failure counts
+    *    sum to the global count exactly when the partition expression is
+    *    derived from the key — the recommended layout);
+    *  - referential: the violation rows are counted grouped by the
+    *    expression, and the global verdict is their roll-up — one anti-join
+    *    job serves both levels. */
   def executeRulesPartitioned(
       df: DataFrame, rules: Seq[ValidationRule], tableName: String,
       partitionExpr: Option[org.apache.spark.sql.Column]): (ValidationSummary, Seq[PartitionVerdict]) = {
@@ -44,14 +59,16 @@ class Validator(
       RulePlanner.fusible(r) && r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     }
 
-    // 1. one fused job for all fusible rules (optionally partition-grouped)
+    // 1. one fused job for all fusible rules (optionally partition-grouped);
+    // the grouped pass also yields per-partition row totals, reused by the
+    // uniqueness/referential verdicts below
     val fusedStart = System.nanoTime()
-    val fusedOutcome: Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict])] =
+    val fusedOutcome: Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict], Map[String, Long])] =
       try {
         partitionExpr match {
           case None =>
             val (total, failed) = RulePlanner.runFused(df, wellFormedFusible)
-            Right((total, failed, Nil))
+            Right((total, failed, Nil, Map.empty))
           case Some(p) =>
             val counters = wellFormedFusible.zipWithIndex.map { case (r, i) =>
               sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L))
@@ -60,10 +77,14 @@ class Validator(
             val rows = df.groupBy(p.cast("string").as("__part"))
               .agg(count(lit(1)).as("__total"), counters: _*)
               .collect()
+            require(rows.length <= maxPartitionBuckets,
+              s"partition expression produced ${rows.length} buckets (max $maxPartitionBuckets) — " +
+                "use a bucketing expression like pmod(xxhash64(col), lit(32))")
             val total = rows.map(_.getLong(1)).sum
             val failedByRule = wellFormedFusible.zipWithIndex.map { case (r, i) =>
               r.name -> rows.map(row => if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)).sum
             }.toMap
+            val partTotals = rows.map(row => row.getString(0) -> row.getLong(1)).toMap
             val verdicts = rows.toSeq.flatMap { row =>
               val part = row.getString(0)
               val ptotal = row.getLong(1)
@@ -74,13 +95,13 @@ class Validator(
                   ValidationResult.passedOf(r.threshold, failed, rate), failed, ptotal, rate)
               }
             }
-            Right((total, failedByRule, verdicts))
+            Right((total, failedByRule, verdicts, partTotals))
         }
       } catch { case e: Throwable => Left(e) }
     val fusedMs = (System.nanoTime() - fusedStart) / 1e6
 
     val fusedResults: Map[String, ValidationResult] = fusedOutcome match {
-      case Right((total, failedByRule, _)) =>
+      case Right((total, failedByRule, _, _)) =>
         wellFormedFusible.map { r =>
           r.name -> ValidationResult.verdict(r, failedByRule(r.name), total, fusedMs,
             Map("fused" -> "true"))
@@ -95,15 +116,91 @@ class Validator(
     val driftResults: Map[String, ValidationResult] =
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount)
 
+    // 2b. partitioned uniqueness + referential: per-partition verdicts, and
+    // for referential the global verdict rides the same grouped job
+    val partTotals: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
+    val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
+      partitionExpr match {
+        case Some(p) if partTotals.nonEmpty =>
+          val refPairs = rules.filter(_.ruleType == RuleType.Referential)
+            .map(r => r.name -> referentialPartitioned(df, r, p, partTotals, totalCount))
+          val uniqVerdicts = rules.filter(_.ruleType == RuleType.Uniqueness)
+            .flatMap(r => uniquenessPartitionVerdicts(df, r, p, partTotals))
+          (refPairs.map { case (n, (res, _)) => n -> res }.toMap,
+            refPairs.flatMap(_._2._2) ++ uniqVerdicts)
+        case _ => (Map.empty, Nil)
+      }
+
     // 3. remaining rules, preserving overall rule order in the result list
     val results: Seq[ValidationResult] = rules.map { r =>
       fusedResults.getOrElse(r.name,
-        driftResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount)))
+        driftResults.getOrElse(r.name,
+          specialResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount))))
     }
 
     val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
-    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil))
+    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts)
   }
+
+  /** Per-partition verdicts from one (partition, rule) failure-count map +
+    * the shared per-partition totals. */
+  private def verdictsFrom(
+      rule: ValidationRule, failedByPart: Map[String, Long],
+      partTotals: Map[String, Long]): Seq[PartitionVerdict] =
+    partTotals.toSeq.map { case (part, ptotal) =>
+      val failed = failedByPart.getOrElse(part, 0L)
+      val rate = if (ptotal == 0) 1.0 else (ptotal - failed).toDouble / ptotal
+      PartitionVerdict(part, rule.name,
+        ValidationResult.passedOf(rule.threshold, failed, rate), failed, ptotal, rate)
+    }
+
+  /** Referential rule with per-partition verdicts: ONE job — the violation
+    * rows (anti-join) counted grouped by the partition expression; the
+    * global failed count is the exact roll-up (orphanhood is row-level, so
+    * partition counts always sum to the global). */
+  private def referentialPartitioned(
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long],
+      cachedTotal: Option[Long]): (ValidationResult, Seq[PartitionVerdict]) = {
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1e6
+    try {
+      val rows = violations(df, rule)
+        .groupBy(p.cast("string").as("__part"))
+        .agg(count(lit(1)).as("__failed"))
+        .collect()
+      val failedByPart = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val failed = failedByPart.values.sum
+      val total = totalOf(df, cachedTotal)
+      val result = ValidationResult.verdict(rule, failed, total, ms,
+        Map("ref_table" -> rule.param("ref_table").getOrElse(""),
+          "ref_column" -> rule.param("ref_column").getOrElse(rule.column),
+          "partitioned" -> "true"))
+      (result, verdictsFrom(rule, failedByPart, partTotals))
+    } catch {
+      case e: Throwable => (ValidationResult.failure(rule, e, ms), Nil)
+    }
+  }
+
+  /** Per-partition uniqueness verdicts: duplicates WITHIN each partition
+    * ((rows − distinct keys) per partition) from one grouped job. The global
+    * verdict stays a separate table-wide distinct (cross-partition
+    * duplicates are invisible inside partitions); when the partition
+    * expression derives from the key — the recommended layout — the two
+    * levels agree exactly. */
+  private def uniquenessPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Seq[PartitionVerdict] =
+    try {
+      val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+      val rows = df
+        .groupBy(p.cast("string").as("__part") +: keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("__part"))
+        .agg((sum("__cnt") - count(lit(1))).as("__failed"))
+        .collect()
+      verdictsFrom(rule, rows.map(r => r.getString(0) -> r.getLong(1)).toMap, partTotals)
+    } catch { case _: Throwable => Nil }
 
   /** Histogram bucket expression for one drift rule. */
   private def driftBucket(rule: ValidationRule): org.apache.spark.sql.Column =

@@ -33,14 +33,16 @@ class ChecksSpec extends SparkSpec {
     dups.map(_.getString(2)).toSet shouldBe Set("x", "y")
   }
 
-  test("orphans: anti-join finds fact keys missing from dim") {
-    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (99L, "x")).toDF("fk", "v")
+  test("orphans: anti-join finds fact keys missing from dim; NULL keys are not orphans") {
+    val fact = Seq((Some(1L), "a"), (Some(2L), "b"), (Some(3L), "c"), (Some(99L), "x"),
+      (None, "n")).toDF("fk", "v")
     val dim = Seq(1L, 2L, 3L).toDF("pk")
     val o = Checks.orphans(fact, "fk", dim, "pk").collect()
-    o.length shouldBe 1
+    o.length shouldBe 1 // NULL fk excluded — completeness owns it (orphanCount parity)
     o.head.getLong(0) shouldBe 99L
-    // non-broadcast path agrees
+    // non-broadcast path and the join-free count agree
     Checks.orphans(fact, "fk", dim, "pk", broadcastDim = false).count() shouldBe 1
+    Checks.orphanCount(fact, "fk", dim, "pk") shouldBe 1
   }
 
   test("chi-square matches hand computation") {

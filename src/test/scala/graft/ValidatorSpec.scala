@@ -101,6 +101,40 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("partitioned uniqueness + referential verdicts sum to the global counts") {
+    val cfg = TranscriptConfig(numConvs = 300L)
+    val turns = Transcripts.turns(spark, cfg)
+    val index = Transcripts.convIndex(spark, cfg)
+    val rules = Seq(
+      ValidationRule("text_c", RuleType.Completeness, Seq("text"), threshold = Some(0.9)),
+      ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
+        threshold = Some(0.99)),
+      ValidationRule("conv_ref", RuleType.Referential, Seq("conv_id"),
+        parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"),
+        threshold = Some(0.98)))
+    val v = new Validator(spark, ValidationConfig(),
+      n => if (n == "conv_index") Some(index) else None)
+    val (summary, verdicts) = v.executeRulesPartitioned(
+      turns, rules, "t", Some(pmod(xxhash64(col("conv_id")), lit(8))))
+    val global = summary.results.map(r => r.rule_name -> r.failed_count).toMap
+    val nTurns = turns.count()
+    // uniqueness: the partition expr derives from the key, so within-partition
+    // dup counts sum to the global (total - distinct) exactly
+    val uniq = verdicts.filter(_.rule_name == "key_uniqueness")
+    uniq should not be empty
+    uniq.map(_.failed_count).sum shouldBe global("key_uniqueness")
+    uniq.map(_.total_count).sum shouldBe nTurns
+    // referential: orphanhood is row-level — partition counts always roll up
+    val ref = verdicts.filter(_.rule_name == "conv_ref")
+    ref should not be empty
+    ref.map(_.failed_count).sum shouldBe global("conv_ref")
+    ref.map(_.total_count).sum shouldBe nTurns
+    global("conv_ref") should be > 0L // orphan channel is injected
+    summary.results.find(_.rule_name == "conv_ref").get.metadata("partitioned") shouldBe "true"
+    // all three rule families share the same partition labels
+    verdicts.groupBy(_.rule_name).values.map(_.map(_.partition).toSet).toSet.size shouldBe 1
+  }
+
   test("report: dict keeps table keys, bare summary keyed single_table; stats summed (validator.py:197-228)") {
     val df = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
     val rules = Seq(ValidationRule("c", RuleType.Completeness, Seq("id")))

@@ -316,11 +316,16 @@ object SparkEntry {
 
     // ---- text analysis ----------------------------------------------------
     Q("q_token_stats_docs",
-      (s, d) => t(s, d, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("token_count"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score"),
-        TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+      (s, d) => t(s, d, "documents")
+        // counter struct projected once → ONE text scan feeds both stats
+        // (TextStatsExpr); the regex oracle below is the semantic pin
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.textStats(col("text")).as("__st"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountFromStats(col("__st")).as("token_count"),
+          TextAnalysis.qualityScoreFromStats(col("__st")).as("quality_score"),
+          TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
       Some("""WITH f AS (SELECT doc_id,
           CAST(length(text) AS DOUBLE) AS len,

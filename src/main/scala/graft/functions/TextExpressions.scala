@@ -244,6 +244,64 @@ case class LongCastableExpr(child: Expression) extends UnaryExpression with Code
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass text statistics: struct<len, tokens, alpha, punct, w7_12, w13>
+  * computed in a single code-point scan. Each field is defined to equal its
+  * regex formulation exactly (the DuckDB oracle evaluates those regexes):
+  *   len    = length(text)                         (code points)
+  *   tokens = regexp_count(text, '[A-Za-z0-9]+')   (maximal alnum runs)
+  *   alpha  = regexp_count(text, '[A-Za-z]')
+  *   punct  = regexp_count(text, '[^A-Za-z0-9\s]') (\s = Java's 6 ASCII ws)
+  *   w7_12  = regexp_count(text, '[A-Za-z0-9]{7,12}')  — greedy
+  *            non-overlapping: a run of length L yields one match per
+  *            12-char bite while ≥7 chars remain
+  *   w13    = regexp_count(text, '[A-Za-z0-9]{13,}')   — one per run ≥13
+  * Replaces up to 6 independent regexp scans per row with one loop
+  * (same tokenize-once treatment LangIdExpr got, measured ~10×). */
+case class TextStatsExpr(child: Expression) extends StringUnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("tokens", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("w7_12", IntegerType, nullable = false),
+    StructField("w13", IntegerType, nullable = false)))
+  @inline private def isAlnumCp(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+  @inline private def isAlphaCp(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+  @inline private def isWsCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  override protected def ofString(s: String): Any = {
+    var len = 0; var tokens = 0; var alpha = 0; var punct = 0
+    var w712 = 0; var w13 = 0
+    var run = 0
+    @inline def closeRun(): Unit = if (run > 0) {
+      if (run >= 13) w13 += 1
+      var rem = run
+      while (rem >= 7) { rem -= math.min(12, rem); w712 += 1 }
+      run = 0
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      len += 1
+      if (isAlnumCp(cp)) {
+        run += 1
+        if (run == 1) tokens += 1
+        if (isAlphaCp(cp)) alpha += 1
+      } else {
+        closeRun()
+        if (!isWsCp(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    closeRun()
+    InternalRow(len, tokens, alpha, punct, w712, w13)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bottom-k sketch of character-shingle hashes (winnowing-style rolling
   * fingerprint): the k smallest xxh64 values, sorted ascending. */
 case class RollingFingerprintExpr(child: Expression, shingleSize: Int, k: Int)

@@ -41,6 +41,9 @@ package object functions {
   /** Fast `can this string cast to bigint` (no exception churn). */
   def long_castable(c: Column): Column = toColumn(LongCastableExpr(toExpr(c)))
 
+  /** One-pass text statistics struct<len,tokens,alpha,punct,w7_12,w13>. */
+  def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
+
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpr(a), toExpr(b)))
 

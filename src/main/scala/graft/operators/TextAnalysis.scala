@@ -8,20 +8,29 @@ import org.apache.spark.sql.functions._
   * Catalyst expressions — per-row, embarrassingly parallel, no shuffle. */
 object TextAnalysis {
 
-  /** Word-token count: runs of letters/digits (engine-portable regex). */
-  def tokenCount(text: Column): Column =
-    coalesce(regexp_count(text, lit("[A-Za-z0-9]+")), lit(0))
+  /** One-pass counter struct <len,tokens,alpha,punct,w7_12,w13> — every
+    * per-row statistic below derives from it, so a SELECT computing several
+    * of them scans the text once (native expression) instead of running one
+    * regexp pass per counter (the regex formulations remain the DuckDB
+    * oracle and the semantic definition — see TextStatsExpr). */
+  def textStats(text: Column): Column = graft.functions.text_stats(text)
+
+  /** Word-token count: runs of letters/digits (≡ regexp_count '[A-Za-z0-9]+'). */
+  def tokenCount(text: Column): Column = tokenCountFromStats(textStats(text))
+
+  def tokenCountFromStats(stats: Column): Column =
+    coalesce(stats.getField("tokens"), lit(0))
 
   /** BPE-ish subword token estimate: words + punctuation marks count one
     * each, long words pay ~1 extra token per 6 chars beyond the first 6 —
     * a cheap deterministic proxy for a BPE tokenizer's piece count. */
-  def tokenEstimate(text: Column): Column = {
-    val words = regexp_count(text, lit("[A-Za-z0-9]+"))
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
-    val longWordExtra = regexp_count(text, lit("[A-Za-z0-9]{7,12}")) +
-      regexp_count(text, lit("[A-Za-z0-9]{13,}")) * 2
-    coalesce(words + punct + longWordExtra, lit(0))
-  }
+  def tokenEstimate(text: Column): Column = tokenEstimateFromStats(textStats(text))
+
+  def tokenEstimateFromStats(stats: Column): Column =
+    coalesce(
+      stats.getField("tokens") + stats.getField("punct") +
+        stats.getField("w7_12") + stats.getField("w13") * 2,
+      lit(0))
 
   /** Stopword language-ID heuristic: per-language marker-token hit counts;
     * winner = max count with deterministic tie-break on language order;
@@ -40,11 +49,13 @@ object TextAnalysis {
   /** Quality score in [0,1]: weighted blend of length band, alpha ratio,
     * punctuation ratio, mean word length band. Deterministic double
     * arithmetic from integer counts. */
-  def qualityScore(text: Column): Column = {
-    val len = length(text).cast("double")
-    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("double")
-    val nPunct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val nWords = greatest(tokenCount(text).cast("double"), lit(1.0d))
+  def qualityScore(text: Column): Column = qualityScoreFromStats(textStats(text))
+
+  def qualityScoreFromStats(stats: Column): Column = {
+    val len = stats.getField("len").cast("double")
+    val nAlpha = stats.getField("alpha").cast("double")
+    val nPunct = stats.getField("punct").cast("double")
+    val nWords = greatest(stats.getField("tokens").cast("double"), lit(1.0d))
     val alphaRatio = when(len > 0, nAlpha / len).otherwise(0.0d)
     val punctRatio = when(len > 0, nPunct / len).otherwise(0.0d)
     val meanWordLen = nAlpha / nWords
@@ -69,13 +80,18 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, shingleSize: Int = 8, k: Int = 16): Column =
     graft.functions.rolling_fingerprint(text, shingleSize, k)
 
-  /** Convenience: attach the full text-analysis column family. */
+  /** Convenience: attach the full text-analysis column family. The counter
+    * struct is projected ONCE (its alias is non-cheap, so CollapseProject
+    * will not inline it into each consumer) — one text scan feeds
+    * token_count, token_estimate and quality_score. */
   def enrich(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("token_count", tokenCount(t))
-      .withColumn("token_estimate", tokenEstimate(t))
+    df.withColumn("__stats", textStats(t))
+      .withColumn("token_count", tokenCountFromStats(col("__stats")))
+      .withColumn("token_estimate", tokenEstimateFromStats(col("__stats")))
       .withColumn("lang_id", langId(t))
-      .withColumn("quality_score", qualityScore(t))
+      .withColumn("quality_score", qualityScoreFromStats(col("__stats")))
       .withColumn("fingerprint", contentFingerprint(t))
+      .drop("__stats")
   }
 }

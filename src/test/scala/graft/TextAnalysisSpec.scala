@@ -17,6 +17,35 @@ class TextAnalysisSpec extends SparkSpec {
     r(2).getInt(0) shouldBe 1
   }
 
+  test("one-pass text_stats equals the regex formulations on real documents") {
+    // the struct is DEFINED as these regexp_counts — assert field-for-field
+    // equality over the full sf0.001 documents table plus adversarial rows
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq(
+        "", "   ", "abcdefghijkl", "abcdefghijklm", "abcdefghijklmnopqrstuvwxyz",
+        "a\tb\ncd\fe\rf", "éüñ 漢字 mixed ascii2000 and MORE!!!",
+        "1234567 12345678901234 x").toDF("text"))
+    val st = graft.operators.TextAnalysis.textStats(col("text"))
+    val mismatches = docs.select(
+        st.getField("len").as("a_len"),
+        st.getField("tokens").as("a_tokens"),
+        st.getField("alpha").as("a_alpha"),
+        st.getField("punct").as("a_punct"),
+        st.getField("w7_12").as("a_w712"),
+        st.getField("w13").as("a_w13"),
+        org.apache.spark.sql.functions.length(col("text")).as("e_len"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("e_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]")).as("e_alpha"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("e_punct"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]{7,12}")).as("e_w712"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]{13,}")).as("e_w13"))
+      .filter(col("a_len") =!= col("e_len") || col("a_tokens") =!= col("e_tokens") ||
+        col("a_alpha") =!= col("e_alpha") || col("a_punct") =!= col("e_punct") ||
+        col("a_w712") =!= col("e_w712") || col("a_w13") =!= col("e_w13"))
+    mismatches.count() shouldBe 0
+  }
+
   test("language id identifies clear samples, und for gibberish") {
     val df = Seq(
       "the cat and the dog is in that house for sure it was good",

@@ -68,14 +68,16 @@ object Checks {
     * (they are completeness's job) — same contract as [[orphanCount]], so
     * the broadcast and union/hash-agg paths always agree. `broadcastDim=true`
     * forces a broadcast hash join (right for small dimension tables);
-    * otherwise Catalyst/AQE choose (sort-merge for large-large, converted at
-    * runtime if the built side turns out small). */
+    * otherwise the dim side is hinted SHUFFLE_HASH: an anti join never needs
+    * sorted inputs, and a shuffled hash join skips the two 28M-row sorts a
+    * sort-merge join would pay — the dim (build) side is the smaller one by
+    * construction, and AQE can still downgrade to broadcast at runtime. */
   def orphans(
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       broadcastDim: Boolean = true): DataFrame = {
     val d = dim.select(col(dimKey).as(factKey)).distinct()
-    val right = if (broadcastDim) broadcast(d) else d
+    val right = if (broadcastDim) broadcast(d) else d.hint("shuffle_hash")
     fact.filter(col(factKey).isNotNull).join(right, Seq(factKey), "left_anti")
   }
 

@@ -244,6 +244,43 @@ case class LongCastableExpr(child: Expression) extends UnaryExpression with Code
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PPJoin prefix selection as a per-row expression: the |A| − ⌈t·|A|⌉ + 1
+  * first shingles of the set under the global total order
+  * (known-df asc, xxh64 asc, shingle asc). Only HOT shingles carry a real
+  * document frequency (the tiny collected `hotDf` map — everything else
+  * orders by hash), which preserves the property that matters at scale:
+  * stop-shingles sort LAST and fall out of every prefix, so they never
+  * enter the candidate self-join. Any consistent global order keeps the
+  * prefix-filtering theorem exact; df-ordering is purely a pruning
+  * heuristic. When `cap` > 0, shingles with df > cap are dropped from the
+  * index entirely (documented approximation for adversarial corpora).
+  * Doing this per row replaces a df-join-back + per-doc window — two
+  * full-index shuffles — with one collected map shipped in the plan. */
+case class PrefixShinglesExpr(
+    child: Expression, hotDf: Map[String, Long], cap: Long, minJaccard: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val prefixLen = n - math.ceil(minJaccard * n - 1e-9).toInt + 1
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      val df = hotDf.getOrElse(s, 0L)
+      if (cap <= 0 || df <= cap)
+        kept += ((df, TextExpressions.hash64(s, 0L), s))
+      i += 1
+    }
+    val sorted = kept.sortBy(identity).take(prefixLen)
+    new GenericArrayData(sorted.map(t => UTF8String.fromString(t._3).asInstanceOf[Any]).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass text statistics: struct<len, tokens, alpha, punct, w7_12, w13>
   * computed in a single code-point scan. Each field is defined to equal its
   * regex formulation exactly (the DuckDB oracle evaluates those regexes):

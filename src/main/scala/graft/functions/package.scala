@@ -44,6 +44,11 @@ package object functions {
   /** One-pass text statistics struct<len,tokens,alpha,punct,w7_12,w13>. */
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
 
+  /** PPJoin prefix of a shingle array under the (df, hash, shingle) order. */
+  def prefix_shingles(shingles: Column, hotDf: Map[String, Long],
+      cap: Long, minJaccard: Double): Column =
+    toColumn(PrefixShinglesExpr(toExpr(shingles), hotDf, cap, minJaccard))
+
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpr(a), toExpr(b)))
 

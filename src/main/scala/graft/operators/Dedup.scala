@@ -113,14 +113,16 @@ object Dedup {
     * Detection", WWW 2008).
     *
     * Candidate generation indexes only each document's PREFIX — its
-    * |A| − ⌈t·|A|⌉ + 1 rarest shingles under a global (document-frequency,
-    * shingle) order. Any pair with true Jaccard ≥ t must share a prefix
-    * shingle, so the result is EXACT while the inverted index shrinks ~2×
-    * at t=0.5 and, because prefixes hold the RAREST shingles, hot buckets
-    * (stop-shingles) vanish from the self-join — the Σ|bucket|² blow-up the
-    * naive index suffers at scale. A length filter (t ≤ |A|/|B| ≤ 1/t) prunes
-    * candidates further; survivors are verified with the exact Jaccard over
-    * the full shingle arrays.
+    * |A| − ⌈t·|A|⌉ + 1 first shingles under the global
+    * (known-df, hash, shingle) order computed per row by
+    * [[graft.functions.PrefixShinglesExpr]]. Any pair with true Jaccard ≥ t
+    * must share a prefix shingle, so the result is EXACT while the inverted
+    * index shrinks ~2× at t=0.5, and because HOT shingles (the only ones
+    * whose df is collected) sort last, stop-shingle buckets vanish from the
+    * self-join — the Σ|bucket|² blow-up the naive index suffers at scale.
+    * A length filter (t ≤ |A|/|B| ≤ 1/t) prunes candidates further;
+    * survivors are verified with the exact Jaccard over the full shingle
+    * arrays.
     *
     * `maxShingleDf` (0 = off) additionally drops shingles with document
     * frequency above the cap from the index — a belt-and-braces guard for
@@ -130,25 +132,27 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
-      maxShingleDf: Long = 0L): DataFrame = {
-    // persist the shingle-set "index": it feeds the document-frequency pass,
-    // the prefix build and the verification join (both sides)
+      maxShingleDf: Long = 0L, hotDfThreshold: Long = 64L): DataFrame = {
+    // persist the shingle-set "index": it feeds the hot-shingle pass, the
+    // prefix build and the verification join (both sides)
     val docs = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = docs.select(col("id"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("sh"))
-    val dfreq0 = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
-    val dfreq = if (maxShingleDf > 0) dfreq0.filter(col("df") <= maxShingleDf) else dfreq0
-    // rarest-first global order (df, sh); epsilon keeps ⌈t·n⌉ from rounding
-    // UP on floating-point noise, which would shorten the prefix (unsafe
-    // direction) — a longer prefix is always correct
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))
-    val prefixLen = col("n_sh") - ceil(col("n_sh") * lit(minJaccard) - lit(1e-9)) + 1
-    val prefix = exploded.join(dfreq, "sh")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= prefixLen)
-      .select("sh", "id", "n_sh")
+    // ONE map-side-combined groupBy finds the hot shingles; only they need a
+    // real df for the prefix order (everything colder sorts by hash), so the
+    // collected map is tiny and ships as a plan constant — no df-join-back,
+    // no per-doc window, no extra index shuffle
+    val hotFloor = if (maxShingleDf > 0) math.min(hotDfThreshold, maxShingleDf) else hotDfThreshold
+    val hotDf: Map[String, Long] = docs
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotFloor)
+      .orderBy(col("df").desc, col("sh"))
+      .limit(100000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prefix = docs.select(col("id"), size(col("shingles")).as("n_sh"),
+      explode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
+        .as("sh"))
     val a = prefix.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = prefix.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
     val candidates = a.join(b, "sh")

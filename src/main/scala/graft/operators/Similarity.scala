@@ -127,6 +127,41 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
   }
 
+  /** Lloyd refinement of IVF centroids: `iters` rounds of assign-then-mean.
+    * Each round is ONE scan — cells assigned by the (broadcast-constant)
+    * current centroids, element-wise means via posexplode + groupBy
+    * (cell, dim): map-side partial aggregation collapses every task to at
+    * most k×dim rows, so the shuffle is O(k·dim·tasks) regardless of corpus
+    * size, and the collected result is k×dim values. Cells that lose all
+    * members keep their previous centroid. SSE is non-increasing per Lloyd;
+    * asserted in SimilaritySpec. */
+  def refineCentroids(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Seq[(Long, Seq[Double])], iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    var cur = centroids
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(graft.functions.nearest_cells(col(corpusVec), cur, 1).getItem(0).as("cell"),
+          posexplode(col(corpusVec).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cur = cur.map { case (cell, prev) => cell -> means.getOrElse(cell, prev) }
+    }
+    cur
+  }
+
+  /** Sampled centroids + Lloyd refinement — the full IVF index build. */
+  def kMeansCentroids(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      k: Int, iters: Int = 2): Seq[(Long, Seq[Double])] =
+    refineCentroids(corpus, corpusId, corpusVec,
+      sampleCentroids(corpus, corpusId, corpusVec, k), iters)
+
   /** IVF ANN top-k with `nprobe` probed cells per query. */
   def ivfTopK(
       corpusWithCells: DataFrame, corpusId: String, corpusVec: String,

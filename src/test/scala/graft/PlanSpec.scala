@@ -64,6 +64,22 @@ class PlanSpec extends SparkSpec {
     plan should include("LeftAnti")
   }
 
+  test("non-broadcast orphan rows plan a shuffled-hash anti-join, never sort-merge") {
+    val fact = spark.range(100000).selectExpr("id as fk")
+    val dim = spark.range(50000).selectExpr("id as pk")
+    val plan = planOf(Checks.orphans(fact, "fk", dim, "pk", broadcastDim = false))
+    // anti joins never need sorted inputs; SMJ would sort BOTH sides
+    plan should include("ShuffledHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("prefix-filtered jaccard ships the hot-df map in the plan (no df join-back, no window)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val plan = planOf(pairs)
+    plan should not include "Window"
+  }
+
   test("large-dim orphan count plans a hash aggregate, not a sort-merge join") {
     val fact = spark.range(1000).selectExpr("cast(id as string) as k")
     val dim = spark.range(500).selectExpr("cast(id as string) as pk")

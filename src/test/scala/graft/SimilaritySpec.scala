@@ -87,6 +87,28 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.25
   }
 
+  test("Lloyd refinement never increases IVF quantization error (SSE)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sampled = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.refineCentroids(emb, "vec_id", "embedding", sampled, iters = 2)
+    refined.length shouldBe 8
+    def sse(cs: Seq[(Long, Seq[Double])]): Double = {
+      val byCell = cs.toMap
+      emb.select(
+          graft.functions.nearest_cells(col("embedding"), cs, 1).getItem(0).as("cell"),
+          col("embedding").cast("array<double>").as("v"))
+        .collect()
+        .map { r =>
+          val c = byCell(r.getLong(0))
+          r.getSeq[Double](1).zip(c).map { case (x, m) => (x - m) * (x - m) }.sum
+        }.sum
+    }
+    val before = sse(sampled)
+    val after = sse(refined)
+    after should be <= before + 1e-9
+    after should be < before // sampled centroids are far from optimal here
+  }
+
   test("IVF assigns cells and finds the self-match") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)

@@ -44,6 +44,10 @@ package object functions {
   /** One-pass text statistics struct<len,tokens,alpha,punct,w7_12,w13>. */
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
 
+  /** Exact Jaccard of two distinct-element string arrays (one-pass). */
+  def jaccard_sim(a: Column, b: Column): Column =
+    toColumn(JaccardSimExpr(toExpr(a), toExpr(b)))
+
   /** PPJoin prefix of a shingle array under the (df, hash, shingle) order. */
   def prefix_shingles(shingles: Column, hotDf: Map[String, Long],
       cap: Long, minJaccard: Double): Column =

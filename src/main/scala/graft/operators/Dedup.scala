@@ -99,9 +99,7 @@ object Dedup {
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -132,24 +130,32 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
-      maxShingleDf: Long = 0L, hotDfThreshold: Long = 64L): DataFrame = {
+      maxShingleDf: Long = 0L, hotDfThreshold: Long = 64L,
+      hotPassMinDocs: Long = 100000L): DataFrame = {
     // persist the shingle-set "index": it feeds the hot-shingle pass, the
     // prefix build and the verification join (both sides)
     val docs = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count() // one job; also materializes the persist
     // ONE map-side-combined groupBy finds the hot shingles; only they need a
     // real df for the prefix order (everything colder sorts by hash), so the
     // collected map is tiny and ships as a plan constant — no df-join-back,
-    // no per-doc window, no extra index shuffle
+    // no per-doc window, no extra index shuffle. Exactness never depends on
+    // the df info (any consistent global order satisfies the prefix
+    // theorem), so on small corpora — where no bucket can blow up — the
+    // pass is skipped entirely; it runs when the corpus is big enough for
+    // hot buckets to matter or when a df cap is explicitly requested.
     val hotFloor = if (maxShingleDf > 0) math.min(hotDfThreshold, maxShingleDf) else hotDfThreshold
-    val hotDf: Map[String, Long] = docs
-      .select(explode(col("shingles")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotFloor)
-      .orderBy(col("df").desc, col("sh"))
-      .limit(100000)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotDf: Map[String, Long] =
+      if (maxShingleDf <= 0 && nDocs < hotPassMinDocs) Map.empty
+      else docs
+        .select(explode(col("shingles")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > hotFloor)
+        .orderBy(col("df").desc, col("sh"))
+        .limit(100000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val prefix = docs.select(col("id"), size(col("shingles")).as("n_sh"),
       explode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
         .as("sh"))
@@ -163,9 +169,7 @@ object Dedup {
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }

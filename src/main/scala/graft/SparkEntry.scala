@@ -40,7 +40,8 @@ object SparkEntry {
       parameters = Map("expected_type" -> "bigint", "reject" -> "true"),
       threshold = Some(0.98), severity = Severity.Warning),
     ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
-      threshold = Some(0.99)),
+      threshold = Some(0.99),
+      parameters = Map("partition_covers_key" -> "true")),
     ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
       parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"), threshold = Some(0.98))
   )

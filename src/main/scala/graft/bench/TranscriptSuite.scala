@@ -29,8 +29,13 @@ object TranscriptSuite {
     ValidationRule("role_type_conformance", RuleType.TypeConformance, Seq("role"),
       parameters = Map("expected_type" -> "bigint", "reject" -> "true"),
       threshold = Some(0.98), severity = Severity.Warning),
+    // partition_covers_key: the suite partitions by pmod(xxhash64(conv_id))
+    // — a function of a key column — so equal keys are co-partitioned and
+    // the global verdict is the exact roll-up of per-partition dup counts
+    // (no table-wide distinct shuffle)
     ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
-      threshold = Some(0.99)),
+      threshold = Some(0.99),
+      parameters = Map("partition_covers_key" -> "true")),
     // broadcast=false: the conversation index is ~turns/18 rows (10^9-scale
     // dim at the design point) — a broadcast would serialize a driver-side
     // hash build; shuffle join scales with the cluster and AQE can still

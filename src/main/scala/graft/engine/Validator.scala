@@ -117,17 +117,34 @@ class Validator(
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount)
 
     // 2b. partitioned uniqueness + referential: per-partition verdicts, and
-    // for referential the global verdict rides the same grouped job
+    // for referential the global verdict rides the same grouped job. A
+    // uniqueness rule declaring `partition_covers_key=true` (the partition
+    // expression is a function of a subset of its key columns, so equal
+    // keys are always co-partitioned) also gets its GLOBAL verdict from the
+    // roll-up — the table-wide distinct shuffle disappears.
     val partTotals: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
       partitionExpr match {
         case Some(p) if partTotals.nonEmpty =>
           val refPairs = rules.filter(_.ruleType == RuleType.Referential)
             .map(r => r.name -> referentialPartitioned(df, r, p, partTotals, totalCount))
-          val uniqVerdicts = rules.filter(_.ruleType == RuleType.Uniqueness)
-            .flatMap(r => uniquenessPartitionVerdicts(df, r, p, partTotals))
-          (refPairs.map { case (n, (res, _)) => n -> res }.toMap,
-            refPairs.flatMap(_._2._2) ++ uniqVerdicts)
+          val uniqPairs = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
+            val t0 = System.nanoTime()
+            val verdicts = uniquenessPartitionVerdicts(df, r, p, partTotals)
+            val globalFromRollup =
+              if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
+                val failed = verdicts.map(_.failed_count).sum
+                val total = partTotals.values.sum
+                Some(ValidationResult.verdict(r, failed, total,
+                  (System.nanoTime() - t0) / 1e6,
+                  Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
+                    "partitioned" -> "true")))
+              } else None
+            (r.name, globalFromRollup, verdicts)
+          }
+          (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
+            uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
+            refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3))
         case _ => (Map.empty, Nil)
       }
 

@@ -109,6 +109,8 @@ class ValidatorSpec extends SparkSpec {
       ValidationRule("text_c", RuleType.Completeness, Seq("text"), threshold = Some(0.9)),
       ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
         threshold = Some(0.99)),
+      ValidationRule("key_uniqueness_rollup", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
+        threshold = Some(0.99), parameters = Map("partition_covers_key" -> "true")),
       ValidationRule("conv_ref", RuleType.Referential, Seq("conv_id"),
         parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"),
         threshold = Some(0.98)))
@@ -124,6 +126,13 @@ class ValidatorSpec extends SparkSpec {
     uniq should not be empty
     uniq.map(_.failed_count).sum shouldBe global("key_uniqueness")
     uniq.map(_.total_count).sum shouldBe nTurns
+    // partition_covers_key: the roll-up global verdict equals the separate
+    // table-wide distinct computation, without its shuffle
+    global("key_uniqueness_rollup") shouldBe global("key_uniqueness")
+    summary.results.find(_.rule_name == "key_uniqueness_rollup").get
+      .metadata("partitioned") shouldBe "true"
+    summary.results.find(_.rule_name == "key_uniqueness").get
+      .metadata.get("partitioned") shouldBe None
     // referential: orphanhood is row-level — partition counts always roll up
     val ref = verdicts.filter(_.rule_name == "conv_ref")
     ref should not be empty

@@ -399,6 +399,50 @@ object SparkEntry {
         WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
         ORDER BY id_a, id_b""")),
 
+    // ---- duplicate clusters: pairs → connected components ----------------
+    Q("q_dedup_clusters_docs",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.5))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2), i -> array_to_string(list_slice(w, i, i + 2), ' ')) ELSE [array_to_string(w, ' ')] END) AS s FROM toks),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (SELECT id, id FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        SELECT id, CAST(MIN(r) AS BIGINT) AS cluster FROM reach GROUP BY id ORDER BY id""")),
+
+    // ---- PII + repetition signals -----------------------------------------
+    Q("q_pii_repetition_docs",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
+        TextAnalysis.ssnCount(col("text")).as("n_ssn"),
+        TextAnalysis.phoneCount(col("text")).as("n_phones"),
+        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
+        TextAnalysis.dupWordFraction(col("text")).as("dup_word_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, text,
+          string_split(text, chr(10)) AS ls,
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+          CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+          CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INT) AS n_phones,
+          CASE WHEN len(ls) > 0 THEN (CAST(len(ls) AS DOUBLE) - CAST(len(list_distinct(ls)) AS DOUBLE)) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+          CASE WHEN len(ws) > 0 THEN (CAST(len(ws) AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS dup_word_frac
+        FROM w ORDER BY doc_id""")),
+
     // ---- MinHash+LSH near-dups (scale tier; hash-based → rows-only) ------
     Q("q_minhash_lsh_docs",
       (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",

@@ -174,6 +174,73 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------- duplicate-cluster grouping
+
+  /** Connected components over a near-duplicate pair list: every document
+    * reachable through any chain of pairs lands in one cluster, labeled by
+    * the cluster's minimum id. This is the step a production dedup pipeline
+    * runs AFTER pair generation — near-duplication is transitive in effect
+    * (A≈B≈C must collapse together even when A,C were never compared).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING. Each round a
+    * node takes the minimum of (its label, its neighbors' labels, and its
+    * label's label — the jump), so the minimum spreads ≥2× the distance per
+    * round and rounds are O(log diameter), not O(diameter) — the same
+    * round bound as large-star/small-star (Kiveris et al., SoCC'14) with
+    * simpler per-round plans (two key-only shuffle joins + one count).
+    * Every round `localCheckpoint`s the labels: iterative DataFrames grow
+    * their logical plan linearly otherwise, which turns Catalyst analysis
+    * quadratic — the checkpoint truncates lineage so round N's plan cost
+    * equals round 1's. Terminates when a round changes nothing, or at
+    * `maxIter` (a safety bound, not a tuning knob).
+    *
+    * Input: pairs (id_a, id_b). Output: (id, cluster) for every id present
+    * in at least one pair — singletons never enter the edge list and keep
+    * themselves as canonical by definition (see [[dedupByClusters]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      // pointer jump: follow my label to ITS label and take the minimum
+      val jump = stepped.select(col("id").as("cluster"), col("cluster").as("jumped"))
+      val next = stepped.join(jump, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("jumped"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Collapse a corpus by near-duplicate clusters: every doc maps to its
+    * cluster's canonical (minimum) id; docs in no pair are their own
+    * canonical. Keep rows where `id === canonical_id` to deduplicate. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: bit i set iff the majority of token

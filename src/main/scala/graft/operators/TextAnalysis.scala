@@ -68,6 +68,55 @@ object TextAnalysis {
     lenScore * 0.3d + alphaRatio * 0.3d + wordLenScore * 0.2d + punctScore * 0.2d
   }
 
+  // ------------------------------------------------------- PII detection
+  // Conservative patterns written in the regex subset Java and RE2 agree on
+  // (no \s — Java includes \x0B, RE2 does not; no lookaround). Regexes ARE
+  // the semantic spec here, so these stay regexp_count (codegen'd) rather
+  // than a hand-rolled scanner that would have to re-prove each pattern.
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")), lit(0))
+
+  /** Count of IPv4-shaped substrings. */
+  def ipv4Count(text: Column): Column =
+    coalesce(regexp_count(text,
+      lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")), lit(0))
+
+  /** Count of US-SSN-shaped substrings (ddd-dd-dddd). */
+  def ssnCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")), lit(0))
+
+  /** Count of phone-number-shaped substrings (9+ digits with separators). */
+  def phoneCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]")), lit(0))
+
+  // --------------------------------- repetition signals (Gopher/C4-style)
+
+  /** Line list of a document (newline-split; a no-newline doc is one line). */
+  private def lines(text: Column): Column = split(text, "\n")
+
+  /** Word list: lower-cased alnum runs (same tokenizer family as shingles),
+    * empties removed. */
+  private def words(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  /** Duplicate-line fraction: 1 − distinct/total lines. A document that
+    * repeats whole lines (boilerplate, navigation, chat-log echo) scores
+    * high — the classic Gopher repetition filter signal. */
+  def dupLineFraction(text: Column): Column = {
+    val n = size(lines(text)).cast("double")
+    val d = size(array_distinct(lines(text))).cast("double")
+    when(n > 0, (n - d) / n).otherwise(0.0d)
+  }
+
+  /** Duplicate-word fraction: 1 − distinct/total words. */
+  def dupWordFraction(text: Column): Column = {
+    val n = size(words(text)).cast("double")
+    val d = size(array_distinct(words(text))).cast("double")
+    when(n > 0, (n - d) / n).otherwise(0.0d)
+  }
+
   /** Stable content fingerprint: md5 of whitespace/case-normalized text —
     * the exact-dedup key (portable: any engine reproduces it). */
   def contentFingerprint(text: Column): Column =

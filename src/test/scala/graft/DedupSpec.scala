@@ -64,6 +64,31 @@ class DedupSpec extends SparkSpec {
     highCap shouldBe Set((1L, 2L))
   }
 
+  test("connected components merge transitive near-dup chains; singletons keep themselves") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L)
+    // dedupByClusters: docs absent from any pair are their own canonical
+    val corpus = Seq(1L, 2L, 3L, 7L, 10L, 11L, 99L).toDF("doc_id")
+    val canon = Dedup.dedupByClusters(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon(99L) shouldBe 99L
+    canon(11L) shouldBe 10L
+    canon(7L) shouldBe 1L
+    // keeping canonical rows only deduplicates to one doc per cluster
+    Dedup.dedupByClusters(corpus, "doc_id", pairs)
+      .filter(col("doc_id") === col("canonical_id")).count() shouldBe 3 // 1, 10, 99
+  }
+
+  test("long-chain components converge (diameter > a few hops)") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.values.toSet shouldBe Set(1L)
+    cc.size shouldBe 40
+  }
+
   test("MinHash LSH finds planted near-dups and no false positives above threshold") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)

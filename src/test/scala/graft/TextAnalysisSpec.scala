@@ -67,6 +67,37 @@ class TextAnalysisSpec extends SparkSpec {
     r(0) should be > r(1)
   }
 
+  test("PII counters flag emails, IPs, SSNs, phones; clean text scores zero") {
+    val df = Seq(
+      "contact me at jane.doe+test@example.co.uk or admin@host.io",
+      "server at 192.168.1.254 and 10.0.0.1 responded",
+      "ssn 123-45-6789 leaked; call +1 (555) 123-4567 now",
+      "a perfectly clean sentence with nothing sensitive").toDF("text")
+    val r = df.select(
+      TextAnalysis.emailCount(col("text")),
+      TextAnalysis.ipv4Count(col("text")),
+      TextAnalysis.ssnCount(col("text")),
+      TextAnalysis.phoneCount(col("text"))).collect()
+    (r(0).getInt(0), r(0).getInt(1), r(0).getInt(2)) shouldBe ((2, 0, 0))
+    r(1).getInt(1) shouldBe 2
+    r(2).getInt(2) shouldBe 1
+    r(2).getInt(3) should be >= 1
+    r(3).toSeq shouldBe Seq(0, 0, 0, 0)
+  }
+
+  test("repetition fractions: repeated lines and words score high, varied text low") {
+    val df = Seq(
+      "same line\nsame line\nsame line\nsame line",
+      "buy buy buy buy buy now now now",
+      "each line here\nis quite different\nfrom the others").toDF("text")
+    val r = df.select(
+      TextAnalysis.dupLineFraction(col("text")),
+      TextAnalysis.dupWordFraction(col("text"))).collect()
+    r(0).getDouble(0) shouldBe 0.75 +- 1e-12 // 4 lines, 1 distinct
+    r(1).getDouble(1) shouldBe (6.0 / 8.0) +- 1e-12 // 8 words, 2 distinct
+    r(2).getDouble(0) shouldBe 0.0
+  }
+
   test("content fingerprint is whitespace/case-normalized") {
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fp = df.select(TextAnalysis.contentFingerprint(col("text"))).collect().map(_.getString(0))

@@ -499,6 +499,42 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None),
 
+    // ---- curation: deterministic hash sample (oracle) --------------------
+    Q("q_hash_sample_docs",
+      (s, d) => graft.operators.Curation.hashSample(t(s, d, "documents"), "doc_id", 3)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        ORDER BY doc_id""")),
+
+    // ---- curation: token-budget sequence packing (rows-only: pack ids are
+    // partition-local by design; invariants pinned in CurationSpec) --------
+    Q("q_pack_docs",
+      (s, d) => {
+        val sized = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
+        graft.operators.Curation.packSequences(sized, "doc_id", "tokens", budget = 2048L)
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---- incremental near-dup against a materialized signature index -----
+    Q("q_minhash_incremental_docs",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16)
+        // "new" batch = a deterministic slice of the corpus re-ingested:
+        // every slice doc must rediscover itself is NOT possible (self
+        // pairs excluded) but near-dups of slice docs must surface
+        val fresh = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id") + lit(1000000L) as "doc_id", col("text"))
+        Dedup.minHashLshPairsAgainstIndex(fresh, "doc_id", "text", index,
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.99)
+          .orderBy("id_new", "id_index")
+      },
+      None),
+
     // ---- transcripts: constraint suite + partition verdicts (rows-only) --
     Q("q_transcripts_suite",
       (s, _) => entry(s),

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic sampling and
+  * token-budget sequence packing.
+  *
+  * These are the selection/layout steps between "validated, deduplicated
+  * corpus" and "training batches". Both are designed for reproducibility
+  * first: a curation run over 100 TB must be re-runnable to the same rows
+  * regardless of cluster size, partition layout, or Spark version —
+  * which rules out `df.sample()` (its RNG is partition-dependent). */
+object Curation {
+
+  /** Deterministic hash sample: keep rows whose `md5(key)` leading hex
+    * digit falls in the first `sixteenths` of "0123456789abcdef" — a
+    * sixteenths/16 sample that is bit-reproducible across engines, runs
+    * and repartitionings. Pure per-row predicate: pushes into the scan,
+    * no shuffle, no RNG state. */
+  def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16,
+      s"sixteenths must be in [0,16], got $sixteenths")
+    val allowed = "0123456789abcdef".take(sixteenths).map(_.toString)
+    if (allowed.isEmpty) df.limit(0)
+    else df.filter(substring(md5(col(keyCol).cast("string")), 1, 1).isin(allowed: _*))
+  }
+
+  /** Finer-grained variant: keep `permille`/1000 of rows by comparing the
+    * first 8 md5 hex chars (as a number) against the threshold. */
+  def hashSamplePermille(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    df.filter(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long") % 1000L
+        < permille)
+  }
+
+  /** Pack documents into token-budget groups (sequence packing for
+    * training): first-fit-decreasing within each partition. One row out
+    * per row in, with a globally unique `pack_id`; a later
+    * `groupBy(pack_id)` assembles batches.
+    *
+    * Packing is loop-carried per-partition state (open bins) that no
+    * relational operator expresses — this is the one operator class where
+    * `mapPartitions` is the right Spark tool. The pass is streaming:
+    * at most `maxOpenBins` bins stay open (oldest is sealed when the list
+    * overflows), so memory is O(maxOpenBins) regardless of partition size.
+    * Documents alone exceeding the budget get a singleton pack. Packing is
+    * partition-local by design — bins never span executors, so the
+    * operator scales linearly and needs no shuffle beyond what the caller
+    * already has (sortWithinPartitions is a local sort). */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, maxOpenBins: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(budget > 0)
+    df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      .as[(Long, Long)]
+      .sortWithinPartitions(col(tokenCol).cast("long").desc)
+      .mapPartitions { it =>
+        val base = TaskContext.getPartitionId().toLong << 40
+        var nextPack = 0L
+        def newPack(): Long = { val p = base | nextPack; nextPack += 1; p }
+        val open = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.map { case (id, tok) =>
+          val pk =
+            if (tok >= budget) newPack() // singleton; never enters the open list
+            else {
+              val fit = open.indexWhere(_._2 + tok <= budget)
+              if (fit >= 0) { val (p, used) = open(fit); open(fit) = (p, used + tok); p }
+              else {
+                if (open.size >= maxOpenBins) open.remove(0) // seal the oldest
+                val p = newPack(); open += ((p, tok)); p
+              }
+            }
+          (id, tok, pk)
+        }
+      }
+      .toDF(idCol, tokenCol, "pack_id")
+  }
+}

@@ -174,6 +174,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // --------------------------------------- materialized signature index
+
+  /** Build the MinHash signature index as a TABLE: (id, shingles, sig,
+    * bands array). At warehouse scale this is written once per corpus
+    * snapshot (bucketed by id) and reused by every subsequent dedup run —
+    * shingling+signing is the dominant per-doc cost and never needs to run
+    * twice for the same snapshot. */
+  def buildSignatureIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      charGrams: Boolean = false): DataFrame = {
+    val sh = if (charGrams) charShingles(col(textCol), shingleSize)
+             else wordShingles(col(textCol), shingleSize)
+    df.select(col(idCol).as("id"), sh.as("shingles"))
+      .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .withColumn("bands", bandHashes(col("sig"), bands, numHashes / bands))
+  }
+
+  /** Near-dup pairs of NEW documents against an EXISTING signature index —
+    * the incremental-ingest path: only the new docs are shingled; the
+    * corpus index is read as-is. Candidates come from the band-bucket join
+    * (new × index), verification is the exact Jaccard on shingle arrays.
+    * Returns (id_new, id_index, jaccard); a new doc matching nothing is
+    * genuinely new. Self-pairs (same id in both sides) are excluded. */
+  def minHashLshPairsAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.5, charGrams: Boolean = false): DataFrame = {
+    val fresh = buildSignatureIndex(newDocs, idCol, textCol, shingleSize,
+      numHashes, bands, charGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fresh.select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")),
+      col("id").as("id_new"))
+    val b = index.select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")),
+      col("id").as("id_index"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_new") =!= col("id_index"))
+      .select("id_new", "id_index").distinct()
+    candidates
+      .join(fresh.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
+      .join(index.select(col("id").as("id_index"), col("shingles").as("sh_b")), "id_index")
+      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_new", "id_index", "jaccard")
+  }
+
   // ------------------------------------------- duplicate-cluster grouping
 
   /** Connected components over a near-duplicate pair list: every document

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hash sample is deterministic and partitioning-invariant") {
+    val a = Curation.hashSample(docs, "doc_id", 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(docs.repartition(17), "doc_id", 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    // 3/16 of 500 docs, binomial tolerance
+    a.size.toDouble shouldBe (500 * 3.0 / 16) +- 40
+    // edges
+    Curation.hashSample(docs, "doc_id", 0).count() shouldBe 0
+    Curation.hashSample(docs, "doc_id", 16).count() shouldBe 500
+  }
+
+  test("permille sample hits the requested rate") {
+    val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
+    n.toDouble shouldBe 100.0 +- 35 // 20% of 500
+    Curation.hashSamplePermille(docs, "doc_id", 0).count() shouldBe 0
+    Curation.hashSamplePermille(docs, "doc_id", 1000).count() shouldBe 500
+  }
+
+  test("sequence packing: every doc once, no multi-doc pack over budget") {
+    val sized = Seq(
+      (1L, 900L), (2L, 800L), (3L, 700L), (4L, 600L), (5L, 500L),
+      (6L, 400L), (7L, 300L), (8L, 200L), (9L, 100L), (10L, 1500L)
+    ).toDF("doc_id", "tokens").repartition(1)
+    val packed = Curation.packSequences(sized, "doc_id", "tokens", budget = 1024L)
+    packed.count() shouldBe 10 // one row out per row in
+    packed.select("doc_id").distinct().count() shouldBe 10
+    val packs = packed.groupBy("pack_id")
+      .agg(sum("tokens").as("t"), count(lit(1)).as("n"))
+      .collect()
+    // packs with >1 doc respect the budget; the 1500-token doc is a singleton
+    packs.filter(_.getLong(2) > 1).foreach(_.getLong(1) should be <= 1024L)
+    val total = 900 + 800 + 700 + 600 + 500 + 400 + 300 + 200 + 100
+    // pack count is near the bin-packing lower bound ceil(total/budget) + singleton
+    val lowerBound = math.ceil(total / 1024.0).toInt + 1
+    packs.length should be >= lowerBound
+    packs.length should be <= lowerBound + 2 // FFD is within a small factor here
+  }
+
+  test("packing over real token counts stays under budget and covers the corpus") {
+    val sized = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val packed = Curation.packSequences(sized, "doc_id", "tokens", budget = 2048L)
+    packed.count() shouldBe 500
+    val over = packed.groupBy("pack_id").agg(sum("tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("t") > 2048L).count()
+    over shouldBe 0
+  }
+}

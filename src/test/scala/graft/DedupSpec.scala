@@ -64,6 +64,23 @@ class DedupSpec extends SparkSpec {
     highCap shouldBe Set((1L, 2L))
   }
 
+  test("incremental near-dup: new docs matched against a materialized signature index") {
+    val index = Dedup.buildSignatureIndex(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16)
+    index.columns.toSet shouldBe Set("id", "shingles", "sig", "bands")
+    // doc 101 is a near-dup of corpus doc 1 (one word changed); 102 is new
+    val newDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (102L, "completely novel content that resembles nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minHashLshPairsAgainstIndex(newDocs, "doc_id", "text", index,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    hits.map(_._1) should contain(101L)
+    hits.filter(_._1 == 101L).map(_._2) should contain(1L)
+    hits.map(_._1) should not contain 102L
+  }
+
   test("connected components merge transitive near-dup chains; singletons keep themselves") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)

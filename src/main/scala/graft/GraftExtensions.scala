@@ -44,5 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_cosine", args => CosineSimExpr(args.head, args(1)))
     register("graft_dot", args => DotProductExpr(args.head, args(1)))
     register("graft_euclidean", args => EuclideanDistExpr(args.head, args(1)))
+    register("graft_text_stats", args => TextStatsExpr(args.head))
+    register("graft_jaccard", args => JaccardSimExpr(args.head, args(1)))
   }
 }

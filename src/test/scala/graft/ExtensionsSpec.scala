@@ -33,6 +33,11 @@ class ExtensionsSpec extends SparkSpec {
       r(0).getBoolean(3) shouldBe false
       val cos = s3.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))").head().getDouble(0)
       cos shouldBe 1.0 +- 1e-12
+      val st = s3.sql("SELECT graft_text_stats('hello world 42').tokens").head().getInt(0)
+      st shouldBe 3
+      val jac = s3.sql(
+        "SELECT graft_jaccard(array('a','b','c'), array('b','c','d'))").head().getDouble(0)
+      jac shouldBe 0.5 +- 1e-12
       s3.catalog.dropTempView("docs")
     } finally {
       SparkSession.setDefaultSession(spark)

@@ -419,9 +419,12 @@ class Validator(
       else Some(t.name -> validateTable(load(t.name), t.name))
     }.toMap
 
-  /** Per-partition verdicts (north rule): evaluate every fusible rule's
-    * failure counter grouped by a partition expression — ONE job emitting a
-    * typed Dataset[PartitionVerdict]. */
+  /** Per-partition verdicts for FUSIBLE rules only, as a lazy typed
+    * Dataset[PartitionVerdict] (one job when acted on). For the complete
+    * surface — fusible + uniqueness + referential, with global verdicts
+    * computed alongside — use [[executeRulesPartitioned]]; this entry point
+    * exists for callers that want a composable Dataset instead of collected
+    * verdicts. */
   def partitionVerdicts(
       df: DataFrame, rules: Seq[ValidationRule],
       partitionExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[PartitionVerdict] = {

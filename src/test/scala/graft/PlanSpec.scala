@@ -46,6 +46,25 @@ class PlanSpec extends SparkSpec {
     scan should not include "user_id"
   }
 
+  test("grouped fused pass prunes the scan to rule + partition columns") {
+    val rules = Seq(
+      ValidationRule("props", RuleType.Completeness, Seq("props")),
+      ValidationRule("value", RuleType.Range, Seq("value"),
+        parameters = Map("min" -> "0", "max" -> "100")))
+    val counters = rules.map(r =>
+      sum(when(RulePlanner.failCondition(events.schema, r), 1L).otherwise(0L)))
+    val grouped = events
+      .groupBy(pmod(xxhash64(col("user_id")), lit(8)).cast("string"))
+      .agg(count(lit(1)), counters: _*)
+    val plan = grouped.queryExecution.executedPlan.toString
+    val readSchema = plan.substring(plan.indexOf("ReadSchema:"))
+    readSchema should include("props")
+    readSchema should include("value")
+    readSchema should include("user_id")
+    readSchema should not include "event_type" // unreferenced → pruned
+    readSchema should not include "ts:"
+  }
+
   test("fused aggregate runs inside whole-stage codegen") {
     val rules = Seq(ValidationRule("props", RuleType.Completeness, Seq("props")))
     val counters = rules.map(r => sum(when(RulePlanner.failCondition(events.schema, r), 1L).otherwise(0L)))

@@ -242,12 +242,43 @@ object Dedup {
     * equals round 1's. Terminates when a round changes nothing, or at
     * `maxIter` (a safety bound, not a tuning knob).
     *
+    * Sizing: a near-dup PAIR list is orders of magnitude smaller than its
+    * corpus, so up to `maxDriverEdges` edges the component computation runs
+    * as driver-local union-find (one collect, O(E·α) — the iterative
+    * dataframe loop would spend seconds of pure job overhead on a graph
+    * that fits in one array). Beyond the threshold the distributed
+    * pointer-jumping loop below takes over; both paths produce identical
+    * labels (asserted in DedupSpec). Ids must be (castable to) long.
+    *
     * Input: pairs (id_a, id_b). Output: (id, cluster) for every id present
     * in at least one pair — singletons never enter the edge list and keep
     * themselves as canonical by definition (see [[dedupByClusters]]). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 30, maxDriverEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    if (p.count() <= maxDriverEdges) {
+      // union-by-min with path compression: the root of every set stays the
+      // component minimum because union always attaches the larger root
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) { parent.put(x, parent.get(parent.get(x))); x = parent.get(x) }
+        x
+      }
+      p.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      return parent.keySet().asScala.toSeq.sorted
+        .map(id => (id, find(id))).toDF("id", "cluster")
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()

@@ -106,6 +106,16 @@ class DedupSpec extends SparkSpec {
     cc.size shouldBe 40
   }
 
+  test("distributed and driver-local component paths agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distributed = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    distributed shouldBe local
+  }
+
   test("MinHash LSH finds planted near-dups and no false positives above threshold") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)

@@ -258,7 +258,12 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
-    if (p.count() <= maxDriverEdges) {
+    // ONE pass decides the path AND feeds the local algorithm: a separate
+    // count() would execute the (possibly expensive) upstream pair pipeline
+    // twice. In the rare over-threshold case this pulls maxDriverEdges+1
+    // rows (~80 MB at the default) before falling through — bounded waste.
+    val head = p.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= maxDriverEdges) {
       // union-by-min with path compression: the root of every set stays the
       // component minimum because union always attaches the larger root
       val parent = new java.util.HashMap[Long, Long]()
@@ -267,7 +272,7 @@ object Dedup {
         while (parent.get(x) != x) { parent.put(x, parent.get(parent.get(x))); x = parent.get(x) }
         x
       }
-      p.collect().foreach { r =>
+      head.foreach { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)

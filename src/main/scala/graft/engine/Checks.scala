@@ -136,6 +136,29 @@ object Checks {
       }
   }
 
+  /** [[multiHistogram]] additionally grouped by a partition expression:
+    * kind → partition → (bucket → count), still ONE scan. The global
+    * histogram of a kind is the exact roll-up across partitions, so callers
+    * computing both global and per-partition drift pay a single pass. */
+  def multiHistogramByPartition(
+      df: DataFrame, specs: Seq[(String, Column)],
+      part: Column): Map[String, Map[String, Map[String, Long]]] = {
+    require(specs.nonEmpty)
+    val kb = explode(array(specs.map { case (name, c) =>
+      struct(lit(name).as("kind"), coalesce(c.cast("string"), lit("__NULL__")).as("bucket"))
+    }: _*)).as("kb")
+    df.select(part.cast("string").as("__part"), kb)
+      .groupBy(col("__part"), col("kb.kind"), col("kb.bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getString(1))
+      .map { case (kind, rows) =>
+        kind -> rows.groupBy(_.getString(0)).map { case (p, rs) =>
+          p -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+        }
+      }
+  }
+
   /** Fixed-width histogram bucket expression (see [[numericHistogram]]). */
   def numericBucket(valueCol: Column, lo: Double, hi: Double, bins: Int): Column = {
     val width = (hi - lo) / bins

@@ -112,9 +112,13 @@ class Validator(
     val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
 
     // 2. all drift rules batched: one multi-histogram job over df + one per
-    // distinct baseline table (instead of 2 jobs per rule)
-    val driftResults: Map[String, ValidationResult] =
-      executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount)
+    // distinct baseline table (instead of 2 jobs per rule). With a partition
+    // expression the SAME scan groups by (partition, bucket), so global AND
+    // per-partition drift verdicts cost one pass.
+    val partTotalsEarly: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
+    val (driftResults, driftVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
+      executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount,
+        partitionExpr.filter(_ => partTotalsEarly.nonEmpty), partTotalsEarly)
 
     // 2b. partitioned uniqueness + referential: per-partition verdicts, and
     // for referential the global verdict rides the same grouped job. A
@@ -122,7 +126,7 @@ class Validator(
     // expression is a function of a subset of its key columns, so equal
     // keys are always co-partitioned) also gets its GLOBAL verdict from the
     // roll-up — the table-wide distinct shuffle disappears.
-    val partTotals: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
+    val partTotals: Map[String, Long] = partTotalsEarly
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
       partitionExpr match {
         case Some(p) if partTotals.nonEmpty =>
@@ -156,7 +160,7 @@ class Validator(
     }
 
     val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
-    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts)
+    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts ++ driftVerdicts)
   }
 
   /** Per-partition verdicts from one (partition, rule) failure-count map +
@@ -230,46 +234,80 @@ class Validator(
       case _ => col(rule.column)
     }
 
+  /** All drift rules in one scan per table side. With `partitionExpr`, the
+    * current-side scan groups by (partition, bucket): the GLOBAL histogram
+    * is the exact roll-up and each partition's histogram is tested against
+    * the (global) baseline — drifted partitions surface individually even
+    * when the table-wide mixture looks clean. The per-partition stat uses
+    * the same chi-square/KS machinery; contingency math is total-agnostic,
+    * so partition-vs-baseline sizes needn't match. */
   private def executeDriftBatch(
       df: DataFrame, driftRules: Seq[ValidationRule],
-      cachedTotal: Option[Long]): Map[String, ValidationResult] = {
-    if (driftRules.isEmpty) return Map.empty
+      cachedTotal: Option[Long],
+      partitionExpr: Option[org.apache.spark.sql.Column] = None,
+      partTotals: Map[String, Long] = Map.empty): (Map[String, ValidationResult], Seq[PartitionVerdict]) = {
+    if (driftRules.isEmpty) return (Map.empty, Nil)
     val t0 = System.nanoTime()
     def ms = (System.nanoTime() - t0) / 1e6
     try {
       val total = totalOf(df, cachedTotal)
       val specs = driftRules.map(r => r.name -> driftBucket(r))
-      val curHists = Checks.multiHistogram(df, specs) // ONE scan for all rules
-      driftRules.groupBy(_.param("ref_table")).flatMap { case (refOpt, group) =>
+      // ONE scan for all rules; grouped by partition when requested
+      val (curHists, partHists): (Map[String, Map[String, Long]], Map[String, Map[String, Map[String, Long]]]) =
+        partitionExpr match {
+          case Some(p) =>
+            val byPart = Checks.multiHistogramByPartition(df, specs, p)
+            val global = byPart.map { case (kind, parts) =>
+              kind -> parts.values.foldLeft(Map.empty[String, Long]) { (acc, h) =>
+                h.foldLeft(acc) { case (a, (b, c)) => a + (b -> (a.getOrElse(b, 0L) + c)) }
+              }
+            }
+            (global, byPart)
+          case None => (Checks.multiHistogram(df, specs), Map.empty)
+        }
+      val outcomes = driftRules.groupBy(_.param("ref_table")).toSeq.map { case (refOpt, group) =>
         try {
           val refTable = refOpt.getOrElse(
             throw new IllegalArgumentException("drift rule needs ref_table"))
           val baseline = tableResolver(refTable).getOrElse(
             throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
           val baseHists = Checks.multiHistogram(baseline, group.map(r => r.name -> driftBucket(r)))
-          group.map { rule =>
+          val perRule = group.map { rule =>
             val critical = rule.paramDouble("critical").getOrElse(
               throw new IllegalArgumentException(s"drift rule '${rule.name}' needs critical"))
             val method = rule.param("method").getOrElse("chi_square")
-            val ha = curHists.getOrElse(rule.name, Map.empty)
             val hb = baseHists.getOrElse(rule.name, Map.empty)
-            val (stat, detail) = method match {
+            def statOf(ha: Map[String, Long]): (Double, Map[String, String]) = method match {
               case "chi_square" =>
                 val (s, dof) = Checks.chiSquareStat(ha, hb); (s, Map("dof" -> dof.toString))
-              case "ks"    => (Checks.ksStat(ha, hb), Map.empty[String, String])
-              case other   => throw new IllegalArgumentException(s"unknown drift method: $other")
+              case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
+              case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }
+            val (stat, detail) = statOf(curHists.getOrElse(rule.name, Map.empty))
             val failed = if (stat > critical) total else 0L
-            rule.name -> ValidationResult.verdict(rule, failed, total, ms,
+            val result = rule.name -> ValidationResult.verdict(rule, failed, total, ms,
               detail ++ Map("method" -> method, "statistic" -> stat.toString,
                 "critical" -> critical.toString))
+            val verdicts = partHists.getOrElse(rule.name, Map.empty).toSeq.map { case (part, ha) =>
+              val (pstat, _) = statOf(ha)
+              val ptotal = partTotals.getOrElse(part, ha.values.sum)
+              val pfailed = if (pstat > critical) ptotal else 0L
+              val rate = if (ptotal == 0) 1.0 else (ptotal - pfailed).toDouble / ptotal
+              PartitionVerdict(part, rule.name,
+                ValidationResult.passedOf(rule.threshold, pfailed, rate), pfailed, ptotal, rate)
+            }
+            (result, verdicts)
           }
+          (perRule.map(_._1), perRule.flatMap(_._2))
         } catch {
-          case e: Throwable => group.map(r => r.name -> ValidationResult.failure(r, e, ms))
+          case e: Throwable =>
+            (group.map(r => r.name -> ValidationResult.failure(r, e, ms)), Nil)
         }
       }
+      (outcomes.flatMap(_._1).toMap, outcomes.flatMap(_._2))
     } catch {
-      case e: Throwable => driftRules.map(r => r.name -> ValidationResult.failure(r, e, ms)).toMap
+      case e: Throwable =>
+        (driftRules.map(r => r.name -> ValidationResult.failure(r, e, ms)).toMap, Nil)
     }
   }
 

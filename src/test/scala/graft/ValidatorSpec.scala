@@ -144,6 +144,31 @@ class ValidatorSpec extends SparkSpec {
     verdicts.groupBy(_.rule_name).values.map(_.map(_.partition).toSet).toSet.size shouldBe 1
   }
 
+  test("per-partition drift verdicts flag the drifted partition only") {
+    // baseline: 1/3 assistant, 2/3 user. current: partition 1 matches the
+    // baseline mixture exactly; partition 0 is all "zzz" (drifted)
+    val baseline = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "assistant" else "user")).toDF("id", "role")
+    val current = (0L until 600L)
+      .map(i => (i, if (i % 2 == 0) "zzz" else if ((i / 2) % 3 == 0) "assistant" else "user"))
+      .toDF("id", "role")
+    val rule = ValidationRule("role_drift", RuleType.drift, Seq("role"),
+      parameters = Map("method" -> "chi_square", "ref_table" -> "baseline", "critical" -> "50"))
+    val v = new Validator(spark, ValidationConfig(),
+      n => if (n == "baseline") Some(baseline) else None)
+    val (summary, verdicts) = v.executeRulesPartitioned(
+      current, Seq(rule), "t", Some(pmod(col("id"), lit(2))))
+    val byPart = verdicts.filter(_.rule_name == "role_drift").map(v => v.partition -> v).toMap
+    byPart.keySet shouldBe Set("0", "1")
+    byPart("0").passed shouldBe false // all-zzz partition drifts hard
+    byPart("0").failed_count shouldBe 300
+    byPart("1").passed shouldBe true // baseline-shaped partition is quiet
+    byPart("1").failed_count shouldBe 0
+    byPart.values.map(_.total_count).sum shouldBe 600
+    // the global verdict sees the 50% zzz mixture and fails too
+    summary.results.find(_.rule_name == "role_drift").get.passed shouldBe false
+  }
+
   test("report: dict keeps table keys, bare summary keyed single_table; stats summed (validator.py:197-228)") {
     val df = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
     val rules = Seq(ValidationRule("c", RuleType.Completeness, Seq("id")))

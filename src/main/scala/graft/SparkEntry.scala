@@ -543,15 +543,31 @@ object SparkEntry {
     Q("q_transcripts_partition_verdicts",
       (s, _) => {
         // full per-partition surface: fusible rules from the grouped fused
-        // pass PLUS uniqueness (within-partition dups) and referential
-        // (grouped orphan counts) — 8 buckets × 7 rules
+        // pass PLUS uniqueness (within-partition dups), referential
+        // (grouped orphan counts) and drift (grouped histograms vs a
+        // drifted baseline) — 8 buckets × 9 rules
         import s.implicits._
         val turns = Transcripts.turns(s, entryConfig)
+          .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
         val index = Transcripts.convIndex(s, entryConfig)
-        val cfg = ValidationConfig(tables = Seq(TableConfig("transcripts", transcriptRules)))
-        val v = new Validator(s, cfg, n => if (n == "conv_index") Some(index) else None)
+        val baseline = Transcripts.turns(s, Transcripts.drifted(entryConfig))
+          .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
+        val rules = transcriptRules ++ Seq(
+          ValidationRule("role_drift", RuleType.drift, Seq("role"),
+            parameters = Map("method" -> "chi_square", "ref_table" -> "baseline",
+              "critical" -> "10000"), severity = Severity.Warning),
+          ValidationRule("text_len_drift", RuleType.drift, Seq("text_len"),
+            parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+              "lo" -> "0", "hi" -> "2000", "bins" -> "64", "critical" -> "0.3"),
+            severity = Severity.Warning))
+        val cfg = ValidationConfig(tables = Seq(TableConfig("transcripts", rules)))
+        val v = new Validator(s, cfg, {
+          case "conv_index" => Some(index)
+          case "baseline"   => Some(baseline)
+          case _            => None
+        })
         val (_, verdicts) = v.executeRulesPartitioned(
-          turns, transcriptRules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(8))))
+          turns, rules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(8))))
         verdicts.toDF().orderBy("partition", "rule_name")
       },
       None),

@@ -33,6 +33,26 @@ class SimilaritySpec extends SparkSpec {
     top.head.getDouble(2) shouldBe 1.0 +- 1e-7
   }
 
+  test("TopKBuffer insert+merge matches a reference sort over random inputs (property)") {
+    import graft.functions.{TopKBuffer, TopKByScore}
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(12)
+      // coarse cosines force ties; ids may collide too
+      val items = Seq.fill(n)((rnd.nextInt(8) / 8.0, (rnd.nextLong() % 50) + 50))
+      val a = new TopKBuffer(k)
+      val b = new TopKBuffer(k)
+      items.zipWithIndex.foreach { case ((c, id), i) =>
+        (if (i % 2 == 0) a else b).insert(c, id)
+      }
+      val merged = new TopKByScore(k).merge(a, b)
+      val got = (0 until merged.n).map(i => (merged.cos(i), merged.ids(i)))
+      val want = items.sortBy { case (c, id) => (-c, id) }.take(math.min(k, n))
+      got shouldBe want
+    }
+  }
+
   test("bounded-heap top-k equals the window row_number formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -421,14 +421,18 @@ object SparkEntry {
 
     // ---- PII + repetition signals -----------------------------------------
     Q("q_pii_repetition_docs",
-      (s, d) => t(s, d, "documents").select(
-        col("doc_id"),
-        TextAnalysis.emailCount(col("text")).as("n_emails"),
-        TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
-        TextAnalysis.ssnCount(col("text")).as("n_ssn"),
-        TextAnalysis.phoneCount(col("text")).as("n_phones"),
-        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
-        TextAnalysis.dupWordFraction(col("text")).as("dup_word_frac"))
+      // the repetition struct is projected ONCE (non-cheap alias —
+      // CollapseProject won't inline it) so both fractions ride one text scan
+      (s, d) => t(s, d, "documents")
+        .withColumn("__rep", TextAnalysis.repetitionStats(col("text")))
+        .select(
+          col("doc_id"),
+          TextAnalysis.emailCount(col("text")).as("n_emails"),
+          TextAnalysis.ipv4Count(col("text")).as("n_ipv4"),
+          TextAnalysis.ssnCount(col("text")).as("n_ssn"),
+          TextAnalysis.phoneCount(col("text")).as("n_phones"),
+          TextAnalysis.dupLineFractionFromStats(col("__rep")).as("dup_line_frac"),
+          TextAnalysis.dupWordFractionFromStats(col("__rep")).as("dup_word_frac"))
         .orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, text,
           string_split(text, chr(10)) AS ls,

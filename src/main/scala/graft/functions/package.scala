@@ -44,6 +44,10 @@ package object functions {
   /** One-pass text statistics struct<len,tokens,alpha,punct,w7_12,w13>. */
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
 
+  /** One-pass repetition counters
+    * struct<n_lines,n_distinct_lines,n_words,n_distinct_words>. */
+  def dup_stats(text: Column): Column = toColumn(DupStatsExpr(toExpr(text)))
+
   /** Exact Jaccard of two distinct-element string arrays (one-pass). */
   def jaccard_sim(a: Column, b: Column): Column =
     toColumn(JaccardSimExpr(toExpr(a), toExpr(b)))

@@ -73,19 +73,20 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      minJaccard: Double = 0.5, charGrams: Boolean = false): DataFrame = {
+      minJaccard: Double = 0.5, charGrams: Boolean = false,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = if (charGrams) charShingles(col(textCol), shingleSize)
              else wordShingles(col(textCol), shingleSize)
-    // persist the signature "index": it feeds the band join (both sides) and
-    // the verification join (both sides) — without it the shingling work
-    // re-runs up to 4x. At warehouse scale this table is what you'd
-    // materialize to storage once per corpus snapshot.
-    val docs = df
+    // the signature "index" feeds the band join (both sides) and the
+    // verification join (both sides) — under an active CacheScope it is
+    // persisted once instead of re-shingling up to 4x, and the scope owner
+    // releases the blocks (see CacheScope contract). At warehouse scale this
+    // table is what you'd materialize to storage once per corpus snapshot.
+    val docs = scope.cache(df
       .select(col(idCol).as("id"), sh.as("shingles"))
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes)))
 
     val banded = docs.select(col("id"),
       posexplode(bandHashes(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
@@ -131,24 +132,33 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
       maxShingleDf: Long = 0L, hotDfThreshold: Long = 64L,
-      hotPassMinDocs: Long = 100000L): DataFrame = {
-    // persist the shingle-set "index": it feeds the hot-shingle pass, the
-    // prefix build and the verification join (both sides)
-    val docs = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docs.count() // one job; also materializes the persist
+      hotPassShingleBudget: Long = 1000000L,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    // the shingle-set "index" feeds the hot-shingle pass, the prefix build
+    // and the verification join (both sides); persisted only under an
+    // active CacheScope, whose owner releases the blocks
+    val docs = scope.cache(df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")))
+    // one job sizes the index (and materializes the cache when scoped):
+    // total shingle INSTANCES, not doc count, is what bounds the worst
+    // bucket — a 90k-doc corpus with one stop-shingle in every doc has a
+    // 90k² bucket long before any doc-count gate fires
+    val totalShingles = docs
+      .agg(sum(coalesce(size(col("shingles")), lit(0))).as("m"))
+      .head.getLong(0)
     // ONE map-side-combined groupBy finds the hot shingles; only they need a
     // real df for the prefix order (everything colder sorts by hash), so the
     // collected map is tiny and ships as a plan constant — no df-join-back,
     // no per-doc window, no extra index shuffle. Exactness never depends on
     // the df info (any consistent global order satisfies the prefix
-    // theorem), so on small corpora — where no bucket can blow up — the
-    // pass is skipped entirely; it runs when the corpus is big enough for
-    // hot buckets to matter or when a df cap is explicitly requested.
+    // theorem), so on tiny corpora — where the index mass itself bounds any
+    // bucket — the pass is skipped; it runs whenever the estimated index
+    // mass exceeds `hotPassShingleBudget` (the hot pass costs one linear
+    // scan of that same mass — always cheaper than one quadratic bucket)
+    // or when a df cap is explicitly requested.
     val hotFloor = if (maxShingleDf > 0) math.min(hotDfThreshold, maxShingleDf) else hotDfThreshold
     val hotDf: Map[String, Long] =
-      if (maxShingleDf <= 0 && nDocs < hotPassMinDocs) Map.empty
+      if (!hotPassEngaged(totalShingles, maxShingleDf, hotPassShingleBudget)) Map.empty
       else docs
         .select(explode(col("shingles")).as("sh"))
         .groupBy("sh").agg(count(lit(1)).as("df"))
@@ -173,6 +183,13 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Gate for the hot-shingle df pass: engage when the caller capped df
+    * explicitly, or when the index mass (total shingle instances) exceeds
+    * the budget. Pure — unit-tested directly in DedupSpec. */
+  private[graft] def hotPassEngaged(
+      totalShingles: Long, maxShingleDf: Long, budget: Long): Boolean =
+    maxShingleDf > 0 || totalShingles > budget
 
   // --------------------------------------- materialized signature index
 
@@ -203,10 +220,10 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       index: DataFrame,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      minJaccard: Double = 0.5, charGrams: Boolean = false): DataFrame = {
-    val fresh = buildSignatureIndex(newDocs, idCol, textCol, shingleSize,
-      numHashes, bands, charGrams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minJaccard: Double = 0.5, charGrams: Boolean = false,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val fresh = scope.cache(buildSignatureIndex(newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, charGrams))
     val a = fresh.select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")),
       col("id").as("id_new"))
     val b = index.select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")),

@@ -41,10 +41,14 @@ object Similarity {
     * `row_number` window — map-side partial aggregation caps the shuffle at
     * k entries per (query, input partition) and no query's candidate set
     * ever funnels through a single reducer task. Ordering identical to the
-    * window formulation: cosine desc, ties by ascending id. */
+    * window formulation: cosine desc, ties by ascending id. NULL cosines
+    * (null or malformed corpus vectors) are dropped before aggregation: the
+    * typed Aggregator's input encoder is non-nullable, and a window would
+    * only have sorted them last anyway — out of the top-k either way. */
   private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
     val agg = graft.functions.TopK.topKAgg(k)
     candidates
+      .filter(col("cosine").isNotNull && col("id").isNotNull)
       .groupBy(col("query_id"))
       .agg(agg(col("id"), col("cosine")).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__sc")))

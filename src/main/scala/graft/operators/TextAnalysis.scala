@@ -93,28 +93,47 @@ object TextAnalysis {
 
   // --------------------------------- repetition signals (Gopher/C4-style)
 
-  /** Line list of a document (newline-split; a no-newline doc is one line). */
-  private def lines(text: Column): Column = split(text, "\n")
+  /** One-pass repetition counter struct
+    * <n_lines, n_distinct_lines, n_words, n_distinct_words> — both fractions
+    * below derive from it, so computing them together scans the text once
+    * (the split/array_distinct formulations — kept as [[dupLineFractionSplit]]
+    * / [[dupWordFractionSplit]] — remain the semantic definition and the
+    * DuckDB oracle; Catalyst does not CSE the non-cheap `split`, so each
+    * fraction paid two of them). */
+  def repetitionStats(text: Column): Column = graft.functions.dup_stats(text)
 
-  /** Word list: lower-cased alnum runs (same tokenizer family as shingles),
-    * empties removed. */
-  private def words(text: Column): Column =
-    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+  private def dupFraction(n: Column, d: Column): Column = {
+    val nd = n.cast("double")
+    when(nd > 0, (nd - d.cast("double")) / nd).otherwise(0.0d)
+  }
 
   /** Duplicate-line fraction: 1 − distinct/total lines. A document that
     * repeats whole lines (boilerplate, navigation, chat-log echo) scores
     * high — the classic Gopher repetition filter signal. */
-  def dupLineFraction(text: Column): Column = {
-    val n = size(lines(text)).cast("double")
-    val d = size(array_distinct(lines(text))).cast("double")
-    when(n > 0, (n - d) / n).otherwise(0.0d)
-  }
+  def dupLineFraction(text: Column): Column =
+    dupLineFractionFromStats(repetitionStats(text))
+
+  def dupLineFractionFromStats(stats: Column): Column =
+    dupFraction(stats.getField("n_lines"), stats.getField("n_distinct_lines"))
 
   /** Duplicate-word fraction: 1 − distinct/total words. */
-  def dupWordFraction(text: Column): Column = {
-    val n = size(words(text)).cast("double")
-    val d = size(array_distinct(words(text))).cast("double")
-    when(n > 0, (n - d) / n).otherwise(0.0d)
+  def dupWordFraction(text: Column): Column =
+    dupWordFractionFromStats(repetitionStats(text))
+
+  def dupWordFractionFromStats(stats: Column): Column =
+    dupFraction(stats.getField("n_words"), stats.getField("n_distinct_words"))
+
+  /** Split-based reference formulation of [[dupLineFraction]] (the DuckDB
+    * oracle's shape) — kept for the native≡split equivalence spec. */
+  private[graft] def dupLineFractionSplit(text: Column): Column = {
+    val ls = split(text, "\n")
+    dupFraction(size(ls), size(array_distinct(ls)))
+  }
+
+  /** Split-based reference formulation of [[dupWordFraction]]. */
+  private[graft] def dupWordFractionSplit(text: Column): Column = {
+    val ws = array_remove(split(lower(text), "[^a-z0-9]+"), "")
+    dupFraction(size(ws), size(array_distinct(ws)))
   }
 
   /** Stable content fingerprint: md5 of whitespace/case-normalized text —

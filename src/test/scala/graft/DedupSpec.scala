@@ -161,6 +161,64 @@ class DedupSpec extends SparkSpec {
     nd shouldBe Set((1L, 2L))
   }
 
+  test("operators leak no cached blocks: bare calls persist nothing; CacheScope releases") {
+    import graft.operators.CacheScope
+    def cachedRdds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = cachedRdds
+    // bare calls (no scope): persist-free by contract — a long-lived session
+    // (notebook, streaming driver) can loop these without accumulating blocks
+    Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).collect()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).collect()
+    val index = Dedup.buildSignatureIndex(docs, "doc_id", "text", 3, 64, 16)
+    val newDocs = Seq((101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    Dedup.minHashLshPairsAgainstIndex(newDocs, "doc_id", "text", index,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).collect()
+    cachedRdds shouldBe before
+    // ambient scope: blocks live inside, ALL released on exit
+    CacheScope.cached {
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).collect()
+      (cachedRdds -- before) should not be empty
+    }
+    cachedRdds shouldBe before
+    // explicit scope: caller owns unpersist()
+    val scope = CacheScope()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, scope = scope).collect()
+    (cachedRdds -- before) should not be empty
+    scope.unpersist()
+    cachedRdds shouldBe before
+  }
+
+  test("hot-df pass gate is index-mass-based, not doc-count-based") {
+    // 90k docs × 50 shingles each: under a doc-count gate of 100k this was
+    // skipped, leaving one stop-shingle shared by all 90k docs to build a
+    // 90k² self-join bucket; the mass gate (4.5M > 1M budget) engages it
+    Dedup.hotPassEngaged(90000L * 50, 0L, 1000000L) shouldBe true
+    Dedup.hotPassEngaged(500L, 0L, 1000000L) shouldBe false
+    Dedup.hotPassEngaged(500L, 10L, 1000000L) shouldBe true // explicit df cap
+    // exactness never depends on the hot pass (any consistent global order
+    // satisfies the prefix theorem): forcing it on produces identical pairs
+    val forced = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        hotPassShingleBudget = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val default = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    forced shouldBe default
+  }
+
+  test("rankTopK tolerates NULL embeddings in the corpus (dropped, not fatal)") {
+    val corpus = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))),
+      (2L, Some(Seq(0.9f, 0.1f))),
+      (3L, None: Option[Seq[Float]]) // malformed row — must not kill the job
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("q_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(1)).toSet
+    top shouldBe Set(1L, 2L)
+  }
+
   test("shingling edge cases: short and empty texts don't explode") {
     val edge = Seq((1L, "one two"), (2L, ""), (3L, "single")).toDF("doc_id", "text")
     noException should be thrownBy

@@ -123,11 +123,19 @@ class PlanSpec extends SparkSpec {
     plan.indexOf("HashAggregate") should be < plan.indexOf("Exchange")
   }
 
-  test("minhash LSH reuses the persisted signature index (no recompute per join side)") {
+  test("minhash LSH reuses the persisted signature index only under a CacheScope") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val pairs = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
-    pairs.collect()
-    planOf(pairs) should include("InMemoryTableScan")
+    // bare call: persist-free (no leak into a long-lived session)
+    val bare = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+    bare.collect()
+    planOf(bare) should not include "InMemoryTableScan"
+    // scoped call: the signature index is cached once and serves all 4 join
+    // sides; the scope releases the blocks on exit
+    graft.operators.CacheScope.cached {
+      val scoped = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      scoped.collect()
+      planOf(scoped) should include("InMemoryTableScan")
+    }
   }
 
   test("brute-force top-k plans a partial-aggregating bounded heap, no per-query window") {

@@ -98,6 +98,25 @@ class TextAnalysisSpec extends SparkSpec {
     r(2).getDouble(0) shouldBe 0.0
   }
 
+  test("one-pass dup_stats equals the split formulations on real documents") {
+    // the struct is DEFINED as the split/array_distinct shapes (which remain
+    // the DuckDB oracle) — assert equality over the full sf0.001 documents
+    // table plus adversarial rows: empty text, trailing/leading/double
+    // newlines, whitespace-only lines, case-sensitivity of line identity
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq(
+        "", "\n", "a\n", "\na", "a\n\na", "x\nx\nX", "  \n  \n",
+        "one two one\nTWO two", "tab\there\ntab\there").toDF("text"))
+    val mismatches = docs.select(
+        TextAnalysis.dupLineFraction(col("text")).as("a_l"),
+        TextAnalysis.dupWordFraction(col("text")).as("a_w"),
+        TextAnalysis.dupLineFractionSplit(col("text")).as("e_l"),
+        TextAnalysis.dupWordFractionSplit(col("text")).as("e_w"))
+      .filter(col("a_l") =!= col("e_l") || col("a_w") =!= col("e_w"))
+    mismatches.count() shouldBe 0
+  }
+
   test("content fingerprint is whitespace/case-normalized") {
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fp = df.select(TextAnalysis.contentFingerprint(col("text"))).collect().map(_.getString(0))

@@ -511,16 +511,33 @@ object SparkEntry {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         ORDER BY doc_id""")),
 
-    // ---- curation: token-budget sequence packing (rows-only: pack ids are
-    // partition-local by design; invariants pinned in CurationSpec) --------
+    // ---- curation: token-budget sequence packing. Pack ids are
+    // partition-local by design (not SQL-expressible), so the query outputs
+    // the INVARIANTS of a correct packing, which ARE oracle-checkable:
+    // every doc packed exactly once, token mass conserved, and zero
+    // multi-doc packs over budget (the oracle's 0 is a constant — any
+    // packing bug shows up as a nonzero on the Spark side). Per-row shape
+    // is further pinned in CurationSpec. ------------------------------------
     Q("q_pack_docs",
       (s, d) => {
         val sized = t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("tokens"))
-        graft.operators.Curation.packSequences(sized, "doc_id", "tokens", budget = 2048L)
-          .orderBy("doc_id")
+        val packed = graft.operators.Curation
+          .packSequences(sized, "doc_id", "tokens", budget = 2048L)
+        val coverage = packed.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"))
+        val violations = packed.groupBy("pack_id")
+          .agg(sum(col("tokens")).as("__s"), count(lit(1)).as("__c"))
+          .filter(col("__c") > 1 && col("__s") > 2048L)
+          .agg(count(lit(1)).as("multi_doc_over_budget"))
+        coverage.crossJoin(violations)
       },
-      None),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+          CAST(0 AS BIGINT) AS multi_doc_over_budget
+        FROM documents""")),
 
     // ---- incremental near-dup against a materialized signature index -----
     Q("q_minhash_incremental_docs",
@@ -570,9 +587,23 @@ object SparkEntry {
           case "baseline"   => Some(baseline)
           case _            => None
         })
-        val (_, verdicts) = v.executeRulesPartitioned(
+        val (summary, verdicts) = v.executeRulesPartitioned(
           turns, rules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(8))))
-        verdicts.toDF().orderBy("partition", "rule_name")
+        // driver-visible invariant rows: for every non-drift rule the
+        // per-partition failure counts must roll up to the global verdict
+        // EXACTLY (fusible counts are the same pass; orphanhood is
+        // row-level; the uniqueness partition derives from conv_id ⊆ key).
+        // passed=false on any __global_check row means the partition
+        // machinery disagrees with the global one — certified in
+        // CORRECTNESS_r{N} without ScalaTest. Drift is excluded: its
+        // failed_count is partition-total-or-zero, not additive.
+        val checks = rules.filter(_.ruleType != RuleType.drift).map { r =>
+          val partSum = verdicts.filter(_.rule_name == r.name).map(_.failed_count).sum
+          val global = summary.results.find(_.rule_name == r.name).map(_.failed_count).getOrElse(-1L)
+          PartitionVerdict("__global_check", r.name,
+            partSum == global, global, partSum, if (partSum == global) 1.0 else 0.0)
+        }
+        (verdicts ++ checks).toDF().orderBy("partition", "rule_name")
       },
       None),
 

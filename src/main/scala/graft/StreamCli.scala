@@ -1,0 +1,71 @@
+package graft
+
+import graft.config.ConfigLoader
+import graft.streaming.StreamValidator
+import org.apache.spark.sql.SparkSession
+
+/** Streaming CLI entry point — the class the streaming [[graft.deploy.JobSpec]]
+  * targets: `spark-submit --class graft.StreamCli app.jar --config c.yaml
+  * --stream-source <dir-or-table> --checkpoint-location <dir>
+  * [--trigger-interval 60] [--table t] [--validated-sink dir]
+  * [--source-format parquet] [--await-seconds n]`.
+  *
+  * Mirrors the parameter surface of the reference's generated streaming job
+  * (`/root/reference/src/data_validator/databricks_utils.py:125-135`:
+  * --config / --stream-source / --checkpoint-location / --trigger-interval).
+  * The stream source is a file-stream directory (format via
+  * --source-format, default parquet) or, when the path doesn't look like
+  * one, a catalog table read with `spark.readStream.table`.
+  */
+object StreamCli {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList)
+    def req(k: String): String = opts.getOrElse(k, sys.error(s"--$k is required"))
+    val configPath = req("config")
+    val source = req("stream-source")
+    val checkpoint = req("checkpoint-location")
+    val triggerSec = opts.get("trigger-interval").map(_.toLong).getOrElse(60L)
+
+    val config = ConfigLoader.fromYamlFile(configPath)
+    val builder = SparkSession.builder().appName("graft-stream-validator")
+      .config("spark.sql.adaptive.enabled", "true")
+    (config.engine.connectionParams ++ config.engine.options).foreach {
+      case (k, v) => builder.config(k, v)
+    }
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
+
+    val tableName = opts.getOrElse("table",
+      config.tables.headOption.map(_.name).getOrElse(sys.error("no table configured")))
+    val format = opts.getOrElse("source-format", "parquet")
+    val input =
+      if (source.contains("/") || source.contains(java.io.File.separator))
+        spark.readStream.format(format).load(source)
+      else spark.readStream.table(source)
+
+    val query = StreamValidator.start(
+      spark, input, config, tableName,
+      checkpointDir = checkpoint,
+      validatedSink = opts.get("validated-sink"),
+      triggerMs = triggerSec * 1000L,
+      onResult = o => println(
+        s"[stream] batch=${o.batchId} passed=${o.summary.passed_rules} failed=${o.summary.failed_rules}"))
+
+    // --await-seconds bounds the run (tests, smoke checks); absent = forever
+    opts.get("await-seconds") match {
+      case Some(s) => query.awaitTermination(s.toLong * 1000L); query.stop()
+      case None    => query.awaitTermination()
+    }
+    spark.stop()
+  }
+
+  private def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =
+    args match {
+      case flag :: value :: rest if flag.startsWith("--") =>
+        parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
+      case Nil => acc
+      case other => sys.error(s"unparsable args: $other")
+    }
+}

@@ -195,7 +195,13 @@ object Checks {
   /** Driver-side KS over collected integer-bucketed histograms. Non-numeric
     * buckets (the "__NULL__" bucket multiHistogram emits for NULL values)
     * are excluded from BOTH distributions — KS compares the numeric CDFs
-    * only; nullability drift belongs to completeness / chi-square rules. */
+    * only; nullability drift belongs to completeness / chi-square rules.
+    *
+    * Genuinely empty inputs (no rows at all) yield 0.0 — no data, no drift.
+    * A NON-empty histogram whose every bucket is non-numeric means the rule
+    * is pointed at a non-numeric column (every value bucketed to __NULL__ /
+    * a string) — that's a misconfiguration, not a pass, and raises so the
+    * rule surfaces through the error path instead of silently passing. */
   def ksStat(a: Map[String, Long], b: Map[String, Long]): Double = {
     def numeric(m: Map[String, Long]): Map[Int, Long] =
       m.flatMap { case (k, v) => k.toIntOption.map(_ -> v) }
@@ -204,6 +210,12 @@ object Checks {
     val buckets = (na.keySet ++ nb.keySet).toSeq.sorted
     val totA = na.values.sum.toDouble
     val totB = nb.values.sum.toDouble
+    if (totA == 0 && a.values.sum > 0)
+      throw new IllegalArgumentException(
+        "ks drift: baseline histogram has rows but no numeric buckets — is the column numeric?")
+    if (totB == 0 && b.values.sum > 0)
+      throw new IllegalArgumentException(
+        "ks drift: current histogram has rows but no numeric buckets — is the column numeric?")
     if (totA == 0 || totB == 0) return 0.0
     var cumA = 0L; var cumB = 0L; var d = 0.0
     buckets.foreach { k =>
@@ -212,6 +224,24 @@ object Checks {
       d = math.max(d, math.abs(cumA / totA - cumB / totB))
     }
     d
+  }
+
+  /** Total variation distance between the normalized distributions of two
+    * collected histograms: ½·Σ_b |p_a(b) − p_b(b)| ∈ [0,1]. A pure effect
+    * size — invariant to BOTH sample sizes (unlike chi-square, which scales
+    * with rows, and Cramér's V, which dilutes when one sample dwarfs the
+    * other), so per-partition drift verdicts using it are exactly as
+    * sensitive as the global one. Empty-vs-empty is 0.0 (no data, no
+    * drift); empty-vs-non-empty is 1.0 (all mass moved). */
+  def totalVariationDistance(a: Map[String, Long], b: Map[String, Long]): Double = {
+    val totA = a.values.sum.toDouble
+    val totB = b.values.sum.toDouble
+    if (totA == 0 && totB == 0) return 0.0
+    if (totA == 0 || totB == 0) return 1.0
+    val buckets = a.keySet ++ b.keySet
+    buckets.iterator.map { k =>
+      math.abs(a.getOrElse(k, 0L) / totA - b.getOrElse(k, 0L) / totB)
+    }.sum / 2.0
   }
 
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.
@@ -264,7 +294,12 @@ object Checks {
     val a = histA.select(col("bucket"), col("cnt").as("cnt_a"))
     val b = histB.select(col("bucket"), col("cnt").as("cnt_b"))
     val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0L, Seq("cnt_a", "cnt_b"))
-    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    // partitionBy(lit(0)) is a semantic no-op (inputs here are O(buckets)
+    // histogram rows, single-partition by design) but keeps WindowExec's
+    // "No Partition Defined" warning out of the logs — a REAL unpartitioned
+    // window over raw data should be the only thing that trips that alarm
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
     val withCum = j.withColumn("cum_a", sum("cnt_a").over(w))
       .withColumn("cum_b", sum("cnt_b").over(w))
     val totals = withCum.agg(sum("cnt_a"), sum("cnt_b")).head()

@@ -74,11 +74,15 @@ class Validator(
               sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L))
                 .cast("long").as(s"f_$i")
             }
+            // limit(max+1) BEFORE collect: a raw high-cardinality partition
+            // expression must fail the require below, not OOM the driver
+            // materializing millions of grouped rows first
             val rows = df.groupBy(p.cast("string").as("__part"))
               .agg(count(lit(1)).as("__total"), counters: _*)
+              .limit(maxPartitionBuckets + 1)
               .collect()
             require(rows.length <= maxPartitionBuckets,
-              s"partition expression produced ${rows.length} buckets (max $maxPartitionBuckets) — " +
+              s"partition expression produced more than $maxPartitionBuckets buckets — " +
                 "use a bucketing expression like pmod(xxhash64(col), lit(32))")
             val total = rows.map(_.getLong(1)).sum
             val failedByRule = wellFormedFusible.zipWithIndex.map { case (r, i) =>
@@ -134,17 +138,28 @@ class Validator(
             .map(r => r.name -> referentialPartitioned(df, r, p, partTotals, totalCount))
           val uniqPairs = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
             val t0 = System.nanoTime()
-            val verdicts = uniquenessPartitionVerdicts(df, r, p, partTotals)
-            val globalFromRollup =
-              if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
-                val failed = verdicts.map(_.failed_count).sum
-                val total = partTotals.values.sum
-                Some(ValidationResult.verdict(r, failed, total,
-                  (System.nanoTime() - t0) / 1e6,
-                  Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
-                    "partitioned" -> "true")))
-              } else None
-            (r.name, globalFromRollup, verdicts)
+            uniquenessPartitionVerdicts(df, r, p, partTotals) match {
+              case Right(verdicts) =>
+                val globalFromRollup =
+                  if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
+                    val failed = verdicts.map(_.failed_count).sum
+                    val total = partTotals.values.sum
+                    Some(ValidationResult.verdict(r, failed, total,
+                      (System.nanoTime() - t0) / 1e6,
+                      Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
+                        "partitioned" -> "true")))
+                  } else None
+                (r.name, globalFromRollup, verdicts)
+              case Left(e) =>
+                // surface the per-partition job's failure as this rule's
+                // result (−1/−1 sentinel, severity→error) instead of
+                // silently yielding no verdicts — with partition_covers_key
+                // the global verdict DEPENDS on this job, and without it a
+                // silent Nil would fall back to the table-wide distinct the
+                // caller opted out of
+                (r.name, Some(ValidationResult.failure(r, e,
+                  (System.nanoTime() - t0) / 1e6)), Nil: Seq[PartitionVerdict])
+            }
           }
           (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
             uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
@@ -211,7 +226,7 @@ class Validator(
     * levels agree exactly. */
   private def uniquenessPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Seq[PartitionVerdict] =
+      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val rows = df
@@ -220,8 +235,8 @@ class Validator(
         .groupBy(col("__part"))
         .agg((sum("__cnt") - count(lit(1))).as("__failed"))
         .collect()
-      verdictsFrom(rule, rows.map(r => r.getString(0) -> r.getLong(1)).toMap, partTotals)
-    } catch { case _: Throwable => Nil }
+      Right(verdictsFrom(rule, rows.map(r => r.getString(0) -> r.getLong(1)).toMap, partTotals))
+    } catch { case e: Throwable => Left(e) }
 
   /** Histogram bucket expression for one drift rule. */
   private def driftBucket(rule: ValidationRule): org.apache.spark.sql.Column =
@@ -238,9 +253,15 @@ class Validator(
     * current-side scan groups by (partition, bucket): the GLOBAL histogram
     * is the exact roll-up and each partition's histogram is tested against
     * the (global) baseline — drifted partitions surface individually even
-    * when the table-wide mixture looks clean. The per-partition stat uses
-    * the same chi-square/KS machinery; contingency math is total-agnostic,
-    * so partition-vs-baseline sizes needn't match. */
+    * when the table-wide mixture looks clean, PROVIDED the partition's
+    * drift clears the rule's critical at the partition's own sample size:
+    * the chi-square statistic scales with rows, so at the same absolute
+    * critical a partition holding N/P rows needs ~P× the per-row drift
+    * intensity (significance tests have less evidence from fewer rows).
+    * For size-invariant partition sensitivity use `method: cramers_v`,
+    * whose critical is an effect-size threshold. KS is a CDF distance —
+    * already size-invariant. Contingency math is total-agnostic, so
+    * partition-vs-baseline sizes needn't match. */
   private def executeDriftBatch(
       df: DataFrame, driftRules: Seq[ValidationRule],
       cachedTotal: Option[Long],
@@ -280,6 +301,18 @@ class Validator(
             def statOf(ha: Map[String, Long]): (Double, Map[String, String]) = method match {
               case "chi_square" =>
                 val (s, dof) = Checks.chiSquareStat(ha, hb); (s, Map("dof" -> dof.toString))
+              // effect size, not significance: total variation distance
+              // between the two NORMALIZED distributions — size-INVARIANT,
+              // so per-partition verdicts at N/P rows fire at the same drift
+              // intensity as the global one. Plain chi_square scales with
+              // rows (a partition needs ~P× the intensity to clear the same
+              // absolute critical), and even Cramér's V dilutes when one
+              // sample dwarfs the other (χ² saturates at the smaller total
+              // while grand is the larger). TVD is pure frequency distance:
+              // critical is a fraction-of-mass-moved threshold in [0,1]
+              // (e.g. 0.2), identical at any sample size.
+              case "tvd" =>
+                (Checks.totalVariationDistance(ha, hb), Map.empty[String, String])
               case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
               case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }

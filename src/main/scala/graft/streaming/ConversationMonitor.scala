@@ -60,15 +60,63 @@ object ConversationMonitor {
   }
 
   /** Wire a streaming Dataset[Turn] into the stateful anomaly monitor.
-    * NoTimeout keeps the monitor trigger-quiet (processing-time timeouts
-    * force continuous empty micro-batches); a production deployment bounding
-    * state would add EventTimeTimeout + `state.remove()` on
-    * `state.hasTimedOut` to close idle conversations against the watermark. */
+    * NoTimeout variant: simplest wiring, state never evicted — use
+    * [[anomaliesWithTimeout]] in any long-running deployment so state stays
+    * bounded by LIVE conversations. */
   def anomalies(turns: Dataset[Turn]): Dataset[TurnAnomaly] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         anomaliesOf)
+  }
+
+  /** Timed-out / closed-conversation handling for [[anomaliesWithTimeout]]:
+    * per incoming batch the group's timeout is (re)armed at
+    * max-event-time + idleGap; when the WATERMARK passes it, the
+    * conversation is finalized — a `conversation_closed` row is emitted
+    * (with a `turn_gap` row when indexes 0..maxTurn were not all seen) and
+    * `state.remove()` frees the slot. State is therefore provably bounded:
+    * a conversation idle longer than idleGap in event time cannot hold
+    * state once the watermark advances. */
+  private[streaming] def anomaliesOfWithTimeout(idleGapMs: Long)(
+      convId: String,
+      turns: Iterator[Turn],
+      state: GroupState[ConvState]): Iterator[TurnAnomaly] = {
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(ConvState(-1, 0L, Nil))
+      state.remove()
+      val expected = st.maxTurn + 1L
+      val closed = TurnAnomaly(convId, "conversation_closed", st.maxTurn,
+        s"idle past watermark; turns=${st.turnCount} expected=$expected")
+      if (st.turnCount < expected)
+        Iterator(closed, TurnAnomaly(convId, "turn_gap", st.maxTurn,
+          s"missing=${expected - st.turnCount} of 0..${st.maxTurn}"))
+      else Iterator.single(closed)
+    } else {
+      val batch = turns.toSeq // bounded: one conversation's rows in one micro-batch
+      val out = anomaliesOf(convId, batch.iterator, state).toVector
+      val maxEventMs = batch.iterator.flatMap(t => Option(t.ts)).map(_.getTime)
+        .foldLeft(Long.MinValue)(math.max)
+      // the timeout timestamp must sit strictly beyond the current watermark
+      val floor = state.getCurrentWatermarkMs() + 1L
+      state.setTimeoutTimestamp(math.max(maxEventMs + idleGapMs, floor))
+      out.iterator
+    }
+  }
+
+  /** [[anomalies]] with event-time conversation eviction: requires a
+    * watermark on `ts` (applied here). Idle conversations close and emit
+    * their finalization anomalies once the watermark passes
+    * last-event + idleGap, keeping state O(live conversations). */
+  def anomaliesWithTimeout(
+      turns: Dataset[Turn],
+      idleGap: java.time.Duration = java.time.Duration.ofMinutes(10),
+      watermark: String = "5 minutes"): Dataset[TurnAnomaly] = {
+    import turns.sparkSession.implicits._
+    turns.withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        anomaliesOfWithTimeout(idleGap.toMillis))
   }
 
   /** Watermarked sliding role histogram — the streaming side of the drift

@@ -120,4 +120,48 @@ class CliSpec extends SparkSpec {
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("cli_view")
     graft.io.Tables.load(spark, "table:cli_view").count() shouldBe 1
   }
+
+  test("batch job spec carries the reference's knobs and round-trips through JSON") {
+    import graft.deploy.JobSpec
+    // reference create_validation_job (databricks_utils.py:49-93): 2 workers,
+    // AQE + coalescePartitions, 3600 s timeout, 2 retries, retry on timeout
+    val spec = JobSpec.batch("nightly_validation", "/cfg/validation.yaml",
+      sourcesPath = Some("/cfg/sources.yaml"), outputPath = Some("/out/report.json"),
+      scheduleCron = Some("0 2 * * *"))
+    spec.timeout_seconds shouldBe 3600L
+    spec.max_retries shouldBe 2
+    spec.retry_on_timeout shouldBe true
+    spec.cluster.num_executors shouldBe 2
+    spec.cluster.spark_conf("spark.sql.adaptive.enabled") shouldBe "true"
+    spec.cluster.spark_conf("spark.sql.adaptive.coalescePartitions.enabled") shouldBe "true"
+    spec.main_class shouldBe "graft.Cli" // a class that actually exists
+    spec.arguments shouldBe Seq("--config", "/cfg/validation.yaml",
+      "--sources", "/cfg/sources.yaml", "--output", "/out/report.json")
+    spec.schedule_cron shouldBe Some("0 2 * * *")
+    JobSpec.fromJson(JobSpec.toJson(spec)) shouldBe spec
+    val argv = JobSpec.sparkSubmitCommand(spec, "/app/graft.jar")
+    argv.take(3) shouldBe Seq("spark-submit", "--class", "graft.Cli")
+    argv should contain inOrderElementsOf Seq("--num-executors", "2")
+    argv should contain inOrderElementsOf Seq("/app/graft.jar", "--config", "/cfg/validation.yaml")
+  }
+
+  test("streaming job spec: indefinite timeout, 5 retries, trigger + checkpoint as args") {
+    import graft.deploy.JobSpec
+    // reference create_streaming_validation_job (databricks_utils.py:95-143):
+    // 3 workers, forceDeleteTempCheckpointLocation, timeout 0, 5 retries,
+    // 60 s default trigger
+    val spec = JobSpec.streaming("stream_validation", "/cfg/validation.yaml",
+      sourceTable = "/data/incoming", checkpointLocation = "/chk/stream")
+    spec.timeout_seconds shouldBe 0L
+    spec.max_retries shouldBe 5
+    spec.cluster.num_executors shouldBe 3
+    spec.cluster.spark_conf("spark.sql.streaming.forceDeleteTempCheckpointLocation") shouldBe "true"
+    spec.main_class shouldBe "graft.StreamCli"
+    spec.arguments should contain inOrderElementsOf
+      Seq("--stream-source", "/data/incoming")
+    spec.arguments should contain inOrderElementsOf
+      Seq("--checkpoint-location", "/chk/stream")
+    spec.arguments should contain inOrderElementsOf Seq("--trigger-interval", "60")
+    JobSpec.fromJson(JobSpec.toJson(spec)) shouldBe spec
+  }
 }

@@ -36,6 +36,43 @@ class ConversationMonitorSpec extends SparkSpec {
     rows.length shouldBe 3 // nothing else flagged
   }
 
+  test("event-time timeout closes idle conversations, reports gaps, and frees state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    val stream = MemoryStream[Turn]
+    val anomalies = ConversationMonitor.anomaliesWithTimeout(
+      stream.toDS(), idleGap = java.time.Duration.ofMinutes(1), watermark = "0 seconds")
+    val query = anomalies.writeStream
+      .format("memory").queryName("timeout_anoms").outputMode("append").start()
+
+    // batch 1: conv "a" has turns 0 and 2 (gap at 1); conv "b" is complete
+    stream.addData(
+      turn("a", 0, base), turn("a", 2, base + 1000),
+      turn("b", 0, base), turn("b", 1, base + 1000))
+    query.processAllAvailable()
+    // batch 2: only conv "b" speaks again, one hour later — the watermark
+    // jumps past a's (last event + 1 min) timeout and past b's OLD timeout,
+    // but b's state was re-armed by this batch so only "a" closes
+    stream.addData(turn("b", 2, base + 3600L * 1000))
+    query.processAllAvailable()
+    // batch 3: another hour on — now "b" (idle since batch 2) closes too
+    stream.addData(turn("zz", 0, base + 7200L * 1000))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("timeout_anoms").as[ConversationMonitor.TurnAnomaly].collect()
+    val closed = rows.filter(_.kind == "conversation_closed").map(_.conv_id).toSet
+    closed should contain allOf ("a", "b")
+    // "a" saw turns {0,2} of expected 0..2 → one missing
+    val gaps = rows.filter(_.kind == "turn_gap")
+    gaps.map(_.conv_id).toSet shouldBe Set("a")
+    gaps.head.detail should include("missing=1")
+    // closing emitted exactly once per conversation (state was removed)
+    rows.count(r => r.kind == "conversation_closed" && r.conv_id == "a") shouldBe 1
+  }
+
   test("watermarked role histogram aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.Validator
+import graft.engine.{Checks, Validator}
 import graft.io.{TranscriptConfig, Transcripts}
 import org.apache.spark.sql.functions._
 
@@ -167,6 +167,76 @@ class ValidatorSpec extends SparkSpec {
     byPart.values.map(_.total_count).sum shouldBe 600
     // the global verdict sees the 50% zzz mixture and fails too
     summary.results.find(_.rule_name == "role_drift").get.passed shouldBe false
+  }
+
+  test("tvd drift: a small drifted partition fires where chi-square lacks the sample size") {
+    // baseline 10k rows 50/50; partition 1 mirrors it (5k rows), partition 0
+    // is 40 rows ALL drifted. Two-sample chi-square of 40-vs-10000 tops out
+    // near ~40 — below a critical of 50 that the same FULLY drifted
+    // distribution would clear easily at global size — while TVD sees the
+    // full 0.5 mass shift at any sample size.
+    val baseline = (0L until 10000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "role")
+    val current = ((0L until 40L).map(i => (i * 2, "b")) ++ // partition 0: all-b, tiny
+      (0L until 5000L).map(i => (i * 2 + 1, if (i % 2 == 0) "a" else "b"))) // partition 1: 50/50
+      .toDF("id", "role")
+    def run(method: String, critical: String) = {
+      val rule = ValidationRule("role_drift", RuleType.drift, Seq("role"),
+        parameters = Map("method" -> method, "ref_table" -> "baseline", "critical" -> critical))
+      val v = new Validator(spark, ValidationConfig(),
+        n => if (n == "baseline") Some(baseline) else None)
+      v.executeRulesPartitioned(current, Seq(rule), "t", Some(pmod(col("id"), lit(2))))
+        ._2.filter(_.rule_name == "role_drift").map(x => x.partition -> x.passed).toMap
+    }
+    val chi = run("chi_square", "50")
+    chi("0") shouldBe true // MISSED: consistent significance test, 40 rows of evidence
+    chi("1") shouldBe true
+    val tvd = run("tvd", "0.2")
+    tvd("0") shouldBe false // caught: 0.5 of the mass moved, size-free
+    tvd("1") shouldBe true
+  }
+
+  test("totalVariationDistance: hand values and edge cases") {
+    Checks.totalVariationDistance(Map("a" -> 1L, "b" -> 1L), Map("a" -> 1L, "b" -> 1L)) shouldBe 0.0
+    Checks.totalVariationDistance(Map("a" -> 10L), Map("b" -> 7L)) shouldBe 1.0
+    Checks.totalVariationDistance(
+      Map("a" -> 3L, "b" -> 1L), Map("a" -> 1L, "b" -> 3L)) shouldBe 0.5 +- 1e-12
+    Checks.totalVariationDistance(Map.empty, Map.empty) shouldBe 0.0
+    Checks.totalVariationDistance(Map.empty, Map("a" -> 5L)) shouldBe 1.0
+  }
+
+  test("ksStat raises on a non-empty histogram with no numeric buckets; 0.0 when truly empty") {
+    val numeric = Map("1" -> 5L, "2" -> 5L)
+    // misconfigured rule: the column buckets entirely to non-numeric labels
+    an[IllegalArgumentException] should be thrownBy
+      Checks.ksStat(Map("__NULL__" -> 10L), numeric)
+    an[IllegalArgumentException] should be thrownBy
+      Checks.ksStat(numeric, Map("x" -> 3L, "y" -> 4L))
+    // genuinely empty inputs: no data, no drift
+    Checks.ksStat(Map.empty, numeric) shouldBe 0.0
+    Checks.ksStat(numeric, Map.empty) shouldBe 0.0
+    // and the misconfiguration surfaces through the rule's error path
+    val df = Seq((1L, "only"), (2L, "strings")).toDF("id", "v")
+    val base = Seq((1L, "only")).toDF("id", "v")
+    val rule = ValidationRule("ksbad", RuleType.drift, Seq("v"),
+      parameters = Map("method" -> "ks", "ref_table" -> "b", "critical" -> "0.5"))
+    val v = new Validator(spark, ValidationConfig(), n => if (n == "b") Some(base) else None)
+    val res = v.executeRules(df, Seq(rule), "t").results.head
+    res.passed shouldBe false
+    res.failed_count shouldBe -1 // error sentinel, not a silent pass
+  }
+
+  test("failing per-partition uniqueness job surfaces as rule error, not silent Nil") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // key column doesn't exist → the grouped per-partition job fails analysis
+    val rule = ValidationRule("uniq_bad", RuleType.Uniqueness, Seq("no_such_col"),
+      parameters = Map("partition_covers_key" -> "true"))
+    val v = new Validator(spark, ValidationConfig())
+    val (summary, verdicts) = v.executeRulesPartitioned(
+      df, Seq(rule), "t", Some(pmod(col("id"), lit(2))))
+    verdicts.filter(_.rule_name == "uniq_bad") shouldBe empty
+    val res = summary.results.find(_.rule_name == "uniq_bad").get
+    res.passed shouldBe false
+    res.failed_count shouldBe -1 // sentinel: the failure is visible, not swallowed
   }
 
   test("report: dict keeps table keys, bare summary keyed single_table; stats summed (validator.py:197-228)") {

@@ -2,6 +2,8 @@ package graft
 
 import graft.bench.TranscriptSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark harness (driver contract: ONE JSON line on stdout).
   *
@@ -11,10 +13,71 @@ import org.apache.spark.sql.SparkSession
   *  2. the full north-rule transcript constraint suite over a materialized
   *     ~`BENCH_CONVS`-conversation table → validated turns/sec;
   *  3. the two-cluster-size scaling evidence (BASELINE.md): the SAME suite
-  *     on the SAME input at local[N] and local[4N] → throughput at both and
-  *     efficiency = (tps_hi / tps_lo) / 4, target ≥ 0.8.
+  *     on the SAME input at a parallelism ladder → throughput per level and
+  *     efficiency per adjacent pair, target ≥ 0.8 for the N→4N pair.
+  *
+  * Every timed run is INSTRUMENTED (SparkListener task metrics): executor
+  * CPU time, executor run time, bytes read and shuffle bytes land in the
+  * JSON per run, so whether a slow level is CPU-contended (cpu_sec ≈
+  * wall×cores but wall high), IO-bound (run_sec ≫ cpu_sec) or
+  * scheduling-noise-bound is decidable from the artifact alone. A
+  * cpu_probe section measures raw parallel arithmetic scaling of the
+  * machine at each ladder level — the hardware ceiling the suite's
+  * scaling should be judged against (this VM reports 32 vCPUs but
+  * sustains ~16 physical cores' worth of throughput).
   */
 object Bench {
+
+  /** Accumulates task metrics across a session; per-run deltas via snapshots. */
+  private final class MetricsListener extends SparkListener {
+    val cpuNs = new AtomicLong(0L)
+    val runMs = new AtomicLong(0L)
+    val readBytes = new AtomicLong(0L)
+    val shuffleBytes = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        readBytes.addAndGet(m.inputMetrics.bytesRead)
+        shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+      ()
+    }
+    def snap: Array[Long] =
+      Array(cpuNs.get, runMs.get, readBytes.get, shuffleBytes.get, gcMs.get)
+  }
+
+  private final case class RunMetrics(
+      wallSec: Double, cpuSec: Double, runSec: Double,
+      readMb: Double, shuffleMb: Double, gcMs: Long)
+
+  /** Raw parallel-arithmetic scaling probe: how many copies of a 1-thread
+    * integer-mix workload the machine sustains at `threads` threads. This is
+    * the HARDWARE ceiling for CPU-bound scaling — e.g. ~23× at 32 threads on
+    * a 16-physical-core SMT host — measured here so the artifact itself
+    * proves (or rules out) an environmental cap. */
+  private def cpuScale(threads: Int, millis: Long = 600L): Double = {
+    def burn(deadlineNs: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var n = 0L
+      while (System.nanoTime() < deadlineNs) {
+        var i = 0
+        while (i < 20000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        n += 20000
+      }
+      if (x == 42L) -1L else n // keep the loop un-eliminable
+    }
+    val single = burn(System.nanoTime() + millis * 1000000L).toDouble
+    val counters = new Array[Long](threads)
+    val deadline = System.nanoTime() + millis * 1000000L
+    val ts = (0 until threads).map { i =>
+      new Thread(() => counters(i) = burn(deadline))
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    counters.sum / single
+  }
 
   private def newSession(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -35,7 +98,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1600000").toLong
     val workDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
-    val lowCpus = math.max(cpus / 4, 1)
+    val maxWarmups = sys.env.getOrElse("SPARK_GRAFT_MAX_WARMUPS", "5").toInt
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "3").toInt
 
     // --- section 1: query suite at driver parallelism ---------------------
     var spark = newSession(cpus)
@@ -60,23 +124,14 @@ object Bench {
     }
 
     // --- section 2+3: transcript suite + scaling evidence -----------------
-    // Parallelism ladder cpus, cpus/4, cpus/16 (≥1): the N→4N criterion is
-    // evidenced on every adjacent pair. Every level gets a FRESH session —
-    // round 1's driver run showed the first level inheriting the query
-    // suite's dirty session (persisted LSH signature blocks pinning storage
-    // memory, cached-table state, fragmented heap) and landing 3.9× slow
-    // while the fresh-session levels matched expectations. Per level: one
-    // untimed warmup run (JIT/codegen/page cache), then min-of-3 timed runs
-    // with GC time recorded so a GC-bound level is visible in the JSON.
-    // any failure in the scaling section must not lose the query timings —
-    // the JSON line below prints regardless
-    def gcMillis: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-        .map(b => math.max(b.getCollectionTime, 0L)).sum
-    }
+    // Parallelism ladder cpus, cpus/4, cpus/16 (≥1). Per level: a FRESH
+    // session (defense in depth — see CacheScope note above), then ADAPTIVE
+    // warmup: repeat untimed runs until two consecutive warmups agree within
+    // 10% (bounded at maxWarmups) so page-cache/JIT transients can't land in
+    // the timed window, then `timedRuns` instrumented runs (min is
+    // reported; all raw numbers ship in the JSON).
     final case class Level(cpus: Int, best: TranscriptSuite.SuiteRun,
-        runsSec: Seq[Double], gcMs: Long)
+        runs: Seq[RunMetrics], warmupsSec: Seq[Double], cpuProbe: Double)
     val runs: Seq[Level] = try {
       val turns0 = TranscriptSuite.materialize(spark, workDir, benchConvs, cpus)
       require(turns0 > 0)
@@ -86,13 +141,32 @@ object Bench {
         val s = newSession(lvl)
         spark = s
         s.sparkContext.setLogLevel("WARN")
+        val listener = new MetricsListener
+        s.sparkContext.addSparkListener(listener)
         System.gc() // start each level from a compacted heap
-        TranscriptSuite.run(s, workDir) // per-level untimed warmup
-        val gc0 = gcMillis
-        val timed = (1 to 3).map(_ => TranscriptSuite.run(s, workDir))
-        val gcMs = gcMillis - gc0
+        // adaptive warmup: stop when consecutive runs agree within 10%
+        val warmups = scala.collection.mutable.ArrayBuffer.empty[Double]
+        warmups += TranscriptSuite.run(s, workDir).elapsedSec
+        var stable = false
+        while (!stable && warmups.size < maxWarmups) {
+          warmups += TranscriptSuite.run(s, workDir).elapsedSec
+          val Seq(a, b) = warmups.takeRight(2).toSeq
+          stable = math.abs(a - b) / math.min(a, b) < 0.10
+        }
+        val timed = (1 to timedRuns).map { _ =>
+          val before = listener.snap
+          val t0 = System.nanoTime()
+          val r = TranscriptSuite.run(s, workDir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.benchbridge.drainListeners(s.sparkContext)
+          val d = listener.snap.zip(before).map { case (x, y) => x - y }
+          (r, RunMetrics(wall, d(0) / 1e9, d(1) / 1e3,
+            d(2) / 1048576.0, d(3) / 1048576.0, d(4)))
+        }
+        val probe = cpuScale(lvl)
         s.stop()
-        Level(lvl, timed.minBy(_.elapsedSec), timed.map(_.elapsedSec), gcMs)
+        Level(lvl, timed.minBy(_._1.elapsedSec)._1, timed.map(_._2),
+          warmups.toSeq, probe)
       }
     } catch {
       case e: Throwable =>
@@ -106,8 +180,13 @@ object Bench {
     val hi = runs.headOption.map(_.best)
       .getOrElse(TranscriptSuite.SuiteRun(0L, 0.0, 0.0, Nil, 0L))
     val pairs = runs.zip(runs.tail).map { case (hiL, loL) =>
-      val eff = (hiL.best.turnsPerSec / loL.best.turnsPerSec) / (hiL.cpus.toDouble / loL.cpus)
-      (loL.cpus, hiL.cpus, eff)
+      val cores = hiL.cpus.toDouble / loL.cpus
+      val eff = (hiL.best.turnsPerSec / loL.best.turnsPerSec) / cores
+      // the same pair's efficiency against the MEASURED hardware ceiling
+      // (raw parallel-arithmetic scale), not the nominal core ratio
+      val hwEff = (hiL.best.turnsPerSec / loL.best.turnsPerSec) /
+        (hiL.cpuProbe / math.max(loL.cpuProbe, 1e-9))
+      (loL.cpus, hiL.cpus, eff, hwEff)
     }
     val bestEff = if (pairs.nonEmpty) pairs.map(_._3).max else 1.0
 
@@ -115,11 +194,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     val levelJson = runs.map { l =>
-      val rs = l.runsSec.map(v => f"$v%.2f").mkString("[", ",", "]")
-      f"""{"cpus":${l.cpus},"tps":${l.best.turnsPerSec}%.1f,"suite_sec":${l.best.elapsedSec}%.2f,"runs_sec":$rs%s,"gc_ms":${l.gcMs}}"""
+      val rs = l.runs.map(r => f"${r.wallSec}%.2f").mkString("[", ",", "]")
+      val ws = l.warmupsSec.map(v => f"$v%.2f").mkString("[", ",", "]")
+      val detail = l.runs.map { r =>
+        f"""{"wall_sec":${r.wallSec}%.2f,"cpu_sec":${r.cpuSec}%.1f,"run_sec":${r.runSec}%.1f,"read_mb":${r.readMb}%.0f,"shuffle_mb":${r.shuffleMb}%.0f,"gc_ms":${r.gcMs}}"""
+      }.mkString("[", ",", "]")
+      f"""{"cpus":${l.cpus},"tps":${l.best.turnsPerSec}%.1f,"suite_sec":${l.best.elapsedSec}%.2f,"runs_sec":$rs%s,"warmups_sec":$ws%s,"cpu_probe_scale":${l.cpuProbe}%.1f,"gc_ms":${l.runs.map(_.gcMs).sum},"runs":$detail%s}"""
     }.mkString("[", ",", "]")
-    val pairJson = pairs.map { case (lo, hi2, eff) =>
-      f"""{"from_cpus":$lo,"to_cpus":$hi2,"efficiency":$eff%.3f}"""
+    val pairJson = pairs.map { case (lo, hi2, eff, hwEff) =>
+      f"""{"from_cpus":$lo,"to_cpus":$hi2,"efficiency":$eff%.3f,"efficiency_vs_hw_ceiling":$hwEff%.3f}"""
     }.mkString("[", ",", "]")
     val scaling =
       s"""{"turns":$nTurns,"levels":$levelJson,"pairs":$pairJson,""" +

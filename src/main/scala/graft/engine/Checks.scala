@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Shuffle-bearing checks: uniqueness (exact + salted), referential
   * integrity, distribution drift (chi-square / KS over histograms).
@@ -289,24 +290,54 @@ object Checks {
 
   /** The per-bucket CDF table behind [[ksFromHistograms]] (exposed for the
     * oracle queries: integer cumulative sums divided by integer totals are
-    * bit-reproducible across engines). */
+    * bit-reproducible across engines).
+    *
+    * Cumulative sums run DRIVER-side over the collected joined histogram:
+    * inputs are O(buckets) rows by construction, the old formulation was
+    * already eager (its totals `.head()`), and the global-order window it
+    * used would occupy exactly one task anyway — while spamming WindowExec's
+    * "No Partition Defined" warning (Spark 4's EliminateWindowPartitions
+    * folds away any constant partition key, so the warning can't be keyed
+    * off). One job instead of two, and that warning now only ever means a
+    * REAL unpartitioned window over raw data. Bucket order matches Spark's
+    * `ORDER BY bucket` (NULLs first, then ascending). */
   def ksCdfTable(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val spark = histA.sparkSession
     val a = histA.select(col("bucket"), col("cnt").as("cnt_a"))
     val b = histB.select(col("bucket"), col("cnt").as("cnt_b"))
     val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0L, Seq("cnt_a", "cnt_b"))
-    // partitionBy(lit(0)) is a semantic no-op (inputs here are O(buckets)
-    // histogram rows, single-partition by design) but keeps WindowExec's
-    // "No Partition Defined" warning out of the logs — a REAL unpartitioned
-    // window over raw data should be the only thing that trips that alarm
-    val w = Window.partitionBy(lit(0))
-      .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
-    val withCum = j.withColumn("cum_a", sum("cnt_a").over(w))
-      .withColumn("cum_b", sum("cnt_b").over(w))
-    val totals = withCum.agg(sum("cnt_a"), sum("cnt_b")).head()
-    val (totA, totB) = (totals.getLong(0), totals.getLong(1))
-    withCum.select(
-      col("bucket"), col("cnt_a"), col("cnt_b"),
-      (col("cum_a").cast("double") / lit(totA.toDouble)).as("cdf_a"),
-      (col("cum_b").cast("double") / lit(totB.toDouble)).as("cdf_b"))
+    val bucketType = j.schema("bucket").dataType
+    val rows = j.collect()
+    val nonNullOrd: Ordering[Any] = bucketType match {
+      case IntegerType => Ordering.by((x: Any) => x.asInstanceOf[Int])
+      case LongType    => Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case DoubleType  => Ordering.by((x: Any) => x.asInstanceOf[Double])
+      case FloatType   => Ordering.by((x: Any) => x.asInstanceOf[Float])
+      case _           => Ordering.by((x: Any) => String.valueOf(x))
+    }
+    val sorted = rows.sortBy(_.get(0))(Ordering.fromLessThan[Any] {
+      case (null, null) => false
+      case (null, _)    => true
+      case (_, null)    => false
+      case (x, y)       => nonNullOrd.lt(x, y)
+    })
+    val totA = sorted.map(_.getLong(1)).sum.toDouble
+    val totB = sorted.map(_.getLong(2)).sum.toDouble
+    var cumA = 0L
+    var cumB = 0L
+    val out = sorted.map { r =>
+      cumA += r.getLong(1)
+      cumB += r.getLong(2)
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2),
+        cumA.toDouble / totA, cumB.toDouble / totB)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("bucket", bucketType),
+        StructField("cnt_a", LongType, nullable = false),
+        StructField("cnt_b", LongType, nullable = false),
+        StructField("cdf_a", DoubleType, nullable = false),
+        StructField("cdf_b", DoubleType, nullable = false))))
   }
 }

@@ -132,40 +132,31 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
       maxShingleDf: Long = 0L, hotDfThreshold: Long = 64L,
-      hotPassShingleBudget: Long = 1000000L,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
     // the shingle-set "index" feeds the hot-shingle pass, the prefix build
     // and the verification join (both sides); persisted only under an
     // active CacheScope, whose owner releases the blocks
     val docs = scope.cache(df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")))
-    // one job sizes the index (and materializes the cache when scoped):
-    // total shingle INSTANCES, not doc count, is what bounds the worst
-    // bucket — a 90k-doc corpus with one stop-shingle in every doc has a
-    // 90k² bucket long before any doc-count gate fires
-    val totalShingles = docs
-      .agg(sum(coalesce(size(col("shingles")), lit(0))).as("m"))
-      .head.getLong(0)
     // ONE map-side-combined groupBy finds the hot shingles; only they need a
     // real df for the prefix order (everything colder sorts by hash), so the
     // collected map is tiny and ships as a plan constant — no df-join-back,
-    // no per-doc window, no extra index shuffle. Exactness never depends on
-    // the df info (any consistent global order satisfies the prefix
-    // theorem), so on tiny corpora — where the index mass itself bounds any
-    // bucket — the pass is skipped; it runs whenever the estimated index
-    // mass exceeds `hotPassShingleBudget` (the hot pass costs one linear
-    // scan of that same mass — always cheaper than one quadratic bucket)
-    // or when a df cap is explicitly requested.
+    // no per-doc window, no extra index shuffle. The pass runs
+    // UNCONDITIONALLY: its cost is one linear scan of the shingle mass the
+    // pipeline already materializes (map-side combine collapses it to
+    // distinct shingles), always cheaper than the quadratic bucket a single
+    // stop-shingle would otherwise build — earlier doc-count/mass gates
+    // each left a corpus-shape window where the bucket blow-up ran anyway.
+    // Exactness never depends on the df info (any consistent global order
+    // satisfies the prefix theorem); hot ordering is pruning only.
     val hotFloor = if (maxShingleDf > 0) math.min(hotDfThreshold, maxShingleDf) else hotDfThreshold
-    val hotDf: Map[String, Long] =
-      if (!hotPassEngaged(totalShingles, maxShingleDf, hotPassShingleBudget)) Map.empty
-      else docs
-        .select(explode(col("shingles")).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > hotFloor)
-        .orderBy(col("df").desc, col("sh"))
-        .limit(100000)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotDf: Map[String, Long] = docs
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotFloor)
+      .orderBy(col("df").desc, col("sh"))
+      .limit(100000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val prefix = docs.select(col("id"), size(col("shingles")).as("n_sh"),
       explode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
         .as("sh"))
@@ -183,13 +174,6 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
-
-  /** Gate for the hot-shingle df pass: engage when the caller capped df
-    * explicitly, or when the index mass (total shingle instances) exceeds
-    * the budget. Pure — unit-tested directly in DedupSpec. */
-  private[graft] def hotPassEngaged(
-      totalShingles: Long, maxShingleDf: Long, budget: Long): Boolean =
-    maxShingleDf > 0 || totalShingles > budget
 
   // --------------------------------------- materialized signature index
 

@@ -189,21 +189,27 @@ class DedupSpec extends SparkSpec {
     cachedRdds shouldBe before
   }
 
-  test("hot-df pass gate is index-mass-based, not doc-count-based") {
-    // 90k docs × 50 shingles each: under a doc-count gate of 100k this was
-    // skipped, leaving one stop-shingle shared by all 90k docs to build a
-    // 90k² self-join bucket; the mass gate (4.5M > 1M budget) engages it
-    Dedup.hotPassEngaged(90000L * 50, 0L, 1000000L) shouldBe true
-    Dedup.hotPassEngaged(500L, 0L, 1000000L) shouldBe false
-    Dedup.hotPassEngaged(500L, 10L, 1000000L) shouldBe true // explicit df cap
-    // exactness never depends on the hot pass (any consistent global order
-    // satisfies the prefix theorem): forcing it on produces identical pairs
-    val forced = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
-        hotPassShingleBudget = 1L)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
-    val default = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
-    forced shouldBe default
+  test("hot-df pass is unconditional: stop-shingle buckets shrink at every corpus size") {
+    // a stop-shingle in every doc (df = corpus size) must sort LAST in the
+    // prefix order so it falls out of every doc's prefix — the earlier
+    // doc-count (<100k skip) and index-mass gates each left a corpus shape
+    // where the quadratic bucket ran anyway; now the pass always runs.
+    // Exactness never depends on it (any consistent global order satisfies
+    // the prefix theorem): a corpus whose ONLY link is a hot shingle still
+    // pairs exactly when Jaccard clears the threshold.
+    val hot = Seq(
+      (1L, "x y z a b"),
+      (2L, "x y z a c"),
+      (3L, "x y z d e f g h i"),
+      (4L, "x y z j k l m n o")).toDF("doc_id", "text")
+    // hotDfThreshold=1 forces even df=2 shingles into the collected map —
+    // the pass is exercised, not just compiled
+    val pairs = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.4,
+        hotDfThreshold = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1,2: shingles {xyz,yza,zab|zac} → J = 2/4
+    pairs.keySet shouldBe Set((1L, 2L))
+    pairs((1L, 2L)) shouldBe 0.5 +- 1e-12
   }
 
   test("rankTopK tolerates NULL embeddings in the corpus (dropped, not fatal)") {

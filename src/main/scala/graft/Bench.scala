@@ -101,27 +101,33 @@ object Bench {
     val maxWarmups = sys.env.getOrElse("SPARK_GRAFT_MAX_WARMUPS", "5").toInt
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_TIMED_RUNS", "3").toInt
 
+    // SPARK_GRAFT_SKIP_QUERIES=1: ladder-only runs for scaling iteration
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+
     // --- section 1: query suite at driver parallelism ---------------------
     var spark = newSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on the
     // alphabetically-first query
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    if (!skipQueries)
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // CacheScope.cached per query: operator scratch caches (LSH/shingle
     // indexes) are reused inside the query and RELEASED before the next, so
     // the suite session stays clean by construction — the fresh-session
     // ladder below is now defense in depth, not the leak fix.
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      graft.operators.CacheScope.cached {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
-          case _: Throwable =>
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val queryTimes =
+      if (skipQueries) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        graft.operators.CacheScope.cached {
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch {
+            case _: Throwable =>
+              try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          }
         }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
 
     // --- section 2+3: transcript suite + scaling evidence -----------------
     // Parallelism ladder cpus, cpus/4, cpus/16 (≥1). Per level: a FRESH

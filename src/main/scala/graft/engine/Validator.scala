@@ -119,10 +119,24 @@ class Validator(
     // distinct baseline table (instead of 2 jobs per rule). With a partition
     // expression the SAME scan groups by (partition, bucket), so global AND
     // per-partition drift verdicts cost one pass.
+    //
+    // Sections 2 (drift) and 2b (uniqueness + referential) are INDEPENDENT
+    // given the fused pass's partition totals, so their Spark jobs are
+    // submitted CONCURRENTLY (Validator.sectionPool): sequential submission
+    // left each job's ramp-up/tail idling the rest of the cluster — the
+    // bench instrumentation measured only ~60% average core-busy at 32
+    // threads. Overlapping independent jobs is the same move a multi-tenant
+    // cluster scheduler makes; results are assembled by rule name, so
+    // ordering semantics are unchanged. Each section still catches its own
+    // errors into per-rule failure results.
     val partTotalsEarly: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
-    val (driftResults, driftVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Validator.sectionPool
+    val driftF: Future[(Map[String, ValidationResult], Seq[PartitionVerdict])] = Future {
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount,
         partitionExpr.filter(_ => partTotalsEarly.nonEmpty), partTotalsEarly)
+    }
 
     // 2b. partitioned uniqueness + referential: per-partition verdicts, and
     // for referential the global verdict rides the same grouped job. A
@@ -131,13 +145,17 @@ class Validator(
     // keys are always co-partitioned) also gets its GLOBAL verdict from the
     // roll-up — the table-wide distinct shuffle disappears.
     val partTotals: Map[String, Long] = partTotalsEarly
-    val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
-      partitionExpr match {
-        case Some(p) if partTotals.nonEmpty =>
-          val refPairs = rules.filter(_.ruleType == RuleType.Referential)
-            .map(r => r.name -> referentialPartitioned(df, r, p, partTotals, totalCount))
-          val uniqPairs = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
-            val t0 = System.nanoTime()
+    // per-rule futures, FLAT (no nested awaits on the bounded pool): every
+    // referential and uniqueness rule's grouped job overlaps the drift scan
+    // and each other
+    val (refFs, uniqFs) = partitionExpr match {
+      case Some(p) if partTotals.nonEmpty =>
+        val rf = rules.filter(_.ruleType == RuleType.Referential).map { r =>
+          r.name -> Future(referentialPartitioned(df, r, p, partTotals, totalCount))
+        }
+        val uf = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
+          Future {
+            val tu = System.nanoTime()
             uniquenessPartitionVerdicts(df, r, p, partTotals) match {
               case Right(verdicts) =>
                 val globalFromRollup =
@@ -145,7 +163,7 @@ class Validator(
                     val failed = verdicts.map(_.failed_count).sum
                     val total = partTotals.values.sum
                     Some(ValidationResult.verdict(r, failed, total,
-                      (System.nanoTime() - t0) / 1e6,
+                      (System.nanoTime() - tu) / 1e6,
                       Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
                         "partitioned" -> "true")))
                   } else None
@@ -158,14 +176,20 @@ class Validator(
                 // silent Nil would fall back to the table-wide distinct the
                 // caller opted out of
                 (r.name, Some(ValidationResult.failure(r, e,
-                  (System.nanoTime() - t0) / 1e6)), Nil: Seq[PartitionVerdict])
+                  (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
             }
           }
-          (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
-            uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
-            refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3))
-        case _ => (Map.empty, Nil)
-      }
+        }
+        (rf, uf)
+      case _ => (Nil, Nil)
+    }
+    val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
+    val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+    val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf))
+    val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
+      (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
+        uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
+        refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3))
 
     // 3. remaining rules, preserving overall rule order in the result list
     val results: Seq[ValidationResult] = rules.map { r =>
@@ -563,6 +587,22 @@ class Validator(
     * `validator.py:204-206`). */
   def report(summary: ValidationSummary): Report =
     report(Map("single_table" -> summary))
+}
+
+object Validator {
+  /** Shared daemon pool for submitting independent rule-section Spark jobs
+    * concurrently (drift scan ∥ per-rule uniqueness ∥ referential). Sized
+    * for SECTION fan-out, not task parallelism — Spark's scheduler owns the
+    * cores; these threads only build plans and block on job results. Flat
+    * future graph only (no future awaits another on this pool). */
+  private[engine] lazy val sectionPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-rule-section")
+          t.setDaemon(true)
+          t
+        }))
 }
 
 /** This-run quarantine outcome: rows written plus per-rule plan failures. */

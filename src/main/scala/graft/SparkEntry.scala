@@ -241,6 +241,22 @@ object SparkEntry {
           (obs_b - (obs_a + obs_b) * tb / g) * (obs_b - (obs_a + obs_b) * tb / g) / ((obs_a + obs_b) * tb / g) AS contrib_b
         FROM j, tot ORDER BY bucket""")),
 
+    // ---- distribution drift: TVD (size-invariant effect size) ------------
+    Q("q_tvd_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.tvdContributions(
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), "event_type"),
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(cnt_a, 0.0) AS cnt_a, coalesce(cnt_b, 0.0) AS cnt_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j)
+        SELECT bucket, cnt_a / ta AS p_a, cnt_b / tb AS p_b, ABS(cnt_a / ta - cnt_b / tb) AS abs_diff
+        FROM j, tot ORDER BY bucket""")),
+
     // ---- distribution drift: KS over histograms --------------------------
     Q("q_ks_events",
       (s, d) => {

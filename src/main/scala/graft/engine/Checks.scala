@@ -239,10 +239,28 @@ object Checks {
     val totB = b.values.sum.toDouble
     if (totA == 0 && totB == 0) return 0.0
     if (totA == 0 || totB == 0) return 1.0
-    val buckets = a.keySet ++ b.keySet
+    // sorted bucket order: double addition is not associative, so summing in
+    // set-iteration order would make the statistic run-order-dependent
+    val buckets = (a.keySet ++ b.keySet).toSeq.sorted
     buckets.iterator.map { k =>
       math.abs(a.getOrElse(k, 0L) / totA - b.getOrElse(k, 0L) / totB)
     }.sum / 2.0
+  }
+
+  /** Per-bucket TVD contributions as a DataFrame — the oracle-checkable face
+    * of [[totalVariationDistance]] (each row is independent integer-count
+    * arithmetic, bit-reproducible across engines; the statistic is
+    * Σ abs_diff / 2). */
+  def tvdContributions(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val a = histA.select(col("bucket"), col("cnt").cast("double").as("cnt_a"))
+    val b = histB.select(col("bucket"), col("cnt").cast("double").as("cnt_b"))
+    val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0.0, Seq("cnt_a", "cnt_b"))
+    val totals = j.agg(sum("cnt_a"), sum("cnt_b")).head()
+    val (totA, totB) = (totals.getDouble(0), totals.getDouble(1))
+    j.select(col("bucket"),
+      (col("cnt_a") / lit(totA)).as("p_a"),
+      (col("cnt_b") / lit(totB)).as("p_b"),
+      abs(col("cnt_a") / lit(totA) - col("cnt_b") / lit(totB)).as("abs_diff"))
   }
 
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.

@@ -119,6 +119,19 @@ object ConversationMonitor {
         anomaliesOfWithTimeout(idleGap.toMillis))
   }
 
+  /** Streaming exact dedup on the composite key with BOUNDED state: a
+    * duplicate (conv_id, turn_idx) arriving within the watermark is dropped
+    * exactly; key state older than the watermark ages out (a duplicate
+    * arriving later than `watermark` after the original passes — the
+    * documented trade every watermarked streaming dedup makes). This is the
+    * ingest-side guard in front of the validator: downstream batch
+    * uniqueness rules then measure genuine key collisions, not transport
+    * retries. */
+  def dedupWithinWatermark(
+      turns: Dataset[Turn], watermark: String = "10 minutes"): Dataset[Turn] =
+    turns.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
   /** Watermarked sliding role histogram — the streaming side of the drift
     * check: each window's histogram is comparable against the baseline with
     * `Checks.chiSquareStat` downstream. Late data beyond the watermark is

@@ -73,6 +73,28 @@ class ConversationMonitorSpec extends SparkSpec {
     rows.count(r => r.kind == "conversation_closed" && r.conv_id == "a") shouldBe 1
   }
 
+  test("dedupWithinWatermark drops cross-batch duplicate keys with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    val stream = MemoryStream[Turn]
+    val deduped = ConversationMonitor.dedupWithinWatermark(stream.toDS(), "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+
+    stream.addData(turn("a", 0, base), turn("a", 0, base + 5), turn("a", 1, base + 1000))
+    query.processAllAvailable()
+    // cross-batch duplicate within the watermark: dropped
+    stream.addData(turn("a", 1, base + 2000), turn("b", 0, base + 3000))
+    query.processAllAvailable()
+    query.stop()
+
+    val keys = spark.table("dedup_stream").as[Turn].collect()
+      .map(t => (t.conv_id, t.turn_idx)).sorted
+    keys shouldBe Array(("a", 0), ("a", 1), ("b", 0))
+  }
+
   test("watermarked role histogram aggregates per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

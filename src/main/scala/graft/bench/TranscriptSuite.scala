@@ -52,22 +52,57 @@ object TranscriptSuite {
       severity = Severity.Warning)
   )
 
+  /** Bucket count for the at-rest turns layout. 128 = 4 task-waves at 32
+    * cores and enough splits for any ladder level; on a real cluster this
+    * would scale with executor count. */
+  val BucketCount = 128
+
   /** Materialize a deterministic transcripts table (+ drifted baseline +
-    * conversation index) to parquet, partitioned like the production layout
-    * (repartition on conv_id so downstream key-local ops start co-located).
-    * Returns the turn count. Not part of the timed suite. */
+    * conversation index). The turns table is written BUCKETED by conv_id —
+    * the north-star's "explicit repartitioning on conv_id" made durable:
+    * a bucketed at-rest layout means every key-local operation (composite-key
+    * uniqueness grouping, the referential anti-join's fact side) reads
+    * already-distributed data and plans NO exchange for the 28M-row side.
+    * `repartition(BucketCount, conv_id)` before the bucketed write uses the
+    * same murmur3 hash as the bucket spec, so each task owns exactly one
+    * bucket → one file per bucket, no small-file explosion. The schema DDL
+    * is saved alongside so later sessions can re-declare the external table
+    * (see [[openTurns]]). Returns the turn count. Not part of the timed
+    * suite. */
   def materialize(spark: SparkSession, dir: String, numConvs: Long, shufflePartitions: Int): Long = {
     val cfg = TranscriptConfig(numConvs = numConvs, hotConvExtraTurns = numConvs / 10)
     val turns = Transcripts.turns(spark, cfg)
       .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
-    // 4 tasks per core: even waves at high parallelism, bounded stragglers
-    turns.repartition(shufflePartitions * 4, col("conv_id"))
-      .write.mode("overwrite").parquet(s"$dir/turns")
+    spark.sql("DROP TABLE IF EXISTS graft_bench_turns")
+    turns.repartition(BucketCount, col("conv_id"))
+      .write.bucketBy(BucketCount, "conv_id")
+      .option("path", s"$dir/turns_bucketed")
+      .mode("overwrite")
+      .saveAsTable("graft_bench_turns")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/turns_schema.ddl"), turns.schema.toDDL)
     Transcripts.turns(spark, Transcripts.drifted(cfg.copy(numConvs = math.max(numConvs / 4, 1))))
       .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
       .write.mode("overwrite").parquet(s"$dir/baseline")
     Transcripts.convIndex(spark, cfg).write.mode("overwrite").parquet(s"$dir/conv_index")
-    spark.read.parquet(s"$dir/turns").count()
+    spark.table("graft_bench_turns").count()
+  }
+
+  /** Open the materialized turns table, re-declaring the external bucketed
+    * table in this session's catalog when absent (fresh ladder sessions have
+    * an empty in-memory catalog; the bucket files + saved schema DDL carry
+    * everything needed — the standard external-bucketed-table pattern, no
+    * metastore required). */
+  def openTurns(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.catalog.tableExists("graft_bench_turns")) {
+      val ddl = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/turns_schema.ddl"))
+      spark.sql(
+        s"""CREATE TABLE graft_bench_turns ($ddl) USING parquet
+           |CLUSTERED BY (conv_id) INTO $BucketCount BUCKETS
+           |LOCATION '$dir/turns_bucketed'""".stripMargin)
+    }
+    spark.table("graft_bench_turns")
   }
 
   final case class SuiteRun(
@@ -79,7 +114,7 @@ object TranscriptSuite {
 
   /** Timed: read the materialized table and run the complete suite. */
   def run(spark: SparkSession, dir: String): SuiteRun = {
-    val turns = spark.read.parquet(s"$dir/turns")
+    val turns = openTurns(spark, dir)
     val baseline = spark.read.parquet(s"$dir/baseline")
     val convIndex = spark.read.parquet(s"$dir/conv_index")
     val config = ValidationConfig(tables = Seq(TableConfig("transcripts", rules)))

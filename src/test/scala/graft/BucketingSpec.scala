@@ -8,6 +8,43 @@ import org.apache.spark.sql.functions._
   * turns ⋈ conv_index join. */
 class BucketingSpec extends SparkSpec {
 
+  test("re-declared external bucketed turns table: no exchange for key grouping; results layout-invariant") {
+    import graft.bench.TranscriptSuite
+    val dir = java.nio.file.Files.createTempDirectory("bucketed_turns").toString
+    try {
+      // session A materializes (bucketed write + schema DDL sidecar)
+      val n = TranscriptSuite.materialize(spark, dir, numConvs = 300L, shufflePartitions = 4)
+      n should be > 0L
+      // simulate a FRESH session's empty catalog: drop the metadata, keep files
+      spark.sql("DROP TABLE IF EXISTS graft_bench_turns")
+      val turns = TranscriptSuite.openTurns(spark, dir)
+      turns.count() shouldBe n
+      // composite-key uniqueness grouping: bucketing on conv_id co-locates
+      // every (conv_id, turn_idx) — the 28M-row exchange disappears
+      val uniq = turns
+        .groupBy(pmod(xxhash64(col("conv_id")), lit(8)).cast("string").as("__part"),
+          col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("__cnt"))
+      uniq.collect()
+      val plan = uniq.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+      // and the verdict math is identical to the unbucketed formulation
+      val fromBucketed = uniq.groupBy("__part")
+        .agg((sum("__cnt") - count(lit(1))).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val plain = graft.io.Transcripts
+        .turns(spark, graft.io.TranscriptConfig(numConvs = 300L, hotConvExtraTurns = 30L))
+        .groupBy(pmod(xxhash64(col("conv_id")), lit(8)).cast("string").as("__part"),
+          col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy("__part").agg((sum("__cnt") - count(lit(1))).as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fromBucketed shouldBe plain
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bench_turns")
+    }
+  }
+
   test("pre-bucketed tables join without an exchange on either side") {
     val sf = "/root/testdata/sf0.001"
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

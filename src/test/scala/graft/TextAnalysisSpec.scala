@@ -117,6 +117,43 @@ class TextAnalysisSpec extends SparkSpec {
     mismatches.count() shouldBe 0
   }
 
+  test("native text expressions match reference formulations on random strings (property)") {
+    // seeded fuzz over a deliberately nasty alphabet: ASCII letters/digits,
+    // punctuation, every whitespace the \s-adjacent classes disagree on,
+    // consecutive newlines, and some non-ASCII — one mismatch row fails
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcXYZ019 .,;!@-_\t\n\n\r\féñ漢"
+    val rows = (1 to 300).map { _ =>
+      val len = rnd.nextInt(80)
+      val sb = new StringBuilder
+      (1 to len).foreach(_ => sb.append(alphabet.charAt(rnd.nextInt(alphabet.length))))
+      sb.toString
+    }
+    val df = rows.toDF("text")
+    val st = TextAnalysis.textStats(col("text"))
+    val statsMismatch = df.select(
+        st.getField("len").as("a1"), st.getField("tokens").as("a2"),
+        st.getField("alpha").as("a3"), st.getField("punct").as("a4"),
+        st.getField("w7_12").as("a5"), st.getField("w13").as("a6"),
+        org.apache.spark.sql.functions.length(col("text")).as("e1"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("e2"),
+        regexp_count(col("text"), lit("[A-Za-z]")).as("e3"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("e4"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]{7,12}")).as("e5"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]{13,}")).as("e6"))
+      .filter(col("a1") =!= col("e1") || col("a2") =!= col("e2") ||
+        col("a3") =!= col("e3") || col("a4") =!= col("e4") ||
+        col("a5") =!= col("e5") || col("a6") =!= col("e6"))
+    statsMismatch.count() shouldBe 0
+    val dupMismatch = df.select(
+        TextAnalysis.dupLineFraction(col("text")).as("a_l"),
+        TextAnalysis.dupWordFraction(col("text")).as("a_w"),
+        TextAnalysis.dupLineFractionSplit(col("text")).as("e_l"),
+        TextAnalysis.dupWordFractionSplit(col("text")).as("e_w"))
+      .filter(col("a_l") =!= col("e_l") || col("a_w") =!= col("e_w"))
+    dupMismatch.count() shouldBe 0
+  }
+
   test("content fingerprint is whitespace/case-normalized") {
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "id")
     val fp = df.select(TextAnalysis.contentFingerprint(col("text"))).collect().map(_.getString(0))

@@ -555,6 +555,22 @@ object SparkEntry {
           CAST(0 AS BIGINT) AS multi_doc_over_budget
         FROM documents""")),
 
+    // ---- decontamination: train/test n-gram overlap ----------------------
+    Q("q_decontaminate_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val test = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        graft.operators.Curation.contaminatedIds(corpus, "doc_id", "text", test, "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 5 THEN list_transform(generate_series(1, len(w) - 4), i -> array_to_string(list_slice(w, i, i + 4), ' ')) ELSE [array_to_string(w, ' ')] END) AS s FROM toks),
+        test AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0 AND s <> '')
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 50 <> 0 AND s <> '' AND s IN (SELECT s FROM test)
+        ORDER BY doc_id""")),
+
     // ---- incremental near-dup against a materialized signature index -----
     Q("q_minhash_incremental_docs",
       (s, d) => {

@@ -36,6 +36,39 @@ object Curation {
         < permille)
   }
 
+  /** Ids of corpus documents sharing at least one word n-gram with a
+    * held-out TEST set — train/test decontamination, the standard guard
+    * against benchmark leakage in LLM training corpora (GPT-3/PaLM use
+    * 13-gram overlap; `n` is a parameter here).
+    *
+    * Plan shape: the test set's distinct shingles are the SMALL side —
+    * broadcast; the corpus shingles explode into a left-semi join against
+    * them, then distinct ids. One corpus scan, no all-pairs structure, and
+    * the corpus side never shuffles under the broadcast — linear at any
+    * corpus size as long as the test set fits in a broadcast (it does: test
+    * sets are fixed-size by construction). Empty-text pseudo-shingles are
+    * excluded on both sides. */
+  def contaminatedIds(
+      corpus: DataFrame, idCol: String, textCol: String,
+      testSet: DataFrame, testTextCol: String, n: Int = 13): DataFrame = {
+    val testShingles = testSet
+      .select(explode(graft.operators.Dedup.wordShingles(col(testTextCol), n)).as("__sh"))
+      .filter(col("__sh") =!= "").distinct()
+    corpus
+      .select(col(idCol), explode(graft.operators.Dedup.wordShingles(col(textCol), n)).as("__sh"))
+      .filter(col("__sh") =!= "")
+      .join(broadcast(testShingles), Seq("__sh"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** The corpus with contaminated documents removed (left-anti against
+    * [[contaminatedIds]]). */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      testSet: DataFrame, testTextCol: String, n: Int = 13): DataFrame =
+    corpus.join(contaminatedIds(corpus, idCol, textCol, testSet, testTextCol, n),
+      Seq(idCol), "left_anti")
+
   /** Pack documents into token-budget groups (sequence packing for
     * training): first-fit-decreasing within each partition. One row out
     * per row in, with a globally unique `pack_id`; a later

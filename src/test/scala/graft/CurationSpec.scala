@@ -4,6 +4,32 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
+
+  test("decontamination: docs sharing a test-set n-gram are flagged; rest survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // shares 5-gram with test
+      (2L, "completely unrelated text about spark query planning here"),
+      (3L, "short doc"), // < n tokens: whole-doc shingle, no test match
+      (4L, "the quick brown fox jumps high") // shares the same 5-gram prefix
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "benchmark says the quick brown fox jumps over obstacles")
+    ).toDF("doc_id", "text")
+    val bad = graft.operators.Curation
+      .contaminatedIds(corpus, "doc_id", "text", test, "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    bad shouldBe Set(1L, 4L) // both contain "the quick brown fox jumps"
+    val clean = graft.operators.Curation
+      .decontaminate(corpus, "doc_id", "text", test, "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    clean shouldBe Set(2L, 3L)
+    // the broadcast side is the TEST set: plan must not shuffle the corpus
+    val plan = graft.operators.Curation
+      .contaminatedIds(corpus, "doc_id", "text", test, "text", n = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
   import spark.implicits._
 
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

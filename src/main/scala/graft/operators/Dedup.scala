@@ -157,15 +157,31 @@ object Dedup {
       .orderBy(col("df").desc, col("sh"))
       .limit(100000)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // posexplode: a prefix element's index IS its rank in the doc's full
+    // sorted shingle order (the prefix is the head of that order), which
+    // enables PPJoin's POSITIONAL filter below
     val prefix = docs.select(col("id"), size(col("shingles")).as("n_sh"),
-      explode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
-        .as("sh"))
-    val a = prefix.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = prefix.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"))
+      posexplode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
+        .as(Seq("pos", "sh")))
+    val a = prefix.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"), col("pos").as("p_a"))
+    val b = prefix.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"), col("pos").as("p_b"))
+    // Jaccard ≥ t ⟺ |A∩B| ≥ t·(|A|+|B|)/(1+t); the POSITIONAL filter bounds
+    // the achievable overlap from the matched element's sorted positions:
+    // at the FIRST shared element (i,j) no earlier common elements exist, so
+    // |A∩B| ≤ 1 + min(|A|−i−1, |B|−j−1). Filtering every occurrence with
+    // this bound and keeping pairs that pass ANY occurrence is exact: the
+    // first occurrence carries the loosest (valid) bound, and later
+    // occurrences only ever have tighter remainders — a pair is dropped
+    // only when its first-occurrence bound already proves Jaccard < t.
+    // (Xiao et al., WWW'08, the ppjoin position filter.)
+    val requiredOverlap =
+      ceil((col("n_a") + col("n_b")) * lit(minJaccard / (1.0 + minJaccard)) - lit(1e-9))
     val candidates = a.join(b, "sh")
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= col("n_a") * lit(minJaccard) - lit(1e-9) &&
         col("n_a") >= col("n_b") * lit(minJaccard) - lit(1e-9))
+      .filter(lit(1) + least(col("n_a") - 1 - col("p_a"), col("n_b") - 1 - col("p_b"))
+        >= requiredOverlap)
       .select("id_a", "id_b").distinct()
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))

@@ -512,6 +512,18 @@ object SparkEntry {
       },
       None),
 
+    // ---- ANN: top-k over the int8-quantized corpus (rows-only; recall vs
+    // full precision + round-trip error bound in SimilaritySpec) -----------
+    Q("q_knn_quantized_embeddings",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+        Similarity.bruteForceTopKQuantized(q, "vec_id", "qe",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- embedding cosine near-dup pairs (rows-only) ---------------------
     Q("q_embedding_neardups",
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -71,4 +71,14 @@ package object functions {
 
   def nearest_cells(v: Column, centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     toColumn(NearestCellsExpr(toExpr(v), centroids, nprobe))
+
+  /** Symmetric int8 quantization: array<float|double> → struct<scale, q>. */
+  def quantize_vec(v: Column): Column = toColumn(QuantizeExpr(toExpr(v)))
+
+  /** struct<scale, q> → array<float>. */
+  def dequantize_vec(q: Column): Column = toColumn(DequantizeExpr(toExpr(q)))
+
+  /** Cosine over two quantized structs (scales cancel; int arithmetic). */
+  def cosine_sim_q(a: Column, b: Column): Column =
+    toColumn(CosineSimQExpr(toExpr(a), toExpr(b)))
 }

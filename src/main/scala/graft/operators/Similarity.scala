@@ -71,6 +71,35 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: struct<scale, q>
+    * is 4× smaller at rest than float32 — at the 100 TB design point the
+    * embedding table is usually the largest artifact after raw text, so this
+    * is the storage format the corpus would actually ship in. Cosine is
+    * invariant to per-vector scale, so ranking quality survives (bounded in
+    * SimilaritySpec). */
+  def quantize(v: Column): Column = graft.functions.quantize_vec(v)
+
+  def dequantize(q: Column): Column = graft.functions.dequantize_vec(q)
+
+  /** Cosine directly over two quantized structs (integer dot/norms). */
+  def cosineQ(a: Column, b: Column): Column = graft.functions.cosine_sim_q(a, b)
+
+  /** Exact cosine top-k over an int8-QUANTIZED corpus: same plan shape as
+    * [[bruteForceTopK]] (broadcast queries, bounded-heap ranking), but the
+    * corpus side carries 1/4 the bytes and the scoring loop is integer
+    * arithmetic. Queries are quantized on the fly. */
+  def bruteForceTopKQuantized(
+      corpus: DataFrame, corpusId: String, corpusQuant: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus
+      .select(col(corpusId).cast("long").as("id"), col(corpusQuant).as("qv"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"),
+        quantize(col(queryVec)).as("qq"))))
+      .withColumn("cosine", cosineQ(col("qv"), col("qq")))
+    rankTopK(joined, k)
+  }
+
   /** Deterministic random hyperplanes: `planes` vectors of `dim` components
     * drawn from a seeded RNG (tiny constants — ship with the plan). */
   private def planeVectors(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {

@@ -70,6 +70,36 @@ class SimilaritySpec extends SparkSpec {
     agg shouldBe windowed
   }
 
+  test("int8 quantization: round-trip error bounded; quantized top-k recall high") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // round-trip: dequantize(quantize(v)) within scale/2 per component
+    val rt = emb.select(col("embedding").as("v"),
+        Similarity.dequantize(Similarity.quantize(col("embedding"))).as("r"),
+        Similarity.quantize(col("embedding")).getField("scale").as("s"))
+      .withColumn("maxerr",
+        aggregate(zip_with(col("v"), col("r"), (a, b) => abs(a - b)),
+          lit(0.0f), (acc, x) => greatest(acc, x)))
+      .filter(col("maxerr") > col("s") * 0.5001)
+    rt.count() shouldBe 0
+    // cosine over int8 codes tracks full precision closely
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKQuantized(q, "vec_id", "qe",
+      queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(quant).size.toDouble / brute.size
+    recall should be >= 0.9
+    // zero vector: scale 0, cosine 0, no NaN/crash
+    import spark.implicits._
+    val z = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.cosineQ(Similarity.quantize(col("embedding")),
+        Similarity.quantize(col("embedding"))))
+    z.head().getDouble(0) shouldBe 0.0
+  }
+
   test("LSH top-k achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

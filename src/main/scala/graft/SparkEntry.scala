@@ -385,6 +385,54 @@ object SparkEntry {
                ELSE 'it' END AS lang_pred
         FROM s ORDER BY doc_id""")),
 
+    // ---- corpus top-k n-grams (boilerplate detector) ---------------------
+    Q("q_top_ngrams_docs",
+      (s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), "text", n = 3, k = 20),
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents WHERE text IS NOT NULL),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS g
+          FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+          WHERE len(t) >= 3
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3)
+        SELECT g AS ngram, CAST(count(*) AS BIGINT) AS df
+        FROM grams WHERE g <> ''
+        GROUP BY g ORDER BY df DESC, g ASC LIMIT 20""")),
+
+    // ---- boilerplate-line removal. The documents table has no cross-doc
+    // repeated lines, so the query CONSTRUCTS the boilerplate scenario
+    // deterministically from the table itself: a header every doc shares
+    // (df=500, stripped), a footer half share (df=250, stripped) and a
+    // per-doc unique footer (df=1, kept) — the oracle rebuilds the same
+    // augmented corpus in SQL and strips with the same df>=100 rule. -------
+    Q("q_strip_boilerplate_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            concat_ws("\n", lit("COMMON HEADER v1"), col("text"),
+              when(pmod(col("doc_id"), lit(2)) === 0, lit("EVEN FOOTER"))
+                .otherwise(concat(lit("odd footer "), col("doc_id")))).as("text"))
+        TextAnalysis.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 100L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, 'COMMON HEADER v1' || chr(10) || text || chr(10) ||
+            CASE WHEN doc_id % 2 = 0 THEN 'EVEN FOOTER'
+                 ELSE 'odd footer ' || CAST(doc_id AS VARCHAR) END AS text
+          FROM documents WHERE text IS NOT NULL),
+        lines AS (
+          SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
+          FROM docs),
+        hot AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS c FROM lines WHERE line <> '' GROUP BY line)
+          WHERE c >= 100)
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+        FROM lines WHERE line NOT IN (SELECT line FROM hot)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- exact dedup summary ---------------------------------------------
     Q("q_exact_dedup_docs",
       (s, d) => {
@@ -477,15 +525,31 @@ object SparkEntry {
       None),
 
     // ---- ANN: exact brute-force cosine top-k (rows-only) -----------------
+    // Oracle-checked: DuckDB ranks the same cross join with
+    // list_cosine_similarity. The output is rank-only (integers) — cosine
+    // comparisons agree between engines (both IEEE double over the same
+    // floats), but the VALUE's textual form would not, so the float stays
+    // out of the compared columns. Ties broken by ascending id in both.
     Q("q_knn_brute_embeddings",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.bruteForceTopK(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select("query_id", "id", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS id,
+                 list_cosine_similarity(e.embedding, q.qv) AS c
+          FROM embeddings e CROSS JOIN q
+          WHERE list_cosine_similarity(e.embedding, q.qv) IS NOT NULL)
+        SELECT query_id, id, rank FROM (
+          SELECT query_id, id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, id ASC) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ---- ANN: LSH-bucketed top-k (rows-only; recall vs brute in tests) ---
     Q("q_knn_lsh_embeddings",
@@ -512,17 +576,43 @@ object SparkEntry {
       },
       None),
 
-    // ---- ANN: top-k over the int8-quantized corpus (rows-only; recall vs
-    // full precision + round-trip error bound in SimilaritySpec) -----------
+    // ---- ANN: top-k over the int8-quantized corpus. Oracle-checked: the
+    // whole quantize→integer-cosine→rank pipeline re-derived in SQL. Codes
+    // are bit-identical across engines (scale = float(max|x|/127), Java
+    // half-up round == floor(x/scale + 0.5), both evaluated in IEEE double);
+    // integer dots are exact in double, so the ranking agrees exactly —
+    // stronger than the brute oracle, which only relies on comparison
+    // agreement. Recall vs full precision bounded in SimilaritySpec. -------
     Q("q_knn_quantized_embeddings",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qe"))
         Similarity.bruteForceTopKQuantized(q, "vec_id", "qe",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select("query_id", "id", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH quant AS (
+          SELECT vec_id,
+            CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS FLOAT) AS scale,
+            embedding
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id,
+            CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding, x ->
+                   GREATEST(-127, LEAST(127, CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) + 0.5) AS INT)))) END AS q
+          FROM quant),
+        scored AS (
+          SELECT qc.vec_id AS query_id, c.vec_id AS id,
+            CASE WHEN list_dot_product(c.q, c.q) = 0 OR list_dot_product(qc.q, qc.q) = 0 THEN 0.0
+                 ELSE list_dot_product(c.q, qc.q) / (sqrt(list_dot_product(c.q, c.q)) * sqrt(list_dot_product(qc.q, qc.q))) END AS cos
+          FROM codes c CROSS JOIN (SELECT * FROM codes WHERE vec_id < 5) qc)
+        SELECT query_id, id, rank FROM (
+          SELECT query_id, id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ---- embedding cosine near-dup pairs (rows-only) ---------------------
     Q("q_embedding_neardups",
@@ -537,6 +627,27 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id"),
       Some("""SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        ORDER BY doc_id""")),
+
+    // ---- curation: stratified deterministic sample (rebalance the lang
+    // mix: keep 4/16 of the dominant en, all of zh, 8/16 of the rest) ------
+    Q("q_stratified_sample_docs",
+      (s, d) => graft.operators.Curation.stratifiedHashSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 4, "zh" -> 16), defaultSixteenths = 8)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+              <= CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 16 ELSE 8 END
+        ORDER BY doc_id""")),
+
+    // ---- curation: deterministic fixed-size eval slice -------------------
+    Q("q_eval_slice_docs",
+      (s, d) => graft.operators.Curation.hashTopN(t(s, d, "documents"), "doc_id", 50)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang FROM documents
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 50)
         ORDER BY doc_id""")),
 
     // ---- curation: token-budget sequence packing. Pack ids are

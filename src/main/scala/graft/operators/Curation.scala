@@ -27,6 +27,40 @@ object Curation {
     else df.filter(substring(md5(col(keyCol).cast("string")), 1, 1).isin(allowed: _*))
   }
 
+  /** Stratified deterministic sample: a DIFFERENT sixteenths/16 keep-rate
+    * per stratum (e.g. downsample the dominant language, keep the long tail
+    * whole — the standard rebalancing step for a training mix). Same
+    * md5-rank predicate as [[hashSample]], with the per-stratum threshold
+    * selected by a `CASE` chain over `strataCol` — still a pure per-row
+    * scan predicate: no shuffle, no RNG state, bit-reproducible across
+    * engines and partitionings, and a row keeps/drops identically whether
+    * sampled via its stratum's rate here or via [[hashSample]] at that
+    * rate. Strata not in `rates` fall back to `defaultSixteenths`. */
+  def stratifiedHashSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultSixteenths: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultSixteenths).foreach(s =>
+      require(s >= 0 && s <= 16, s"sixteenths must be in [0,16], got $s"))
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultSixteenths)) { case (acc, (stratum, s)) =>
+        when(col(strataCol) === stratum, lit(s)).otherwise(acc)
+      }
+    val rank = instr(lit("0123456789abcdef"),
+      substring(md5(col(keyCol).cast("string")), 1, 1))
+    df.filter(rank <= threshold)
+  }
+
+  /** Deterministic fixed-size slice: the `n` rows with the smallest
+    * `md5(key)` — a pseudo-random but run/engine/partitioning-stable
+    * selection (held-out eval sets, spot-check samples). Plans as
+    * `TakeOrderedAndProject`: each task keeps n rows, only n×tasks rows
+    * reach the driver — no global sort at any scale. */
+  def hashTopN(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.withColumn("__hk", md5(col(keyCol).cast("string")))
+      .orderBy(col("__hk").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("__hk")
+
   /** Finer-grained variant: keep `permille`/1000 of rows by comparing the
     * first 8 md5 hex chars (as a number) against the threshold. */
   def hashSamplePermille(df: DataFrame, keyCol: String, permille: Int): DataFrame = {

@@ -148,6 +148,51 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, shingleSize: Int = 8, k: Int = 16): Column =
     graft.functions.rolling_fingerprint(text, shingleSize, k)
 
+  /** Corpus-level top-k frequent word n-grams by document frequency — the
+    * boilerplate DETECTOR (license headers, navigation chrome, and template
+    * sentences surface as n-grams shared by many documents). Shingles are
+    * distinct per document ([[Dedup.wordShingles]]), so a plain count is the
+    * document frequency. Plan: explode → map-side-combined hash count →
+    * `TakeOrderedAndProject` (each task keeps k rows; only k×tasks rows ever
+    * reach the driver — no global sort at any corpus size). Ties broken by
+    * ngram ascending for a deterministic, oracle-comparable result. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .filter(col("ngram") =!= "")
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Boilerplate REMOVAL at line granularity (the CCNet/RefinedWeb recipe):
+    * drop every line that appears in at least `minDocs` documents, keep the
+    * rest in original order. Two passes: (1) per-line document frequency —
+    * the (line, doc) pairs are deduplicated BEFORE the count so the shuffle
+    * carries one row per distinct pair and the count is a plain map-side-
+    * combinable `count(*)`, not a `countDistinct` expand; (2) a broadcast
+    * anti-join of the exploded lines against the hot set (hot lines are few
+    * by construction — each one repeats across ≥ minDocs docs), then
+    * re-assembly ordered by original line position. Docs whose every line
+    * is boilerplate drop out entirely (no rows survive the anti-join) —
+    * matching the SQL formulation used as the oracle. */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
+    val lines = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__ord", "__line")))
+    val hot = lines
+      .filter(col("__line") =!= "")
+      .select(col("__line"), col(idCol)).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__line")
+    lines
+      .join(broadcast(hot), Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__ord"), col("__line")))),
+          x => x.getField("__line"))).as(textCol))
+  }
+
   /** Convenience: attach the full text-analysis column family. The counter
     * struct is projected ONCE (its alias is non-cheap, so CollapseProject
     * will not inline it into each consumer) — one text scan feeds

@@ -47,6 +47,40 @@ class CurationSpec extends SparkSpec {
     Curation.hashSample(docs, "doc_id", 16).count() shouldBe 500
   }
 
+  test("stratified sample applies each stratum's rate and matches hashSample per stratum") {
+    val rates = Map("en" -> 4, "zh" -> 16)
+    val sampled = Curation.stratifiedHashSample(docs, "doc_id", "lang", rates, 8)
+    // per stratum, the kept set must equal hashSample at that stratum's rate
+    // over the stratum alone (same predicate, same md5 rank)
+    for ((lang, s) <- rates + ("fr" -> 8)) {
+      val viaStrat = sampled.filter(col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val direct = Curation.hashSample(docs.filter(col("lang") === lang), "doc_id", s)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      viaStrat shouldBe direct
+    }
+    // rate-16 stratum is kept whole
+    sampled.filter(col("lang") === "zh").count() shouldBe
+      docs.filter(col("lang") === "zh").count()
+    // partitioning-invariant
+    val re = Curation.stratifiedHashSample(docs.repartition(13), "doc_id", "lang", rates, 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    re shouldBe sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("hashTopN returns a deterministic fixed-size slice via TakeOrdered") {
+    val a = Curation.hashTopN(docs, "doc_id", 50)
+    a.count() shouldBe 50
+    a.columns.toSeq shouldBe docs.columns.toSeq // helper column dropped
+    val ids = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.hashTopN(docs.repartition(23), "doc_id", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    b shouldBe ids
+    // no global sort: the plan must be TakeOrderedAndProject, not Sort+Limit
+    Curation.hashTopN(docs, "doc_id", 50)
+      .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   test("permille sample hits the requested rate") {
     val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
     n.toDouble shouldBe 100.0 +- 35 // 20% of 500

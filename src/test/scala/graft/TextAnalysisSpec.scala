@@ -179,4 +179,38 @@ class TextAnalysisSpec extends SparkSpec {
     val cols = TextAnalysis.enrich(df, "text").columns.toSet
     cols should contain allOf ("token_count", "token_estimate", "lang_id", "quality_score", "fingerprint")
   }
+
+  test("topNgrams counts document frequency with deterministic tie-break") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // "alpha beta gamma", "beta gamma delta"
+      (2L, "alpha beta gamma"),          // "alpha beta gamma"
+      (3L, "alpha beta gamma alpha beta gamma"), // distinct per doc: counts once
+      (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(df, "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.head shouldBe ("alpha beta gamma", 3L) // docs 1,2,3 — within-doc repeat not double-counted
+    top(1)._2 shouldBe 1L // everything else ties at 1; ngram-ascending break
+    top(1)._1 should be < top(2)._1
+  }
+
+  test("stripBoilerplateLines removes hot lines, keeps order, drops all-boilerplate docs") {
+    val hot = "SAME LICENSE LINE"
+    val df = Seq(
+      (1L, s"$hot\nunique first\nunique second"),
+      (2L, s"before\n$hot\nafter"),
+      (3L, hot), // nothing left → doc drops out
+      (4L, "no boilerplate at all\njust content")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(
+      1L -> "unique first\nunique second",
+      2L -> "before\nafter", // original order preserved around the removed line
+      4L -> "no boilerplate at all\njust content")
+    // below threshold nothing is stripped
+    val none = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 4L)
+    none.count() shouldBe 4
+    // the hot-set side of the anti-join is broadcast
+    TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
 }

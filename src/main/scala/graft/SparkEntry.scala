@@ -322,6 +322,23 @@ object SparkEntry {
         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types
         FROM events""")),
 
+    // ---- profiler quantiles (rows-only: sketch estimates are approximate
+    // by contract — accuracy vs exact percentiles is bounded in
+    // ProfilerSpec for both the builtin and the mergeable-KLL typed path).
+    // Uses the builtin path (deterministic GK sketch) end-to-end. ----------
+    Q("q_profile_quantiles_events",
+      (s, d) => {
+        import s.implicits._
+        graft.engine.Profiler.profile(t(s, d, "events"), Seq("value", "user_id"))
+          .map(p => (p.column,
+            p.quantiles.getOrElse("p50", Double.NaN),
+            p.quantiles.getOrElse("p95", Double.NaN),
+            p.quantiles.getOrElse("p99", Double.NaN)))
+          .toDF("column", "p50", "p95", "p99")
+          .orderBy("column")
+      },
+      None),
+
     // ---- rule-filter composition (data-cleaning mode) --------------------
     Q("q_filter_clean_events",
       (s, d) => RulePlanner.applyFilters(t(s, d, "events"), ruleSuiteForFilters)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import java.io.{ObjectInputStream, ObjectOutputStream}
 
@@ -32,6 +33,9 @@ import java.io.{ObjectInputStream, ObjectOutputStream}
 object Profiler {
 
   val DefaultLgK = 12 // 2^12 HLL buckets → ~1.6% relative standard error
+  val DefaultKllK = 200 // ~1.65% rank error (the sketch's default)
+  val QuantileRanks: Seq[(String, Double)] =
+    Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
 
   private def isFloating(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType => true; case _ => false
@@ -54,18 +58,27 @@ object Profiler {
         // builtin and typed paths consistent on floating columns
         case None => sum(when(!nullCond, 1L).otherwise(0L))
       }
+      val quants =
+        if (dt.isInstanceOf[NumericType])
+          percentile_approx(c.cast("double"),
+            array(QuantileRanks.map(r => lit(r._2)): _*), lit(10000))
+        else lit(null).cast(ArrayType(DoubleType))
       Seq(
         sum(when(nullCond, 1L).otherwise(0L)).as(s"__null_$name"),
         min(c).cast(StringType).as(s"__min_$name"),
         max(c).cast(StringType).as(s"__max_$name"),
         approx_count_distinct(c, rsd).as(s"__ad_$name"),
-        conform.as(s"__conf_$name"))
+        conform.as(s"__conf_$name"),
+        quants.as(s"__q_$name"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(0)
     cols.zipWithIndex.map { case (name, i) =>
-      val base = 1 + i * 5
+      val base = 1 + i * 6
       val nulls = if (row.isNullAt(base)) 0L else row.getLong(base)
+      val quantiles =
+        if (row.isNullAt(base + 5)) Map.empty[String, Double]
+        else QuantileRanks.map(_._1).zip(row.getSeq[Double](base + 5)).toMap
       ColumnProfile(
         column = name,
         dataType = schema(name).dataType.simpleString,
@@ -75,7 +88,8 @@ object Profiler {
         min_value = Option(row.getString(base + 1)),
         max_value = Option(row.getString(base + 2)),
         approx_distinct = if (row.isNullAt(base + 3)) 0L else row.getLong(base + 3),
-        type_conforming = if (row.isNullAt(base + 4)) 0L else row.getLong(base + 4))
+        type_conforming = if (row.isNullAt(base + 4)) 0L else row.getLong(base + 4),
+        quantiles = quantiles)
     }
   }
 
@@ -84,7 +98,8 @@ object Profiler {
   /** Mutable aggregation buffer. Sketches are live heap objects during
     * accumulation; Java serialization (only at exchange) writes the compact
     * sketch byte images. */
-  final class ProfileBuf(val n: Int, val lgK: Int) extends Serializable {
+  final class ProfileBuf(val n: Int, val lgK: Int, val numeric: Array[Boolean])
+      extends Serializable {
     var total: Long = 0L
     val nulls: Array[Long] = new Array[Long](n)
     val conforming: Array[Long] = new Array[Long](n)
@@ -92,22 +107,38 @@ object Profiler {
     val maxV: Array[String] = new Array[String](n)
     @transient var sketches: Array[HllSketch] =
       Array.fill(n)(new HllSketch(lgK, TgtHllType.HLL_8))
+    // KLL quantile sketch per NUMERIC column (null elsewhere) — mergeable
+    // and bounded (~few KB) like the HLL, so the same checkpoint/incremental
+    // story applies to quantiles.
+    @transient var kll: Array[KllDoublesSketch] =
+      numeric.map(if (_) KllDoublesSketch.newHeapInstance(DefaultKllK) else null)
 
     private def writeObject(out: ObjectOutputStream): Unit = {
       out.defaultWriteObject()
       var i = 0
       while (i < n) {
         val b = sketches(i).toCompactByteArray
-        out.writeInt(b.length); out.write(b); i += 1
+        out.writeInt(b.length); out.write(b)
+        if (numeric(i)) {
+          val q = kll(i).toByteArray
+          out.writeInt(q.length); out.write(q)
+        }
+        i += 1
       }
     }
     private def readObject(in: ObjectInputStream): Unit = {
       in.defaultReadObject()
       sketches = new Array[HllSketch](n)
+      kll = new Array[KllDoublesSketch](n)
       var i = 0
       while (i < n) {
         val b = new Array[Byte](in.readInt()); in.readFully(b)
-        sketches(i) = HllSketch.heapify(Memory.wrap(b)); i += 1
+        sketches(i) = HllSketch.heapify(Memory.wrap(b))
+        if (numeric(i)) {
+          val q = new Array[Byte](in.readInt()); in.readFully(q)
+          kll(i) = KllDoublesSketch.heapify(Memory.wrap(q))
+        }
+        i += 1
       }
     }
   }
@@ -124,7 +155,7 @@ object Profiler {
     private val numeric: Array[Boolean] = types.map(_.isInstanceOf[NumericType]).toArray
     private val floating: Array[Boolean] = types.map(isFloating).toArray
 
-    override def zero: ProfileBuf = new ProfileBuf(n, lgK)
+    override def zero: ProfileBuf = new ProfileBuf(n, lgK, numeric)
 
     private def lt(a: String, b: String, i: Int): Boolean =
       if (numeric(i)) a.toDouble < b.toDouble else a < b
@@ -144,6 +175,10 @@ object Profiler {
           if (b.minV(i) == null || lt(s, b.minV(i), i)) b.minV(i) = s
           if (b.maxV(i) == null || lt(b.maxV(i), s, i)) b.maxV(i) = s
           b.sketches(i).update(s)
+          if (numeric(i)) row.get(i) match {
+            case v: Number => b.kll(i).update(v.doubleValue())
+            case _         => ()
+          }
         }
         i += 1
       }
@@ -161,6 +196,7 @@ object Profiler {
         val u = new Union(lgK)
         u.update(a.sketches(i)); u.update(c.sketches(i))
         a.sketches(i) = u.getResult(TgtHllType.HLL_8)
+        if (numeric(i)) a.kll(i).merge(c.kll(i))
         i += 1
       }
       a
@@ -168,11 +204,16 @@ object Profiler {
 
     override def finish(b: ProfileBuf): Seq[ColumnProfile] =
       columns.indices.map { i =>
+        val quantiles =
+          if (numeric(i) && !b.kll(i).isEmpty)
+            QuantileRanks.map { case (nm, r) => nm -> b.kll(i).getQuantile(r) }.toMap
+          else Map.empty[String, Double]
         ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
           if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
           Option(b.minV(i)), Option(b.maxV(i)),
           math.round(b.sketches(i).getEstimate),
-          b.conforming(i))
+          b.conforming(i),
+          quantiles)
       }
 
     override def bufferEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]

@@ -198,7 +198,10 @@ final case class ColumnProfile(
     min_value: Option[String],
     max_value: Option[String],
     approx_distinct: Long,
-    type_conforming: Long
+    type_conforming: Long,
+    /** Approximate p50/p95/p99 for numeric columns (empty otherwise) —
+      * KLL sketch on the typed path, `approx_percentile` on the builtin. */
+    quantiles: Map[String, Double] = Map.empty
 )
 
 /** Per-partition verdict (north rule: "per-partition pass/fail verdicts"). */

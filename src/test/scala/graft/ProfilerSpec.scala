@@ -63,4 +63,23 @@ class ProfilerSpec extends SparkSpec {
     p("id").null_count shouldBe 0
     p("id").approx_distinct.toDouble shouldBe 10000.0 +- 600.0
   }
+
+  test("approx quantiles: both paths track exact percentiles; non-numeric empty") {
+    // uniform 0..9999 across 8 partitions — exact p50/p95/p99 known
+    val big = spark.range(10000).repartition(8)
+      .selectExpr("cast(id as double) as d", "cast(id as string) as s")
+    for (p <- Seq(Profiler.profile(big), Profiler.profileTyped(big))) {
+      val byCol = p.map(c => c.column -> c).toMap
+      val q = byCol("d").quantiles
+      q.keySet shouldBe Set("p50", "p95", "p99")
+      q("p50") shouldBe 5000.0 +- 200.0 // KLL k=200 → ~1.65% rank error
+      q("p95") shouldBe 9500.0 +- 200.0
+      q("p99") shouldBe 9900.0 +- 200.0
+      byCol("s").quantiles shouldBe empty
+    }
+    // all-null numeric column → no quantiles, no crash
+    val nulls = spark.sql("SELECT cast(null as double) AS d FROM range(10)")
+    Profiler.profileTyped(nulls).head.quantiles shouldBe empty
+    Profiler.profile(nulls).head.quantiles shouldBe empty
+  }
 }

@@ -358,4 +358,71 @@ object Checks {
         StructField("cdf_a", DoubleType, nullable = false),
         StructField("cdf_b", DoubleType, nullable = false))))
   }
+
+  // ------------------------------------------------------------- outliers
+
+  /** Exact first/second moments of numeric columns, one fused agg job for
+    * all of them. Values route through DECIMAL(18,4) (exact for ≤4
+    * fractional digits — the engine's standard oracle recipe; the square
+    * lands in DECIMAL(37,8), still inside Spark's exact range), so the
+    * returned (n, Σx, Σx²) are associative-order-independent and
+    * reproducible bit-for-bit by any decimal engine — unlike a double sum,
+    * whose value depends on partition boundaries. Returns per column
+    * (non-null count, sum, sum of squares) as doubles converted from the
+    * exact decimals. */
+  def momentsExact(df: DataFrame, columns: Seq[String]): Map[String, (Long, Double, Double)] = {
+    val aggs = columns.zipWithIndex.flatMap { case (c0, i) =>
+      val d = col(c0).cast(DecimalType(18, 4))
+      Seq(count(col(c0)).as(s"n_$i"),
+        sum(d).cast("double").as(s"s_$i"),
+        sum(d * d).cast("double").as(s"s2_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    columns.zipWithIndex.map { case (c0, i) =>
+      val b = i * 3
+      c0 -> ((row.getLong(b),
+        if (row.isNullAt(b + 1)) 0.0 else row.getDouble(b + 1),
+        if (row.isNullAt(b + 2)) 0.0 else row.getDouble(b + 2)))
+    }.toMap
+  }
+
+  /** (mean, sample std) from exact moments in a FIXED double evaluation
+    * order — `mean = s/n`, `var = (s2 − s·s/n)/(n−1)` clamped at 0 — which
+    * the DuckDB oracle mirrors literally, so the derived threshold is the
+    * same double in both engines. Requires n ≥ 2. */
+  def meanStd(n: Long, s: Double, s2: Double): (Double, Double) = {
+    val mean = s / n
+    val varr = (s2 - s * s / n) / (n - 1)
+    (mean, math.sqrt(math.max(varr, 0.0)))
+  }
+
+  /** The outlier predicate for one column: |x − mean| > k·std with
+    * mean/std baked in as plan literals. Building it runs the moments job
+    * (one agg action); the returned predicate is a pure per-row filter that
+    * pushes to the scan. Columns with n < 2 yield `lit(false)`. */
+  def outlierCond(df: DataFrame, column: String, maxZscore: Double): Column = {
+    val (n, s, s2) = momentsExact(df, Seq(column))(column)
+    if (n < 2) lit(false)
+    else {
+      val (mean, std) = meanStd(n, s, s2)
+      col(column).isNotNull && abs(col(column) - lit(mean)) > lit(maxZscore * std)
+    }
+  }
+
+  /** Rows failing the outlier predicate (the quarantine feed). */
+  def outlierRows(df: DataFrame, column: String, maxZscore: Double): DataFrame =
+    df.filter(outlierCond(df, column, maxZscore))
+
+  /** Filter-mode KEEP condition: |x − mean| ≤ k·std. Null-REJECTING (a NULL
+    * comparison is NULL → dropped), matching the range filter's semantics
+    * rather than the verdict's NULLs-not-failed convention. Degenerate
+    * columns (n < 2) keep everything. */
+  def outlierKeepCond(df: DataFrame, column: String, maxZscore: Double): Column = {
+    val (n, s, s2) = momentsExact(df, Seq(column))(column)
+    if (n < 2) lit(true)
+    else {
+      val (mean, std) = meanStd(n, s, s2)
+      abs(col(column) - lit(mean)) <= lit(maxZscore * std)
+    }
+  }
 }

@@ -151,6 +151,13 @@ object RulePlanner {
         case RuleType.Uniqueness if rule.parameters.get("dedup_order").isDefined =>
           // opt-in extension: keep first row per key by dedup_order column
           Checks.keepFirstPerKey(acc, rule.columns, rule.parameters("dedup_order"))
+        case RuleType.Outlier =>
+          // keep non-outliers; NULLs drop (range-filter convention). The
+          // moments job runs eagerly at chain-build time — the predicate
+          // needs the global mean/std as literals. Moments come from the
+          // CHAIN SO FAR, so stacked filters see the already-cleaned data.
+          acc.filter(Checks.outlierKeepCond(acc, rule.column,
+            rule.paramDouble("max_zscore").getOrElse(3.0)))
         case _ =>
           filterColumn(schema, rule).map(acc.filter).getOrElse(acc)
       }

@@ -137,6 +137,17 @@ class Validator(
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount,
         partitionExpr.filter(_ => partTotalsEarly.nonEmpty), partTotalsEarly)
     }
+    // 2c. all outlier rules batched: one fused moments job + one (optionally
+    // partition-grouped) counting job for every outlier rule together —
+    // overlaps the drift scan and the uniqueness/referential jobs. Rules
+    // referencing missing columns fall through to executeSingle, which
+    // surfaces the real analysis error per rule.
+    val outlierF: Future[(Map[String, ValidationResult], Seq[PartitionVerdict])] = Future {
+      executeOutlierBatch(df,
+        rules.filter(r => r.ruleType == RuleType.Outlier &&
+          r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))),
+        totalCount, partitionExpr.filter(_ => partTotalsEarly.nonEmpty), partTotalsEarly)
+    }
 
     // 2b. partitioned uniqueness + referential: per-partition verdicts, and
     // for referential the global verdict rides the same grouped job. A
@@ -184,6 +195,7 @@ class Validator(
       case _ => (Nil, Nil)
     }
     val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
+    val (outlierResults, outlierVerdicts) = Await.result(outlierF, Duration.Inf)
     val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
     val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf))
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
@@ -195,11 +207,13 @@ class Validator(
     val results: Seq[ValidationResult] = rules.map { r =>
       fusedResults.getOrElse(r.name,
         driftResults.getOrElse(r.name,
-          specialResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount))))
+          outlierResults.getOrElse(r.name,
+            specialResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount)))))
     }
 
     val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
-    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts ++ driftVerdicts)
+    (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts ++
+      driftVerdicts ++ outlierVerdicts)
   }
 
   /** Per-partition verdicts from one (partition, rule) failure-count map +
@@ -368,6 +382,79 @@ class Validator(
     }
   }
 
+  /** All outlier rules in two jobs: one fused exact-moments aggregate over
+    * every referenced column ([[Checks.momentsExact]] — the global
+    * distribution is always the reference, also for per-partition verdicts:
+    * a partition's verdict asks "does this partition hold values anomalous
+    * for the TABLE", which is the question a partition-level quality gate
+    * needs), then one counting aggregate with a conditional-sum per rule —
+    * grouped by the partition expression when given, so per-partition
+    * verdicts ride the same scan and the global count is their roll-up.
+    * A row fails when |x − mean| > k·std (k = `max_zscore`, default 3);
+    * NULLs are not failures (range-rule convention). Columns with n < 2
+    * have no spread estimate — those rules pass with 0 failures and a
+    * `degenerate` marker rather than dividing by zero. */
+  private def executeOutlierBatch(
+      df: DataFrame, rules: Seq[ValidationRule],
+      cachedTotal: Option[Long],
+      partitionExpr: Option[org.apache.spark.sql.Column] = None,
+      partTotals: Map[String, Long] = Map.empty): (Map[String, ValidationResult], Seq[PartitionVerdict]) = {
+    if (rules.isEmpty) return (Map.empty, Nil)
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1e6
+    try {
+      val total = totalOf(df, cachedTotal)
+      val moments = Checks.momentsExact(df, rules.map(_.column).distinct)
+      val (live, degenerate) = rules.partition(r => moments(r.column)._1 >= 2)
+      val degenerateResults = degenerate.map { r =>
+        r.name -> ValidationResult.verdict(r, 0L, total, ms,
+          Map("degenerate" -> "true", "non_null_count" -> moments(r.column)._1.toString))
+      }.toMap
+      if (live.isEmpty) return (degenerateResults, Nil)
+
+      val specs = live.map { r =>
+        val (n, s, s2) = moments(r.column)
+        val (mean, std) = Checks.meanStd(n, s, s2)
+        val k = r.paramDouble("max_zscore").getOrElse(3.0)
+        val c = col(r.column)
+        (r, mean, std, k, c.isNotNull && abs(c - lit(mean)) > lit(k * std))
+      }
+      val counters = specs.zipWithIndex.map { case ((_, _, _, _, cond), i) =>
+        sum(when(cond, 1L).otherwise(0L)).cast("long").as(s"o_$i")
+      }
+      def metaOf(mean: Double, std: Double, k: Double) = Map(
+        "mean" -> mean.toString, "stddev" -> std.toString, "max_zscore" -> k.toString)
+
+      partitionExpr match {
+        case Some(p) if partTotals.nonEmpty =>
+          val rows = df.groupBy(p.cast("string").as("__part"))
+            .agg(counters.head, counters.tail: _*)
+            .limit(maxPartitionBuckets + 1)
+            .collect()
+          require(rows.length <= maxPartitionBuckets,
+            s"partition expression produced more than $maxPartitionBuckets buckets")
+          val outcomes = specs.zipWithIndex.map { case ((r, mean, std, k, _), i) =>
+            val failedByPart = rows.map(row =>
+              row.getString(0) -> (if (row.isNullAt(1 + i)) 0L else row.getLong(1 + i))).toMap
+            val result = r.name -> ValidationResult.verdict(
+              r, failedByPart.values.sum, total, ms, metaOf(mean, std, k))
+            (result, verdictsFrom(r, failedByPart, partTotals))
+          }
+          (degenerateResults ++ outcomes.map(_._1).toMap, outcomes.flatMap(_._2))
+        case _ =>
+          val row = df.agg(counters.head, counters.tail: _*).head()
+          val results = specs.zipWithIndex.map { case ((r, mean, std, k, _), i) =>
+            val failed = if (row.isNullAt(i)) 0L else row.getLong(i)
+            r.name -> ValidationResult.verdict(r, failed, total, ms, metaOf(mean, std, k))
+          }.toMap
+          (degenerateResults ++ results, Nil)
+      }
+    } catch {
+      case e: Throwable =>
+        (rules.map(r => r.name -> ValidationResult.failure(r, e, ms)).toMap, Nil)
+    }
+  }
+
   private def totalOf(df: DataFrame, cached: Option[Long]): Long =
     cached.getOrElse(df.count())
 
@@ -438,6 +525,12 @@ class Validator(
             ValidationResult.verdict(rule, failed, total, ms)
           } finally spark.catalog.dropTempView(view)
 
+        case RuleType.Outlier =>
+          // solo path (e.g. column missing from the batch pre-filter): run
+          // the batch machinery for this one rule so the real analysis
+          // error surfaces in this rule's failure result
+          executeOutlierBatch(df, Seq(rule), cachedTotal)._1(rule.name)
+
         case other =>
           throw new IllegalArgumentException(s"Unsupported rule type: $other")
       }
@@ -470,6 +563,11 @@ class Validator(
       spark.sql(rule.expression.getOrElse(
         throw new IllegalArgumentException(s"custom rule '${rule.name}' needs expression"))
         .replace("{table}", view))
+    case RuleType.Outlier =>
+      // NOTE: building this plan runs the moments job (one agg) eagerly —
+      // the outlier predicate needs the global mean/std as literals
+      Checks.outlierRows(df, rule.column,
+        rule.paramDouble("max_zscore").getOrElse(3.0))
     case _ => df.limit(0) // drift & custom_agg are table-level verdicts: no row set
   }
 

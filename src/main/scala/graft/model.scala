@@ -29,6 +29,7 @@ object RuleType {
   val Referential = "referential" // FK column must exist in a reference table/column
   val TypeConformance = "type_conformance" // values castable to an expected type
   val drift = "drift" // distribution drift (chi-square / KS) vs a baseline
+  val Outlier = "outlier" // |x − mean| > k·std (exact-decimal moments)
 }
 
 /** One validation rule.

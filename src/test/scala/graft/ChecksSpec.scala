@@ -99,6 +99,28 @@ class ChecksSpec extends SparkSpec {
     kept(1).getString(2) shouldBe "only"
   }
 
+  test("momentsExact: decimal-routed moments are exact and partitioning-invariant") {
+    import spark.implicits._
+    // 2-dp values: decimal(18,4) carries them exactly
+    val vals = (1 to 1000).map(i => (i.toLong, (i * 0.25) + 0.01))
+    val df = vals.toDF("id", "v")
+    val (n, s, s2) = Checks.momentsExact(df, Seq("v"))("v")
+    n shouldBe 1000
+    // exact sums: Σ(i/4 + 0.01) and Σ(i/4 + 0.01)² via BigDecimal
+    val exactS = vals.map(v => BigDecimal(v._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    s shouldBe exactS.toDouble
+    val exactS2 = vals.map { v =>
+      val d = BigDecimal(v._2).setScale(4, BigDecimal.RoundingMode.HALF_UP); d * d
+    }.sum
+    s2 shouldBe exactS2.toDouble
+    // bit-identical under any partitioning (the point of the decimal route)
+    Checks.momentsExact(df.repartition(17), Seq("v"))("v") shouldBe ((n, s, s2))
+    // meanStd matches the fixed-order formula
+    val (mean, std) = Checks.meanStd(n, s, s2)
+    mean shouldBe (s / n)
+    std shouldBe math.sqrt((s2 - s * s / n) / (n - 1))
+  }
+
   test("verdicts are invariant under repartitioning (property)") {
     val t = Transcripts.turns(spark, TranscriptConfig(numConvs = 100L))
     val r1 = Checks.distinctKeyCount(t, Seq("conv_id", "turn_idx"))

@@ -101,6 +101,38 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("outlier rule: flags known anomalies, NULLs not failed, partition sums match global") {
+    // 100 values at 10.0 ± small spread, two gross anomalies, one NULL
+    val base = (1 to 100).map(i => (i.toLong, Some(10.0 + (i % 5) * 0.01)))
+    val rows = base ++ Seq((101L, Some(500.0)), (102L, Some(-400.0)), (103L, Option.empty[Double]))
+    val df = rows.toDF("id", "v")
+    val rule = ValidationRule("v_out", RuleType.Outlier, Seq("v"),
+      parameters = Map("max_zscore" -> "3.0"))
+    val v = new Validator(spark, ValidationConfig())
+    val (summary, verdicts) = v.executeRulesPartitioned(df, Seq(rule), "t",
+      Some(pmod(col("id"), lit(4))))
+    val res = summary.results.head
+    res.failed_count shouldBe 2 // the two anomalies; NULL not failed
+    res.total_count shouldBe 103
+    res.metadata.keySet should contain allOf ("mean", "stddev", "max_zscore")
+    // per-partition failure counts (global moments) sum to the global count
+    val outlierVerdicts = verdicts.filter(_.rule_name == "v_out")
+    outlierVerdicts.map(_.failed_count).sum shouldBe 2
+    outlierVerdicts.map(_.total_count).sum shouldBe 103
+    // violation rows = exactly the anomalous ids
+    v.violations(df, rule).select("id").collect().map(_.getLong(0)).toSet shouldBe Set(101L, 102L)
+    // degenerate: single non-null value → passes with marker, no crash
+    val single = Seq((1L, Some(5.0)), (2L, Option.empty[Double])).toDF("id", "v")
+    val dres = v.executeRules(single, Seq(rule), "t").results.head
+    dres.passed shouldBe true
+    dres.failed_count shouldBe 0
+    dres.metadata.get("degenerate") shouldBe Some("true")
+    // filter mode: outliers AND nulls dropped, inliers kept
+    val cleaned = engine.RulePlanner.applyFilters(df, Seq(rule))
+    cleaned.count() shouldBe 100
+    cleaned.agg(max(col("v"))).head().getDouble(0) should be <= 11.0
+  }
+
   test("partitioned uniqueness + referential verdicts sum to the global counts") {
     val cfg = TranscriptConfig(numConvs = 300L)
     val turns = Transcripts.turns(spark, cfg)

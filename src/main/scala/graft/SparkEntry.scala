@@ -339,6 +339,30 @@ object SparkEntry {
       },
       None),
 
+    // ---- outlier rule: violation rows through the engine's quarantine
+    // feed. Bit-exact by the decimal recipe: moments route through
+    // DECIMAL(18,4) (events.value is 2-dp — exact), mean/std derive in a
+    // fixed double order mirrored literally by the SQL, so the threshold is
+    // the same double in both engines and row membership agrees exactly. --
+    Q("q_outlier_events",
+      (s, d) => {
+        val rule = ValidationRule("value_outliers", RuleType.Outlier, Seq("value"),
+          parameters = Map("max_zscore" -> "3.0"))
+        new Validator(s, ValidationConfig())
+          .violations(t(s, d, "events"), rule)
+          .select("event_id", "value").orderBy("event_id")
+      },
+      Some("""WITH m AS (SELECT COUNT(value) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+          FROM events)
+        SELECT event_id, value FROM events, m
+        WHERE value IS NOT NULL
+          AND abs(value - s / n) > 3.0 * sqrt(
+            CASE WHEN (s2 - s * s / n) / (n - 1) < 0 THEN 0
+                 ELSE (s2 - s * s / n) / (n - 1) END)
+        ORDER BY event_id""")),
+
     // ---- rule-filter composition (data-cleaning mode) --------------------
     Q("q_filter_clean_events",
       (s, d) => RulePlanner.applyFilters(t(s, d, "events"), ruleSuiteForFilters)
@@ -657,6 +681,20 @@ object SparkEntry {
         WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
               <= CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 16 ELSE 8 END
         ORDER BY doc_id""")),
+
+    // ---- curation: token-budget corpus slice (global hash-order prefix
+    // computed bucket-wise — no global sort; oracle runs the single-window
+    // formulation the operator is row-identical to) ------------------------
+    Q("q_token_budget_docs",
+      (s, d) => graft.operators.Curation.tokenBudgetSample(
+        t(s, d, "documents"), "doc_id", "n_chars", budget = 30000L)
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+            SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents)
+        WHERE cum <= 30000 ORDER BY doc_id""")),
 
     // ---- curation: deterministic fixed-size eval slice -------------------
     Q("q_eval_slice_docs",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators: deterministic sampling and
@@ -60,6 +61,56 @@ object Curation {
       .orderBy(col("__hk").asc, col(keyCol).asc)
       .limit(n)
       .drop("__hk")
+
+  /** Deterministic token-budget selection: the documents that come first in
+    * md5(key) order, taken while the running token total stays ≤ `budget` —
+    * i.e. "a pseudo-random `budget`-token slice of the corpus", the
+    * train-mix sizing step (sample N tokens of corpus X), reproducible at
+    * any parallelism.
+    *
+    * Semantically this is a prefix of a GLOBAL running sum over hash order,
+    * but it is computed WITHOUT a global sort: (1) one map-side-combined
+    * aggregate sums tokens per first-hex-digit bucket of the hash (16
+    * buckets; ordering by (bucket, hash) ≡ ordering by hash since the
+    * bucket IS the hash's leading character); (2) the driver prefix-sums
+    * the 16 bucket totals to find the boundary bucket — every bucket
+    * before it is taken whole with a pure scan predicate, every bucket
+    * after dropped; (3) only the boundary bucket (~1/16 of the corpus)
+    * pays a windowed running sum, partitioned by its constant bucket — and
+    * at larger scale the same recursion applies inside it (two hex chars →
+    * 1/256, …). The output is row-identical to the single-window
+    * formulation, which is what the DuckDB oracle runs. */
+  def tokenBudgetSample(
+      df: DataFrame, keyCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val hk = md5(col(keyCol).cast("string"))
+    val bucket = substring(hk, 1, 1)
+    val totals = df
+      .groupBy(bucket.as("__b"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hexDigits = "0123456789abcdef".map(_.toString)
+    // running total BEFORE each bucket, in hash order
+    val before = hexDigits.scanLeft(0L)((acc, d) => acc + totals.getOrElse(d, 0L))
+    val boundaryIdx = hexDigits.indices.find(i => before(i + 1) > budget)
+    boundaryIdx match {
+      case None => df // whole corpus fits the budget
+      case Some(bi) =>
+        val wholeBuckets = hexDigits.take(bi)
+        val whole =
+          if (wholeBuckets.isEmpty) df.limit(0)
+          else df.filter(bucket.isin(wholeBuckets: _*))
+        val remaining = budget - before(bi)
+        val w = Window.partitionBy(bucket)
+          .orderBy(hk.asc, col(keyCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = df.filter(bucket === hexDigits(bi))
+          .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        whole.unionByName(edge)
+    }
+  }
 
   /** Finer-grained variant: keep `permille`/1000 of rows by comparing the
     * first 8 md5 hex chars (as a number) against the threshold. */

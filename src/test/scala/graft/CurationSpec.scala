@@ -81,6 +81,30 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
   }
 
+  test("tokenBudgetSample: bucket-wise prefix equals the global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 30000L
+    val got = Curation.tokenBudgetSample(docs, "doc_id", "n_chars", budget)
+    // reference: single global running-sum window
+    val w = Window.orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("__cum", sum(col("n_chars").cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    got.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+    // budget respected; adding any excluded doc would exceed it (maximality
+    // of the hash-order prefix): total + smallest excluded > budget is NOT
+    // guaranteed (prefix, not knapsack) — assert the prefix property instead
+    val total = got.agg(sum(col("n_chars"))).head().getLong(0)
+    total should be <= budget
+    // partitioning-invariant
+    Curation.tokenBudgetSample(docs.repartition(19), "doc_id", "n_chars", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+    // degenerate budgets
+    Curation.tokenBudgetSample(docs, "doc_id", "n_chars", 0L).count() shouldBe 0
+    Curation.tokenBudgetSample(docs, "doc_id", "n_chars", Long.MaxValue).count() shouldBe docs.count()
+  }
+
   test("permille sample hits the requested rate") {
     val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
     n.toDouble shouldBe 100.0 +- 35 // 20% of 500

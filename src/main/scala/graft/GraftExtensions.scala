@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_euclidean", args => EuclideanDistExpr(args.head, args(1)))
     register("graft_text_stats", args => TextStatsExpr(args.head))
     register("graft_jaccard", args => JaccardSimExpr(args.head, args(1)))
+    register("graft_dup_stats", args => DupStatsExpr(args.head))
+    register("graft_quantize", args => QuantizeExpr(args.head))
+    register("graft_dequantize", args => DequantizeExpr(args.head))
+    register("graft_cosine_q", args => CosineSimQExpr(args.head, args(1)))
   }
 }

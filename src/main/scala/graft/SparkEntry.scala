@@ -39,6 +39,9 @@ object SparkEntry {
     ValidationRule("role_type_conformance", RuleType.TypeConformance, Seq("role"),
       parameters = Map("expected_type" -> "bigint", "reject" -> "true"),
       threshold = Some(0.98), severity = Severity.Warning),
+    ValidationRule("turn_idx_outliers", RuleType.Outlier, Seq("turn_idx"),
+      threshold = Some(0.99), severity = Severity.Warning,
+      parameters = Map("max_zscore" -> "4.0")),
     ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
       threshold = Some(0.99),
       parameters = Map("partition_covers_key" -> "true")),
@@ -462,17 +465,17 @@ object SparkEntry {
             CASE WHEN doc_id % 2 = 0 THEN 'EVEN FOOTER'
                  ELSE 'odd footer ' || CAST(doc_id AS VARCHAR) END AS text
           FROM documents WHERE text IS NOT NULL),
-        lines AS (
-          SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line,
-                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
-          FROM docs),
+        pairs AS (
+          SELECT DISTINCT doc_id, line FROM (
+            SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM docs)
+          WHERE line <> ''),
         hot AS (
-          SELECT line FROM (
-            SELECT line, count(DISTINCT doc_id) AS c FROM lines WHERE line <> '' GROUP BY line)
-          WHERE c >= 100)
-        SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
-        FROM lines WHERE line NOT IN (SELECT line FROM hot)
-        GROUP BY doc_id ORDER BY doc_id""")),
+          SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS hotl FROM (
+            SELECT line FROM pairs GROUP BY line HAVING count(*) >= 100))
+        SELECT d.doc_id, array_to_string(
+          list_filter(string_split(d.text, chr(10)), l -> NOT list_contains(h.hotl, l)),
+          chr(10)) AS text
+        FROM docs d, hot h ORDER BY d.doc_id""")),
 
     // ---- exact dedup summary ---------------------------------------------
     Q("q_exact_dedup_docs",
@@ -654,6 +657,14 @@ object SparkEntry {
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS INT) AS rank
           FROM scored)
         WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ---- SemDeDup: semantic near-dups via k-means cell blocking (rows-
+    // only; soundness + within-cell completeness asserted in DedupSpec) ----
+    Q("q_semantic_neardups",
+      (s, d) => Dedup.semanticNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        cells = 16, threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      None),
 
     // ---- embedding cosine near-dup pairs (rows-only) ---------------------
     Q("q_embedding_neardups",

@@ -70,41 +70,45 @@ object Curation {
     *
     * Semantically this is a prefix of a GLOBAL running sum over hash order,
     * but it is computed WITHOUT a global sort: (1) one map-side-combined
-    * aggregate sums tokens per first-hex-digit bucket of the hash (16
-    * buckets; ordering by (bucket, hash) ≡ ordering by hash since the
-    * bucket IS the hash's leading character); (2) the driver prefix-sums
-    * the 16 bucket totals to find the boundary bucket — every bucket
-    * before it is taken whole with a pure scan predicate, every bucket
-    * after dropped; (3) only the boundary bucket (~1/16 of the corpus)
-    * pays a windowed running sum, partitioned by its constant bucket — and
-    * at larger scale the same recursion applies inside it (two hex chars →
-    * 1/256, …). The output is row-identical to the single-window
+    * aggregate sums tokens per `prefixLen`-hex-char bucket of the hash
+    * (16^prefixLen buckets — 65536 at the default 4, a bounded driver
+    * collect; lexicographic bucket order ≡ hash order since the bucket IS
+    * the hash's leading characters); (2) the driver prefix-sums the bucket
+    * totals to find the boundary bucket — buckets before it are taken
+    * whole with a pure RANGE predicate (`bucket < boundary`, codegen'd, no
+    * giant isin list), buckets after dropped; (3) only the boundary bucket
+    * — 1/65536 of the corpus (~1.5 GB per 100 TB) — pays a windowed
+    * running sum. The output is row-identical to the single-window
     * formulation, which is what the DuckDB oracle runs. */
   def tokenBudgetSample(
-      df: DataFrame, keyCol: String, tokenCol: String, budget: Long): DataFrame = {
+      df: DataFrame, keyCol: String, tokenCol: String, budget: Long,
+      prefixLen: Int = 4): DataFrame = {
     require(budget >= 0)
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen in [1,8], got $prefixLen")
     val hk = md5(col(keyCol).cast("string"))
-    val bucket = substring(hk, 1, 1)
+    val bucket = substring(hk, 1, prefixLen)
     val totals = df
       .groupBy(bucket.as("__b"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val hexDigits = "0123456789abcdef".map(_.toString)
-    // running total BEFORE each bucket, in hash order
-    val before = hexDigits.scanLeft(0L)((acc, d) => acc + totals.getOrElse(d, 0L))
-    val boundaryIdx = hexDigits.indices.find(i => before(i + 1) > budget)
-    boundaryIdx match {
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1) // lexicographic = hash order for fixed-length lowercase hex
+    // walk buckets in hash order until the cumulative total would exceed
+    var before = 0L
+    var boundary: Option[String] = None
+    val it = totals.iterator
+    while (boundary.isEmpty && it.hasNext) {
+      val (b, t) = it.next()
+      if (before + t > budget) boundary = Some(b) else before += t
+    }
+    boundary match {
       case None => df // whole corpus fits the budget
-      case Some(bi) =>
-        val wholeBuckets = hexDigits.take(bi)
-        val whole =
-          if (wholeBuckets.isEmpty) df.limit(0)
-          else df.filter(bucket.isin(wholeBuckets: _*))
-        val remaining = budget - before(bi)
+      case Some(bp) =>
+        val whole = df.filter(bucket < lit(bp))
+        val remaining = budget - before
         val w = Window.partitionBy(bucket)
           .orderBy(hk.asc, col(keyCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val edge = df.filter(bucket === hexDigits(bi))
+        val edge = df.filter(bucket === lit(bp))
           .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
           .filter(col("__cum") <= remaining)
           .drop("__cum")

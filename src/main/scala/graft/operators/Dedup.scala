@@ -394,4 +394,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means cells as the blocking
+    * structure instead of hyperplane buckets (Abbas et al. 2023 — cluster
+    * the embedding space, compare only within a cluster). Centroids come
+    * from [[Similarity.kMeansCentroids]] (sampled + Lloyd-refined,
+    * broadcast constants); the within-cell self-join is an equi-join on
+    * `cell`, so the all-pairs structure never materializes and the
+    * worst-case candidate count is Σ|cell|². Complements
+    * [[embeddingNearDups]]: data-adaptive cells catch dense regions a
+    * fixed random-hyperplane grid splits, at the cost of the index build.
+    * Pairs split across neighboring cells are missed (recall < 1, like any
+    * single-assignment blocking) — [[embeddingNearDups]] with multi-probe
+    * or a second seed is the recall complement. */
+  def semanticNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 64, threshold: Double = 0.95, iters: Int = 2): DataFrame = {
+    val centroids = Similarity.kMeansCentroids(df, idCol, vecCol, cells, iters)
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

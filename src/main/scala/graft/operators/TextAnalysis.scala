@@ -168,29 +168,31 @@ object TextAnalysis {
     * rest in original order. Two passes: (1) per-line document frequency —
     * the (line, doc) pairs are deduplicated BEFORE the count so the shuffle
     * carries one row per distinct pair and the count is a plain map-side-
-    * combinable `count(*)`, not a `countDistinct` expand; (2) a broadcast
-    * anti-join of the exploded lines against the hot set (hot lines are few
-    * by construction — each one repeats across ≥ minDocs docs), then
-    * re-assembly ordered by original line position. Docs whose every line
-    * is boilerplate drop out entirely (no rows survive the anti-join) —
-    * matching the SQL formulation used as the oracle. */
+    * combinable `count(*)`, not a `countDistinct` expand; (2) the hot set
+    * (small by construction — every member repeats across ≥ minDocs docs)
+    * collapses to ONE array row, broadcast-cross-joined onto the corpus,
+    * and each document rewrites ITS OWN line array in place. The rewrite
+    * pass therefore shuffles NOTHING — corpus rows never leave their
+    * partition (an explode → anti-join → groupBy(doc) formulation would
+    * re-shuffle the entire corpus bytes to reassemble documents, which is
+    * the difference between a cheap cleanup and a full-corpus exchange at
+    * 100 TB). Docs whose every line is boilerplate come out as "" (kept,
+    * empty) — same as the SQL list_filter formulation used as the oracle. */
   def stripBoilerplateLines(
       df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
-    val lines = df
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__ord", "__line")))
-    val hot = lines
+    val base = df.filter(col(textCol).isNotNull)
+    val hot = base
+      .select(col(idCol).as("__id"), explode(split(col(textCol), "\n")).as("__line"))
       .filter(col("__line") =!= "")
-      .select(col("__line"), col(idCol)).distinct()
+      .distinct()
       .groupBy("__line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("__line")
-    lines
-      .join(broadcast(hot), Seq("__line"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("__ord"), col("__line")))),
-          x => x.getField("__line"))).as(textCol))
+      .agg(collect_list(col("__line")).as("__hot"))
+    base
+      .crossJoin(broadcast(hot))
+      .withColumn(textCol, array_join(
+        filter(split(col(textCol), "\n"), l => !array_contains(col("__hot"), l)), "\n"))
+      .drop("__hot")
   }
 
   /** Convenience: attach the full text-analysis column family. The counter

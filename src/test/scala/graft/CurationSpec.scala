@@ -100,6 +100,9 @@ class CurationSpec extends SparkSpec {
     // partitioning-invariant
     Curation.tokenBudgetSample(docs.repartition(19), "doc_id", "n_chars", budget)
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+    // bucket granularity is an implementation knob, not a semantic one
+    Curation.tokenBudgetSample(docs, "doc_id", "n_chars", budget, prefixLen = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
     // degenerate budgets
     Curation.tokenBudgetSample(docs, "doc_id", "n_chars", 0L).count() shouldBe 0
     Curation.tokenBudgetSample(docs, "doc_id", "n_chars", Long.MaxValue).count() shouldBe docs.count()

@@ -161,6 +161,32 @@ class DedupSpec extends SparkSpec {
     nd shouldBe Set((1L, 2L))
   }
 
+  test("semantic near-dups (k-means cells): sound, and complete within a cell") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+      cells = 8, threshold = 0.4)
+    // soundness: every reported pair really clears the threshold
+    val wrong = pairs.filter(col("cosine") < 0.4).count()
+    wrong shouldBe 0
+    // completeness within blocking: reported pairs ⊆ true pairs, and every
+    // CO-CELLED true pair is reported
+    val centroids = graft.operators.Similarity.kMeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .select(col("vec_id").as("id"), col("cell"))
+    val cellOf = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val all = a.crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.operators.Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.subsetOf(all) shouldBe true
+    val coCelled = all.filter { case (x, y) => cellOf(x) == cellOf(y) }
+    got shouldBe coCelled
+  }
+
   test("operators leak no cached blocks: bare calls persist nothing; CacheScope releases") {
     import graft.operators.CacheScope
     def cachedRdds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet

@@ -38,6 +38,16 @@ class ExtensionsSpec extends SparkSpec {
       val jac = s3.sql(
         "SELECT graft_jaccard(array('a','b','c'), array('b','c','d'))").head().getDouble(0)
       jac shouldBe 0.5 +- 1e-12
+      val ds = s3.sql("SELECT graft_dup_stats('a\nb\na').n_lines").head().getInt(0)
+      ds shouldBe 3
+      // quantize → cosine_q round trip: parallel vectors → cosine 1
+      val cq = s3.sql(
+        """SELECT graft_cosine_q(graft_quantize(array(1.0F, 2.0F)),
+                                 graft_quantize(array(2.0F, 4.0F)))""").head().getDouble(0)
+      cq shouldBe 1.0 +- 1e-3
+      val dq = s3.sql("SELECT graft_dequantize(graft_quantize(array(0.5F, -0.5F)))")
+        .head().getSeq[Float](0)
+      dq.head shouldBe 0.5f +- 0.01f
       s3.catalog.dropTempView("docs")
     } finally {
       SparkSession.setDefaultSession(spark)

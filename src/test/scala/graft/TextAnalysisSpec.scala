@@ -193,24 +193,28 @@ class TextAnalysisSpec extends SparkSpec {
     top(1)._1 should be < top(2)._1
   }
 
-  test("stripBoilerplateLines removes hot lines, keeps order, drops all-boilerplate docs") {
+  test("stripBoilerplateLines removes hot lines, keeps order, no corpus shuffle") {
     val hot = "SAME LICENSE LINE"
     val df = Seq(
       (1L, s"$hot\nunique first\nunique second"),
       (2L, s"before\n$hot\nafter"),
-      (3L, hot), // nothing left → doc drops out
+      (3L, hot), // everything stripped → kept as empty text
       (4L, "no boilerplate at all\njust content")).toDF("doc_id", "text")
     val out = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out shouldBe Map(
       1L -> "unique first\nunique second",
       2L -> "before\nafter", // original order preserved around the removed line
+      3L -> "",
       4L -> "no boilerplate at all\njust content")
     // below threshold nothing is stripped
     val none = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 4L)
-    none.count() shouldBe 4
-    // the hot-set side of the anti-join is broadcast
-    TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
-      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    none(3L) shouldBe hot
+    // the rewrite is per-row against a broadcast one-row hot set: the
+    // corpus side must NOT pass through an exchange on its way to the join
+    val plan = TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 3L)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
   }
 }

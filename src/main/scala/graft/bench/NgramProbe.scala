@@ -56,6 +56,18 @@ object NgramProbe {
       time("full operator (end to end)") {
         graft.operators.Dedup.ngramJaccardPairs(docs0, "doc_id", "text", 3, 0.5).count()
       }
+      // alternating A/B: sampled hot-df (cap off) vs full hot-df (huge cap
+      // → identical pruning semantics, exact df) — interleaved so VM drift
+      // hits both arms equally
+      for (rep <- 1 to 3) {
+        time(s"A sampled-df rep$rep") {
+          graft.operators.Dedup.ngramJaccardPairs(docs0, "doc_id", "text", 3, 0.5).count()
+        }
+        time(s"B full-df    rep$rep") {
+          graft.operators.Dedup.ngramJaccardPairs(docs0, "doc_id", "text", 3, 0.5,
+            maxShingleDf = Long.MaxValue / 2).count()
+        }
+      }
     }
     spark.stop()
   }

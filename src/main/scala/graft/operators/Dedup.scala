@@ -99,7 +99,12 @@ object Dedup {
 
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    // verification joins carry the full shingle arrays — shuffle-hash, not
+    // sort-merge: sorting array payloads costs more than hashing the doc
+    // side, and the per-partition doc slice always fits an executor (the
+    // referential large-dim reasoning)
+    candidates.join(shA.hint("shuffle_hash"), "id_a")
+      .join(shB.hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -150,13 +155,28 @@ object Dedup {
     // Exactness never depends on the df info (any consistent global order
     // satisfies the prefix theorem); hot ordering is pruning only.
     val hotFloor = if (maxShingleDf > 0) math.min(hotDfThreshold, maxShingleDf) else hotDfThreshold
-    val hotDf: Map[String, Long] = docs
+    // With no hard cap the df info is PRUNING-ONLY (ordering), so it can be
+    // ESTIMATED from a deterministic 1/8 doc sample (md5-rank predicate —
+    // run/partitioning-invariant): a shingle hot enough to build a
+    // quadratic bucket has df ≫ threshold and appears in the sample with
+    // tight concentration, while a misclassified marginal shingle only
+    // shifts the prefix order. Cuts the heaviest full-corpus scan of the
+    // pipeline to 1/8 of the shingle mass. With maxShingleDf set the cap
+    // affects which pairs are comparable (documented), so the exact full
+    // pass runs.
+    val sampled = maxShingleDf == 0
+    val dfSource =
+      if (sampled)
+        docs.filter(substring(md5(col("id").cast("string")), 1, 1).isin("0", "1"))
+      else docs
+    val dfScale = if (sampled) 8L else 1L
+    val hotDf: Map[String, Long] = dfSource
       .select(explode(col("shingles")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotFloor)
+      .filter(col("df") * dfScale > hotFloor)
       .orderBy(col("df").desc, col("sh"))
       .limit(100000)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1) * dfScale).toMap
     // posexplode: a prefix element's index IS its rank in the doc's full
     // sorted shingle order (the prefix is the head of that order), which
     // enables PPJoin's POSITIONAL filter below
@@ -185,7 +205,12 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
+    // verification joins carry the full shingle arrays — shuffle-hash, not
+    // sort-merge: sorting array payloads costs more than hashing the doc
+    // side, and the per-partition doc slice always fits an executor (the
+    // referential large-dim reasoning)
+    candidates.join(shA.hint("shuffle_hash"), "id_a")
+      .join(shB.hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")

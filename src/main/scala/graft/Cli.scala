@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
-  * --sources s.yaml --output report.json [--table t]`.
+  * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
+  * [--metrics-dir DIR]`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout.
@@ -66,6 +67,15 @@ object Cli {
         val df = Tables.load(spark, sources.getOrElse(table.name, table.name))
         validator.cleanTable(df, table.name)
           .write.mode("overwrite").parquet(s"$cleanDir/${table.name}")
+      }
+
+      // metrics sink: append this run's per-rule results as a time-series
+      // slice (--metrics-dir), queryable over runs — the real counterpart
+      // of the reference's print-only observability hooks
+      for (metricsDir <- opts.get("metrics-dir").toSeq) {
+        val runId = java.util.UUID.randomUUID().toString
+        summaries.values.foreach(s =>
+          graft.io.MetricsSink.appendSummary(spark, s, metricsDir, runId))
       }
 
       val report = validator.report(summaries)

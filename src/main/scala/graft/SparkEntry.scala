@@ -55,7 +55,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cfg = entryConfig
-    val turns = Transcripts.turns(spark, cfg)
+    // the synthesized turns regenerate per scan (unlike a parquet table,
+    // where repeated section scans ride the page cache) — under an active
+    // CacheScope (Verify/Bench wrap every query in one) the input is
+    // materialized once for the suite's ~6 passes and released after;
+    // bare calls stay persist-free
+    val turns = graft.operators.CacheScope.ambient.cache(Transcripts.turns(spark, cfg))
     val index = Transcripts.convIndex(spark, cfg)
     val config = ValidationConfig(tables = Seq(TableConfig("transcripts", transcriptRules)))
     val validator = new Validator(spark, config,
@@ -789,8 +794,11 @@ object SparkEntry {
         // (grouped orphan counts) and drift (grouped histograms vs a
         // drifted baseline) — 8 buckets × 9 rules
         import s.implicits._
-        val turns = Transcripts.turns(s, entryConfig)
-          .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))
+        // synthesized input cached for the suite's many grouped passes
+        // (see entry) — released by the harness's per-query CacheScope
+        val turns = graft.operators.CacheScope.ambient.cache(
+          Transcripts.turns(s, entryConfig)
+            .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double")))
         val index = Transcripts.convIndex(s, entryConfig)
         val baseline = Transcripts.turns(s, Transcripts.drifted(entryConfig))
           .withColumn("text_len", coalesce(length(col("text")), lit(0)).cast("double"))

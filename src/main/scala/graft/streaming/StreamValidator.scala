@@ -29,6 +29,9 @@ object StreamValidator {
     * @param tableResolver  reference-table lookup for referential/drift rules
     *                       (passed through to each per-batch Validator —
     *                       without it those rules fail "unknown ref_table")
+    * @param metricsSink    path for the per-batch rule-result time-series
+    *                       ([[graft.io.MetricsSink]], run_id = "batch-<id>")
+    *                       — observability without a custom onResult
     */
   def start(
       spark: SparkSession,
@@ -39,7 +42,8 @@ object StreamValidator {
       validatedSink: Option[String] = None,
       triggerMs: Long = 60000L,
       onResult: BatchOutcome => Unit = _ => (),
-      tableResolver: String => Option[DataFrame] = _ => None): StreamingQuery = {
+      tableResolver: String => Option[DataFrame] = _ => None,
+      metricsSink: Option[String] = None): StreamingQuery = {
 
     val rules = config.enabledRules(tableName)
 
@@ -50,6 +54,8 @@ object StreamValidator {
         val validator = new Validator(spark, config, tableResolver)
         val summary = validator.executeRules(batch, rules, tableName)
         onResult(BatchOutcome(batchId, summary))
+        metricsSink.foreach(path =>
+          graft.io.MetricsSink.appendSummary(spark, summary, path, s"batch-$batchId"))
         validatedSink.foreach { sink =>
           RulePlanner.applyFilters(batch, rules)
             .write.mode("append").parquet(sink)

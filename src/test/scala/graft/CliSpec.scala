@@ -121,6 +121,36 @@ class CliSpec extends SparkSpec {
     graft.io.Tables.load(spark, "table:cli_view").count() shouldBe 1
   }
 
+  test("metrics sink: runs append as a queryable time-series, date-partitioned") {
+    import graft.engine.Validator
+    val dir = Files.createTempDirectory("metrics").toString
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
+    val rules = Seq(ValidationRule("id_complete", RuleType.Completeness, Seq("id")))
+    val v = new Validator(spark, ValidationConfig())
+    val s1 = v.executeRules(df, rules, "t")
+    val at1 = java.time.Instant.parse("2026-08-15T10:00:00Z")
+    val at2 = java.time.Instant.parse("2026-08-16T10:00:00Z")
+    graft.io.MetricsSink.appendSummary(spark, s1, dir, "run-1", at1)
+    graft.io.MetricsSink.appendSummary(spark, s1, dir, "run-2", at2)
+    val sink = spark.read.parquet(dir)
+    sink.count() shouldBe 2 // one rule x two runs
+    sink.columns should contain allOf ("run_id", "run_date", "rule_name",
+      "failed_count", "success_rate")
+    // date partitioning: trend queries prune to their window
+    sink.where(org.apache.spark.sql.functions.col("run_date") === "2026-08-15")
+      .select("run_id").head().getString(0) shouldBe "run-1"
+    // per-partition verdicts sink
+    val (_, verdicts) = v.executeRulesPartitioned(df, rules, "t",
+      Some(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.lit(0L)),
+        org.apache.spark.sql.functions.lit(2))))
+    val pdir = Files.createTempDirectory("pmetrics").toString
+    graft.io.MetricsSink.appendPartitionVerdicts(spark, "t", verdicts, pdir, "run-1", at1)
+    spark.read.parquet(pdir).count() shouldBe verdicts.size.toLong
+  }
+
   test("batch job spec carries the reference's knobs and round-trips through JSON") {
     import graft.deploy.JobSpec
     // reference create_validation_job (databricks_utils.py:49-93): 2 workers,

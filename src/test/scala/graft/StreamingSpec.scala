@@ -23,9 +23,11 @@ class StreamingSpec extends SparkSpec {
     val sink = Files.createTempDirectory("stream_sink").toString + "/clean"
     val chk = Files.createTempDirectory("stream_chk").toString
 
+    val metricsDir = Files.createTempDirectory("stream_metrics").toString + "/m"
     val query = StreamValidator.start(spark, input, config, "events",
       checkpointDir = chk, validatedSink = Some(sink), triggerMs = 100L,
-      onResult = o => outcomes.synchronized { outcomes += o })
+      onResult = o => outcomes.synchronized { outcomes += o },
+      metricsSink = Some(metricsDir))
 
     stream.addData(("a", Some("x")), ("b", None), ("c", Some("y")))
     query.processAllAvailable()
@@ -46,6 +48,12 @@ class StreamingSpec extends SparkSpec {
     val clean = spark.read.parquet(sink)
     clean.count() shouldBe 2
     clean.filter(col("payload").isNull).count() shouldBe 0
+
+    // per-batch metrics time-series: one row per rule per micro-batch
+    val metrics = spark.read.parquet(metricsDir)
+    metrics.count() shouldBe 2
+    metrics.select("run_id").collect().map(_.getString(0)).toSet shouldBe
+      Set("batch-0", "batch-1")
   }
 
   test("referential rules resolve ref tables through the streaming tableResolver") {

@@ -79,6 +79,20 @@ object SparkEntry {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** Driver-visible invariant row for rows-only ANN queries: append
+    * (query_id = id = rank = −1, cosine = recall vs the exact brute-force
+    * top-k) so the dumped artifact itself certifies retrieval quality —
+    * same pattern as the partition-verdict `__global_check` rows. */
+  private def withRecallRow(s: SparkSession, ann: DataFrame, brute: DataFrame): DataFrame = {
+    import s.implicits._
+    val hits = ann.select("query_id", "id")
+      .intersect(brute.select("query_id", "id")).count()
+    val total = brute.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    ann.unionByName(
+      Seq((-1L, -1L, recall, -1)).toDF("query_id", "id", "cosine", "rank"))
+  }
+
   private val ruleSuiteForFilters = Seq(
     ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
     ValidationRule("value_range", RuleType.Range, Seq("value"),
@@ -600,27 +614,36 @@ object SparkEntry {
           FROM scored)
         WHERE rank <= 10 ORDER BY query_id, rank""")),
 
-    // ---- ANN: LSH-bucketed top-k (rows-only; recall vs brute in tests) ---
+    // ---- ANN: LSH-bucketed top-k (rows-only + embedded recall row: the
+    // dump itself certifies recall vs the exact brute-force ranking) ------
     Q("q_knn_lsh_embeddings",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.lshTopK(
-          emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          dim = 64, k = 10, planes = 10)
+        val queries = emb.filter(col("vec_id") < 5)
+        // planes sized to the corpus: 2^5 = 32 buckets keeps tens of
+        // vectors per bucket at sf0.01–0.1 (1024 buckets left most queries
+        // with near-empty probes — the embedded recall row exposed it)
+        val ann = Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", dim = 64, k = 10, planes = 5)
+        withRecallRow(s, ann,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 10))
           .orderBy("query_id", "rank")
       },
       None),
 
-    // ---- ANN: IVF top-k (rows-only; recall vs brute in SimilaritySpec) ---
+    // ---- ANN: IVF top-k (rows-only + embedded recall row, as LSH) --------
     Q("q_knn_ivf_embeddings",
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
         val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
         val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
-        Similarity.ivfTopK(indexed, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids, k = 10, nprobe = 4)
+        val ann = Similarity.ivfTopK(indexed, "vec_id", "embedding",
+          queries, "vec_id", "embedding", centroids, k = 10, nprobe = 6)
+        withRecallRow(s, ann,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 10))
           .orderBy("query_id", "rank")
       },
       None),

@@ -118,7 +118,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF top-k recall vs brute force at the harness query params") {
-    // same parameters as SparkEntry's q_knn_ivf_embeddings (16 cells, nprobe 4)
+    // same parameters as SparkEntry's q_knn_ivf_embeddings (16 cells, nprobe 6)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
     val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
@@ -127,9 +127,9 @@ class SimilaritySpec extends SparkSpec {
       queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(indexed, "vec_id", "embedding",
-      queries, "vec_id", "embedding", centroids, k = 10, nprobe = 4)
+      queries, "vec_id", "embedding", centroids, k = 10, nprobe = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // probing 4 of 16 cells scans ~25% of a corpus whose vectors are nearly
+    // probing 6 of 16 cells scans ~38% of a corpus whose vectors are nearly
     // orthogonal (max pairwise cosine ~0.51) — self-match must always land
     // and a meaningful fraction of the true top-10 must be recovered
     (0L until 5L).foreach { q => ivf should contain((q, q)) }

@@ -203,12 +203,24 @@ class Validator(
         uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
         refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3))
 
-    // 3. remaining rules, preserving overall rule order in the result list
+    // 3. remaining rules (uniqueness/referential on the UNPARTITIONED path,
+    // custom SQL, stragglers) — each is an independent Spark job, so they
+    // are submitted CONCURRENTLY like the partitioned sections; the results
+    // list still preserves overall rule order (assembled by name). Per-rule
+    // error isolation is unchanged: executeSingle catches into a failure
+    // result, so a Future here never fails.
+    val covered = (r: ValidationRule) =>
+      fusedResults.contains(r.name) || driftResults.contains(r.name) ||
+        outlierResults.contains(r.name) || specialResults.contains(r.name)
+    val singleFs: Map[String, Future[ValidationResult]] = rules
+      .filterNot(covered)
+      .map(r => r.name -> Future(executeSingle(df, r, tableName, totalCount))).toMap
     val results: Seq[ValidationResult] = rules.map { r =>
       fusedResults.getOrElse(r.name,
         driftResults.getOrElse(r.name,
           outlierResults.getOrElse(r.name,
-            specialResults.getOrElse(r.name, executeSingle(df, r, tableName, totalCount)))))
+            specialResults.getOrElse(r.name,
+              Await.result(singleFs(r.name), Duration.Inf)))))
     }
 
     val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)

@@ -448,6 +448,43 @@ object SparkEntry {
                ELSE 'it' END AS lang_pred
         FROM s ORDER BY doc_id""")),
 
+    // ---- PII redaction. Like the boilerplate query, the PII instances are
+    // CONSTRUCTED deterministically from the table (the word-soup corpus
+    // has none); the oracle builds the same augmented text and nests the
+    // same four regexp_replace calls in the same order ('g' flag). --------
+    Q("q_redact_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(
+            col("text"), lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(200)), lit(".17 "),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit("ssn 123-45-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(concat(lit("call +1 (555) 01"),
+                lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+                lit("-2222")))).as("text"))
+        docs.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ||
+            ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.17 ' ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE 'call +1 (555) 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-2222' END AS text
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+            '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS text
+        FROM docs ORDER BY doc_id""")),
+
     // ---- corpus top-k n-grams (boilerplate detector) ---------------------
     Q("q_top_ngrams_docs",
       (s, d) => TextAnalysis.topNgrams(t(s, d, "documents"), "text", n = 3, k = 20),

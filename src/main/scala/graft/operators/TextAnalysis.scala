@@ -91,6 +91,23 @@ object TextAnalysis {
   def phoneCount(text: Column): Column =
     coalesce(regexp_count(text, lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]")), lit(0))
 
+  /** PII REDACTION: the four detector patterns replaced with typed
+    * placeholders — the rewrite step a compliance pipeline actually ships
+    * (counts gate, redaction cleans). Application order is part of the
+    * contract: SSN before phone, because the phone pattern would otherwise
+    * consume ddd-dd-dddd; the DuckDB oracle nests the same replaces in the
+    * same order. Pure per-row expression — no shuffle, pushes nothing,
+    * scales linearly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("[EMAIL]")),
+          lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"), lit("[SSN]")),
+        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("[IP]")),
+      lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]"), lit("[PHONE]"))
+
   // --------------------------------- repetition signals (Gopher/C4-style)
 
   /** One-pass repetition counter struct

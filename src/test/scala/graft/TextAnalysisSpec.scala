@@ -180,6 +180,19 @@ class TextAnalysisSpec extends SparkSpec {
     cols should contain allOf ("token_count", "token_estimate", "lang_id", "quality_score", "fingerprint")
   }
 
+  test("redactPii replaces all four shapes; SSN is not eaten by the phone pattern") {
+    val df = Seq(
+      "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567 now",
+      "ssn 123-45-6789 from host 192.168.10.7",
+      "two mails a@b.io c@d.co and two ips 10.0.0.1 10.0.0.2",
+      "clean text with no pii at all").toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).collect().map(_.getString(0))
+    out(0) shouldBe "mail me at [EMAIL] or call [PHONE] now"
+    out(1) shouldBe "ssn [SSN] from host [IP]" // phone pattern must NOT match the SSN
+    out(2) shouldBe "two mails [EMAIL] [EMAIL] and two ips [IP] [IP]"
+    out(3) shouldBe "clean text with no pii at all"
+  }
+
   test("topNgrams counts document frequency with deterministic tie-break") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // "alpha beta gamma", "beta gamma delta"

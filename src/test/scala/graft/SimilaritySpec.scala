@@ -100,6 +100,37 @@ class SimilaritySpec extends SparkSpec {
     z.head().getDouble(0) shouldBe 0.0
   }
 
+  test("quantization edge values: zero, tiny, huge, negative — codes bounded, self-cosine sane") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),        // zero vector → scale 0, codes 0
+      (2L, Seq(1e-30f, -1e-30f, 5e-31f)), // tiny magnitudes
+      (3L, Seq(3e38f, -3e38f, 1e38f)),    // near float-max
+      (4L, Seq(-1.0f, -127.0f, -0.5f)),   // all-negative
+      (5L, Seq(1.0f, 1.0f, 1.0f))         // constant
+    ).toDF("id", "v")
+    val out = cases.select(col("id"),
+        Similarity.quantize(col("v")).getField("scale").as("scale"),
+        Similarity.quantize(col("v")).getField("q").as("codes"),
+        Similarity.cosineQ(Similarity.quantize(col("v")),
+          Similarity.quantize(col("v"))).as("selfcos"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getFloat(1), r.getSeq[Byte](2), r.getDouble(3)))).toMap
+    // codes always within int8 bounds, never NaN scale
+    out.values.foreach { case (scale, codes, _) =>
+      scale.isNaN shouldBe false
+      codes.foreach(c => c.toInt should (be >= -127 and be <= 127))
+    }
+    // zero vector: scale 0, self-cosine 0 (guarded, no NaN)
+    out(1L)._1 shouldBe 0.0f
+    out(1L)._3 shouldBe 0.0
+    // non-degenerate vectors: self-cosine exactly 1 within fp noise
+    Seq(2L, 3L, 4L, 5L).foreach { id => out(id)._3 shouldBe 1.0 +- 1e-9 }
+    // the max-|x| component always quantizes to ±127 (scale anchoring)
+    out(4L)._2.map(_.toInt).min shouldBe -127
+    out(3L)._2.map(c => math.abs(c.toInt)).max shouldBe 127
+  }
+
   test("LSH top-k achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

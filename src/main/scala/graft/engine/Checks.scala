@@ -256,11 +256,27 @@ object Checks {
     val b = histB.select(col("bucket"), col("cnt").cast("double").as("cnt_b"))
     val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0.0, Seq("cnt_a", "cnt_b"))
     val totals = j.agg(sum("cnt_a"), sum("cnt_b")).head()
-    val (totA, totB) = (totals.getDouble(0), totals.getDouble(1))
-    j.select(col("bucket"),
-      (col("cnt_a") / lit(totA)).as("p_a"),
-      (col("cnt_b") / lit(totB)).as("p_b"),
-      abs(col("cnt_a") / lit(totA) - col("cnt_b") / lit(totB)).as("abs_diff"))
+    // empty inputs mirror [[totalVariationDistance]]'s documented edges
+    // instead of NaN rows / an NPE on the null sums: both empty → empty
+    // table (statistic 0.0); one empty → the present side's distribution
+    // with abs_diff doubled, so Σ abs_diff / 2 = 1.0 ("all mass moved" —
+    // an empty side is the zero measure, and the total variation against
+    // it is conventionally total).
+    val totA = if (totals.isNullAt(0)) 0.0 else totals.getDouble(0)
+    val totB = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
+    if (totA == 0.0 && totB == 0.0)
+      j.select(col("bucket"), lit(0.0).as("p_a"), lit(0.0).as("p_b"),
+        lit(0.0).as("abs_diff")) // j is empty: schema-only
+    else if (totA == 0.0 || totB == 0.0) {
+      val pA = if (totA > 0) col("cnt_a") / lit(totA) else lit(0.0)
+      val pB = if (totB > 0) col("cnt_b") / lit(totB) else lit(0.0)
+      j.select(col("bucket"), pA.as("p_a"), pB.as("p_b"),
+        (abs(pA - pB) * lit(2.0)).as("abs_diff"))
+    } else
+      j.select(col("bucket"),
+        (col("cnt_a") / lit(totA)).as("p_a"),
+        (col("cnt_b") / lit(totB)).as("p_b"),
+        abs(col("cnt_a") / lit(totA) - col("cnt_b") / lit(totB)).as("abs_diff"))
   }
 
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.
@@ -372,17 +388,39 @@ object Checks {
     * exact decimals. */
   def momentsExact(df: DataFrame, columns: Seq[String]): Map[String, (Long, Double, Double)] = {
     val aggs = columns.zipWithIndex.flatMap { case (c0, i) =>
-      val d = col(c0).cast(DecimalType(18, 4))
+      // try_cast, not cast: under ANSI a single out-of-range value would
+      // abort the whole fused job with a bare CAST_OVERFLOW; with try_cast
+      // the overflow surfaces as a count mismatch below and raises a
+      // message that names the COLUMN — routed by the caller to that
+      // rule's error result rather than failing sibling rules too
+      val d = col(c0).try_cast(DecimalType(18, 4))
       Seq(count(col(c0)).as(s"n_$i"),
+        count(d).as(s"nc_$i"),
         sum(d).cast("double").as(s"s_$i"),
         sum(d * d).cast("double").as(s"s2_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     columns.zipWithIndex.map { case (c0, i) =>
-      val b = i * 3
-      c0 -> ((row.getLong(b),
-        if (row.isNullAt(b + 1)) 0.0 else row.getDouble(b + 1),
-        if (row.isNullAt(b + 2)) 0.0 else row.getDouble(b + 2)))
+      val b = i * 4
+      val n = row.getLong(b)
+      val nCast = row.getLong(b + 1)
+      // DECIMAL(18,4) holds |x| < 1e14: an epoch-micros column (or any
+      // value beyond the range) would cast to NULL while count(col) still
+      // counts it — the sums would silently describe a DIFFERENT sample
+      // (in the worst case mean=0/std=0, flagging ~100% of rows as a quiet
+      // "verdict"). Raise instead so the misconfiguration routes to the
+      // rule's error path; same for a Σx² overflowing the exact range.
+      if (nCast != n)
+        throw new IllegalArgumentException(
+          s"outlier moments: column '$c0' has ${n - nCast} value(s) outside the exact " +
+            "DECIMAL(18,4) range (|x| >= 1e14) — rescale the column (e.g. epoch seconds, " +
+            "not micros) or pre-filter before the outlier rule")
+      if (n > 0 && (row.isNullAt(b + 2) || row.isNullAt(b + 3)))
+        throw new ArithmeticException(
+          s"outlier moments: sum of squares overflowed the exact decimal range for column '$c0'")
+      c0 -> ((n,
+        if (row.isNullAt(b + 2)) 0.0 else row.getDouble(b + 2),
+        if (row.isNullAt(b + 3)) 0.0 else row.getDouble(b + 3)))
     }.toMap
   }
 

@@ -308,9 +308,9 @@ class Validator(
     * the chi-square statistic scales with rows, so at the same absolute
     * critical a partition holding N/P rows needs ~P× the per-row drift
     * intensity (significance tests have less evidence from fewer rows).
-    * For size-invariant partition sensitivity use `method: cramers_v`,
-    * whose critical is an effect-size threshold. KS is a CDF distance —
-    * already size-invariant. Contingency math is total-agnostic, so
+    * For size-invariant partition sensitivity use `method: tvd`,
+    * whose critical is an effect-size threshold in [0,1]. KS is a CDF
+    * distance — already size-invariant. Contingency math is total-agnostic, so
     * partition-vs-baseline sizes needn't match. */
   private def executeDriftBatch(
       df: DataFrame, driftRules: Seq[ValidationRule],

@@ -85,9 +85,14 @@ object Curation {
       prefixLen: Int = 4): DataFrame = {
     require(budget >= 0)
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen in [1,8], got $prefixLen")
+    // null keys/tokens are excluded up front (matching hashSample's implicit
+    // null-drop): a null key has no hash position in the global order and a
+    // null token count cannot be budgeted — and downstream they would NPE
+    // the driver-side bucket walk (null bucket string / null bucket sum).
+    val base = df.filter(col(keyCol).isNotNull && col(tokenCol).isNotNull)
     val hk = md5(col(keyCol).cast("string"))
     val bucket = substring(hk, 1, prefixLen)
-    val totals = df
+    val totals = base
       .groupBy(bucket.as("__b"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -101,14 +106,14 @@ object Curation {
       if (before + t > budget) boundary = Some(b) else before += t
     }
     boundary match {
-      case None => df // whole corpus fits the budget
+      case None => base // whole corpus fits the budget
       case Some(bp) =>
-        val whole = df.filter(bucket < lit(bp))
+        val whole = base.filter(bucket < lit(bp))
         val remaining = budget - before
         val w = Window.partitionBy(bucket)
           .orderBy(hk.asc, col(keyCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val edge = df.filter(bucket === lit(bp))
+        val edge = base.filter(bucket === lit(bp))
           .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
           .filter(col("__cum") <= remaining)
           .drop("__cum")

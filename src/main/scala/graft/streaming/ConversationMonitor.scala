@@ -43,16 +43,26 @@ object ConversationMonitor {
       if (t.turn_idx < 0)
         out += TurnAnomaly(convId, "negative_turn", t.turn_idx, s"turn_idx=${t.turn_idx}")
       else {
-        if (st.recentTurns.contains(t.turn_idx))
+        val isDup = st.recentTurns.contains(t.turn_idx)
+        if (isDup)
           out += TurnAnomaly(convId, "duplicate_turn", t.turn_idx,
             s"turn ${t.turn_idx} seen again (window=$RecentWindow)")
         else if (t.turn_idx < st.maxTurn)
           out += TurnAnomaly(convId, "out_of_order", t.turn_idx,
             s"turn ${t.turn_idx} after max ${st.maxTurn}")
-        st = ConvState(
-          math.max(st.maxTurn, t.turn_idx),
-          st.turnCount + 1,
-          (t.turn_idx +: st.recentTurns).take(RecentWindow))
+        // duplicates do NOT advance turnCount (or re-enter the window):
+        // turnCount approximates "distinct indexes seen", which is what the
+        // close-time gap check compares against maxTurn+1 — counting a
+        // duplicate would mask a genuine gap (0,1,1,3 must still report
+        // turn 2 missing). A late out-of-order fill DOES count: it closes
+        // the gap it fills. Duplicates older than the bounded window are
+        // indistinguishable from fills — the documented window trade.
+        st =
+          if (isDup) st
+          else ConvState(
+            math.max(st.maxTurn, t.turn_idx),
+            st.turnCount + 1,
+            (t.turn_idx +: st.recentTurns).take(RecentWindow))
       }
     }
     state.update(st)

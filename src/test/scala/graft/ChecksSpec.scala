@@ -121,6 +121,37 @@ class ChecksSpec extends SparkSpec {
     std shouldBe math.sqrt((s2 - s * s / n) / (n - 1))
   }
 
+  test("momentsExact raises on values outside the exact decimal range instead of silently skewing") {
+    // 1e15 doesn't fit DECIMAL(18,4): without the guard its cast would drop
+    // it from the sums while count(col) still counted it — mean/std of a
+    // different sample. The guard names the column and routes to the rule's
+    // error path via the caller's catch.
+    val df = Seq(1.0, 2.0, 1.0e15).toDF("v")
+    val e = intercept[IllegalArgumentException](Checks.momentsExact(df, Seq("v")))
+    e.getMessage should include("'v'")
+    e.getMessage should include("1e14")
+    // in-range columns are unaffected
+    Checks.momentsExact(Seq(1.0, 2.0).toDF("v"), Seq("v"))("v")._1 shouldBe 2L
+  }
+
+  test("tvdContributions mirrors the scalar's empty-input edge semantics") {
+    val empty = Seq.empty[(String, Long)].toDF("bucket", "cnt")
+    val some = Seq(("x", 30L), ("y", 10L)).toDF("bucket", "cnt")
+    // both empty → empty table (statistic 0.0, like totalVariationDistance)
+    Checks.tvdContributions(empty, empty).count() shouldBe 0
+    Checks.totalVariationDistance(Map.empty, Map.empty) shouldBe 0.0
+    // one empty → Σ abs_diff / 2 = 1.0 ("all mass moved"), no NaN/null rows
+    val rows = Checks.tvdContributions(empty, some).collect()
+    rows.map(_.getDouble(3)).sum / 2.0 shouldBe 1.0 +- 1e-12
+    rows.foreach { r =>
+      r.getDouble(1).isNaN shouldBe false
+      r.getDouble(2).isNaN shouldBe false
+    }
+    Checks.tvdContributions(some, empty).collect()
+      .map(_.getDouble(3)).sum / 2.0 shouldBe 1.0 +- 1e-12
+    Checks.totalVariationDistance(Map.empty, Map("x" -> 30L)) shouldBe 1.0
+  }
+
   test("verdicts are invariant under repartitioning (property)") {
     val t = Transcripts.turns(spark, TranscriptConfig(numConvs = 100L))
     val r1 = Checks.distinctKeyCount(t, Seq("conv_id", "turn_idx"))

@@ -73,6 +73,26 @@ class ConversationMonitorSpec extends SparkSpec {
     rows.count(r => r.kind == "conversation_closed" && r.conv_id == "a") shouldBe 1
   }
 
+  test("a duplicate turn does not advance turnCount, so it cannot mask a gap") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val state = TestGroupState.create[ConversationMonitor.ConvState](
+      org.apache.spark.api.java.Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // 0,1,1,3: four arrivals, three DISTINCT indexes of expected 0..3 — the
+    // old count-every-arrival logic would have turnCount=4=maxTurn+1 and
+    // close without a turn_gap despite turn 2 missing
+    val out = ConversationMonitor.anomaliesOf("c",
+      Iterator(turn("c", 0), turn("c", 1), turn("c", 1), turn("c", 3)), state).toVector
+    out.map(_.kind) shouldBe Vector("duplicate_turn")
+    val st = state.get
+    st.maxTurn shouldBe 3
+    st.turnCount shouldBe 3L // duplicate excluded → gap check sees 3 < 4
+    // a late out-of-order FILL does count — it closes the gap it fills
+    val out2 = ConversationMonitor.anomaliesOf("c", Iterator(turn("c", 2)), state).toVector
+    out2.map(_.kind) shouldBe Vector("out_of_order")
+    state.get.turnCount shouldBe 4L
+  }
+
   test("dedupWithinWatermark drops cross-batch duplicate keys with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

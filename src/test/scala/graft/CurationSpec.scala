@@ -108,6 +108,20 @@ class CurationSpec extends SparkSpec {
     Curation.tokenBudgetSample(docs, "doc_id", "n_chars", Long.MaxValue).count() shouldBe docs.count()
   }
 
+  test("tokenBudgetSample excludes null keys/tokens instead of NPEing the bucket walk") {
+    import spark.implicits._
+    val mixed = Seq(
+      (Option(1L), Option(10L)), (None, Option(20L)),
+      (Option(2L), None), (Option(3L), Option(5L)))
+      .toDF("doc_id", "n_chars")
+    // a null key would put a null bucket into the driver-side sortBy and a
+    // null-token bucket a null sum — both NPE'd before the guard
+    val out = Curation.tokenBudgetSample(mixed, "doc_id", "n_chars", budget = 100L)
+    out.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+    // binding budget still walks cleanly
+    Curation.tokenBudgetSample(mixed, "doc_id", "n_chars", 0L).count() shouldBe 0
+  }
+
   test("permille sample hits the requested rate") {
     val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
     n.toDouble shouldBe 100.0 +- 35 // 20% of 500

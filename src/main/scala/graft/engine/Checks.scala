@@ -15,6 +15,33 @@ import org.apache.spark.sql.types._
   */
 object Checks {
 
+  /** True when collected values of `dt` stringify driver-side EXACTLY as
+    * Spark's cast-to-string would (numbers, strings, booleans, dates;
+    * timestamps differ — `java.sql.Timestamp.toString` appends ".0").
+    * For these types the per-partition grouped passes group on the RAW
+    * partition expression and stringify only the O(buckets) collected rows:
+    * grouping on `p.cast("string")` instead pays a per-row long→UTF8String
+    * allocation plus string hashing across the WHOLE table × every grouped
+    * scan — measured as the dominant CPU inflation of the 32-thread bench
+    * (memory-bound hash aggregation is exactly where SMT sharing hurts). */
+  private[graft] def rawKeyStringable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        StringType | BooleanType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Driver-side stringification matching cast-to-string for
+    * [[rawKeyStringable]] types; null stays null (as the cast would). */
+  private[graft] def partKeyString(v: Any): String =
+    if (v == null) null else String.valueOf(v)
+
+  /** The grouping column for a per-partition pass over `df`: the raw
+    * expression when driver-side stringification is exact, else the
+    * per-row cast (exotic key types keep the old behavior). */
+  private[graft] def partGroupCol(df: DataFrame, p: Column): Column =
+    if (rawKeyStringable(df.select(p).schema.head.dataType)) p else p.cast("string")
+
   /** Distinct-key count with PySpark-reference semantics: `distinct()` over
     * the selected columns counts a NULL (or all-NULL tuple) as one distinct
     * value — unlike SQL `COUNT(DISTINCT col)` which drops NULLs
@@ -148,13 +175,15 @@ object Checks {
     val kb = explode(array(specs.map { case (name, c) =>
       struct(lit(name).as("kind"), coalesce(c.cast("string"), lit("__NULL__")).as("bucket"))
     }: _*)).as("kb")
-    df.select(part.cast("string").as("__part"), kb)
+    // raw partition key (no per-row string cast) — stringified driver-side
+    // over the O(partitions × buckets) collected rows (see rawKeyStringable)
+    df.select(partGroupCol(df, part).as("__part"), kb)
       .groupBy(col("__part"), col("kb.kind"), col("kb.bucket"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
       .groupBy(_.getString(1))
       .map { case (kind, rows) =>
-        kind -> rows.groupBy(_.getString(0)).map { case (p, rs) =>
+        kind -> rows.groupBy(r => partKeyString(r.get(0))).map { case (p, rs) =>
           p -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
         }
       }

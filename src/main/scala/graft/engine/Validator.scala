@@ -76,8 +76,12 @@ class Validator(
             }
             // limit(max+1) BEFORE collect: a raw high-cardinality partition
             // expression must fail the require below, not OOM the driver
-            // materializing millions of grouped rows first
-            val rows = df.groupBy(p.cast("string").as("__part"))
+            // materializing millions of grouped rows first. The group key is
+            // the RAW expression (numeric for the recommended bucketing
+            // expressions) — stringified driver-side over these ≤65k rows;
+            // per-row cast-to-string across the whole table was the measured
+            // CPU hot spot of the 32-thread bench (Checks.rawKeyStringable).
+            val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
               .agg(count(lit(1)).as("__total"), counters: _*)
               .limit(maxPartitionBuckets + 1)
               .collect()
@@ -88,9 +92,9 @@ class Validator(
             val failedByRule = wellFormedFusible.zipWithIndex.map { case (r, i) =>
               r.name -> rows.map(row => if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)).sum
             }.toMap
-            val partTotals = rows.map(row => row.getString(0) -> row.getLong(1)).toMap
+            val partTotals = rows.map(row => Checks.partKeyString(row.get(0)) -> row.getLong(1)).toMap
             val verdicts = rows.toSeq.flatMap { row =>
-              val part = row.getString(0)
+              val part = Checks.partKeyString(row.get(0))
               val ptotal = row.getLong(1)
               wellFormedFusible.zipWithIndex.map { case (r, i) =>
                 val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)
@@ -251,11 +255,12 @@ class Validator(
     val t0 = System.nanoTime()
     def ms = (System.nanoTime() - t0) / 1e6
     try {
-      val rows = violations(df, rule)
-        .groupBy(p.cast("string").as("__part"))
+      val v = violations(df, rule)
+      val rows = v
+        .groupBy(Checks.partGroupCol(v, p).as("__part"))
         .agg(count(lit(1)).as("__failed"))
         .collect()
-      val failedByPart = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val failedByPart = rows.map(r => Checks.partKeyString(r.get(0)) -> r.getLong(1)).toMap
       val failed = failedByPart.values.sum
       val total = totalOf(df, cachedTotal)
       val result = ValidationResult.verdict(rule, failed, total, ms,
@@ -279,13 +284,16 @@ class Validator(
       partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+      // the first groupBy runs over the WHOLE table — raw partition key
+      // (Checks.rawKeyStringable); the second is O(buckets)
       val rows = df
-        .groupBy(p.cast("string").as("__part") +: keys.map(col): _*)
+        .groupBy(Checks.partGroupCol(df, p).as("__part") +: keys.map(col): _*)
         .agg(count(lit(1)).as("__cnt"))
         .groupBy(col("__part"))
         .agg((sum("__cnt") - count(lit(1))).as("__failed"))
         .collect()
-      Right(verdictsFrom(rule, rows.map(r => r.getString(0) -> r.getLong(1)).toMap, partTotals))
+      Right(verdictsFrom(rule,
+        rows.map(r => Checks.partKeyString(r.get(0)) -> r.getLong(1)).toMap, partTotals))
     } catch { case e: Throwable => Left(e) }
 
   /** Histogram bucket expression for one drift rule. */
@@ -439,7 +447,7 @@ class Validator(
 
       partitionExpr match {
         case Some(p) if partTotals.nonEmpty =>
-          val rows = df.groupBy(p.cast("string").as("__part"))
+          val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
             .agg(counters.head, counters.tail: _*)
             .limit(maxPartitionBuckets + 1)
             .collect()
@@ -447,7 +455,8 @@ class Validator(
             s"partition expression produced more than $maxPartitionBuckets buckets")
           val outcomes = specs.zipWithIndex.map { case ((r, mean, std, k, _), i) =>
             val failedByPart = rows.map(row =>
-              row.getString(0) -> (if (row.isNullAt(1 + i)) 0L else row.getLong(1 + i))).toMap
+              Checks.partKeyString(row.get(0)) ->
+                (if (row.isNullAt(1 + i)) 0L else row.getLong(1 + i))).toMap
             val result = r.name -> ValidationResult.verdict(
               r, failedByPart.values.sum, total, ms, metaOf(mean, std, k))
             (result, verdictsFrom(r, failedByPart, partTotals))
@@ -639,10 +648,10 @@ class Validator(
     val counters = fusible.zipWithIndex.map { case (r, i) =>
       sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L)).as(s"f_$i")
     }
-    val grouped = df.groupBy(partitionExpr.cast("string").as("partition"))
+    val grouped = df.groupBy(Checks.partGroupCol(df, partitionExpr).as("partition"))
       .agg(count(lit(1)).as("total"), counters: _*)
     grouped.flatMap { row =>
-      val part = row.getString(0)
+      val part = Checks.partKeyString(row.get(0))
       val total = row.getLong(1)
       fusible.zipWithIndex.map { case (r, i) =>
         val failed = if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)

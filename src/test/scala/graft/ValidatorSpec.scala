@@ -101,6 +101,26 @@ class ValidatorSpec extends SparkSpec {
     }
   }
 
+  test("partition keys: raw-key grouping stringifies like cast-to-string; nulls and exotic types keep working") {
+    val df = Seq((1L, Some("a"), Some(1.0)), (2L, None, Some(2.0)), (3L, Some("b"), Option.empty[Double]))
+      .toDF("id", "grp", "v")
+    val rule = ValidationRule("v_c", RuleType.Completeness, Seq("v"), threshold = Some(0.5))
+    val v = new Validator(spark, ValidationConfig())
+    // string partition column: grouped raw, keys pass through (null included)
+    val (_, sv) = v.executeRulesPartitioned(df, Seq(rule), "t", Some(col("grp")))
+    sv.map(_.partition).toSet shouldBe Set("a", "b", null)
+    sv.find(_.partition == "b").get.failed_count shouldBe 1
+    // numeric expression: driver-side stringification matches cast-to-string
+    val (_, nv) = v.executeRulesPartitioned(df, Seq(rule), "t", Some(pmod(col("id"), lit(2))))
+    nv.map(_.partition).toSet shouldBe Set("0", "1")
+    // a timestamp key is NOT raw-stringable (toString appends ".0") — the
+    // cast fallback must produce Spark's text form, not Java's
+    val td = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
+      (java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), Option.empty[Double])).toDF("ts", "v")
+    val (_, tv) = v.executeRulesPartitioned(td, Seq(rule), "t", Some(col("ts")))
+    tv.map(_.partition).toSet shouldBe Set("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+  }
+
   test("outlier rule: flags known anomalies, NULLs not failed, partition sums match global") {
     // 100 values at 10.0 ± small spread, two gross anomalies, one NULL
     val base = (1 to 100).map(i => (i.toLong, Some(10.0 + (i % 5) * 0.01)))

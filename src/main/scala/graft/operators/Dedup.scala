@@ -235,6 +235,107 @@ object Dedup {
       .withColumn("bands", bandHashes(col("sig"), bands, numHashes / bands))
   }
 
+  /** Persist a signature index ([[buildSignatureIndex]]) to `dir` in the
+    * warehouse-scale layout — the shape a 100 TB ingest pipeline actually
+    * reads, written ONCE per corpus snapshot:
+    *
+    *  - `dir/bands`: the EXPLODED (band_hash, id) pairs, BUCKETED by
+    *    band_hash — the incremental candidate join then reads
+    *    pre-distributed data and plans NO exchange on the (huge) index
+    *    side. band_idx is deliberately dropped from the key: a cross-band
+    *    band_hash equality is a 64-bit hash collision (~2⁻⁶⁴), and a false
+    *    candidate only costs one exact-Jaccard verification — it can never
+    *    produce a wrong pair — while a single-column bucket key is what
+    *    makes the at-rest layout line up with the join.
+    *  - `dir/docs`: (id, shingles) bucketed by id — the verification join
+    *    reads the heavy shingle arrays without shuffling them.
+    *  - schema-DDL sidecars + a bucket-count file, so ANY later session
+    *    re-declares the external bucketed tables with no metastore (the
+    *    external-bucketed-table pattern used by the bench layout,
+    *    `bench/TranscriptSuite.scala`).
+    */
+  def writeSignatureIndex(index: DataFrame, dir: String, buckets: Int = 64): Unit = {
+    val spark = index.sparkSession
+    val suffix = suffixOf(dir)
+    val bands = index
+      .select(explode(col("bands")).as("band_hash"), col("id"))
+    spark.sql(s"DROP TABLE IF EXISTS graft_sig_bands_$suffix")
+    // repartition on the bucket key first: same murmur3 hash as the bucket
+    // spec → one file per bucket, no small-file explosion
+    bands.repartition(buckets, col("band_hash"))
+      .write.bucketBy(buckets, "band_hash")
+      .option("path", s"$dir/bands").mode("overwrite")
+      .saveAsTable(s"graft_sig_bands_$suffix")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bands_schema.ddl"), bands.schema.toDDL)
+    val docs = index.select(col("id"), col("shingles"))
+    spark.sql(s"DROP TABLE IF EXISTS graft_sig_docs_$suffix")
+    docs.repartition(buckets, col("id"))
+      .write.bucketBy(buckets, "id")
+      .option("path", s"$dir/docs").mode("overwrite")
+      .saveAsTable(s"graft_sig_docs_$suffix")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs_schema.ddl"), docs.schema.toDDL)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/buckets"), buckets.toString)
+  }
+
+  /** Open a stored signature index: (bands, docs) DataFrames over the
+    * bucketed files, re-declaring the external tables in this session's
+    * catalog when absent. */
+  def openSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val suffix = suffixOf(dir)
+    val buckets = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/buckets")).trim.toInt
+    def declare(table: String, sub: String, ddlFile: String, key: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val ddl = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/$ddlFile"))
+        spark.sql(
+          s"""CREATE TABLE $table ($ddl) USING parquet
+             |CLUSTERED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$dir/$sub'""".stripMargin)
+      }
+    declare(s"graft_sig_bands_$suffix", "bands", "bands_schema.ddl", "band_hash")
+    declare(s"graft_sig_docs_$suffix", "docs", "docs_schema.ddl", "id")
+    (spark.table(s"graft_sig_bands_$suffix"), spark.table(s"graft_sig_docs_$suffix"))
+  }
+
+  /** Stable catalog-name suffix per index directory (two indexes opened in
+    * one session must not collide; String.hashCode is spec-fixed). */
+  private def suffixOf(dir: String): String =
+    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+
+  /** [[minHashLshPairsAgainstIndex]] against an ON-DISK index written by
+    * [[writeSignatureIndex]] — the real incremental-ingest path at scale:
+    * only the new batch is shingled and signed; the corpus index stays at
+    * rest. The candidate join keys on band_hash alone (see
+    * [[writeSignatureIndex]] for why band_idx is droppable), so the bucketed
+    * bands table joins WITHOUT an index-side exchange; verification joins
+    * the bucketed docs table on id, so the heavy shingle arrays never
+    * shuffle either. Returns (id_new, id_index, jaccard), self-pairs
+    * excluded. */
+  def minHashLshPairsAgainstStoredIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.5, charGrams: Boolean = false,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (idxBands, idxDocs) = openSignatureIndex(spark, indexDir)
+    val fresh = scope.cache(buildSignatureIndex(newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, charGrams))
+    val a = fresh.select(explode(col("bands")).as("band_hash"), col("id").as("id_new"))
+    val candidates = a
+      .join(idxBands.select(col("band_hash"), col("id").as("id_index")), Seq("band_hash"))
+      .filter(col("id_new") =!= col("id_index"))
+      .select("id_new", "id_index").distinct()
+    candidates
+      .join(fresh.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
+      .join(idxDocs.select(col("id").as("id_index"), col("shingles").as("sh_b")), "id_index")
+      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_new", "id_index", "jaccard")
+  }
+
   /** Near-dup pairs of NEW documents against an EXISTING signature index —
     * the incremental-ingest path: only the new docs are shingled; the
     * corpus index is read as-is. Candidates come from the band-bucket join
@@ -296,15 +397,24 @@ object Dedup {
     * in at least one pair — singletons never enter the edge list and keep
     * themselves as canonical by definition (see [[dedupByClusters]]). */
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 30, maxDriverEdges: Long = 5000000L): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 30, maxDriverEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     // ONE pass decides the path AND feeds the local algorithm: a separate
     // count() would execute the (possibly expensive) upstream pair pipeline
-    // twice. In the rare over-threshold case this pulls maxDriverEdges+1
-    // rows (~80 MB at the default) before falling through — bounded waste.
-    val head = p.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    // twice. Collected through the TYPED encoder into specialized
+    // Tuple2[Long,Long] (32 B/edge with headers — ~32 MB at the default
+    // threshold), not boxed Rows. The real driver footprint is the
+    // union-find map below: worst case every edge introduces two NEW ids →
+    // up to 2·maxDriverEdges boxed HashMap entries ≈ 90 B each ≈ 180 MB at
+    // the default — sized for a 4 GB driver with headroom, which is why the
+    // threshold is 1M edges (a near-dup pair list this large usually means
+    // the thresholds are wrong, not that the corpus has 1M genuine dups).
+    // In the rare over-threshold case this pulls maxDriverEdges+1 rows
+    // before falling through — bounded waste.
+    val head = p.as[(Long, Long)]
+      .limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
     if (head.length <= maxDriverEdges) {
       // union-by-min with path compression: the root of every set stays the
       // component minimum because union always attaches the larger root
@@ -314,8 +424,7 @@ object Dedup {
         while (parent.get(x) != x) { parent.put(x, parent.get(parent.get(x))); x = parent.get(x) }
         x
       }
-      head.foreach { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
+      head.foreach { case (a, b) =>
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)
         if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)

@@ -194,9 +194,22 @@ object TextAnalysis {
     * re-shuffle the entire corpus bytes to reassemble documents, which is
     * the difference between a cheap cleanup and a full-corpus exchange at
     * 100 TB). Docs whose every line is boilerplate come out as "" (kept,
-    * empty) — same as the SQL list_filter formulation used as the oracle. */
+    * empty) — same as the SQL list_filter formulation used as the oracle.
+    *
+    * `maxHotLines` guards the single-row/broadcast ceiling: real boilerplate
+    * hot sets are small by construction (every member repeats across ≥
+    * minDocs docs), but a pathological corpus — tiny minDocs over
+    * template-heavy shards — could blow the 8 GB single-row limit with no
+    * graceful error. The guard rides the SAME job (a limit bounds what the
+    * one collected row can hold; `raise_error` fires if the capped count
+    * exceeds the cap) — no second scan of the line mass. Above the cap,
+    * use the anti-join formulation instead (explode → anti-join hot lines →
+    * groupBy(doc) reassemble): it re-shuffles the corpus, but has no
+    * broadcast ceiling. */
   def stripBoilerplateLines(
-      df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long,
+      maxHotLines: Int = 100000): DataFrame = {
+    require(maxHotLines > 0 && maxHotLines < Int.MaxValue)
     val base = df.filter(col(textCol).isNotNull)
     val hot = base
       .select(col(idCol).as("__id"), explode(split(col(textCol), "\n")).as("__line"))
@@ -204,7 +217,15 @@ object TextAnalysis {
       .distinct()
       .groupBy("__line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .agg(collect_list(col("__line")).as("__hot"))
+      .limit(maxHotLines + 1) // bound the materialized row even when raising
+      .agg(collect_list(col("__line")).as("__hot"), count(lit(1)).as("__n"))
+      .select(
+        when(col("__n") > maxHotLines,
+          raise_error(lit(
+            s"stripBoilerplateLines: hot-line set exceeds maxHotLines=$maxHotLines — " +
+              "minDocs is likely misconfigured for this corpus; raise maxHotLines only if " +
+              "the set genuinely fits a broadcast, else use an anti-join formulation")))
+          .otherwise(col("__hot")).as("__hot"))
     base
       .crossJoin(broadcast(hot))
       .withColumn(textCol, array_join(

@@ -230,4 +230,20 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  test("stripBoilerplateLines raises the hot-set guard on a pathological corpus") {
+    // minDocs=1 makes EVERY distinct line hot — with a tiny cap the guard
+    // must raise (instead of silently building an unbounded broadcast row)
+    val df = (1L to 20L).map(i => (i, s"line-$i-a\nline-$i-b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.stripBoilerplateLines(df, "doc_id", "text", minDocs = 1L, maxHotLines = 5)
+        .collect()
+    }
+    e.getMessage should include("maxHotLines")
+    // an in-cap hot set is unaffected by the guard machinery
+    val hot = "SAME LICENSE LINE"
+    val ok = Seq((1L, s"$hot\nu1"), (2L, s"$hot\nu2"), (3L, hot)).toDF("doc_id", "text")
+    TextAnalysis.stripBoilerplateLines(ok, "doc_id", "text", minDocs = 3L, maxHotLines = 5)
+      .collect().map(_.getString(1)).sorted shouldBe Array("", "u1", "u2")
+  }
 }

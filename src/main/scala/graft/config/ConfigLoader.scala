@@ -15,15 +15,34 @@ import scala.jdk.CollectionConverters._
   */
 object ConfigLoader {
 
-  def fromYamlFile(path: String, env: Map[String, String] = sys.env): ValidationConfig =
-    fromYamlString(Files.readString(Paths.get(path)), env)
+  def fromYamlFile(
+      path: String, env: Map[String, String] = sys.env,
+      overrides: Map[String, String] = Map.empty): ValidationConfig =
+    fromYamlString(Files.readString(Paths.get(path)), env, overrides)
 
-  def fromYamlString(yamlText: String, env: Map[String, String] = sys.env): ValidationConfig = {
+  /** `overrides` is the caller-provided override map — the portable
+    * counterpart of the reference's Databricks widget overrides
+    * (`settings.py:76-105`, asserted by `tests/test_settings.py:32-41`):
+    * merged LAST, so overrides beat env overrides beat YAML, exactly the
+    * precedence the reference gives `dbutils.widgets`. Keys nest with
+    * `__` like env keys (`engine__type -> duckdb`) but carry no
+    * `VALIDATOR_` prefix — a notebook/job wrapper passes its widget or
+    * argument map here verbatim. */
+  def fromYamlString(
+      yamlText: String, env: Map[String, String] = sys.env,
+      overrides: Map[String, String] = Map.empty): ValidationConfig = {
     val raw = new Yaml().load[java.util.Map[String, Object]](yamlText)
     val base: Map[String, Any] = if (raw == null) Map.empty[String, Any]
       else toScala(raw).asInstanceOf[Map[String, Any]]
-    build(deepMerge(base, envOverrides(env)))
+    build(deepMerge(deepMerge(base, envOverrides(env)), expandKeys(overrides)))
   }
+
+  /** `Map("engine__type" -> "duckdb")` → `Map("engine" -> Map("type" ->
+    * "duckdb"))` (reference `_expand_keys`, `settings.py:53-62`). */
+  def expandKeys(m: Map[String, String]): Map[String, Any] =
+    m.foldLeft(Map.empty[String, Any]) { case (acc, (k, v)) =>
+      mergePath(acc, k.toLowerCase.split("__").toList, v)
+    }
 
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap

@@ -121,6 +121,23 @@ class CliSpec extends SparkSpec {
     graft.io.Tables.load(spark, "table:cli_view").count() shouldBe 1
   }
 
+  test("dotted three-part names route to the catalog, not the file readers") {
+    // routing proof: an unknown catalog.schema.table must fail as a CATALOG
+    // lookup (table-not-found / namespace error), never as a file path
+    val e = intercept[Exception](graft.io.Tables.load(spark, "main.analytics.events"))
+    val msg = e.getMessage.toLowerCase
+    (msg.contains("table or view") || msg.contains("namespace")) shouldBe true
+    msg should not include "path does not exist"
+    // a real three-part name against the session catalog resolves: external
+    // parquet table created over an existing location (no warehouse write)
+    val dir = Files.createTempDirectory("dotted")
+    Seq(1L, 2L, 3L).toDF("id").write.mode("overwrite").parquet(s"$dir/t")
+    spark.sql(s"CREATE TABLE default.graft_dotted (id BIGINT) USING parquet LOCATION '$dir/t'")
+    try
+      graft.io.Tables.load(spark, "spark_catalog.default.graft_dotted").count() shouldBe 3
+    finally spark.sql("DROP TABLE default.graft_dotted")
+  }
+
   test("metrics sink: runs append as a queryable time-series, date-partitioned") {
     import graft.engine.Validator
     val dir = Files.createTempDirectory("metrics").toString

@@ -55,6 +55,21 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     c.engine.engineType shouldBe "duckdb"
   }
 
+  test("caller override map beats env beats YAML (widget precedence, test_settings.py:8-41)") {
+    // YAML says spark; env says duckdb; the caller map (the reference's
+    // dbutils.widgets counterpart) says polars — widgets win
+    val c = ConfigLoader.fromYamlString(yaml,
+      env = Map("VALIDATOR_ENGINE__TYPE" -> "duckdb"),
+      overrides = Map("engine__type" -> "polars"))
+    c.engine.engineType shouldBe "polars"
+    // without the caller map, env wins over YAML (unchanged)
+    ConfigLoader.fromYamlString(yaml,
+      env = Map("VALIDATOR_ENGINE__TYPE" -> "duckdb")).engine.engineType shouldBe "duckdb"
+    // nested override paths expand like env keys
+    ConfigLoader.expandKeys(Map("engine__type" -> "x")) shouldBe
+      Map("engine" -> Map("type" -> "x"))
+  }
+
   test("require_sql_rules rejects enabled rules without expression (config.py:182-193)") {
     val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
       .copy(requireSqlRules = true)

@@ -345,18 +345,50 @@ object SparkEntry {
         FROM events""")),
 
     // ---- profiler quantiles (rows-only: sketch estimates are approximate
-    // by contract — accuracy vs exact percentiles is bounded in
-    // ProfilerSpec for both the builtin and the mergeable-KLL typed path).
-    // Uses the builtin path (deterministic GK sketch) end-to-end. ----------
+    // by contract). Embedded CERTIFICATION rows make the dumped artifact
+    // self-verifying without ScalaTest: for each profiled column a
+    // `__rank_check:<col>` row carries, per quantile, the estimate's rank
+    // deviation beyond tolerance — max(0, q − frac(≤est), frac(<est) − q)
+    // computed against the EXACT data in one extra aggregate. The builtin
+    // sketch runs at accuracy 10000 (rank error ≤ 1e-4); the check allows
+    // 1e-3, so any non-zero deviation means a real sketch defect. ----------
     Q("q_profile_quantiles_events",
       (s, d) => {
         import s.implicits._
-        graft.engine.Profiler.profile(t(s, d, "events"), Seq("value", "user_id"))
-          .map(p => (p.column,
+        val ev = t(s, d, "events")
+        val profs = graft.engine.Profiler.profile(ev, Seq("value", "user_id"))
+        val base = profs.map(p => (p.column,
             p.quantiles.getOrElse("p50", Double.NaN),
             p.quantiles.getOrElse("p95", Double.NaN),
             p.quantiles.getOrElse("p99", Double.NaN)))
           .toDF("column", "p50", "p95", "p99")
+        val qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+        val tol = 1e-3
+        // one exact-rank aggregate for all columns × quantiles (NaN-safe:
+        // NaN sorts above every double in Spark, excluded from both sides)
+        val aggs = profs.flatMap { p =>
+          val c = col(p.column).cast("double")
+          val ok = c.isNotNull && !isnan(c)
+          count(when(ok, 1)).as(s"n_${p.column}") +:
+            qs.flatMap { case (k, _) =>
+              val est = lit(p.quantiles(k))
+              Seq(
+                sum(when(ok && c <= est, 1L).otherwise(0L)).as(s"le_${k}_${p.column}"),
+                sum(when(ok && c < est, 1L).otherwise(0L)).as(s"lt_${k}_${p.column}"))
+            }
+        }
+        val row = ev.agg(aggs.head, aggs.tail: _*).head()
+        val byName = row.schema.fieldNames.zipWithIndex.toMap
+        val checks = profs.map { p =>
+          val n = row.getLong(byName(s"n_${p.column}")).toDouble
+          val devs = qs.map { case (k, q) =>
+            val fracLe = row.getLong(byName(s"le_${k}_${p.column}")) / n
+            val fracLt = row.getLong(byName(s"lt_${k}_${p.column}")) / n
+            math.max(0.0, math.max((q - fracLe) - tol, (fracLt - q) - tol))
+          }
+          (s"__rank_check:${p.column}", devs(0), devs(1), devs(2))
+        }
+        base.unionByName(checks.toDF("column", "p50", "p95", "p99"))
           .orderBy("column")
       },
       None),
@@ -611,17 +643,59 @@ object SparkEntry {
           CASE WHEN len(ws) > 0 THEN (CAST(len(ws) AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)) / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS dup_word_frac
         FROM w ORDER BY doc_id""")),
 
-    // ---- MinHash+LSH near-dups (scale tier; hash-based → rows-only) ------
+    // ---- MinHash+LSH near-dups (scale tier; hash-based → rows-only, with
+    // an embedded CERTIFICATION row — same pattern as the ANN recall rows.
+    // The row is (id_a=−1, id_b=unsound_count, jaccard=recall):
+    // unsound_count MUST be 0 (every LSH pair is verified with the exact
+    // Jaccard, so LSH ⊆ exact always) and recall is |LSH ∩ exact|/|exact|
+    // vs the PPJoin exact pair list at the same threshold. The dumped
+    // artifact itself certifies soundness and quantifies recall without
+    // ScalaTest. ---------------------------------------------------------
     Q("q_minhash_lsh_docs",
-      (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.5)
+        val lshKeys = lsh.select("id_a", "id_b")
+        val exactKeys = exact.select("id_a", "id_b")
+        val unsound = lshKeys.exceptAll(exactKeys).count()
+        val hits = lshKeys.intersect(exactKeys).count()
+        val total = exactKeys.count()
+        val recall = if (total == 0) 1.0 else hits.toDouble / total
+        lsh.unionByName(Seq((-1L, unsound, recall)).toDF("id_a", "id_b", "jaccard"))
+          .orderBy("id_a", "id_b")
+      },
       None),
 
-    // ---- SimHash near-dups (rows-only) -----------------------------------
+    // ---- SimHash near-dups (rows-only + embedded EXACTNESS row: the
+    // pigeonhole banding is COMPLETE for hamming ≤ maxHamming — any pair
+    // within the radius must agree on one full chunk — so the banded
+    // result must EQUAL the brute-force all-pairs hamming scan. The
+    // certification row (id_a = −1) carries the symmetric-difference
+    // count vs brute force in id_b; 0 certifies exactness in the dump. ----
     Q("q_simhash_docs",
-      (s, d) => Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+        val sims = docs.select(col("doc_id").as("id"),
+          Dedup.simHash(col("text")).as("sim"))
+        val a = sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
+        val b = sims.select(col("id").as("id_b"), col("sim").as("sim_b"))
+        val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+        val bandedKeys = banded.select("id_a", "id_b")
+        val bruteKeys = brute.select("id_a", "id_b")
+        val symDiff = bandedKeys.exceptAll(bruteKeys).count() +
+          bruteKeys.exceptAll(bandedKeys).count()
+        banded.unionByName(Seq((-1L, symDiff, -1)).toDF("id_a", "id_b", "hamming"))
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // ---- ANN: exact brute-force cosine top-k (rows-only) -----------------
@@ -825,18 +899,25 @@ object SparkEntry {
         WHERE doc_id % 50 <> 0 AND s <> '' AND s IN (SELECT s FROM test)
         ORDER BY doc_id""")),
 
-    // ---- incremental near-dup against a materialized signature index -----
+    // ---- incremental near-dup against a MATERIALIZED on-disk signature
+    // index: the index is written once (bucketed by band_hash / id — the
+    // warehouse snapshot shape), re-opened from its files, and the "new"
+    // batch joins the at-rest tables — no index-side exchange (see
+    // Dedup.writeSignatureIndex). ------------------------------------------
     Q("q_minhash_incremental_docs",
       (s, d) => {
         val corpus = t(s, d, "documents")
         val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        Dedup.writeSignatureIndex(index, dir, buckets = 16)
         // "new" batch = a deterministic slice of the corpus re-ingested:
         // every slice doc must rediscover itself is NOT possible (self
         // pairs excluded) but near-dups of slice docs must surface
         val fresh = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
           .select(col("doc_id") + lit(1000000L) as "doc_id", col("text"))
-        Dedup.minHashLshPairsAgainstIndex(fresh, "doc_id", "text", index,
+        Dedup.minHashLshPairsAgainstStoredIndex(fresh, "doc_id", "text", dir,
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.99)
           .orderBy("id_new", "id_index")
       },

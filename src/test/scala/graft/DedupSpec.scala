@@ -81,6 +81,36 @@ class DedupSpec extends SparkSpec {
     hits.map(_._1) should not contain 102L
   }
 
+  test("signature index round-trips through disk and serves the incremental join exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    val index = Dedup.buildSignatureIndex(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16)
+    Dedup.writeSignatureIndex(index, dir, buckets = 4)
+    // simulate a FRESH session: drop the catalog entries, keep the files —
+    // openSignatureIndex must re-declare the external bucketed tables from
+    // the DDL sidecars alone
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_sig_")).foreach(t => spark.sql(s"DROP TABLE $t"))
+    val newDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (102L, "completely novel content that resembles nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val stored = Dedup.minHashLshPairsAgainstStoredIndex(newDocs, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+    val storedHits = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same pairs as the in-memory index path
+    val memHits = Dedup.minHashLshPairsAgainstIndex(newDocs, "doc_id", "text", index,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    storedHits shouldBe memHits
+    storedHits.map(_._1) should contain(101L)
+    // the at-rest layout serves the candidate join WITHOUT re-hashing the
+    // index side: no Exchange over band_hash in the executed plan
+    stored.collect()
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should not include "Exchange hashpartitioning(band_hash"
+  }
+
   test("connected components merge transitive near-dup chains; singletons keep themselves") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)
@@ -114,6 +144,13 @@ class DedupSpec extends SparkSpec {
     val distributed = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     distributed shouldBe local
+    // equivalence AT the threshold boundary: 6 edges — run once exactly at
+    // the cap (driver path takes it) and once just below (distributed path
+    // takes over because head.length > maxDriverEdges)
+    Dedup.connectedComponents(pairs, maxDriverEdges = 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe local
+    Dedup.connectedComponents(pairs, maxDriverEdges = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe local
   }
 
   test("MinHash LSH finds planted near-dups and no false positives above threshold") {

@@ -83,14 +83,54 @@ object SparkEntry {
     * (query_id = id = rank = −1, cosine = recall vs the exact brute-force
     * top-k) so the dumped artifact itself certifies retrieval quality —
     * same pattern as the partition-verdict `__global_check` rows. */
-  private def withRecallRow(s: SparkSession, ann: DataFrame, brute: DataFrame): DataFrame = {
+  private def withRecallRow(s: SparkSession, ann0: DataFrame, brute: DataFrame): DataFrame = {
     import s.implicits._
-    val hits = ann.select("query_id", "id")
-      .intersect(brute.select("query_id", "id")).count()
-    val total = brute.count()
+    val ann = graft.operators.CacheScope.ambient.cache(ann0)
+    val (_, hits, total) = setStats(ann, brute, Seq("query_id", "id"))
     val recall = if (total == 0) 1.0 else hits.toDouble / total
     ann.unionByName(
       Seq((-1L, -1L, recall, -1)).toDF("query_id", "id", "cosine", "rank"))
+  }
+
+  /** Certification stats for two DISTINCT row sets sharing `keys`:
+    * (rows only in `found`, rows in both, total rows in `ref`) — ONE
+    * full-outer-join aggregate job, so each upstream pipeline executes
+    * exactly once (the exceptAll/intersect/count formulation re-executed
+    * both pipelines per action — measured 2× the whole query's cost). */
+  private def setStats(found: DataFrame, ref: DataFrame, keys: Seq[String]): (Long, Long, Long) = {
+    val f = found.select(keys.map(col): _*).withColumn("__f", lit(1))
+    val r = ref.select(keys.map(col): _*).withColumn("__r", lit(1))
+    val row = f.join(r, keys, "full_outer")
+      .agg(
+        sum(when(col("__f").isNotNull && col("__r").isNull, 1L).otherwise(0L)),
+        sum(when(col("__f").isNotNull && col("__r").isNotNull, 1L).otherwise(0L)),
+        sum(when(col("__r").isNotNull, 1L).otherwise(0L))).head()
+    def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    (g(0), g(1), g(2))
+  }
+
+  /** Sampled-recall certification for pair-finding queries over embeddings:
+    * the exact reference is the brute-force cosine pair list restricted to
+    * the deterministic stratum id_a < 200 (all partners) — O(200·n) instead
+    * of O(n²) per run. Appends (id_a=−1, id_b=unsound_count, cosine=recall):
+    * unsound_count MUST be 0 (every emitted pair carries its exact cosine ≥
+    * threshold), recall estimates completeness on the stratum. */
+  private def withPairRecallRow(
+      s: SparkSession, found0: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
+    // the found pairs feed both the cert join and the query output —
+    // materialized once under the harness CacheScope
+    val found = graft.operators.CacheScope.ambient.cache(found0)
+    val a = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+    val (unsound, hits, total) =
+      setStats(found.filter(col("id_a") < 200), brute, Seq("id_a", "id_b"))
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    found.unionByName(Seq((-1L, unsound, recall)).toDF("id_a", "id_b", "cosine"))
   }
 
   private val ruleSuiteForFilters = Seq(
@@ -417,6 +457,42 @@ object SparkEntry {
                  ELSE (s2 - s * s / n) / (n - 1) END)
         ORDER BY event_id""")),
 
+    // ---- CSV / JSON scans, driver-visible: the parquet table round-trips
+    // through the engine's own csv/json writers+readers (Tables.load format
+    // dispatch), then aggregates — the oracle computes the same aggregate
+    // from the parquet, so a hash match PROVES the text readers preserve
+    // values bit-for-bit (doubles survive: Java's shortest-repr toString
+    // parses back to the same double). -------------------------------------
+    Q("q_csv_roundtrip_events",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        t(s, d, "events").select("event_id", "event_type", "value")
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        graft.io.Tables.load(s, s"csv:$dir")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q_json_roundtrip_events",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_events_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        t(s, d, "events").select("event_id", "event_type", "value")
+          .write.mode("overwrite").json(dir)
+        graft.io.Tables.load(s, s"json:$dir")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- rule-filter composition (data-cleaning mode) --------------------
     Q("q_filter_clean_events",
       (s, d) => RulePlanner.applyFilters(t(s, d, "events"), ruleSuiteForFilters)
@@ -655,15 +731,12 @@ object SparkEntry {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
-          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+        val lsh = graft.operators.CacheScope.ambient.cache(
+          Dedup.minHashLshPairs(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5))
         val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           shingleSize = 3, minJaccard = 0.5)
-        val lshKeys = lsh.select("id_a", "id_b")
-        val exactKeys = exact.select("id_a", "id_b")
-        val unsound = lshKeys.exceptAll(exactKeys).count()
-        val hits = lshKeys.intersect(exactKeys).count()
-        val total = exactKeys.count()
+        val (unsound, hits, total) = setStats(lsh, exact, Seq("id_a", "id_b"))
         val recall = if (total == 0) 1.0 else hits.toDouble / total
         lsh.unionByName(Seq((-1L, unsound, recall)).toDF("id_a", "id_b", "jaccard"))
           .orderBy("id_a", "id_b")
@@ -680,7 +753,8 @@ object SparkEntry {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+        val banded = graft.operators.CacheScope.ambient.cache(
+          Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3))
         val sims = docs.select(col("doc_id").as("id"),
           Dedup.simHash(col("text")).as("sim"))
         val a = sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
@@ -689,10 +763,8 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"),
             bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
           .filter(col("hamming") <= 3)
-        val bandedKeys = banded.select("id_a", "id_b")
-        val bruteKeys = brute.select("id_a", "id_b")
-        val symDiff = bandedKeys.exceptAll(bruteKeys).count() +
-          bruteKeys.exceptAll(bandedKeys).count()
+        val (onlyBanded, both, bruteTotal) = setStats(banded, brute, Seq("id_a", "id_b"))
+        val symDiff = onlyBanded + (bruteTotal - both)
         banded.unionByName(Seq((-1L, symDiff, -1)).toDF("id_a", "id_b", "hamming"))
           .orderBy("id_a", "id_b")
       },
@@ -798,18 +870,43 @@ object SparkEntry {
         WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ---- SemDeDup: semantic near-dups via k-means cell blocking (rows-
-    // only; soundness + within-cell completeness asserted in DedupSpec) ----
+    // only; soundness + within-cell completeness asserted in DedupSpec;
+    // embedded SAMPLED-recall certification row — see q_embedding_neardups)
     Q("q_semantic_neardups",
-      (s, d) => Dedup.semanticNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        cells = 16, threshold = 0.4)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val found = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+          cells = 16, threshold = 0.4)
+        withPairRecallRow(s, found, emb, 0.4)
+          .orderBy("id_a", "id_b")
+      },
       None),
 
-    // ---- embedding cosine near-dup pairs (rows-only) ---------------------
+    // ---- embedding cosine near-dup pairs (rows-only + embedded SAMPLED-
+    // recall certification: blocking methods are sound by construction —
+    // every emitted pair passed the exact cosine — so the open question the
+    // artifact should answer is RECALL. Brute-forcing all pairs would cost
+    // O(n²) per bench run, so recall is certified on the deterministic
+    // id_a < 200 stratum: (id_a=−1, id_b=unsound_count (MUST be 0),
+    // cosine=recall on the stratum). ---------------------------------------
     Q("q_embedding_neardups",
-      (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, planes = 4)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        // two independent hyperplane grids, pairs unioned: the documented
+        // recall complement for single-assignment blocking (a pair split by
+        // one random grid rarely splits under an independent second one);
+        // the embedded cert row MEASURES the achieved recall on the sampled
+        // stratum, so the artifact itself shows what the second seed buys
+        val found = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+            dim = 64, threshold = 0.4, planes = 4, seed = 42L)
+          .unionByName(Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+            dim = 64, threshold = 0.4, planes = 4, seed = 1042L))
+          .distinct()
+        withPairRecallRow(s, found, emb, 0.4)
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // ---- curation: deterministic hash sample (oracle) --------------------
@@ -977,10 +1074,25 @@ object SparkEntry {
       },
       None),
 
+    // embedded certification: salted two-phase aggregation must yield the
+    // EXACT duplicate groups of the plain single-phase groupBy — the
+    // `__salt_check` row carries the symmetric-difference count (0 ⟺ the
+    // skew mitigation is verdict-invariant, certified in the dump itself)
     Q("q_transcripts_dup_keys",
-      (s, _) => Checks.duplicateKeysSalted(
-        Transcripts.turns(s, entryConfig), Seq("conv_id", "turn_idx"))
-        .orderBy("conv_id", "turn_idx"),
+      (s, _) => {
+        import s.implicits._
+        val turns = graft.operators.CacheScope.ambient.cache(
+          Transcripts.turns(s, entryConfig))
+        val salted = graft.operators.CacheScope.ambient.cache(
+          Checks.duplicateKeysSalted(turns, Seq("conv_id", "turn_idx")))
+        val plain = Checks.duplicateKeys(turns, Seq("conv_id", "turn_idx"))
+        val (onlySalted, both, plainTotal) =
+          setStats(salted, plain, Seq("conv_id", "turn_idx", "dup_count"))
+        val symDiff = onlySalted + (plainTotal - both)
+        salted.unionByName(
+          Seq(("__salt_check", -1, symDiff)).toDF("conv_id", "turn_idx", "dup_count"))
+          .orderBy("conv_id", "turn_idx")
+      },
       None),
 
     // ---- multimodal plumbing (rows-only; codec stubbed) ------------------

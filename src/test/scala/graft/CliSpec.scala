@@ -121,6 +121,20 @@ class CliSpec extends SparkSpec {
     graft.io.Tables.load(spark, "table:cli_view").count() shouldBe 1
   }
 
+  test("--set args accumulate into the highest-precedence override map") {
+    val opts = Cli.parseArgs(List(
+      "--config", "c.yaml", "--set", "engine__type=duckdb",
+      "--set", "require_sql_rules=true"))
+    Cli.setOverrides(opts) shouldBe
+      Map("engine__type" -> "duckdb", "require_sql_rules" -> "true")
+    // end to end: the --set value beats both YAML and env
+    val cfg = graft.config.ConfigLoader.fromYamlString(
+      "engine:\n  type: spark\n",
+      env = Map("VALIDATOR_ENGINE__TYPE" -> "polars"),
+      overrides = Cli.setOverrides(opts) - "require_sql_rules")
+    cfg.engine.engineType shouldBe "duckdb"
+  }
+
   test("dotted three-part names route to the catalog, not the file readers") {
     // routing proof: an unknown catalog.schema.table must fail as a CATALOG
     // lookup (table-not-found / namespace error), never as a file path

@@ -31,4 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fixed pre-faulted heap: avoids allocation-time page-fault/compaction
   // stalls that made repeated large scans progressively slower in this VM
   "-XX:+AlwaysPreTouch",
-)
+) ++
+  // ad-hoc JVM experiments (e.g. SPARK_GRAFT_JVM_EXTRA="-XX:+UseParallelGC")
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -404,31 +404,43 @@ object SparkEntry {
           .toDF("column", "p50", "p95", "p99")
         val qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
         val tol = 1e-3
+        // only columns that actually produced quantile estimates are
+        // certifiable (an all-null / non-numeric column profiles with an
+        // empty quantile map — nothing to rank-check)
+        val certifiable = profs.filter(p => qs.forall(q => p.quantiles.contains(q._1)))
         // one exact-rank aggregate for all columns × quantiles (NaN-safe:
         // NaN sorts above every double in Spark, excluded from both sides)
-        val aggs = profs.flatMap { p =>
-          val c = col(p.column).cast("double")
-          val ok = c.isNotNull && !isnan(c)
-          count(when(ok, 1)).as(s"n_${p.column}") +:
-            qs.flatMap { case (k, _) =>
-              val est = lit(p.quantiles(k))
-              Seq(
-                sum(when(ok && c <= est, 1L).otherwise(0L)).as(s"le_${k}_${p.column}"),
-                sum(when(ok && c < est, 1L).otherwise(0L)).as(s"lt_${k}_${p.column}"))
+        val checks: Seq[(String, Double, Double, Double)] =
+          if (certifiable.isEmpty) Nil
+          else {
+            val aggs = certifiable.flatMap { p =>
+              val c = col(p.column).cast("double")
+              val ok = c.isNotNull && !isnan(c)
+              count(when(ok, 1)).as(s"n_${p.column}") +:
+                qs.flatMap { case (k, _) =>
+                  val est = lit(p.quantiles(k))
+                  Seq(
+                    sum(when(ok && c <= est, 1L).otherwise(0L)).as(s"le_${k}_${p.column}"),
+                    sum(when(ok && c < est, 1L).otherwise(0L)).as(s"lt_${k}_${p.column}"))
+                }
             }
-        }
-        val row = ev.agg(aggs.head, aggs.tail: _*).head()
-        val byName = row.schema.fieldNames.zipWithIndex.toMap
-        val checks = profs.map { p =>
-          val n = row.getLong(byName(s"n_${p.column}")).toDouble
-          val devs = qs.map { case (k, q) =>
-            val fracLe = row.getLong(byName(s"le_${k}_${p.column}")) / n
-            val fracLt = row.getLong(byName(s"lt_${k}_${p.column}")) / n
-            math.max(0.0, math.max((q - fracLe) - tol, (fracLt - q) - tol))
+            val row = ev.agg(aggs.head, aggs.tail: _*).head()
+            val byName = row.schema.fieldNames.zipWithIndex.toMap
+            certifiable.map { p =>
+              val n = row.getLong(byName(s"n_${p.column}")).toDouble
+              val devs = qs.map { case (k, q) =>
+                if (n == 0) 0.0 // no data → nothing to deviate from
+                else {
+                  val fracLe = row.getLong(byName(s"le_${k}_${p.column}")) / n
+                  val fracLt = row.getLong(byName(s"lt_${k}_${p.column}")) / n
+                  math.max(0.0, math.max((q - fracLe) - tol, (fracLt - q) - tol))
+                }
+              }
+              (s"__rank_check:${p.column}", devs(0), devs(1), devs(2))
+            }
           }
-          (s"__rank_check:${p.column}", devs(0), devs(1), devs(2))
-        }
-        base.unionByName(checks.toDF("column", "p50", "p95", "p99"))
+        (if (checks.isEmpty) base
+         else base.unionByName(checks.toDF("column", "p50", "p95", "p99")))
           .orderBy("column")
       },
       None),
@@ -460,13 +472,15 @@ object SparkEntry {
     // ---- CSV / JSON scans, driver-visible: the parquet table round-trips
     // through the engine's own csv/json writers+readers (Tables.load format
     // dispatch), then aggregates — the oracle computes the same aggregate
-    // from the parquet, so a hash match PROVES the text readers preserve
-    // values bit-for-bit (doubles survive: Java's shortest-repr toString
-    // parses back to the same double). -------------------------------------
+    // from the parquet, so a hash match certifies the text readers preserve
+    // the exercised value shapes bit-for-bit (longs, token-like strings,
+    // doubles — Java's shortest-repr toString parses back to the same
+    // double). Strings with embedded newlines would additionally need the
+    // reader's multiLine option (deliberately NOT the default: multiLine
+    // parses files unsplittably, a scale regression). ----------------------
     Q("q_csv_roundtrip_events",
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_" +
-          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_" + Dedup.stableSuffix(d)
         t(s, d, "events").select("event_id", "event_type", "value")
           .write.mode("overwrite").option("header", "true").csv(dir)
         graft.io.Tables.load(s, s"csv:$dir")
@@ -480,8 +494,7 @@ object SparkEntry {
 
     Q("q_json_roundtrip_events",
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_events_" +
-          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_events_" + Dedup.stableSuffix(d)
         t(s, d, "events").select("event_id", "event_type", "value")
           .write.mode("overwrite").json(dir)
         graft.io.Tables.load(s, s"json:$dir")
@@ -1006,8 +1019,7 @@ object SparkEntry {
         val corpus = t(s, d, "documents")
         val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16)
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_" +
-          java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_" + Dedup.stableSuffix(d)
         Dedup.writeSignatureIndex(index, dir, buckets = 16)
         // "new" batch = a deterministic slice of the corpus re-ingested:
         // every slice doc must rediscover itself is NOT possible (self

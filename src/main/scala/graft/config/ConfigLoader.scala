@@ -38,10 +38,15 @@ object ConfigLoader {
   }
 
   /** `Map("engine__type" -> "duckdb")` → `Map("engine" -> Map("type" ->
-    * "duckdb"))` (reference `_expand_keys`, `settings.py:53-62`). */
+    * "duckdb"))` (reference `_expand_keys`, `settings.py:53-62`). Key case
+    * is preserved VERBATIM — unlike env keys (which are uppercase by shell
+    * convention and lowercased on ingest), caller overrides may target
+    * case-sensitive nested keys like `engine__options__spark.executor.cores`;
+    * lowercasing them would silently add a non-matching sibling instead of
+    * overriding. */
   def expandKeys(m: Map[String, String]): Map[String, Any] =
     m.foldLeft(Map.empty[String, Any]) { case (acc, (k, v)) =>
-      mergePath(acc, k.toLowerCase.split("__").toList, v)
+      mergePath(acc, k.split("__").toList, v)
     }
 
   private def toScala(v: Any): Any = v match {

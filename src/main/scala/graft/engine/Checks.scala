@@ -442,8 +442,8 @@ object Checks {
       if (nCast != n)
         throw new IllegalArgumentException(
           s"outlier moments: column '$c0' has ${n - nCast} value(s) outside the exact " +
-            "DECIMAL(18,4) range (|x| >= 1e14) — rescale the column (e.g. epoch seconds, " +
-            "not micros) or pre-filter before the outlier rule")
+            "DECIMAL(18,4) range (|x| >= 1e14, or NaN) — rescale the column (e.g. epoch " +
+            "seconds, not micros) or pre-filter before the outlier rule")
       if (n > 0 && (row.isNullAt(b + 2) || row.isNullAt(b + 3)))
         throw new ArithmeticException(
           s"outlier moments: sum of squares overflowed the exact decimal range for column '$c0'")

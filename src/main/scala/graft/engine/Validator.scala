@@ -424,9 +424,28 @@ class Validator(
     def ms = (System.nanoTime() - t0) / 1e6
     try {
       val total = totalOf(df, cachedTotal)
-      val moments = Checks.momentsExact(df, rules.map(_.column).distinct)
-      val (live, degenerate) = rules.partition(r => moments(r.column)._1 >= 2)
-      val degenerateResults = degenerate.map { r =>
+      val cols = rules.map(_.column).distinct
+      // one fused moments job normally. momentsExact RAISES (naming one
+      // column) when a column holds values outside the exact decimal range
+      // or a sum overflows — but the raise aborts the whole fused job, so
+      // on failure the moments are re-derived per column in isolation:
+      // only the offending rule(s) route to the error path, sibling rules
+      // keep their verdicts (extra jobs only on the rare failure path).
+      val momentsByCol: Map[String, Either[Throwable, (Long, Double, Double)]] =
+        try Checks.momentsExact(df, cols).view.mapValues(
+          Right(_): Either[Throwable, (Long, Double, Double)]).toMap
+        catch {
+          case _: Throwable =>
+            cols.map(c => c -> (
+              try Right(Checks.momentsExact(df, Seq(c))(c))
+              catch { case e: Throwable => Left(e) })).toMap
+        }
+      val errResults = rules.flatMap(r => momentsByCol(r.column).left.toOption.map(e =>
+        r.name -> ValidationResult.failure(r, e, ms))).toMap
+      val moments = momentsByCol.collect { case (c, Right(m)) => c -> m }
+      val measurable = rules.filter(r => moments.contains(r.column))
+      val (live, degenerate) = measurable.partition(r => moments(r.column)._1 >= 2)
+      val degenerateResults = errResults ++ degenerate.map { r =>
         r.name -> ValidationResult.verdict(r, 0L, total, ms,
           Map("degenerate" -> "true", "non_null_count" -> moments(r.column)._1.toString))
       }.toMap

@@ -27,10 +27,14 @@ object Tables extends TableProvider {
     case s if s.startsWith("csv:")     => csv(spark, s.stripPrefix("csv:"))
     case s if s.startsWith("json:")    => spark.read.json(s.stripPrefix("json:"))
     case s if s.startsWith("table:")   => spark.table(s.stripPrefix("table:"))
-    case s if !s.contains("/") && s.count(_ == '.') >= 2 => spark.table(s)
     case s if s.endsWith(".parquet")   => spark.read.parquet(s)
     case s if s.endsWith(".csv")       => csv(spark, s)
     case s if s.endsWith(".json")      => spark.read.json(s)
+    // dotted, no slash, no known file suffix → catalog three-part name
+    // (a relative dotted FILENAME like `events.v2.parquet` keeps routing
+    // to its reader via the suffix cases above; a catalog table whose last
+    // name part is literally `parquet`/`csv`/`json` needs `table:`)
+    case s if !s.contains("/") && s.count(_ == '.') >= 2 => spark.table(s)
     case s if s.contains("/")          => spark.read.parquet(s) // directory table
     case name                          => spark.table(name)
   }

@@ -299,10 +299,14 @@ object Dedup {
     (spark.table(s"graft_sig_bands_$suffix"), spark.table(s"graft_sig_docs_$suffix"))
   }
 
-  /** Stable catalog-name suffix per index directory (two indexes opened in
-    * one session must not collide; String.hashCode is spec-fixed). */
-  private def suffixOf(dir: String): String =
-    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+  /** Stable name suffix for per-directory/per-input artifacts (catalog
+    * tables, temp dirs): two must not collide within a session, and the
+    * name must be deterministic across runs (String.hashCode is
+    * spec-fixed). Shared by the harness queries for their temp paths. */
+  private[graft] def stableSuffix(s: String): String =
+    java.lang.Long.toHexString(s.hashCode.toLong & 0xffffffffL)
+
+  private def suffixOf(dir: String): String = stableSuffix(dir)
 
   /** [[minHashLshPairsAgainstIndex]] against an ON-DISK index written by
     * [[writeSignatureIndex]] — the real incremental-ingest path at scale:

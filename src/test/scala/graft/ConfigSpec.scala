@@ -68,6 +68,13 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     // nested override paths expand like env keys
     ConfigLoader.expandKeys(Map("engine__type" -> "x")) shouldBe
       Map("engine" -> Map("type" -> "x"))
+    // key case is preserved: overrides can target case-sensitive nested
+    // keys (Spark conf names) — lowercasing would add a dead sibling
+    val c2 = ConfigLoader.fromYamlString(
+      "engine:\n  type: spark\n  options:\n    spark.executorEnv.FOO: old\n",
+      env = Map.empty,
+      overrides = Map("engine__options__spark.executorEnv.FOO" -> "new"))
+    c2.engine.options("spark.executorEnv.FOO") shouldBe "new"
   }
 
   test("require_sql_rules rejects enabled rules without expression (config.py:182-193)") {

@@ -153,6 +153,27 @@ class ValidatorSpec extends SparkSpec {
     cleaned.agg(max(col("v"))).head().getDouble(0) should be <= 11.0
   }
 
+  test("outlier batch: an out-of-range column fails ITS rule only, siblings keep verdicts") {
+    // v is in range; big holds epoch-micros-scale values (> 1e14) that the
+    // exact decimal route cannot carry — its rule must error while v's
+    // rule still produces a real verdict (per-column isolation on the
+    // fused-moments failure path)
+    val df = (1 to 50).map(i => (i.toLong, 10.0 + (i % 5) * 0.01, 1.7e15 + i))
+      .toDF("id", "v", "big")
+    val rules = Seq(
+      ValidationRule("v_out", RuleType.Outlier, Seq("v"),
+        parameters = Map("max_zscore" -> "3.0")),
+      ValidationRule("big_out", RuleType.Outlier, Seq("big"),
+        parameters = Map("max_zscore" -> "3.0")))
+    val v = new Validator(spark, ValidationConfig())
+    val res = v.executeRules(df, rules, "t").results.map(r => r.rule_name -> r).toMap
+    res("big_out").failed_count shouldBe -1L // error sentinel
+    res("big_out").message should include("1e14")
+    res("v_out").passed shouldBe true
+    res("v_out").failed_count shouldBe 0L
+    res("v_out").total_count shouldBe 50L
+  }
+
   test("partitioned uniqueness + referential verdicts sum to the global counts") {
     val cfg = TranscriptConfig(numConvs = 300L)
     val turns = Transcripts.turns(spark, cfg)

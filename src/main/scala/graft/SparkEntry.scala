@@ -965,6 +965,45 @@ object SparkEntry {
           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 50)
         ORDER BY doc_id""")),
 
+    // ---- curation: training-window chunking (context-window prep / RAG
+    // chunker). maxTokens=64, overlap=8 → stride 56; the oracle replicates
+    // the chunk-count formula and the 1-based inclusive list slices. ------
+    Q("q_chunk_docs",
+      (s, d) => graft.operators.Curation.chunkDocuments(
+        t(s, d, "documents"), "doc_id", "text", maxTokens = 64, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> len(x) > 0) AS t
+          FROM documents WHERE text IS NOT NULL),
+        k AS (SELECT doc_id, t,
+          GREATEST(1, 1 + CAST(floor((CAST(len(t) AS DOUBLE) - 9) / 56) AS BIGINT)) AS nc
+          FROM toks)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          array_to_string(t[(i*56 + 1):(i*56 + 64)], ' ') AS chunk
+        FROM k, UNNEST(range(0, nc)) AS g(i)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ---- text: LM-lite bigram-coverage fluency score (the cheap stand-in
+    // for a KenLM perplexity filter; integer-derived → bit-exact) ----------
+    Q("q_bigram_coverage_docs",
+      (s, d) => TextAnalysis.bigramCoverage(t(s, d, "documents"), "doc_id", "text", minDf = 2)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 1), ' ')) ELSE [array_to_string(w, ' ')] END) AS b FROM toks),
+        shf AS (SELECT doc_id, b FROM sh WHERE b <> ''),
+        common AS (SELECT b FROM shf GROUP BY b HAVING count(*) >= 2),
+        cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common FROM shf WHERE b IN (SELECT b FROM common) GROUP BY doc_id),
+        nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM shf GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(nb.n_bigrams, 0) AS n_bigrams,
+          COALESCE(cov.n_common, 0) AS n_common,
+          CASE WHEN COALESCE(nb.n_bigrams, 0) > 0
+               THEN CAST(COALESCE(cov.n_common, 0) AS DOUBLE) / CAST(nb.n_bigrams AS DOUBLE)
+               ELSE 0.0 END AS coverage
+        FROM documents d
+        LEFT JOIN nb ON nb.doc_id = d.doc_id
+        LEFT JOIN cov ON cov.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // ---- curation: token-budget sequence packing. Pack ids are
     // partition-local by design (not SQL-expressible), so the query outputs
     // the INVARIANTS of a correct packing, which ARE oracle-checkable:

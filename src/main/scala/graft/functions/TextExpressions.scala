@@ -99,6 +99,52 @@ case class ShinglesExpr(child: Expression, n: Int, charGrams: Boolean)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** array<string> of training-window chunks: the text's whitespace tokens
+  * (split on space/tab/CR/LF — the Java∩RE2-safe class, NOT \s, so the
+  * DuckDB oracle tokenizes identically) re-joined with single spaces into
+  * windows of at most `maxTokens` tokens, consecutive windows sharing
+  * `overlap` tokens. Window starts are multiples of stride = maxTokens −
+  * overlap; a final window that would be pure overlap (entirely contained
+  * in its predecessor) is not emitted. Inter-token whitespace is
+  * NORMALIZED to one space by construction — chunking is a tokenizer-side
+  * operation, not a byte-preserving one (documented contract, mirrored by
+  * the oracle). Empty/whitespace-only text yields one empty chunk. */
+case class ChunksExpr(child: Expression, maxTokens: Int, overlap: Int)
+    extends StringUnaryExpression {
+  require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+    s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def ofString(s: String): Any = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val nt = toks.length
+    val stride = maxTokens - overlap
+    val k = math.max(1L, 1L + math.floorDiv(nt.toLong - overlap - 1, stride)).toInt
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val from = c * stride
+      val until = math.min(from + maxTokens, nt)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) { if (j > from) sb.append(' '); sb.append(toks(j)); j += 1 }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature from a shingle array (array<string> → array<long>):
   * k minimums over shingle hashes, via the standard two-hash scheme
   * h_i(x) = h1(x) + i·h2(x) (Broder-style affine combinations) — 2 string

@@ -30,6 +30,10 @@ package object functions {
   /** 64-bit SimHash of a text column. */
   def simhash64(text: Column): Column = toColumn(SimHash64Expr(toExpr(text)))
 
+  /** Training-window chunks of a text column (array<string>). */
+  def chunk_texts(text: Column, maxTokens: Int, overlap: Int = 0): Column =
+    toColumn(ChunksExpr(toExpr(text), maxTokens, overlap))
+
   /** Bottom-k rolling fingerprint (sorted array<long>). */
   def rolling_fingerprint(text: Column, shingleSize: Int, k: Int): Column =
     toColumn(RollingFingerprintExpr(toExpr(text), shingleSize, k))

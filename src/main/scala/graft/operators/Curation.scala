@@ -163,6 +163,22 @@ object Curation {
     corpus.join(contaminatedIds(corpus, idCol, textCol, testSet, testTextCol, n),
       Seq(idCol), "left_anti")
 
+  /** Split documents into training-window chunks of at most `maxTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens — the
+    * standard context-window preparation step (and the RAG/embedding
+    * chunker). One row out per (doc, chunk) with a deterministic
+    * `chunk_idx`; inter-token whitespace normalizes to single spaces
+    * (tokenizer-side contract, see [[graft.functions.ChunksExpr]]).
+    * Pure per-row native expression + posexplode: embarrassingly parallel,
+    * no shuffle, codegen-friendly surroundings — linear at any corpus
+    * size. Rows with NULL text drop out (no tokens, nothing to train on). */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame =
+    df.select(col(idCol),
+      posexplode(graft.functions.chunk_texts(col(textCol), maxTokens, overlap))
+        .as(Seq("chunk_idx", "chunk")))
+
   /** Pack documents into token-budget groups (sequence packing for
     * training): first-fit-decreasing within each partition. One row out
     * per row in, with a globally unique `pack_id`; a later

@@ -233,6 +233,49 @@ object TextAnalysis {
       .drop("__hot")
   }
 
+  /** LM-lite fluency signal: per-document fraction of its DISTINCT word
+    * bigrams that occur in at least `minDf` documents of the corpus —
+    * natural-language text re-uses common word transitions, gibberish and
+    * word-soup do not (the cheap stand-in for the KenLM-perplexity filter
+    * in C4/CCNet-style pipelines, with integer-derived arithmetic so the
+    * score is oracle-reproducible bit-for-bit).
+    *
+    * Plan shape: shingle once (distinct bigrams per doc — df semantics),
+    * one map-side-combined groupBy finds the common set, one semi-join of
+    * the exploded bigrams against it, one count per doc. Two shuffles of
+    * the bigram mass and one of ids — linear in corpus size; the common
+    * set is itself a distributed table (never collected/broadcast: unlike
+    * a boilerplate hot set it is NOT small by construction).
+    * Output: (idCol, n_bigrams, n_common, coverage) where coverage =
+    * n_common / n_bigrams (0.0 when the doc has no bigrams). */
+  def bigramCoverage(
+      df: DataFrame, idCol: String, textCol: String, minDf: Long = 2L,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
+    val docs = scope.cache(df
+      .select(col(idCol), Dedup.wordShingles(col(textCol), 2).as("__bi")))
+    val exploded = docs
+      .select(col(idCol), explode(col("__bi")).as("__b"))
+      .filter(col("__b") =!= "")
+    val common = exploded
+      .groupBy("__b").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__b")
+    val covered = exploded
+      .join(common, Seq("__b"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    docs
+      .select(col(idCol),
+        // coalesce: a NULL text shingles to NULL → 0 real bigrams
+        coalesce(size(array_remove(col("__bi"), "")), lit(0))
+          .cast("long").as("n_bigrams"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col(idCol), col("n_bigrams"), col("n_common"),
+        when(col("n_bigrams") > 0,
+          col("n_common").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(0.0).as("coverage"))
+  }
+
   /** Convenience: attach the full text-analysis column family. The counter
     * struct is projected ONCE (its alias is non-cheap, so CollapseProject
     * will not inline it into each consumer) — one text scan feeds

@@ -122,6 +122,36 @@ class CurationSpec extends SparkSpec {
     Curation.tokenBudgetSample(mixed, "doc_id", "n_chars", 0L).count() shouldBe 0
   }
 
+  test("chunkDocuments: windows, overlap, edge shapes") {
+    import spark.implicits._
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, Option(text10)),           // 10 tokens
+      (2L, Option("a  b\t c\nd")),    // messy whitespace → 4 tokens
+      (3L, Option("")),               // empty → one empty chunk
+      (4L, Option.empty[String]))     // null → dropped
+      .toDF("doc_id", "text")
+    // maxTokens=8, overlap=4 → stride 4: chunks [w1..w8], [w5..w10]; a
+    // third window starting at 8 would be pure overlap — not emitted
+    val out = Curation.chunkDocuments(df, "doc_id", "text", maxTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    out.filter(_._1 == 1L).map(_._3) shouldBe Array(
+      (1 to 8).map(i => s"w$i").mkString(" "),
+      (5 to 10).map(i => s"w$i").mkString(" "))
+    out.filter(_._1 == 2L).map(_._3) shouldBe Array("a b c d") // normalized
+    out.filter(_._1 == 3L).map(_._3) shouldBe Array("")
+    out.map(_._1) should not contain 4L
+    // overlap coverage invariant: concatenating chunks with the overlap
+    // removed reconstructs the token stream
+    val chunks1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" ").toSeq)
+    (chunks1.head ++ chunks1.tail.flatMap(_.drop(4))) shouldBe
+      (1 to 10).map(i => s"w$i")
+    // no-overlap chunking partitions exactly
+    Curation.chunkDocuments(df.filter($"doc_id" === 1L), "doc_id", "text", 4)
+      .collect().map(_.getString(2)).flatMap(_.split(" ")) shouldBe
+      (1 to 10).map(i => s"w$i")
+  }
+
   test("permille sample hits the requested rate") {
     val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
     n.toDouble shouldBe 100.0 +- 35 // 20% of 500

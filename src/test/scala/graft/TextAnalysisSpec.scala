@@ -231,6 +231,28 @@ class TextAnalysisSpec extends SparkSpec {
     plan should include("BroadcastNestedLoopJoin")
   }
 
+  test("bigramCoverage separates fluent repetition from word-soup") {
+    import spark.implicits._
+    // docs 1-3 share the same sentence (all bigrams common at minDf=2);
+    // doc 4 is unique word-soup (no bigram repeats anywhere); doc 5 empty
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, Option(common)), (2L, Option(common)), (3L, Option(common + " again")),
+      (4L, Option("zulu xray yankee victor whiskey uniform tango")),
+      (5L, Option("")), (6L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCoverage(df, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(1L)._3 shouldBe 1.0 // every bigram shared with docs 2,3
+    out(2L)._3 shouldBe 1.0
+    out(3L)._3 should be < 1.0 // "dog again" is unique
+    out(3L)._3 should be > 0.8
+    out(4L) shouldBe ((6L, 0L, 0.0)) // word-soup: no common transitions
+    out(5L)._1 shouldBe 0L // empty text → no bigrams, coverage 0
+    out(5L)._3 shouldBe 0.0
+    out(6L) shouldBe ((0L, 0L, 0.0)) // null text kept, zeroed
+  }
+
   test("stripBoilerplateLines raises the hot-set guard on a pathological corpus") {
     // minDocs=1 makes EVERY distinct line hot — with a tiny cap the guard
     // must raise (instead of silently building an unbounded broadcast row)

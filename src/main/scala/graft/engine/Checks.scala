@@ -256,6 +256,18 @@ object Checks {
     d
   }
 
+  /** Cramér's V from the two-histogram contingency: √(χ²/grand) for a
+    * 2×k table (min(r−1, c−1) = 1). An effect size in [0,1] like TVD, but
+    * it DILUTES when one sample dwarfs the other (χ² saturates at the
+    * smaller total while grand is the larger) — provided as the familiar
+    * statistic for users who ask for it by name; `method: tvd` remains the
+    * recommended size-invariant choice (see [[totalVariationDistance]]). */
+  def cramersV(a: Map[String, Long], b: Map[String, Long]): Double = {
+    val grand = (a.values.sum + b.values.sum).toDouble
+    if (grand == 0) 0.0
+    else math.sqrt(chiSquareStat(a, b)._1 / grand)
+  }
+
   /** Total variation distance between the normalized distributions of two
     * collected histograms: ½·Σ_b |p_a(b) − p_b(b)| ∈ [0,1]. A pure effect
     * size — invariant to BOTH sample sizes (unlike chi-square, which scales

@@ -371,6 +371,11 @@ class Validator(
               // (e.g. 0.2), identical at any sample size.
               case "tvd" =>
                 (Checks.totalVariationDistance(ha, hb), Map.empty[String, String])
+              // alias-grade: the familiar effect size, for configs that ask
+              // for it by name — but V dilutes under unbalanced totals, so
+              // tvd stays the recommended partition-sensitive method
+              case "cramers_v" =>
+                (Checks.cramersV(ha, hb), Map.empty[String, String])
               case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
               case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }

@@ -121,6 +121,24 @@ class ChecksSpec extends SparkSpec {
     std shouldBe math.sqrt((s2 - s * s / n) / (n - 1))
   }
 
+  test("cramersV: hand value, bounds, and the dilution TVD avoids") {
+    // the chi-square hand case above: chi2 = 16.667, grand = 100 → V = 0.408
+    val a = Map("x" -> 30L, "y" -> 10L)
+    val b = Map("x" -> 20L, "y" -> 40L)
+    Checks.cramersV(a, b) shouldBe math.sqrt(16.666666666666668 / 100.0) +- 1e-9
+    Checks.cramersV(a, a) shouldBe 0.0 +- 1e-12
+    Checks.cramersV(Map.empty, Map.empty) shouldBe 0.0
+    // identical DRIFT, bigger baseline: V shrinks (dilution) while TVD holds
+    val drifted = Map("x" -> 10L, "y" -> 30L)
+    val base = Map("x" -> 30L, "y" -> 10L)
+    val base100x = base.map { case (k, v) => k -> v * 100 }
+    val vSmall = Checks.cramersV(drifted, base)
+    val vBig = Checks.cramersV(drifted, base100x)
+    vBig should be < vSmall * 0.75
+    Checks.totalVariationDistance(drifted, base100x) shouldBe
+      Checks.totalVariationDistance(drifted, base) +- 1e-12
+  }
+
   test("momentsExact raises on values outside the exact decimal range instead of silently skewing") {
     // 1e15 doesn't fit DECIMAL(18,4): without the guard its cast would drop
     // it from the sums while count(col) still counted it — mean/std of a

@@ -150,6 +150,9 @@ class CurationSpec extends SparkSpec {
     Curation.chunkDocuments(df.filter($"doc_id" === 1L), "doc_id", "text", 4)
       .collect().map(_.getString(2)).flatMap(_.split(" ")) shouldBe
       (1 to 10).map(i => s"w$i")
+    // pure per-row pipeline: no exchange anywhere in the plan
+    Curation.chunkDocuments(df, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
   test("permille sample hits the requested rate") {

@@ -49,6 +49,61 @@ object ConfigLoader {
       mergePath(acc, k.split("__").toList, v)
     }
 
+  /** Config → YAML, the loader's inverse (reference `save_to_yaml`,
+    * `config.py:144-151`): `fromYamlString(toYamlString(c)) == c`
+    * (round-trip asserted in ConfigSpec). */
+  def toYamlString(config: ValidationConfig): String = {
+    val root = new java.util.LinkedHashMap[String, Any]()
+    val eng = new java.util.LinkedHashMap[String, Any]()
+    eng.put("type", config.engine.engineType)
+    if (config.engine.connectionParams.nonEmpty)
+      eng.put("connection_params", toJavaMap(config.engine.connectionParams))
+    if (config.engine.options.nonEmpty)
+      eng.put("options", toJavaMap(config.engine.options))
+    root.put("engine", eng)
+    if (config.globalRules.nonEmpty)
+      root.put("global_rules", toJavaList(config.globalRules.map(ruleToMap)))
+    root.put("tables", toJavaList(config.tables.map { t =>
+      val m = new java.util.LinkedHashMap[String, Any]()
+      m.put("name", t.name)
+      m.put("rules", toJavaList(t.rules.map(ruleToMap)))
+      t.source.foreach(m.put("source", _))
+      if (t.filterMode) m.put("filter_mode", java.lang.Boolean.TRUE)
+      m
+    }))
+    if (config.requireSqlRules) root.put("require_sql_rules", java.lang.Boolean.TRUE)
+    config.stateFile.foreach(root.put("state_file", _))
+    new Yaml().dump(root)
+  }
+
+  def saveYamlFile(config: ValidationConfig, path: String): Unit =
+    Files.writeString(Paths.get(path), toYamlString(config))
+
+  private def ruleToMap(r: ValidationRule): java.util.Map[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    m.put("name", r.name)
+    m.put("rule_type", r.ruleType)
+    if (r.columns.nonEmpty) m.put("columns", toJavaList(r.columns))
+    r.expression.foreach(m.put("expression", _))
+    r.threshold.foreach(t => m.put("threshold", java.lang.Double.valueOf(t)))
+    m.put("severity", r.severity)
+    if (!r.enabled) m.put("enabled", java.lang.Boolean.FALSE)
+    if (r.parameters.nonEmpty) m.put("parameters", toJavaMap(r.parameters))
+    m
+  }
+
+  private def toJavaMap(m: Map[String, String]): java.util.Map[String, Any] = {
+    val out = new java.util.LinkedHashMap[String, Any]()
+    m.foreach { case (k, v) => out.put(k, v) }
+    out
+  }
+
+  private def toJavaList(s: Seq[Any]): java.util.List[Any] = {
+    val out = new java.util.ArrayList[Any]()
+    s.foreach(out.add)
+    out
+  }
+
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
     case l: java.util.List[_]   => l.asScala.map(toScala).toList

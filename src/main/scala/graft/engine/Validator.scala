@@ -17,8 +17,17 @@ class Validator(
     /** resolver for referential rules: table name → DataFrame */
     tableResolver: String => Option[DataFrame] = _ => None,
     checkpoint: Option[Checkpoint] = None
-) {
+) extends AutoCloseable {
   config.validateSqlRules()
+
+  /** Release validator-held resources (reference context-manager exit,
+    * `validator.py:303-310`, which disconnects the engine IT owns). This
+    * validator borrows the caller's SparkSession — never stopped here —
+    * and custom-rule temp views are already dropped per rule, so close()
+    * is a no-op today; it exists so `scala.util.Using(new Validator(...))`
+    * mirrors the reference's `with DataValidator(...)` and so resource
+    * acquisition can grow without an API break. */
+  override def close(): Unit = ()
 
   private val viewCounter = new AtomicLong(0)
 

@@ -74,7 +74,17 @@ final case class EngineConfig(
     engineType: String = "spark",
     connectionParams: Map[String, String] = Map.empty,
     options: Map[String, String] = Map.empty
-)
+) {
+  // reference `config.py:85-90` (validate_engine_type) — an unknown engine
+  // name is a config error, not a pass-through; "spark" is this library's
+  // native engine name alongside the reference's four
+  require(EngineConfig.AllowedEngines.contains(engineType),
+    s"Engine type must be one of ${EngineConfig.AllowedEngines.mkString("{", ", ", "}")}, got '$engineType'")
+}
+
+object EngineConfig {
+  val AllowedEngines: Set[String] = Set("spark", "pyspark", "databricks", "duckdb", "polars")
+}
 
 /** Whole-config (reference `ValidationConfig`, `config.py:113-193`). */
 final case class ValidationConfig(
@@ -84,11 +94,15 @@ final case class ValidationConfig(
     requireSqlRules: Boolean = false,
     stateFile: Option[String] = None
 ) {
+  /** Table config by name (reference `get_table_config`, `config.py:154-159`). */
+  def tableConfig(tableName: String): Option[TableConfig] =
+    tables.find(_.name == tableName)
+
   /** Global rules first, then table rules, enabled only — ordering is
     * observable in the results list (reference `config.py:161-180`,
     * asserted in `tests/test_config.py:238-241`). */
   def enabledRules(tableName: String): Seq[ValidationRule] = {
-    val tableRules = tables.find(_.name == tableName).map(_.rules).getOrElse(Nil)
+    val tableRules = tableConfig(tableName).map(_.rules).getOrElse(Nil)
     (globalRules ++ tableRules).filter(_.enabled)
   }
   /** `require_sql_rules` check (reference `config.py:182-193`). */

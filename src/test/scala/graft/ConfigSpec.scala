@@ -77,6 +77,39 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     c2.engine.options("spark.executorEnv.FOO") shouldBe "new"
   }
 
+  test("invalid engine type rejected (config.py:85-90)") {
+    val e = intercept[IllegalArgumentException](EngineConfig(engineType = "invalid_engine"))
+    e.getMessage should include("Engine type must be one of")
+    // the reference's engine names plus this library's native one all pass
+    Seq("spark", "pyspark", "databricks", "duckdb", "polars")
+      .foreach(t => EngineConfig(engineType = t).engineType shouldBe t)
+  }
+
+  test("tableConfig accessor finds tables by name (config.py:154-159)") {
+    val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
+    c.tableConfig("customers").map(_.rules.size) shouldBe Some(3)
+    c.tableConfig("missing") shouldBe None
+  }
+
+  test("config round-trips through YAML (save_to_yaml, config.py:144-151)") {
+    val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
+      .copy(stateFile = Some("/tmp/state.json"), requireSqlRules = false)
+    val dumped = ConfigLoader.toYamlString(c)
+    ConfigLoader.fromYamlString(dumped, env = Map.empty) shouldBe c
+    // and a config with the full field surface survives too
+    val full = ValidationConfig(
+      engine = EngineConfig("duckdb", Map("path" -> ":memory:"), Map("threads" -> "4")),
+      tables = Seq(TableConfig("t", Seq(
+        ValidationRule("r1", RuleType.Range, Seq("v"),
+          parameters = Map("min" -> "0", "max" -> "10"), threshold = Some(0.9)),
+        ValidationRule("r2", RuleType.Custom, Nil,
+          expression = Some("SELECT 1"), enabled = false)),
+        source = Some("parquet:/tmp/x"), filterMode = true)),
+      globalRules = Seq(ValidationRule("g", RuleType.Completeness, Seq("id"))),
+      requireSqlRules = false, stateFile = None)
+    ConfigLoader.fromYamlString(ConfigLoader.toYamlString(full), env = Map.empty) shouldBe full
+  }
+
   test("require_sql_rules rejects enabled rules without expression (config.py:182-193)") {
     val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
       .copy(requireSqlRules = true)

@@ -96,10 +96,16 @@ object SparkEntry {
     * (rows only in `found`, rows in both, total rows in `ref`) — ONE
     * full-outer-join aggregate job, so each upstream pipeline executes
     * exactly once (the exceptAll/intersect/count formulation re-executed
-    * both pipelines per action — measured 2× the whole query's cost). */
+    * both pipelines per action — measured 2× the whole query's cost).
+    * Rows with a NULL in any key column are EXCLUDED from both sides:
+    * SQL join equality never matches NULLs, so such a row present in both
+    * sets would double-count as found-only AND ref-only — a false
+    * certification failure (all current callers emit non-null keys; the
+    * filter makes the contract explicit rather than data-dependent). */
   private def setStats(found: DataFrame, ref: DataFrame, keys: Seq[String]): (Long, Long, Long) = {
-    val f = found.select(keys.map(col): _*).withColumn("__f", lit(1))
-    val r = ref.select(keys.map(col): _*).withColumn("__r", lit(1))
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val f = found.select(keys.map(col): _*).filter(nonNull).withColumn("__f", lit(1))
+    val r = ref.select(keys.map(col): _*).filter(nonNull).withColumn("__r", lit(1))
     val row = f.join(r, keys, "full_outer")
       .agg(
         sum(when(col("__f").isNotNull && col("__r").isNull, 1L).otherwise(0L)),

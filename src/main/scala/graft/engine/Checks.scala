@@ -263,9 +263,17 @@ object Checks {
     * statistic for users who ask for it by name; `method: tvd` remains the
     * recommended size-invariant choice (see [[totalVariationDistance]]). */
   def cramersV(a: Map[String, Long], b: Map[String, Long]): Double = {
-    val grand = (a.values.sum + b.values.sum).toDouble
-    if (grand == 0) 0.0
-    else math.sqrt(chiSquareStat(a, b)._1 / grand)
+    val totA = a.values.sum
+    val totB = b.values.sum
+    // empty-input convention matches [[totalVariationDistance]]: no data on
+    // either side → no drift; ONE empty side → total divergence (1.0).
+    // Without this, χ² against an empty side degenerates to 0 and an
+    // empty-baseline misconfiguration would silently PASS a cramers_v gate
+    // that tvd fails and ks raises on — switching methods must never
+    // disable the empty-baseline protection.
+    if (totA == 0 && totB == 0) 0.0
+    else if (totA == 0 || totB == 0) 1.0
+    else math.sqrt(chiSquareStat(a, b)._1 / (totA + totB).toDouble)
   }
 
   /** Total variation distance between the normalized distributions of two
@@ -297,27 +305,28 @@ object Checks {
     val b = histB.select(col("bucket"), col("cnt").cast("double").as("cnt_b"))
     val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0.0, Seq("cnt_a", "cnt_b"))
     val totals = j.agg(sum("cnt_a"), sum("cnt_b")).head()
-    // empty inputs mirror [[totalVariationDistance]]'s documented edges
-    // instead of NaN rows / an NPE on the null sums: both empty → empty
-    // table (statistic 0.0); one empty → the present side's distribution
-    // with abs_diff doubled, so Σ abs_diff / 2 = 1.0 ("all mass moved" —
-    // an empty side is the zero measure, and the total variation against
-    // it is conventionally total).
+    // Empty inputs produce well-formed rows instead of NaN / an NPE on the
+    // null sums. Every row keeps the invariant abs_diff = |p_a − p_b| (an
+    // empty side is the zero measure: its p column is 0.0 everywhere).
+    // Both empty → empty table, matching the scalar's 0.0. ONE empty side:
+    // the per-bucket formula sums to Σ abs_diff / 2 = 0.5, while
+    // [[totalVariationDistance]] reports the CONVENTIONAL 1.0 for
+    // empty-vs-non-empty — the scalar layers the "no baseline = total
+    // divergence" protection on top of the formula; this table stays the
+    // formula's per-bucket face (rows must never contradict their own
+    // columns, and abs_diff > 1 is impossible for a probability
+    // difference).
     val totA = if (totals.isNullAt(0)) 0.0 else totals.getDouble(0)
     val totB = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
     if (totA == 0.0 && totB == 0.0)
       j.select(col("bucket"), lit(0.0).as("p_a"), lit(0.0).as("p_b"),
         lit(0.0).as("abs_diff")) // j is empty: schema-only
-    else if (totA == 0.0 || totB == 0.0) {
+    else {
       val pA = if (totA > 0) col("cnt_a") / lit(totA) else lit(0.0)
       val pB = if (totB > 0) col("cnt_b") / lit(totB) else lit(0.0)
       j.select(col("bucket"), pA.as("p_a"), pB.as("p_b"),
-        (abs(pA - pB) * lit(2.0)).as("abs_diff"))
-    } else
-      j.select(col("bucket"),
-        (col("cnt_a") / lit(totA)).as("p_a"),
-        (col("cnt_b") / lit(totB)).as("p_b"),
-        abs(col("cnt_a") / lit(totA) - col("cnt_b") / lit(totB)).as("abs_diff"))
+        abs(pA - pB).as("abs_diff"))
+    }
   }
 
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.

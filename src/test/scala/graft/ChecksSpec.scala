@@ -137,6 +137,10 @@ class ChecksSpec extends SparkSpec {
     vBig should be < vSmall * 0.75
     Checks.totalVariationDistance(drifted, base100x) shouldBe
       Checks.totalVariationDistance(drifted, base) +- 1e-12
+    // empty-side convention matches tvd: a missing baseline is TOTAL
+    // divergence, never a silent pass (χ² alone would degenerate to 0)
+    Checks.cramersV(Map.empty, Map("x" -> 5L)) shouldBe 1.0
+    Checks.cramersV(Map("x" -> 5L), Map.empty) shouldBe 1.0
   }
 
   test("momentsExact raises on values outside the exact decimal range instead of silently skewing") {
@@ -152,21 +156,23 @@ class ChecksSpec extends SparkSpec {
     Checks.momentsExact(Seq(1.0, 2.0).toDF("v"), Seq("v"))("v")._1 shouldBe 2L
   }
 
-  test("tvdContributions mirrors the scalar's empty-input edge semantics") {
+  test("tvdContributions empty-input edges: well-formed, row-consistent rows") {
     val empty = Seq.empty[(String, Long)].toDF("bucket", "cnt")
     val some = Seq(("x", 30L), ("y", 10L)).toDF("bucket", "cnt")
     // both empty → empty table (statistic 0.0, like totalVariationDistance)
     Checks.tvdContributions(empty, empty).count() shouldBe 0
     Checks.totalVariationDistance(Map.empty, Map.empty) shouldBe 0.0
-    // one empty → Σ abs_diff / 2 = 1.0 ("all mass moved"), no NaN/null rows
+    // one empty: every row keeps abs_diff = |p_a - p_b| (no NaN, nothing
+    // above 1); the per-bucket formula sums to 0.5 while the SCALAR layers
+    // the conventional 1.0 on top (empty baseline = total divergence)
     val rows = Checks.tvdContributions(empty, some).collect()
-    rows.map(_.getDouble(3)).sum / 2.0 shouldBe 1.0 +- 1e-12
     rows.foreach { r =>
       r.getDouble(1).isNaN shouldBe false
       r.getDouble(2).isNaN shouldBe false
+      r.getDouble(3) shouldBe math.abs(r.getDouble(1) - r.getDouble(2)) +- 1e-15
+      r.getDouble(3) should be <= 1.0
     }
-    Checks.tvdContributions(some, empty).collect()
-      .map(_.getDouble(3)).sum / 2.0 shouldBe 1.0 +- 1e-12
+    rows.map(_.getDouble(3)).sum / 2.0 shouldBe 0.5 +- 1e-12
     Checks.totalVariationDistance(Map.empty, Map("x" -> 30L)) shouldBe 1.0
   }
 

@@ -299,6 +299,37 @@ object Dedup {
     (spark.table(s"graft_sig_bands_$suffix"), spark.table(s"graft_sig_docs_$suffix"))
   }
 
+  /** Absorb a new batch into an existing on-disk signature index — the
+    * second half of the ingest loop ([[minHashLshPairsAgainstStoredIndex]]
+    * detects the batch's near-dups, this makes the batch visible to every
+    * FUTURE batch). Appends to the same bucketed tables, repartitioned on
+    * the bucket keys first so each append lands one file per bucket (no
+    * small-file explosion across ingests). Signature parameters must match
+    * the ones the index was built with; ids must stay unique across
+    * batches (both are the caller's snapshot contract). */
+  def appendToSignatureIndex(
+      newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      charGrams: Boolean = false): Unit = {
+    val spark = newDocs.sparkSession
+    openSignatureIndex(spark, dir) // declare the tables if this session hasn't
+    val buckets = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/buckets")).trim.toInt
+    val suffix = suffixOf(dir)
+    val fresh = buildSignatureIndex(newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, charGrams)
+    fresh.select(explode(col("bands")).as("band_hash"), col("id"))
+      .repartition(buckets, col("band_hash"))
+      .write.mode("append").bucketBy(buckets, "band_hash")
+      .option("path", s"$dir/bands")
+      .saveAsTable(s"graft_sig_bands_$suffix")
+    fresh.select(col("id"), col("shingles"))
+      .repartition(buckets, col("id"))
+      .write.mode("append").bucketBy(buckets, "id")
+      .option("path", s"$dir/docs")
+      .saveAsTable(s"graft_sig_docs_$suffix")
+  }
+
   /** Stable name suffix for per-directory/per-input artifacts (catalog
     * tables, temp dirs): two must not collide within a session, and the
     * name must be deterministic across runs (String.hashCode is

@@ -109,6 +109,18 @@ class DedupSpec extends SparkSpec {
     stored.collect()
     val plan = stored.queryExecution.executedPlan.toString
     plan should not include "Exchange hashpartitioning(band_hash"
+    // ingest-loop second half: absorb batch 1 into the index, then a LATER
+    // batch near-dupping an ABSORBED doc (101) must find it via the index
+    Dedup.appendToSignatureIndex(newDocs, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val later = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val hits2 = Dedup.minHashLshPairsAgainstStoredIndex(later, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits2.map(_._2) should contain(101L) // the appended doc is now indexed
+    hits2.map(_._2) should contain(1L)   // the original corpus still is
   }
 
   test("connected components merge transitive near-dup chains; singletons keep themselves") {

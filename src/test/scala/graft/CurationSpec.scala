@@ -155,6 +155,38 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("ChunksExpr property grid: bounds, stride, reconstruction at every shape") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    for (max <- 1 to 10; ov <- 0 until max; n <- 0 to 40) {
+      val toks = (1 to n).map(i => s"t$i")
+      val text = toks.mkString(" ")
+      val out = graft.functions.ChunksExpr(Literal.create(text, StringType), max, ov)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString)
+      val clue = s"max=$max ov=$ov n=$n"
+      withClue(clue) {
+        if (n == 0) out.toSeq shouldBe Seq("")
+        else {
+          val chunks = out.map(_.split(" ").toSeq)
+          // every chunk within the window bound, none empty
+          chunks.foreach(_.length should be <= max)
+          chunks.foreach(_.length should be > 0)
+          // stride contract: chunk k starts at token k*(max-ov)
+          chunks.zipWithIndex.foreach { case (c, k) =>
+            c.head shouldBe toks(k * (max - ov))
+          }
+          // reconstruction: overlap removed, the token stream comes back
+          (chunks.head ++ chunks.tail.flatMap(_.drop(ov))) shouldBe toks
+          // no pure-overlap tail: a non-first chunk carries new tokens
+          chunks.tail.foreach(_.length should be > ov)
+        }
+      }
+    }
+  }
+
   test("permille sample hits the requested rate") {
     val n = Curation.hashSamplePermille(docs, "doc_id", 200).count()
     n.toDouble shouldBe 100.0 +- 35 // 20% of 500

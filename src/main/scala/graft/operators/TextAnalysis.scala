@@ -260,8 +260,11 @@ object TextAnalysis {
       .groupBy("__b").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
       .select("__b")
+    // shuffle-hash on the build side: a semi join never needs sorted
+    // inputs, and sort-merge would SORT the exploded corpus bigram mass —
+    // the most expensive possible thing to do with it
     val covered = exploded
-      .join(common, Seq("__b"), "left_semi")
+      .join(common.hint("shuffle_hash"), Seq("__b"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
     docs
       .select(col(idCol),

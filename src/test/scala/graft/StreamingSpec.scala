@@ -82,4 +82,31 @@ class StreamingSpec extends SparkSpec {
     r.failed_count shouldBe 1 // "b" is an orphan — NOT an unknown-ref_table error
     r.total_count shouldBe 3
   }
+
+  test("curation/text expressions run unchanged inside Structured Streaming") {
+    // the native expressions are deterministic per-row → streaming-safe;
+    // a live ingest can chunk + enrich before it ever lands at rest
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val enriched = stream.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.functions.chunk_texts(col("text"), 4, 1)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("token_count", graft.operators.TextAnalysis.tokenCount(col("chunk")))
+      .withColumn("lang", graft.operators.TextAnalysis.langId(col("chunk")))
+    val query = enriched.writeStream
+      .format("memory").queryName("stream_chunks").outputMode("append").start()
+
+    stream.addData((1L, "the cat and the dog sat with the fox"), (2L, "uno"))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("stream_chunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: 9 tokens, max 4 overlap 1 → stride 3 → chunks at 0,3,6
+    rows.filter(_._1 == 1L).map(_._2).sorted shouldBe Array(0, 1, 2)
+    rows.filter(_._1 == 1L).foreach(_._4 should be <= 4)
+    rows.filter(_._1 == 2L) shouldBe Array((2L, 0, "uno", 1))
+  }
 }

@@ -971,6 +971,39 @@ object SparkEntry {
           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 50)
         ORDER BY doc_id""")),
 
+    // ---- curation: deterministic weighted training mix (3:1 over the
+    // even/odd doc split by token mass; budgets derive from the binding
+    // corpus, slices are exact token-budget prefixes — oracle replicates
+    // the double arithmetic in the same order) --------------------------
+    Q("q_weighted_mix_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val odd = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        graft.operators.Curation.weightedTokenMix(
+          Seq(("even", even, 3.0), ("odd", odd, 1.0)), "doc_id", "n_chars")
+          .select("source", "doc_id", "n_chars")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (SELECT
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS DOUBLE) AS t0,
+          CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END) AS DOUBLE) AS t1
+          FROM documents),
+        m AS (SELECT LEAST(t0 / 0.75, t1 / 0.25) AS mx FROM t),
+        b AS (SELECT CAST(floor(mx * 0.75) AS BIGINT) AS b0, CAST(floor(mx * 0.25) AS BIGINT) AS b1 FROM m),
+        c0 AS (SELECT doc_id, n_chars,
+            SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents WHERE doc_id % 2 = 0),
+        c1 AS (SELECT doc_id, n_chars,
+            SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM documents WHERE doc_id % 2 <> 0)
+        SELECT 'even' AS source, doc_id, n_chars FROM c0, b WHERE cum <= b0
+        UNION ALL
+        SELECT 'odd' AS source, doc_id, n_chars FROM c1, b WHERE cum <= b1
+        ORDER BY source, doc_id""")),
+
     // ---- curation: training-window chunking (context-window prep / RAG
     // chunker). maxTokens=64, overlap=8 → stride 56; the oracle replicates
     // the chunk-count formula and the 1-based inclusive list slices. ------

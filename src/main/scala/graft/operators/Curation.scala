@@ -121,6 +121,42 @@ object Curation {
     }
   }
 
+  /** Deterministic TRAINING MIX: sample each corpus down so its share of
+    * the mixed corpus's token mass matches `weights` (relative), never
+    * upsampling — the "mix web 75% / code 15% / books 10%" sizing step.
+    * The mix is the LARGEST one satisfying the proportions: the binding
+    * corpus (smallest tokens-per-weight) is taken whole(ish) and the rest
+    * are cut to match.
+    *
+    * Each corpus pays ONE aggregate for its token total; the cut itself is
+    * [[tokenBudgetSample]] — an exact hash-order token-budget prefix, so
+    * the selected rows are reproducible at any parallelism/engine and the
+    * achieved budgets are exact (no row-rate approximation of token
+    * share). Output = union of the slices with a `source` tag column.
+    * Every corpus must have a positive token total (a corpus that cannot
+    * contribute its share makes the proportional mix empty — drop it or
+    * fix its weight instead). */
+  def weightedTokenMix(
+      corpora: Seq[(String, DataFrame, Double)],
+      keyCol: String, tokenCol: String): DataFrame = {
+    require(corpora.nonEmpty, "need at least one corpus")
+    require(corpora.forall(_._3 > 0), "weights must be positive")
+    val sumW = corpora.map(_._3).sum
+    val sized = corpora.map { case (name, df, w) =>
+      val row = df.agg(sum(col(tokenCol).cast("long"))).head()
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(total > 0, s"corpus '$name' has no token mass — it cannot contribute its share")
+      (name, df, w / sumW, total)
+    }
+    // the binding corpus determines the mix size M: M·share_i ≤ total_i ∀i
+    val m = sized.map { case (_, _, share, total) => total / share }.min
+    sized.map { case (name, df, share, _) =>
+      val budget = math.floor(m * share).toLong
+      tokenBudgetSample(df, keyCol, tokenCol, budget)
+        .withColumn("source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Finer-grained variant: keep `permille`/1000 of rows by comparing the
     * first 8 md5 hex chars (as a number) against the threshold. */
   def hashSamplePermille(df: DataFrame, keyCol: String, permille: Int): DataFrame = {

@@ -155,6 +155,32 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("weightedTokenMix: proportional token shares, binding corpus kept whole") {
+    import spark.implicits._
+    // A: 10 docs × 100 tokens = 1000; B: 3 docs × 100 = 300. Weights 1:3 →
+    // B binds (300/0.75 = 400 < 1000/0.25) → targets: A 100, B 300.
+    val a = (1L to 10L).map(i => (i, 100L)).toDF("doc_id", "tokens")
+    val b = (101L to 103L).map(i => (i, 100L)).toDF("doc_id", "tokens")
+    val mix = Curation.weightedTokenMix(
+      Seq(("a", a, 1.0), ("b", b, 3.0)), "doc_id", "tokens")
+    val bySource = mix.groupBy("source").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource("b") shouldBe 300L // the binding corpus is taken whole
+    bySource("a") shouldBe 100L // exactly the proportional share (1 doc)
+    // deterministic under repartitioning
+    val again = Curation.weightedTokenMix(
+      Seq(("a", a.repartition(7), 1.0), ("b", b.repartition(5), 3.0)), "doc_id", "tokens")
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    again shouldBe mix.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // a zero-mass corpus is a config error, not a silent empty mix
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Curation.weightedTokenMix(Seq(("a", a, 1.0), ("z", empty, 1.0)), "doc_id", "tokens")
+    }
+    e.getMessage should include("'z'")
+  }
+
   test("ChunksExpr property grid: bounds, stride, reconstruction at every shape") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -512,6 +512,28 @@ object SparkEntry {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- schema drift (contract check): a mutated view of documents vs
+    // the live table — the oracle pins the exact expected diff rows, which
+    // the operator must re-derive from the real schemas -------------------
+    Q("q_schema_drift_docs",
+      (s, d) => {
+        import s.implicits._
+        val reference = t(s, d, "documents")
+        val current = reference
+          .drop("lang")
+          .withColumn("n_chars", col("n_chars").cast("double"))
+          .withColumn("quality", lit(0.5d))
+        Checks.schemaDiff(current.schema, reference.schema)
+          .toDF("col_name", "change", "current_type", "reference_type")
+          .orderBy("col_name", "change")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('lang', 'removed', '', 'string'),
+          ('n_chars', 'type_changed', 'double', 'bigint'),
+          ('quality', 'added', 'double', ''))
+          AS t(col_name, change, current_type, reference_type)
+        ORDER BY col_name, change""")),
+
     // ---- rule-filter composition (data-cleaning mode) --------------------
     Q("q_filter_clean_events",
       (s, d) => RulePlanner.applyFilters(t(s, d, "events"), ruleSuiteForFilters)

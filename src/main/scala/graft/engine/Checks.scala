@@ -425,6 +425,33 @@ object Checks {
         StructField("cdf_b", DoubleType, nullable = false))))
   }
 
+  // --------------------------------------------------------- schema drift
+
+  /** Schema drift vs a reference schema: one row per difference —
+    * (column, change, current type, reference type) with change ∈
+    * {added, removed, type_changed, nullability_changed}; "added" means
+    * present HERE but not in the reference. Name matching is
+    * case-insensitive (Spark's resolution default); output order is
+    * deterministic (by column, then change). Pure metadata — no job. */
+  def schemaDiff(current: StructType, reference: StructType): Seq[(String, String, String, String)] = {
+    val cur = current.fields.map(f => f.name.toLowerCase -> f).toMap
+    val ref = reference.fields.map(f => f.name.toLowerCase -> f).toMap
+    val added = current.fields.filterNot(f => ref.contains(f.name.toLowerCase))
+      .map(f => (f.name, "added", f.dataType.simpleString, ""))
+    val removed = reference.fields.filterNot(f => cur.contains(f.name.toLowerCase))
+      .map(f => (f.name, "removed", "", f.dataType.simpleString))
+    val changed = current.fields.flatMap { f =>
+      ref.get(f.name.toLowerCase).flatMap { r =>
+        if (r.dataType != f.dataType)
+          Some((f.name, "type_changed", f.dataType.simpleString, r.dataType.simpleString))
+        else if (r.nullable != f.nullable)
+          Some((f.name, "nullability_changed", f.nullable.toString, r.nullable.toString))
+        else None
+      }
+    }
+    (added ++ removed ++ changed).sortBy(x => (x._1, x._2)).toSeq
+  }
+
   // ------------------------------------------------------------- outliers
 
   /** Exact first/second moments of numeric columns, one fused agg job for

@@ -585,6 +585,28 @@ class Validator(
           // error surfaces in this rule's failure result
           executeOutlierBatch(df, Seq(rule), cachedTotal)._1(rule.name)
 
+        case RuleType.SchemaDrift =>
+          // schema CONTRACT vs a reference table: failed = number of
+          // differing columns (nullability differences only when
+          // check_nullability=true — parquet nullability is noisy), total =
+          // the union of both column sets, so success_rate is the fraction
+          // of the contract that still holds. Pure metadata — zero Spark
+          // jobs — and the per-column diffs land in the result metadata so
+          // the report names exactly what changed.
+          val refTable = rule.param("ref_table").getOrElse(
+            throw new IllegalArgumentException(s"schema rule '${rule.name}' needs ref_table"))
+          val refDf = tableResolver(refTable).getOrElse(
+            throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+          val checkNullability = rule.param("check_nullability").contains("true")
+          val diffs = Checks.schemaDiff(df.schema, refDf.schema)
+            .filter(d => checkNullability || d._2 != "nullability_changed")
+          val unionCols = (df.schema.fieldNames.map(_.toLowerCase) ++
+            refDf.schema.fieldNames.map(_.toLowerCase)).distinct.length.toLong
+          ValidationResult.verdict(rule, diffs.size.toLong, unionCols, ms,
+            if (diffs.isEmpty) Map("ref_table" -> refTable)
+            else Map("ref_table" -> refTable,
+              "diffs" -> diffs.map(d => s"${d._1}:${d._2}").mkString(";")))
+
         case other =>
           throw new IllegalArgumentException(s"Unsupported rule type: $other")
       }

@@ -30,6 +30,7 @@ object RuleType {
   val TypeConformance = "type_conformance" // values castable to an expected type
   val drift = "drift" // distribution drift (chi-square / KS) vs a baseline
   val Outlier = "outlier" // |x − mean| > k·std (exact-decimal moments)
+  val SchemaDrift = "schema" // schema contract vs a reference table (added/removed/retyped columns)
 }
 
 /** One validation rule.

@@ -153,6 +153,42 @@ class ValidatorSpec extends SparkSpec {
     cleaned.agg(max(col("v"))).head().getDouble(0) should be <= 11.0
   }
 
+  test("schema rule: contract diffs vs a reference table, nullability opt-in") {
+    val reference = Seq((1L, "a", 10)).toDF("id", "name", "n")
+    val current = Seq((1L, 0.5, true)).toDF("id", "n", "extra") // name dropped, n retyped, extra added
+    val rule = ValidationRule("contract", RuleType.SchemaDrift, Nil,
+      parameters = Map("ref_table" -> "snapshot"), threshold = Some(0.9))
+    val v = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(reference) else None)
+    val res = v.executeRules(current, Seq(rule), "t").results.head
+    res.failed_count shouldBe 3 // removed name, retyped n, added extra
+    res.total_count shouldBe 4  // union of column sets: id, name, n, extra
+    res.passed shouldBe false   // 1/4 < 0.9
+    res.metadata("diffs") should (include("name:removed") and
+      include("n:type_changed") and include("extra:added"))
+    // identical schemas pass clean
+    val same = v.executeRules(reference, Seq(rule), "t").results.head
+    same.passed shouldBe true
+    same.failed_count shouldBe 0
+    // nullability differences ignored unless opted in
+    import org.apache.spark.sql.types._
+    val relaxed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),
+      StructType(Seq(StructField("id", LongType, nullable = true),
+        StructField("name", StringType, nullable = true),
+        StructField("n", IntegerType, nullable = true))))
+    val strictRef = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row]),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("n", IntegerType, nullable = true))))
+    val v2 = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(strictRef) else None)
+    v2.executeRules(relaxed, Seq(rule), "t").results.head.failed_count shouldBe 0
+    val strictRule = rule.copy(parameters = rule.parameters + ("check_nullability" -> "true"))
+    v2.executeRules(relaxed, Seq(strictRule), "t").results.head.failed_count shouldBe 1
+  }
+
   test("outlier batch: an out-of-range column fails ITS rule only, siblings keep verdicts") {
     // v is in range; big holds epoch-micros-scale values (> 1e14) that the
     // exact decimal route cannot carry — its rule must error while v's

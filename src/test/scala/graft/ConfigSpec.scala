@@ -135,7 +135,7 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     val types = c.enabledRules("transcripts").map(_.ruleType).toSet
     types shouldBe Set(RuleType.Custom, RuleType.Completeness, RuleType.Pattern,
       RuleType.Range, RuleType.TypeConformance, RuleType.Uniqueness,
-      RuleType.Referential, RuleType.drift, RuleType.Outlier)
+      RuleType.Referential, RuleType.drift, RuleType.Outlier, RuleType.SchemaDrift)
     c.stateFile shouldBe defined
   }
 

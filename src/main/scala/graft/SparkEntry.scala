@@ -1011,8 +1011,11 @@ object SparkEntry {
           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS DOUBLE) AS t0,
           CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END) AS DOUBLE) AS t1
           FROM documents),
-        m AS (SELECT LEAST(t0 / 0.75, t1 / 0.25) AS mx FROM t),
-        b AS (SELECT CAST(floor(mx * 0.75) AS BIGINT) AS b0, CAST(floor(mx * 0.25) AS BIGINT) AS b1 FROM m),
+        b AS (SELECT
+          CASE WHEN t0 / 3.0 <= t1 / 1.0 THEN CAST(t0 AS BIGINT)
+               ELSE CAST(floor(t1 * 3.0 / 1.0) AS BIGINT) END AS b0,
+          CASE WHEN t0 / 3.0 <= t1 / 1.0 THEN CAST(floor(t0 * 1.0 / 3.0) AS BIGINT)
+               ELSE CAST(t1 AS BIGINT) END AS b1 FROM t),
         c0 AS (SELECT doc_id, n_chars,
             SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

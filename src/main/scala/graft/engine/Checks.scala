@@ -430,26 +430,48 @@ object Checks {
   /** Schema drift vs a reference schema: one row per difference —
     * (column, change, current type, reference type) with change ∈
     * {added, removed, type_changed, nullability_changed}; "added" means
-    * present HERE but not in the reference. Name matching is
-    * case-insensitive (Spark's resolution default); output order is
-    * deterministic (by column, then change). Pure metadata — no job. */
+    * present HERE but not in the reference; nullability rows carry the
+    * TYPE annotated with its nullability (`bigint not null` vs `bigint`),
+    * keeping the type slots typed. Name matching is case-insensitive
+    * (Spark's resolution default) UNLESS either schema holds columns that
+    * differ only by case — then matching is case-sensitive throughout, so
+    * a case-duplicate can never be compared against its namesake's type.
+    * Output order is deterministic (by column, then change). Pure
+    * metadata — no Spark job. */
   def schemaDiff(current: StructType, reference: StructType): Seq[(String, String, String, String)] = {
-    val cur = current.fields.map(f => f.name.toLowerCase -> f).toMap
-    val ref = reference.fields.map(f => f.name.toLowerCase -> f).toMap
-    val added = current.fields.filterNot(f => ref.contains(f.name.toLowerCase))
+    val key = schemaKeyFn(current, reference)
+    val cur = current.fields.map(f => key(f.name) -> f).toMap
+    val ref = reference.fields.map(f => key(f.name) -> f).toMap
+    def typed(f: StructField): String =
+      f.dataType.simpleString + (if (f.nullable) "" else " not null")
+    val added = current.fields.filterNot(f => ref.contains(key(f.name)))
       .map(f => (f.name, "added", f.dataType.simpleString, ""))
-    val removed = reference.fields.filterNot(f => cur.contains(f.name.toLowerCase))
+    val removed = reference.fields.filterNot(f => cur.contains(key(f.name)))
       .map(f => (f.name, "removed", "", f.dataType.simpleString))
     val changed = current.fields.flatMap { f =>
-      ref.get(f.name.toLowerCase).flatMap { r =>
+      ref.get(key(f.name)).flatMap { r =>
         if (r.dataType != f.dataType)
           Some((f.name, "type_changed", f.dataType.simpleString, r.dataType.simpleString))
         else if (r.nullable != f.nullable)
-          Some((f.name, "nullability_changed", f.nullable.toString, r.nullable.toString))
+          Some((f.name, "nullability_changed", typed(f), typed(r)))
         else None
       }
     }
     (added ++ removed ++ changed).sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  /** Column count of the union of both schemas, under the SAME name keying
+    * [[schemaDiff]] uses — so a caller's failed/total ratio stays
+    * consistent (diffs can never exceed this count). */
+  def schemaUnionColumnCount(a: StructType, b: StructType): Int = {
+    val key = schemaKeyFn(a, b)
+    (a.fieldNames.map(key) ++ b.fieldNames.map(key)).distinct.length
+  }
+
+  private def schemaKeyFn(a: StructType, b: StructType): String => String = {
+    def ambiguous(s: StructType) =
+      s.fieldNames.groupBy(_.toLowerCase).exists(_._2.length > 1)
+    if (ambiguous(a) || ambiguous(b)) identity else _.toLowerCase
   }
 
   // ------------------------------------------------------------- outliers

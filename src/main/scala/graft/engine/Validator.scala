@@ -600,8 +600,7 @@ class Validator(
           val checkNullability = rule.param("check_nullability").contains("true")
           val diffs = Checks.schemaDiff(df.schema, refDf.schema)
             .filter(d => checkNullability || d._2 != "nullability_changed")
-          val unionCols = (df.schema.fieldNames.map(_.toLowerCase) ++
-            refDf.schema.fieldNames.map(_.toLowerCase)).distinct.length.toLong
+          val unionCols = Checks.schemaUnionColumnCount(df.schema, refDf.schema).toLong
           ValidationResult.verdict(rule, diffs.size.toLong, unionCols, ms,
             if (diffs.isEmpty) Map("ref_table" -> refTable)
             else Map("ref_table" -> refTable,

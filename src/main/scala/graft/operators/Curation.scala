@@ -84,19 +84,36 @@ object Curation {
       df: DataFrame, keyCol: String, tokenCol: String, budget: Long,
       prefixLen: Int = 4): DataFrame = {
     require(budget >= 0)
+    val base = budgetBase(df, keyCol, tokenCol)
+    tokenBudgetSampleFrom(base, keyCol, tokenCol, budget, prefixLen,
+      bucketTotals(base, keyCol, tokenCol, prefixLen))
+  }
+
+  /** Null keys/tokens are excluded up front (matching hashSample's implicit
+    * null-drop): a null key has no hash position in the global order and a
+    * null token count cannot be budgeted — and downstream they would NPE
+    * the driver-side bucket walk (null bucket string / null bucket sum). */
+  private def budgetBase(df: DataFrame, keyCol: String, tokenCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(tokenCol).isNotNull)
+
+  /** One map-side-combined scan: token total per hash-prefix bucket, in
+    * hash (= lexicographic) order. The corpus's TOTAL token mass is the sum
+    * — callers needing both never scan twice. */
+  private def bucketTotals(
+      base: DataFrame, keyCol: String, tokenCol: String, prefixLen: Int): Array[(String, Long)] = {
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen in [1,8], got $prefixLen")
-    // null keys/tokens are excluded up front (matching hashSample's implicit
-    // null-drop): a null key has no hash position in the global order and a
-    // null token count cannot be budgeted — and downstream they would NPE
-    // the driver-side bucket walk (null bucket string / null bucket sum).
-    val base = df.filter(col(keyCol).isNotNull && col(tokenCol).isNotNull)
-    val hk = md5(col(keyCol).cast("string"))
-    val bucket = substring(hk, 1, prefixLen)
-    val totals = base
-      .groupBy(bucket.as("__b"))
+    val bucket = substring(md5(col(keyCol).cast("string")), 1, prefixLen)
+    base.groupBy(bucket.as("__b"))
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // lexicographic = hash order for fixed-length lowercase hex
+  }
+
+  private def tokenBudgetSampleFrom(
+      base: DataFrame, keyCol: String, tokenCol: String, budget: Long,
+      prefixLen: Int, totals: Array[(String, Long)]): DataFrame = {
+    val hk = md5(col(keyCol).cast("string"))
+    val bucket = substring(hk, 1, prefixLen)
     // walk buckets in hash order until the cumulative total would exceed
     var before = 0L
     var boundary: Option[String] = None
@@ -125,14 +142,17 @@ object Curation {
     * the mixed corpus's token mass matches `weights` (relative), never
     * upsampling — the "mix web 75% / code 15% / books 10%" sizing step.
     * The mix is the LARGEST one satisfying the proportions: the binding
-    * corpus (smallest tokens-per-weight) is taken whole(ish) and the rest
-    * are cut to match.
+    * corpus (smallest tokens-per-weight) is taken WHOLE — structurally,
+    * its budget is its integer token total — and the rest are cut to
+    * match its weight ratio.
     *
-    * Each corpus pays ONE aggregate for its token total; the cut itself is
-    * [[tokenBudgetSample]] — an exact hash-order token-budget prefix, so
-    * the selected rows are reproducible at any parallelism/engine and the
-    * achieved budgets are exact (no row-rate approximation of token
-    * share). Output = union of the slices with a `source` tag column.
+    * Each corpus pays ONE map-side-combined scan (the hash-bucket totals,
+    * whose sum is the token total), submitted concurrently across corpora;
+    * the cut is the exact hash-order token-budget prefix of
+    * [[tokenBudgetSample]] over those same totals, so the selected rows
+    * are reproducible at any parallelism/engine and the achieved budgets
+    * are exact (no row-rate approximation of token share). Output = union
+    * of the slices with a `source` tag column.
     * Every corpus must have a positive token total (a corpus that cannot
     * contribute its share makes the proportional mix empty — drop it or
     * fix its weight instead). */
@@ -141,18 +161,44 @@ object Curation {
       keyCol: String, tokenCol: String): DataFrame = {
     require(corpora.nonEmpty, "need at least one corpus")
     require(corpora.forall(_._3 > 0), "weights must be positive")
-    val sumW = corpora.map(_._3).sum
-    val sized = corpora.map { case (name, df, w) =>
-      val row = df.agg(sum(col(tokenCol).cast("long"))).head()
-      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-      require(total > 0, s"corpus '$name' has no token mass — it cannot contribute its share")
-      (name, df, w / sumW, total)
+    // ONE scan per corpus (the bucket totals ARE the token total) and the
+    // independent per-corpus jobs are submitted concurrently — sequential
+    // submission would idle the cluster through N job tails. Totals count
+    // exactly the mass tokenBudgetSample can SELECT (null keys/tokens
+    // excluded on both sides), so the achieved shares match the requested
+    // weights instead of being inflated by unbudgetable rows.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val sized = Await.result(Future.sequence(corpora.map { case (name, df, w) =>
+      Future {
+        val base = budgetBase(df, keyCol, tokenCol)
+        val totals = bucketTotals(base, keyCol, tokenCol, 4)
+        (name, base, w, totals, totals.map(_._2).sum)
+      }
+    }), Duration.Inf)
+    sized.foreach { case (name, _, _, _, total) =>
+      require(total > 0,
+        s"corpus '$name' has no token mass — it cannot contribute its share")
     }
-    // the binding corpus determines the mix size M: M·share_i ≤ total_i ∀i
-    val m = sized.map { case (_, _, share, total) => total / share }.min
-    sized.map { case (name, df, share, _) =>
-      val budget = math.floor(m * share).toLong
-      tokenBudgetSample(df, keyCol, tokenCol, budget)
+    // The BINDING corpus (smallest tokens-per-RAW-weight; first on ties)
+    // anchors the mix: its budget is its integer total EXACTLY, every
+    // other corpus gets floor(bindingTotal · w_i / w_binding) — only RAW
+    // weight ratios appear, never normalized shares. Deriving budgets from
+    // a floating "mix size M = total/share" instead loses the binding
+    // corpus's boundary document whenever M rounds down (share 0.07 of 21
+    // tokens computes floor((21/0.07)·0.07) = 20). Anchoring on the
+    // integer total makes "binding corpus taken whole" structural, not a
+    // rounding accident.
+    val bindIdx = sized.indices.minBy { i =>
+      val (_, _, w, _, total) = sized(i); total / w
+    }
+    val (_, _, bindW, _, bindTotal) = sized(bindIdx)
+    sized.zipWithIndex.map { case ((name, base, w, totals, _), i) =>
+      val budget =
+        if (i == bindIdx) bindTotal
+        else math.floor(bindTotal * w / bindW).toLong
+      tokenBudgetSampleFrom(base, keyCol, tokenCol, budget, 4, totals)
         .withColumn("source", lit(name))
     }.reduce(_.unionByName(_))
   }

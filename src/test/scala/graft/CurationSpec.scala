@@ -179,6 +179,24 @@ class CurationSpec extends SparkSpec {
       Curation.weightedTokenMix(Seq(("a", a, 1.0), ("z", empty, 1.0)), "doc_id", "tokens")
     }
     e.getMessage should include("'z'")
+    // null-key token mass is excluded from the totals TOO (not just the
+    // cut), so the achieved shares stay true to the weights
+    val aWithNulls = a.unionByName(
+      Seq((Option.empty[Long], Option(100000L))).toDF("doc_id", "tokens"))
+    val mixN = Curation.weightedTokenMix(
+      Seq(("a", aWithNulls, 1.0), ("b", b, 3.0)), "doc_id", "tokens")
+      .groupBy("source").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixN shouldBe bySource // identical to the null-free mix
+    // floating-point floor edge: share 0.07 of a 21-token binding corpus
+    // computes floor((21/0.07)*0.07) = 20 — the clamp keeps it whole
+    val tiny = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("doc_id", "tokens")
+    val big = (1L to 100L).map(i => (1000L + i, 100L)).toDF("doc_id", "tokens")
+    val edge = Curation.weightedTokenMix(
+      Seq(("tiny", tiny, 7.0), ("big", big, 93.0)), "doc_id", "tokens")
+      .groupBy("source").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    edge("tiny") shouldBe 21L // whole binding corpus, no boundary-doc loss
   }
 
   test("ChunksExpr property grid: bounds, stride, reconstruction at every shape") {

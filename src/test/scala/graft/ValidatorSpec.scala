@@ -187,6 +187,17 @@ class ValidatorSpec extends SparkSpec {
     v2.executeRules(relaxed, Seq(rule), "t").results.head.failed_count shouldBe 0
     val strictRule = rule.copy(parameters = rule.parameters + ("check_nullability" -> "true"))
     v2.executeRules(relaxed, Seq(strictRule), "t").results.head.failed_count shouldBe 1
+    // nullability rows keep the type slots TYPED (annotated, not booleans)
+    val ndiff = engine.Checks.schemaDiff(relaxed.schema, strictRef.schema)
+    ndiff shouldBe Seq(("id", "nullability_changed", "bigint", "bigint not null"))
+    // case-duplicate columns force case-sensitive matching: the duplicate
+    // is never compared against its namesake's type, and the union count
+    // stays >= the diff count
+    import org.apache.spark.sql.types._
+    val dup = StructType(Seq(StructField("ts", StringType), StructField("TS", LongType)))
+    val one = StructType(Seq(StructField("ts", StringType)))
+    engine.Checks.schemaDiff(dup, one) shouldBe Seq(("TS", "added", "bigint", ""))
+    engine.Checks.schemaUnionColumnCount(dup, one) shouldBe 2
   }
 
   test("outlier batch: an out-of-range column fails ITS rule only, siblings keep verdicts") {

@@ -83,6 +83,51 @@ class StreamingSpec extends SparkSpec {
     r.total_count shouldBe 3
   }
 
+  test("streaming ingest: each batch detects against the on-disk index, then is absorbed") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamIngest
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // seed the on-disk index with a 2-doc corpus
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely unrelated seed content about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("stream_index").toString
+    Dedup.writeSignatureIndex(
+      Dedup.buildSignatureIndex(corpus, "doc_id", "text", 3, 64, 16), dir, buckets = 4)
+
+    val reports = mutable.Buffer[StreamIngest.IngestBatch]()
+    val pairsDir = Files.createTempDirectory("stream_pairs").toString + "/pairs"
+    val stream = MemoryStream[(Long, String)]
+    val query = StreamIngest.start(spark,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      checkpointDir = Files.createTempDirectory("stream_ing_chk").toString,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+      pairsSink = Some(pairsDir), triggerMs = 100L,
+      onBatch = r => reports.synchronized { reports += r })
+
+    // batch 1: a near-dup of corpus doc 1 + a NOVEL doc
+    stream.addData(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "a genuinely novel document describing orbital mechanics and launch windows"))
+    query.processAllAvailable()
+    // batch 2: a near-dup of batch 1's NOVEL doc — only findable if the
+    // absorb step made batch 1 visible in the index
+    stream.addData(
+      (201L, "a genuinely novel document describing orbital mechanics and launch timing"))
+    query.processAllAvailable()
+    query.stop()
+
+    val pairs = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((101L, 1L))   // batch 1 vs the seeded corpus
+    pairs should contain((201L, 102L)) // batch 2 vs an ABSORBED batch-1 doc
+    reports.map(_.docs) shouldBe mutable.Buffer(2L, 1L)
+    reports.map(_.nearDupPairs).sum.toInt shouldBe pairs.size
+  }
+
   test("curation/text expressions run unchanged inside Structured Streaming") {
     // the native expressions are deterministic per-row → streaming-safe;
     // a live ingest can chunk + enrich before it ever lands at rest

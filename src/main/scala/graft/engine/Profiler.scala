@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
@@ -34,6 +36,8 @@ object Profiler {
 
   val DefaultLgK = 12 // 2^12 HLL buckets → ~1.6% relative standard error
   val DefaultKllK = 200 // ~1.65% rank error (the sketch's default)
+  val FreqMapSize = 256 // frequent-items counters → count error ≤ n·3.5/256
+  val TopItems = 8 // heavy hitters reported per column
   val QuantileRanks: Seq[(String, Double)] =
     Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
 
@@ -112,9 +116,14 @@ object Profiler {
     // story applies to quantiles.
     @transient var kll: Array[KllDoublesSketch] =
       numeric.map(if (_) KllDoublesSketch.newHeapInstance(DefaultKllK) else null)
+    // frequent-items sketch per column (heavy hitters): bounded map of
+    // Profiler.FreqMapSize counters, mergeable, ±n/(2·mapSize) count error
+    @transient var freq: Array[ItemsSketch[String]] =
+      Array.fill(n)(new ItemsSketch[String](Profiler.FreqMapSize))
 
     private def writeObject(out: ObjectOutputStream): Unit = {
       out.defaultWriteObject()
+      val serde = new ArrayOfStringsSerDe
       var i = 0
       while (i < n) {
         val b = sketches(i).toCompactByteArray
@@ -123,6 +132,8 @@ object Profiler {
           val q = kll(i).toByteArray
           out.writeInt(q.length); out.write(q)
         }
+        val f = freq(i).toByteArray(serde)
+        out.writeInt(f.length); out.write(f)
         i += 1
       }
     }
@@ -130,6 +141,8 @@ object Profiler {
       in.defaultReadObject()
       sketches = new Array[HllSketch](n)
       kll = new Array[KllDoublesSketch](n)
+      freq = new Array[ItemsSketch[String]](n)
+      val serde = new ArrayOfStringsSerDe
       var i = 0
       while (i < n) {
         val b = new Array[Byte](in.readInt()); in.readFully(b)
@@ -138,6 +151,8 @@ object Profiler {
           val q = new Array[Byte](in.readInt()); in.readFully(q)
           kll(i) = KllDoublesSketch.heapify(Memory.wrap(q))
         }
+        val f = new Array[Byte](in.readInt()); in.readFully(f)
+        freq(i) = ItemsSketch.getInstance(Memory.wrap(f), serde)
         i += 1
       }
     }
@@ -175,6 +190,7 @@ object Profiler {
           if (b.minV(i) == null || lt(s, b.minV(i), i)) b.minV(i) = s
           if (b.maxV(i) == null || lt(b.maxV(i), s, i)) b.maxV(i) = s
           b.sketches(i).update(s)
+          b.freq(i).update(s)
           if (numeric(i)) row.get(i) match {
             case v: Number => b.kll(i).update(v.doubleValue())
             case _         => ()
@@ -197,6 +213,7 @@ object Profiler {
         u.update(a.sketches(i)); u.update(c.sketches(i))
         a.sketches(i) = u.getResult(TgtHllType.HLL_8)
         if (numeric(i)) a.kll(i).merge(c.kll(i))
+        a.freq(i).merge(c.freq(i))
         i += 1
       }
       a
@@ -208,12 +225,17 @@ object Profiler {
           if (numeric(i) && !b.kll(i).isEmpty)
             QuantileRanks.map { case (nm, r) => nm -> b.kll(i).getQuantile(r) }.toMap
           else Map.empty[String, Double]
+        // NO_FALSE_POSITIVES: every reported item is a genuine frequent
+        // value (its lower-bound count exceeds the sketch's error band)
+        val top = b.freq(i).getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+          .take(TopItems).map(r => r.getItem -> r.getEstimate).toSeq
         ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
           if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
           Option(b.minV(i)), Option(b.maxV(i)),
           math.round(b.sketches(i).getEstimate),
           b.conforming(i),
-          quantiles)
+          quantiles,
+          top)
       }
 
     override def bufferEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]

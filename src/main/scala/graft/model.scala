@@ -217,7 +217,11 @@ final case class ColumnProfile(
     type_conforming: Long,
     /** Approximate p50/p95/p99 for numeric columns (empty otherwise) —
       * KLL sketch on the typed path, `approx_percentile` on the builtin. */
-    quantiles: Map[String, Double] = Map.empty
+    quantiles: Map[String, Double] = Map.empty,
+    /** Heavy hitters (value → estimated count), typed path only — a
+      * frequent-items sketch (no false positives tier), mergeable like the
+      * HLL/KLL buffers. Empty on the builtin path. */
+    top_items: Seq[(String, Long)] = Nil
 )
 
 /** Per-partition verdict (north rule: "per-partition pass/fail verdicts"). */

@@ -64,6 +64,25 @@ class ProfilerSpec extends SparkSpec {
     p("id").approx_distinct.toDouble shouldBe 10000.0 +- 600.0
   }
 
+  test("typed profile surfaces heavy hitters with no false positives") {
+    import spark.implicits._
+    // 5000 skewed rows: "hot" 40%, "warm" 20%, the rest unique — the
+    // frequent-items sketch must report hot and warm (counts within the
+    // error band) and no unique long-tail value
+    val rows = (1 to 5000).map { i =>
+      if (i % 5 < 2) "hot" else if (i % 5 == 2) "warm" else s"tail_$i"
+    }
+    val p = Profiler.profileTyped(rows.toDF("v").repartition(8)).head
+    val top = p.top_items.toMap
+    top.keySet should contain allOf ("hot", "warm")
+    top("hot").toDouble shouldBe 2000.0 +- 100.0
+    top("warm").toDouble shouldBe 1000.0 +- 100.0
+    // NO_FALSE_POSITIVES: nothing from the unique tail is reported
+    p.top_items.map(_._1).filter(_.startsWith("tail_")) shouldBe empty
+    // most frequent first
+    p.top_items.head._1 shouldBe "hot"
+  }
+
   test("approx quantiles: both paths track exact percentiles; non-numeric empty") {
     // uniform 0..9999 across 8 partitions — exact p50/p95/p99 known
     val big = spark.range(10000).repartition(8)

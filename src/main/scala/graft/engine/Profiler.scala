@@ -117,7 +117,8 @@ object Profiler {
     @transient var kll: Array[KllDoublesSketch] =
       numeric.map(if (_) KllDoublesSketch.newHeapInstance(DefaultKllK) else null)
     // frequent-items sketch per column (heavy hitters): bounded map of
-    // Profiler.FreqMapSize counters, mergeable, ±n/(2·mapSize) count error
+    // Profiler.FreqMapSize counters, mergeable; count error ≤ n·3.5/mapSize
+    // (the sketch's a-priori epsilon — see Profiler.FreqMapSize)
     @transient var freq: Array[ItemsSketch[String]] =
       Array.fill(n)(new ItemsSketch[String](Profiler.FreqMapSize))
 

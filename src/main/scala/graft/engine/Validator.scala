@@ -662,9 +662,7 @@ class Validator(
     val tagged = attempts.collect { case (_, scala.util.Success(d)) => d }
     if (tagged.isEmpty) return QuarantineOutcome(0L, errors)
     val all = tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val obs = org.apache.spark.sql.Observation()
-    all.observe(obs, count(lit(1)).as("rows")).write.mode("append").parquet(path)
-    QuarantineOutcome(obs.get("rows").asInstanceOf[Long], errors)
+    QuarantineOutcome(graft.io.Sinks.observedAppend(all, path), errors)
   }
 
   /** Validate one table end-to-end; marks checkpoint state on success

@@ -1,0 +1,18 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
+
+/** Small shared sink helpers. */
+object Sinks {
+
+  /** Append `df` to `path` as parquet and return THIS write's row count,
+    * observed on the write itself — no second scan, and it counts this
+    * run's rows rather than the cumulative sink a re-read would. Shared by
+    * the quarantine sink and the streaming ingest pair sink. */
+  def observedAppend(df: DataFrame, path: String): Long = {
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows")).write.mode("append").parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
+}

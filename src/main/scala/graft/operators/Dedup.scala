@@ -310,14 +310,19 @@ object Dedup {
   def appendToSignatureIndex(
       newDocs: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      charGrams: Boolean = false): Unit = {
-    val spark = newDocs.sparkSession
+      charGrams: Boolean = false): Unit =
+    appendIndexFrame(buildSignatureIndex(newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, charGrams), dir)
+
+  /** [[appendToSignatureIndex]] with a PREBUILT index frame — pairs with
+    * [[storedIndexPairs]] so one materialized batch index feeds detect and
+    * absorb without re-shingling. */
+  def appendIndexFrame(fresh: DataFrame, dir: String): Unit = {
+    val spark = fresh.sparkSession
     openSignatureIndex(spark, dir) // declare the tables if this session hasn't
     val buckets = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/buckets")).trim.toInt
     val suffix = suffixOf(dir)
-    val fresh = buildSignatureIndex(newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, charGrams)
     fresh.select(explode(col("bands")).as("band_hash"), col("id"))
       .repartition(buckets, col("band_hash"))
       .write.mode("append").bucketBy(buckets, "band_hash")
@@ -354,10 +359,19 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       minJaccard: Double = 0.5, charGrams: Boolean = false,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
-    val spark = newDocs.sparkSession
-    val (idxBands, idxDocs) = openSignatureIndex(spark, indexDir)
     val fresh = scope.cache(buildSignatureIndex(newDocs, idCol, textCol,
       shingleSize, numHashes, bands, charGrams))
+    storedIndexPairs(fresh, indexDir, minJaccard)
+  }
+
+  /** [[minHashLshPairsAgainstStoredIndex]] with a PREBUILT batch index
+    * frame — the caller owns shingling, so one [[buildSignatureIndex]]
+    * materialization can feed detect AND absorb explicitly (instead of
+    * relying on the cache manager's plan matching to deduplicate two
+    * independent builds). */
+  def storedIndexPairs(
+      fresh: DataFrame, indexDir: String, minJaccard: Double): DataFrame = {
+    val (idxBands, idxDocs) = openSignatureIndex(fresh.sparkSession, indexDir)
     val a = fresh.select(explode(col("bands")).as("band_hash"), col("id").as("id_new"))
     val candidates = a
       .join(idxBands.select(col("band_hash"), col("id").as("id_index")), Seq("band_hash"))
@@ -369,6 +383,26 @@ object Dedup {
       .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_new", "id_index", "jaccard")
+  }
+
+  /** Near-dup pairs WITHIN one signature-index frame (band self-join +
+    * exact-Jaccard verification) — the intra-batch complement of
+    * [[storedIndexPairs]] in an ingest loop: two near-dups arriving in the
+    * SAME batch pair here, since neither is in the stored index yet.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def pairsWithinIndex(index: DataFrame, minJaccard: Double): DataFrame = {
+    val banded = index.select(col("id"), explode(col("bands")).as("band_hash"))
+    val a = banded.select(col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(index.select(col("id").as("id_a"), col("shingles").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(index.select(col("id").as("id_b"), col("shingles").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Near-dup pairs of NEW documents against an EXISTING signature index —

@@ -113,10 +113,13 @@ class StreamingSpec extends SparkSpec {
       (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
       (102L, "a genuinely novel document describing orbital mechanics and launch windows"))
     query.processAllAvailable()
-    // batch 2: a near-dup of batch 1's NOVEL doc — only findable if the
-    // absorb step made batch 1 visible in the index
+    // batch 2: a near-dup of batch 1's NOVEL doc (only findable if the
+    // absorb step made batch 1 visible) PLUS two docs that near-dup EACH
+    // OTHER within this same batch (in neither the index nor history)
     stream.addData(
-      (201L, "a genuinely novel document describing orbital mechanics and launch timing"))
+      (201L, "a genuinely novel document describing orbital mechanics and launch timing"),
+      (202L, "fresh intra batch content about tokenizers and vocabularies for models"),
+      (203L, "fresh intra batch content about tokenizers and vocabularies for training"))
     query.processAllAvailable()
     query.stop()
 
@@ -124,7 +127,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain((101L, 1L))   // batch 1 vs the seeded corpus
     pairs should contain((201L, 102L)) // batch 2 vs an ABSORBED batch-1 doc
-    reports.map(_.docs) shouldBe mutable.Buffer(2L, 1L)
+    pairs should contain((202L, 203L)) // intra-batch pair, same trigger
+    reports.map(_.docs) shouldBe mutable.Buffer(2L, 3L)
     reports.map(_.nearDupPairs).sum.toInt shouldBe pairs.size
   }
 

@@ -46,7 +46,20 @@ object SparkEntry {
       threshold = Some(0.99),
       parameters = Map("partition_covers_key" -> "true")),
     ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
-      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"), threshold = Some(0.98))
+      parameters = Map("ref_table" -> "conv_index", "broadcast" -> "true"), threshold = Some(0.98)),
+    // set membership: the closed role vocabulary (numeric-string injections
+    // fail it, like type_conformance's reject mode, plus any future drifted
+    // label); fuses into the same single-pass aggregate
+    ValidationRule("role_allowed", RuleType.AllowedValues, Seq("role"),
+      parameters = Map("values" -> "user,assistant,system,tool"),
+      threshold = Some(0.98), severity = Severity.Warning),
+    // event-time staleness vs an instant pinned after the generator's base
+    // epoch: early conversations (cid*300 s offsets below the cutoff) are
+    // stale; fuses as one long comparison
+    ValidationRule("ts_freshness", RuleType.Freshness, Seq("ts"),
+      parameters = Map("max_age_seconds" -> "1296000", // 15 days
+        "reference_time" -> "2023-12-01T00:00:00Z"),
+      threshold = Some(0.3), severity = Severity.Warning)
   )
 
   /** Flagship: the full north-rule constraint suite over the synthetic
@@ -324,6 +337,60 @@ object SparkEntry {
         tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j)
         SELECT bucket, cnt_a / ta AS p_a, cnt_b / tb AS p_b, ABS(cnt_a / ta - cnt_b / tb) AS abs_diff
         FROM j, tot ORDER BY bucket""")),
+
+    // ---- distribution drift: PSI (log-weighted, size-invariant) ----------
+    // The one oracle query with a transcendental: LN. Verified bit-identical
+    // between java.lang.Math.log (Spark codegen) and DuckDB's ln for these
+    // operands (both correctly-rounded here); inputs to LN are the exact
+    // rational proportions, so the whole column reproduces bit-for-bit.
+    Q("q_psi_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.psiContributions(
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), "event_type"),
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(cnt_a, 0.0) AS cnt_a, coalesce(cnt_b, 0.0) AS cnt_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j)
+        SELECT bucket, GREATEST(cnt_a / ta, 1e-6) AS p_a, GREATEST(cnt_b / tb, 1e-6) AS p_b,
+          (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6)) * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)) AS contrib
+        FROM j, tot ORDER BY bucket""")),
+
+    // ---- allowed_values rule (set membership), grouped -------------------
+    Q("q_allowed_values_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val rule = ValidationRule("et_allowed", RuleType.AllowedValues, Seq("event_type"),
+          parameters = Map("values" -> "click,view,signup,purchase"))
+        ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("total_count"),
+          sum(when(RulePlanner.failCondition(ev.schema, rule), 1L).otherwise(0L)).as("not_allowed"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN event_type IS NOT NULL AND CAST(event_type AS VARCHAR) NOT IN ('click','view','signup','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS not_allowed
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- freshness rule (event-time staleness vs pinned instant) ---------
+    Q("q_freshness_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val rule = ValidationRule("ts_fresh", RuleType.Freshness, Seq("ts"),
+          parameters = Map("max_age_seconds" -> "1209600", // 14 days
+            "reference_time" -> "2024-02-01T00:00:00Z"))
+        ev.agg(
+          count(lit(1)).as("total_count"),
+          sum(when(RulePlanner.failCondition(ev.schema, rule), 1L).otherwise(0L)).as("stale_count"),
+          // testdata parquet timestamps are NTZ; session TZ is UTC, so the
+          // cast is the identity instant mapping (same as the rule's cond)
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_ts_micros"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(SUM(CASE WHEN ts IS NOT NULL AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-18 00:00:00') THEN 1 ELSE 0 END) AS BIGINT) AS stale_count,
+        CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_micros FROM events""")),
 
     // ---- distribution drift: KS over histograms --------------------------
     Q("q_ks_events",

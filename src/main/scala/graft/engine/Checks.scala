@@ -329,6 +329,58 @@ object Checks {
     }
   }
 
+  /** Population stability index between the normalized distributions of two
+    * collected histograms: Σ_b (p_a(b) − p_b(b)) · ln(p_a(b) / p_b(b)), the
+    * industry-standard model-monitoring drift score (conventional gates:
+    * 0.1 = investigate, 0.25 = act). Like [[totalVariationDistance]] it is a
+    * pure function of the two PROPORTION vectors — invariant to both sample
+    * sizes, so per-partition verdicts fire at the same drift intensity as
+    * the global one — but it weights tail buckets logarithmically, catching
+    * a category collapsing from 2% to 0.02% that barely moves TVD. Buckets
+    * with zero share on one side use floor `epsilon` (PSI is undefined at 0;
+    * the standard practice), making the statistic finite and the epsilon an
+    * explicit part of the contract. Empty-input conventions match the
+    * sibling statistics: both empty → 0.0, one empty → every bucket is a
+    * zero-vs-p comparison at the epsilon floor (large positive — an empty
+    * baseline cannot silently pass a psi gate). Buckets are summed in
+    * sorted order: double addition is not associative. */
+  def psi(a: Map[String, Long], b: Map[String, Long], epsilon: Double = 1e-6): Double = {
+    require(epsilon > 0.0, s"psi epsilon must be positive, got $epsilon")
+    val totA = a.values.sum.toDouble
+    val totB = b.values.sum.toDouble
+    if (totA == 0 && totB == 0) return 0.0
+    val buckets = (a.keySet ++ b.keySet).toSeq.sorted
+    buckets.iterator.map { k =>
+      val pa = if (totA > 0) math.max(a.getOrElse(k, 0L) / totA, epsilon) else epsilon
+      val pb = if (totB > 0) math.max(b.getOrElse(k, 0L) / totB, epsilon) else epsilon
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+  }
+
+  /** Per-bucket PSI contributions as a DataFrame — the oracle-checkable face
+    * of [[psi]] (the statistic is Σ contrib over rows). Same epsilon-floor
+    * contract; both-empty inputs yield the schema-only empty table,
+    * matching the scalar's 0.0. */
+  def psiContributions(histA: DataFrame, histB: DataFrame,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0.0, s"psi epsilon must be positive, got $epsilon")
+    val a = histA.select(col("bucket"), col("cnt").cast("double").as("cnt_a"))
+    val b = histB.select(col("bucket"), col("cnt").cast("double").as("cnt_b"))
+    val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0.0, Seq("cnt_a", "cnt_b"))
+    val totals = j.agg(sum("cnt_a"), sum("cnt_b")).head()
+    val totA = if (totals.isNullAt(0)) 0.0 else totals.getDouble(0)
+    val totB = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
+    if (totA == 0.0 && totB == 0.0)
+      j.select(col("bucket"), lit(0.0).as("p_a"), lit(0.0).as("p_b"),
+        lit(0.0).as("contrib")) // j is empty: schema-only
+    else {
+      val pA = greatest(if (totA > 0) col("cnt_a") / lit(totA) else lit(0.0), lit(epsilon))
+      val pB = greatest(if (totB > 0) col("cnt_b") / lit(totB) else lit(0.0), lit(epsilon))
+      j.select(col("bucket"), pA.as("p_a"), pB.as("p_b"),
+        ((pA - pB) * log(pA / pB)).as("contrib"))
+    }
+  }
+
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.
     * Expected counts use the standard contingency formula
     * e_ij = rowTotal_i * colTotal_j / grand. Buckets absent from one side

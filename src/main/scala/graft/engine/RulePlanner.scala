@@ -84,10 +84,65 @@ object RulePlanner {
     else c.isNotNull && !conforms
   }
 
+  /** Parsed member set for an allowed_values rule: the `values` parameter
+    * split on `delimiter` (default ","), entries trimmed. Comparison is on
+    * the column cast to string, so one spelling works for string AND numeric
+    * categoricals and the semantics are engine-reproducible (DuckDB:
+    * `CAST(col AS VARCHAR) IN (...)`). */
+  def allowedValueSet(rule: ValidationRule): Seq[String] = {
+    val raw = rule.param("values").getOrElse(throw new IllegalArgumentException(
+      s"allowed_values rule '${rule.name}' needs a values parameter"))
+    val delim = rule.param("delimiter").getOrElse(",")
+    val vs = raw.split(java.util.regex.Pattern.quote(delim), -1).map(_.trim).toSeq
+    require(vs.exists(_.nonEmpty),
+      s"allowed_values rule '${rule.name}': values parameter is empty")
+    vs
+  }
+
+  /** Set-membership failure (dbt `accepted_values` / Deequ `isContainedIn` /
+    * GX `expect_column_values_to_be_in_set`): non-null values outside the
+    * configured set. NULLs conform (completeness owns them), matching the
+    * range/pattern convention. Fuses into the single-pass aggregate as an
+    * `In` predicate — codegen'd, no shuffle, no join. */
+  def allowedValuesFailCond(rule: ValidationRule): Column = {
+    val c = col(rule.column)
+    c.isNotNull && !c.cast(StringType).isin(allowedValueSet(rule): _*)
+  }
+
+  /** Staleness cutoff instant in epoch microseconds for a freshness rule:
+    * `reference_time` (ISO-8601, required for deterministic / oracle-checked
+    * runs) minus `max_age_seconds`. Without `reference_time` the cutoff is
+    * taken from the session clock at PLAN time (wall-clock monitoring mode —
+    * one instant for the whole job, so partition verdicts and the global
+    * verdict share the same cutoff). */
+  def freshnessCutoffMicros(rule: ValidationRule): Long = {
+    val ageSec = rule.paramDouble("max_age_seconds").getOrElse(
+      throw new IllegalArgumentException(
+        s"freshness rule '${rule.name}' needs max_age_seconds"))
+    val refMicros = rule.param("reference_time") match {
+      case Some(iso) =>
+        val t = java.time.OffsetDateTime
+          .parse(if (iso.contains("+") || iso.endsWith("Z")) iso else iso + "Z")
+          .toInstant
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      case None => java.time.Instant.now().toEpochMilli * 1000L
+    }
+    refMicros - math.round(ageSec * 1e6)
+  }
+
+  /** Event-time freshness failure: non-null timestamps strictly older than
+    * `reference_time − max_age_seconds`. Compares epoch microseconds — a
+    * pure codegen'd long comparison that fuses into the single-pass
+    * aggregate; NULL timestamps are completeness's concern. */
+  def freshnessFailCond(rule: ValidationRule): Column = {
+    val c = col(rule.column)
+    c.isNotNull && unix_micros(c.cast(TimestampType)) < lit(freshnessCutoffMicros(rule))
+  }
+
   /** True for rule types that fuse into the shared single-pass aggregate. */
   def fusible(rule: ValidationRule): Boolean = rule.ruleType match {
     case RuleType.Completeness | RuleType.Range | RuleType.Pattern |
-        RuleType.TypeConformance => true
+        RuleType.TypeConformance | RuleType.AllowedValues | RuleType.Freshness => true
     case _ => false
   }
 
@@ -96,6 +151,8 @@ object RulePlanner {
     case RuleType.Range           => rangeFailCond(rule)
     case RuleType.Pattern         => patternFailCond(schema, rule)
     case RuleType.TypeConformance => typeConformanceFailCond(rule)
+    case RuleType.AllowedValues   => allowedValuesFailCond(rule)
+    case RuleType.Freshness       => freshnessFailCond(rule)
     case other => throw new IllegalArgumentException(s"not a fusible rule type: $other")
   }
 
@@ -128,16 +185,23 @@ object RulePlanner {
   def filterColumn(schema: StructType, rule: ValidationRule): Option[Column] =
     rule.ruleType match {
       case RuleType.Completeness | RuleType.Range | RuleType.Pattern |
-          RuleType.TypeConformance =>
+          RuleType.TypeConformance | RuleType.AllowedValues | RuleType.Freshness =>
         // keep = NOT failed; for range/pattern NULL rows were not failures,
         // but the reference's FILTER semantics drop NULLs for range (between
         // is null-rejecting) and pattern (rlike null → null → dropped).
+        // allowed_values/freshness follow the same convention: the keep
+        // predicate is null-rejecting.
         rule.ruleType match {
           case RuleType.Completeness => Some(!completenessFailCond(schema, rule.column))
           case RuleType.Range        => Some(!rangeFailCond(rule)) // null → dropped
           case RuleType.Pattern =>
             val p = rule.expression.orElse(rule.param("pattern")).get
             Some(col(rule.column).rlike(p)) // null → dropped, matches reference
+          case RuleType.AllowedValues =>
+            Some(col(rule.column).cast(StringType).isin(allowedValueSet(rule): _*))
+          case RuleType.Freshness =>
+            Some(unix_micros(col(rule.column).cast(TimestampType)) >=
+              lit(freshnessCutoffMicros(rule)))
           case _ => Some(!typeConformanceFailCond(rule))
         }
       case RuleType.Custom => rule.expression.map(expr)

@@ -385,6 +385,13 @@ class Validator(
               // tvd stays the recommended partition-sensitive method
               case "cramers_v" =>
                 (Checks.cramersV(ha, hb), Map.empty[String, String])
+              // size-invariant like tvd but log-weighted: catches tail
+              // categories collapsing (2% → 0.02%) that barely move TVD;
+              // the epsilon zero-share floor is part of the contract and
+              // configurable per rule (industry gates: 0.1 / 0.25)
+              case "psi" =>
+                val eps = rule.paramDouble("epsilon").getOrElse(1e-6)
+                (Checks.psi(ha, hb, eps), Map("epsilon" -> eps.toString))
               case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
               case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }

@@ -1,7 +1,9 @@
 package graft.io
 
 import graft.{ValidationSummary, PartitionVerdict}
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Append-only metrics TABLE of rule results over time — the real sink
   * behind the reference's print-only DQX/DLT observability hooks
@@ -59,6 +61,60 @@ object MetricsSink {
     }
     spark.createDataset(rows).toDF()
       .write.mode(SaveMode.Append).partitionBy("run_date").parquet(path)
+  }
+
+  /** Anomaly detection over the metrics time series (the Deequ
+    * anomaly-detection idea re-expressed over this sink): for every run of
+    * every (table, rule), compare its success_rate against the trailing
+    * `window` runs' mean/std and flag deviations exceeding
+    * max(maxZ · std, minAbsDelta). The std term adapts the gate to each
+    * rule's own historical noise; the absolute floor keeps a rule whose
+    * history is perfectly flat (std 0 — the common case for a healthy
+    * rule) from alarming on an infinitesimal dip, and is the whole gate
+    * until 2+ history points exist.
+    *
+    * A fixed threshold answers "is quality below X"; this answers "did
+    * quality CHANGE" — the alert that catches a upstream pipeline break
+    * the day it happens even when the rate stays above threshold.
+    *
+    * One scan of the sink, window partitioned by (table, rule) ordered by
+    * (run_ts, run_id) — no unpartitioned window at any history size; the
+    * date-partitioned layout prunes when callers pre-filter run_date.
+    * Returns every run's verdict (callers filter `flagged`, or take the
+    * latest run_id); `n_history` counts the trailing runs actually seen. */
+  def anomalies(
+      spark: SparkSession, path: String,
+      window: Int = 7, maxZ: Double = 3.0,
+      minAbsDelta: Double = 0.05): DataFrame = {
+    require(window >= 2, s"anomaly window needs >= 2 trailing runs, got $window")
+    val w = Window.partitionBy("table_name", "rule_name")
+      .orderBy(col("run_ts"), col("run_id"))
+      .rowsBetween(-window, -1)
+    val withStats = spark.read.parquet(path)
+      .select("run_id", "run_date", "run_ts", "table_name", "rule_name",
+        "rule_type", "success_rate")
+      .withColumn("trailing_mean", avg("success_rate").over(w))
+      .withColumn("trailing_std", coalesce(stddev_samp(col("success_rate")).over(w), lit(0.0)))
+      .withColumn("n_history", count(lit(1)).over(w))
+    withStats
+      .withColumn("deviation", abs(col("success_rate") - col("trailing_mean")))
+      .withColumn("flagged",
+        col("n_history") >= 1 &&
+          col("deviation") > greatest(col("trailing_std") * lit(maxZ), lit(minAbsDelta)))
+  }
+
+  /** [[anomalies]] restricted to each (table, rule)'s LATEST run — the
+    * "alert me about the run that just finished" shape. */
+  def latestAnomalies(
+      spark: SparkSession, path: String,
+      window: Int = 7, maxZ: Double = 3.0,
+      minAbsDelta: Double = 0.05): DataFrame = {
+    val all = anomalies(spark, path, window, maxZ, minAbsDelta)
+    val latest = Window.partitionBy("table_name", "rule_name")
+      .orderBy(col("run_ts").desc, col("run_id").desc)
+    all.withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1 && col("flagged"))
+      .drop("__rn")
   }
 
   /** Append per-partition verdicts alongside (separate sink path — the

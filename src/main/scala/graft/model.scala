@@ -31,6 +31,8 @@ object RuleType {
   val drift = "drift" // distribution drift (chi-square / KS) vs a baseline
   val Outlier = "outlier" // |x − mean| > k·std (exact-decimal moments)
   val SchemaDrift = "schema" // schema contract vs a reference table (added/removed/retyped columns)
+  val AllowedValues = "allowed_values" // set membership (dbt accepted_values / Deequ isContainedIn)
+  val Freshness = "freshness" // event-time staleness vs a reference instant
 }
 
 /** One validation rule.

@@ -143,6 +143,38 @@ class ChecksSpec extends SparkSpec {
     Checks.cramersV(Map("x" -> 5L), Map.empty) shouldBe 1.0
   }
 
+  test("psi: hand value, size invariance, tail sensitivity TVD lacks, edges") {
+    // hand case: p_a = (0.75, 0.25), p_b = (1/3, 2/3)
+    // psi = (0.75-1/3)·ln(0.75/(1/3)) + (0.25-2/3)·ln(0.25/(2/3))
+    val a = Map("x" -> 30L, "y" -> 10L)
+    val b = Map("x" -> 20L, "y" -> 40L)
+    val expected = (0.75 - 1.0 / 3) * math.log(0.75 / (1.0 / 3)) +
+      (0.25 - 2.0 / 3) * math.log(0.25 / (2.0 / 3))
+    Checks.psi(a, b) shouldBe expected +- 1e-12
+    Checks.psi(a, a) shouldBe 0.0 +- 1e-15
+    // size-invariant: scaling one side's counts changes nothing (proportions only)
+    Checks.psi(a, b.map { case (k, v) => k -> v * 100 }) shouldBe expected +- 1e-12
+    // tail sensitivity: a category collapsing 2% → 0.01% moves PSI past the
+    // 0.1 "investigate" gate while TVD barely registers
+    val base = Map("big" -> 9800L, "tail" -> 200L)
+    val cur = Map("big" -> 9999L, "tail" -> 1L)
+    Checks.psi(cur, base) should be > 0.1
+    Checks.totalVariationDistance(cur, base) should be < 0.02
+    // empty conventions: both empty → 0.0; one empty → large positive (the
+    // epsilon floor), never a silent pass
+    Checks.psi(Map.empty, Map.empty) shouldBe 0.0
+    Checks.psi(Map.empty, Map("x" -> 5L)) should be > 1.0
+    Checks.psi(Map("x" -> 5L), Map.empty) should be > 1.0
+    // scalar ≡ contributions-table sum (the oracle face)
+    val histA = Seq(("x", 30L), ("y", 10L), ("z", 0L)).toDF("bucket", "cnt")
+    val histB = Seq(("x", 20L), ("y", 40L)).toDF("bucket", "cnt")
+    val tableSum = Checks.psiContributions(histA, histB)
+      .agg(org.apache.spark.sql.functions.sum("contrib")).head().getDouble(0)
+    tableSum shouldBe Checks.psi(Map("x" -> 30L, "y" -> 10L, "z" -> 0L),
+      Map("x" -> 20L, "y" -> 40L)) +- 1e-12
+    intercept[IllegalArgumentException](Checks.psi(a, b, epsilon = 0.0))
+  }
+
   test("momentsExact raises on values outside the exact decimal range instead of silently skewing") {
     // 1e15 doesn't fit DECIMAL(18,4): without the guard its cast would drop
     // it from the sums while count(col) still counted it — mean/std of a

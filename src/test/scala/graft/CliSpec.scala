@@ -182,6 +182,43 @@ class CliSpec extends SparkSpec {
     spark.read.parquet(pdir).count() shouldBe verdicts.size.toLong
   }
 
+  test("metrics anomaly detection: a rate CHANGE flags against the rule's own history") {
+    import graft.io.MetricsSink
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("anom").toString
+    val rule = ValidationRule("id_complete", RuleType.Completeness, Seq("id"))
+    def run(i: Int, failed: Long): Unit = {
+      val s = ValidationSummary.from("t",
+        Seq(ValidationResult.verdict(rule, failed, 1000L, 1.0)), 1.0)
+      MetricsSink.appendSummary(spark, s, dir, f"run-$i%02d",
+        java.time.Instant.parse(f"2026-08-${i}%02dT10:00:00Z"))
+    }
+    // 8 healthy runs with mild noise (0.978..0.985), then a drop to 0.80 —
+    // still possibly above a fixed threshold, but a clear CHANGE
+    Seq(20L, 15L, 22L, 18L, 16L, 21L, 19L, 17L).zipWithIndex.foreach {
+      case (f, i) => run(i + 1, f)
+    }
+    run(9, 200L)
+    val flagged = MetricsSink.latestAnomalies(spark, dir, window = 7).collect()
+    flagged.length shouldBe 1
+    flagged.head.getAs[String]("run_id") shouldBe "run-09"
+    flagged.head.getAs[Long]("n_history") shouldBe 7L
+    // every healthy run is unflagged, including the FIRST (no history)
+    val all = MetricsSink.anomalies(spark, dir, window = 7)
+    all.filter(col("flagged") && col("run_id") =!= "run-09").count() shouldBe 0
+    // flat history + infinitesimal dip: the absolute floor absorbs it
+    val dir2 = Files.createTempDirectory("anom2").toString
+    def run2(i: Int, failed: Long): Unit = {
+      val s = ValidationSummary.from("t",
+        Seq(ValidationResult.verdict(rule, failed, 1000L, 1.0)), 1.0)
+      MetricsSink.appendSummary(spark, s, dir2, f"run-$i%02d",
+        java.time.Instant.parse(f"2026-08-${i}%02dT10:00:00Z"))
+    }
+    (1 to 5).foreach(run2(_, 20L)) // std = 0
+    run2(6, 25L)                   // 0.980 → 0.975: below minAbsDelta
+    MetricsSink.latestAnomalies(spark, dir2, window = 7).count() shouldBe 0
+  }
+
   test("batch job spec carries the reference's knobs and round-trips through JSON") {
     import graft.deploy.JobSpec
     // reference create_validation_job (databricks_utils.py:49-93): 2 workers,

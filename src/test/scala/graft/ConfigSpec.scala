@@ -135,7 +135,12 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     val types = c.enabledRules("transcripts").map(_.ruleType).toSet
     types shouldBe Set(RuleType.Custom, RuleType.Completeness, RuleType.Pattern,
       RuleType.Range, RuleType.TypeConformance, RuleType.Uniqueness,
-      RuleType.Referential, RuleType.drift, RuleType.Outlier, RuleType.SchemaDrift)
+      RuleType.Referential, RuleType.drift, RuleType.Outlier, RuleType.SchemaDrift,
+      RuleType.AllowedValues, RuleType.Freshness)
+    // the drift rules in the shipped example cover every implemented method
+    val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
+      .flatMap(_.param("method")).toSet
+    methods shouldBe Set("chi_square", "ks", "tvd", "psi")
     c.stateFile shouldBe defined
   }
 

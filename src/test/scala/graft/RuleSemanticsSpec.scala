@@ -135,4 +135,58 @@ class RuleSemanticsSpec extends SparkSpec {
     // distinct values = {1, 2, NULL} = 3 → failed = 5 - 3 = 2
     r.failed_count shouldBe 2
   }
+
+  test("allowed_values: NULLs conform, membership is cast-to-string, fuses") {
+    val validator = new Validator(spark, ValidationConfig())
+    val rule = ValidationRule("status_allowed", RuleType.AllowedValues, Seq("status"),
+      parameters = Map("values" -> "active,inactive"))
+    val r = validator.executeRules(customers, Seq(rule), "t").results.head
+    r.failed_count shouldBe 0
+    r.total_count shouldBe 10
+    // a non-member and a NULL: only the non-member fails
+    val df = Seq(Some("active"), Some("ACTIVE"), None).toDF("status")
+    val r2 = validator.executeRules(df, Seq(rule), "t").results.head
+    r2.failed_count shouldBe 1 // exact match: "ACTIVE" is not in the set
+    // numeric columns compare via their string form — one config spelling
+    // works for integer categoricals too
+    val num = Seq(Some(1), Some(2), Some(7), None).toDF("code")
+    val r3 = validator.executeRules(num,
+      Seq(ValidationRule("code_allowed", RuleType.AllowedValues, Seq("code"),
+        parameters = Map("values" -> "1,2,3"))), "t").results.head
+    r3.failed_count shouldBe 1 // only 7
+    // filter mode keeps members, drops non-members AND nulls (range convention)
+    val kept = RulePlanner.applyFilters(df, Seq(rule)).collect().map(_.getString(0))
+    kept.toSeq shouldBe Seq("active")
+    // missing values parameter surfaces as the rule's error result
+    val bad = validator.executeRules(df,
+      Seq(ValidationRule("no_values", RuleType.AllowedValues, Seq("status"))), "t").results.head
+    bad.failed_count shouldBe -1
+  }
+
+  test("freshness: rows older than reference_time - max_age fail; NULL conforms") {
+    import java.sql.Timestamp
+    val validator = new Validator(spark, ValidationConfig())
+    val df = Seq(
+      (1L, Some(Timestamp.valueOf("2024-02-28 12:00:00"))), // 1.5 d old: fresh
+      (2L, Some(Timestamp.valueOf("2024-02-20 00:00:00"))), // 9 d old: stale
+      (3L, Some(Timestamp.valueOf("2024-02-23 00:00:00"))), // exactly 7 d: NOT stale (strict <)
+      (4L, None)
+    ).toDF("id", "ts")
+    val rule = ValidationRule("ts_fresh", RuleType.Freshness, Seq("ts"),
+      parameters = Map("max_age_seconds" -> "604800", // 7 days
+        "reference_time" -> "2024-03-01T00:00:00Z"))
+    val r = validator.executeRules(df, Seq(rule), "t").results.head
+    r.failed_count shouldBe 1
+    r.total_count shouldBe 4
+    // violation rows are exactly the stale ones (quarantine path)
+    validator.violations(df, rule).collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    // filter mode keeps fresh rows, drops stale AND null timestamps
+    RulePlanner.applyFilters(df, Seq(rule)).collect().map(_.getLong(0)).sorted
+      .toSeq shouldBe Seq(1L, 3L)
+    // wall-clock mode (no reference_time): everything in the past is fresh
+    // against now() with a generous window
+    val wall = ValidationRule("wall", RuleType.Freshness, Seq("ts"),
+      parameters = Map("max_age_seconds" -> (100L * 365 * 86400).toString))
+    validator.executeRules(df, Seq(wall), "t").results.head.failed_count shouldBe 0
+  }
 }

@@ -59,7 +59,15 @@ object SparkEntry {
     ValidationRule("ts_freshness", RuleType.Freshness, Seq("ts"),
       parameters = Map("max_age_seconds" -> "1296000", // 15 days
         "reference_time" -> "2023-12-01T00:00:00Z"),
-      threshold = Some(0.3), severity = Severity.Warning)
+      threshold = Some(0.3), severity = Severity.Warning),
+    // per-conversation turn_idx must run 0,1,2,… gapless (the −1 injections
+    // violate); verdict unit is conversations; partition_covers_key: the
+    // suite partitions on a function of conv_id, so the global verdict is
+    // the per-partition roll-up — no second table-wide job
+    ValidationRule("turn_sequence", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0",
+        "partition_covers_key" -> "true"),
+      threshold = Some(0.9), severity = Severity.Warning)
   )
 
   /** Flagship: the full north-rule constraint suite over the synthetic
@@ -241,6 +249,18 @@ object SparkEntry {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1
         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
+
+    // ---- sequence rule (dense per-key index integrity) --------------------
+    Q("q_sequence_lineitem",
+      (s, d) => Checks.sequenceGroups(t(s, d, "lineitem"), Seq("l_orderkey"), "l_linenumber")
+        .agg(count(lit(1)).as("total_groups"),
+          sum(when(Checks.sequenceViolationCond(Some(1L)), 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("n_distinct")).as("distinct_pairs")),
+      Some("""WITH g AS (SELECT l_orderkey, COUNT(DISTINCT l_linenumber) AS n, MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+        FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_groups,
+        CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        CAST(SUM(n) AS BIGINT) AS distinct_pairs FROM g""")),
 
     // ---- referential integrity (anti-join) -------------------------------
     Q("q_referential_orphans",

@@ -59,6 +59,40 @@ object Checks {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
+  /** Per-group sequence-integrity stats: for each key group, the count of
+    * DISTINCT index values plus the index span. A group is sequence-clean
+    * when the indices are dense (`n_distinct == max − min + 1`; duplicates
+    * are uniqueness's concern, so they don't fail this check) and, when a
+    * start is required, `min == start`. The transcripts shape: every
+    * conversation's turn_idx must run 0,1,2,… with no gap.
+    *
+    * Two-phase aggregation — groupBy (keys, idx) then keys — instead of
+    * `count(distinct)` beside min/max (which plans an Expand doubling the
+    * input): both phases are map-side combined, the idx dedup collapses
+    * each group to its distinct indices per task, and under a key-bucketed
+    * at-rest layout the whole pipeline plans ZERO exchange. NULL indices
+    * are excluded (completeness owns nulls); NULL keys form their own
+    * group, matching uniqueness's NULL-is-a-value semantics. */
+  def sequenceGroups(df: DataFrame, keys: Seq[String], idx: String): DataFrame =
+    df.filter(col(idx).isNotNull)
+      .groupBy((keys :+ idx).map(col): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"),
+        min(col(idx)).as("min_idx"), max(col(idx)).as("max_idx"))
+
+  /** Violation predicate over [[sequenceGroups]] rows. */
+  def sequenceViolationCond(start: Option[Long]): Column = {
+    val dense = col("n_distinct") === col("max_idx") - col("min_idx") + lit(1L)
+    val starts = start.map(s => col("min_idx") === lit(s)).getOrElse(lit(true))
+    !(dense && starts)
+  }
+
+  /** The violating groups (quarantine face of the sequence rule): one row
+    * per key group with a gap (or wrong start), with its stats. */
+  def sequenceViolations(df: DataFrame, keys: Seq[String], idx: String,
+      start: Option[Long]): DataFrame =
+    sequenceGroups(df, keys, idx).filter(sequenceViolationCond(start))
+
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.
     * collecting examples per key) and a hot key would overload one reducer:
     * stage 1 groups by (key, salt) — the hot key fans out over `saltBuckets`

@@ -207,10 +207,39 @@ class Validator(
         (rf, uf)
       case _ => (Nil, Nil)
     }
+    // sequence rules: same shape as uniqueness — one grouped job per rule
+    // yields per-partition verdicts, and partition_covers_key promotes the
+    // roll-up to the global verdict (verdict unit: groups)
+    val seqFs = partitionExpr match {
+      case Some(p) if partTotals.nonEmpty =>
+        rules.filter(_.ruleType == RuleType.Sequence).map { r =>
+          Future {
+            val tu = System.nanoTime()
+            sequencePartitionVerdicts(df, r, p) match {
+              case Right(verdicts) =>
+                val globalFromRollup =
+                  if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
+                    val failed = verdicts.map(_.failed_count).sum
+                    val total = verdicts.map(_.total_count).sum
+                    Some(ValidationResult.verdict(r, failed, total,
+                      (System.nanoTime() - tu) / 1e6,
+                      Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
+                        "unit" -> "groups", "partitioned" -> "true")))
+                  } else None
+                (r.name, globalFromRollup, verdicts)
+              case Left(e) =>
+                (r.name, Some(ValidationResult.failure(r, e,
+                  (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
+            }
+          }
+        }
+      case _ => Nil
+    }
     val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
     val (outlierResults, outlierVerdicts) = Await.result(outlierF, Duration.Inf)
     val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
-    val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf))
+    val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf)) ++
+      seqFs.map(f => Await.result(f, Duration.Inf))
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
       (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
         uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
@@ -303,6 +332,42 @@ class Validator(
         .collect()
       Right(verdictsFrom(rule,
         rows.map(r => Checks.partKeyString(r.get(0)) -> r.getLong(1)).toMap, partTotals))
+    } catch { case e: Throwable => Left(e) }
+
+  /** Per-partition sequence verdicts from ONE grouped job: the two-phase
+    * dense-index aggregation additionally keyed by the partition expression,
+    * rolled up to (partition → groups, violating). The verdict unit is
+    * groups. Like uniqueness, per-partition counts agree with the global
+    * exactly when the partition expression derives from the key (groups
+    * never straddle partitions) — `partition_covers_key=true` then also
+    * takes the GLOBAL verdict from the roll-up, skipping the table-wide
+    * job. */
+  private def sequencePartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+      val idx = rule.param("index").getOrElse(throw new IllegalArgumentException(
+        s"sequence rule '${rule.name}' needs an index parameter"))
+      val start = rule.param("start").map(_.toLong)
+      val rows = df.filter(col(idx).isNotNull)
+        .groupBy((Checks.partGroupCol(df, p).as("__part") +: keys.map(col)) :+ col(idx): _*)
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__part") +: keys.map(col): _*)
+        .agg(count(lit(1)).as("n_distinct"),
+          min(col(idx)).as("min_idx"), max(col(idx)).as("max_idx"))
+        .groupBy(col("__part"))
+        .agg(count(lit(1)).as("__groups"),
+          sum(when(Checks.sequenceViolationCond(start), 1L).otherwise(0L)).as("__violating"))
+        .collect()
+      Right(rows.toSeq.map { r =>
+        val part = Checks.partKeyString(r.get(0))
+        val total = r.getLong(1)
+        val failed = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
+      })
     } catch { case e: Throwable => Left(e) }
 
   /** Histogram bucket expression for one drift rule. */
@@ -540,6 +605,22 @@ class Validator(
           ValidationResult.verdict(rule, total - distinct, total, ms,
             Map("keys" -> keys.mkString(",")))
 
+        case RuleType.Sequence =>
+          // dense per-key index integrity; the verdict unit is GROUPS
+          // (conversations), not rows — a 10^12-turn table has ~10^10
+          // conversations and the rate is "fraction of intact conversations"
+          val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+          val idx = rule.param("index").getOrElse(throw new IllegalArgumentException(
+            s"sequence rule '${rule.name}' needs an index parameter"))
+          val start = rule.param("start").map(_.toLong)
+          val row = Checks.sequenceGroups(df, keys, idx).agg(
+            count(lit(1)),
+            sum(when(Checks.sequenceViolationCond(start), 1L).otherwise(0L))).head()
+          val total = row.getLong(0)
+          val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
+          ValidationResult.verdict(rule, failed, total, ms,
+            Map("keys" -> keys.mkString(","), "index" -> idx, "unit" -> "groups"))
+
         case RuleType.Referential =>
           val refTable = rule.param("ref_table").getOrElse(
             throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
@@ -632,6 +713,14 @@ class Validator(
       df.filter(RulePlanner.failCondition(df.schema, rule))
     case RuleType.Uniqueness =>
       Checks.duplicateRows(df, if (rule.columns.nonEmpty) rule.columns else Seq(rule.column))
+    case RuleType.Sequence =>
+      // group-level violation rows: each gapped (or wrong-start) key group
+      // with its distinct-count and index span
+      Checks.sequenceViolations(df,
+        if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
+        rule.param("index").getOrElse(throw new IllegalArgumentException(
+          s"sequence rule '${rule.name}' needs an index parameter")),
+        rule.param("start").map(_.toLong))
     case RuleType.Referential =>
       val refTable = rule.param("ref_table").getOrElse(
         throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))

@@ -33,6 +33,7 @@ object RuleType {
   val SchemaDrift = "schema" // schema contract vs a reference table (added/removed/retyped columns)
   val AllowedValues = "allowed_values" // set membership (dbt accepted_values / Deequ isContainedIn)
   val Freshness = "freshness" // event-time staleness vs a reference instant
+  val Sequence = "sequence" // per-key dense index integrity (gapless turn_idx per conv_id)
 }
 
 /** One validation rule.

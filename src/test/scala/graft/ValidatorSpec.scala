@@ -405,4 +405,46 @@ class ValidatorSpec extends SparkSpec {
     bad.passed shouldBe false
     bad.failed_count shouldBe -1
   }
+
+  test("sequence rule: gaps, wrong starts, duplicates, NULLs, partition verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, abs => sabs, xxhash64}
+    val df = Seq(
+      ("a", Some(0)), ("a", Some(1)), ("a", Some(2)),              // dense from 0: clean
+      ("b", Some(0)), ("b", Some(2)),                              // gap at 1: violating
+      ("c", Some(1)), ("c", Some(2)),                              // dense but starts at 1
+      ("d", Some(0)), ("d", Some(0)), ("d", Some(1)),              // duplicate 0: NOT a sequence violation
+      ("e", Some(0)), ("e", None)                                  // NULL index excluded: {0} is dense
+    ).toDF("conv_id", "turn_idx")
+    val v = new Validator(spark, ValidationConfig())
+    // no start requirement: only the gap fails (c's offset start is fine)
+    val noStart = ValidationRule("seq", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx"))
+    val r1 = v.executeRules(df, Seq(noStart), "t").results.head
+    r1.total_count shouldBe 5 // unit = groups
+    r1.failed_count shouldBe 1 // only b
+    // start=0: c now fails too
+    val startZero = ValidationRule("seq0", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0"))
+    val r2 = v.executeRules(df, Seq(startZero), "t").results.head
+    r2.failed_count shouldBe 2
+    // violation rows are the violating GROUPS with their stats
+    val viols = v.violations(df, startZero).orderBy("conv_id").collect()
+    viols.map(_.getString(0)).toSeq shouldBe Seq("b", "c")
+    // per-partition verdicts: partition derives from the key, so the
+    // roll-up equals the global and partition_covers_key promotes it
+    val covered = ValidationRule("seqp", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0",
+        "partition_covers_key" -> "true"))
+    val (summary, verdicts) = v.executeRulesPartitioned(df, Seq(covered), "t",
+      Some(pmod(sabs(xxhash64(col("conv_id"))), org.apache.spark.sql.functions.lit(4))))
+    val seqVerdicts = verdicts.filter(_.rule_name == "seqp")
+    seqVerdicts.map(_.failed_count).sum shouldBe 2
+    seqVerdicts.map(_.total_count).sum shouldBe 5
+    summary.results.head.failed_count shouldBe 2
+    summary.results.head.total_count shouldBe 5
+    // missing index parameter surfaces as the rule's error result
+    val bad = v.executeRules(df,
+      Seq(ValidationRule("noidx", RuleType.Sequence, Seq("conv_id"))), "t").results.head
+    bad.failed_count shouldBe -1
+  }
 }

@@ -67,6 +67,13 @@ object SparkEntry {
     ValidationRule("turn_sequence", RuleType.Sequence, Seq("conv_id"),
       parameters = Map("index" -> "turn_idx", "start" -> "0",
         "partition_covers_key" -> "true"),
+      threshold = Some(0.9), severity = Severity.Warning),
+    // event time must never run backwards as turn_idx advances within a
+    // conversation; (turn_idx, ts) tiebreak keeps the walk deterministic
+    // over the duplicate-turn injections
+    ValidationRule("ts_monotonic", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
+        "partition_covers_key" -> "true"),
       threshold = Some(0.9), severity = Severity.Warning)
   )
 
@@ -261,6 +268,22 @@ object SparkEntry {
         SELECT CAST(COUNT(*) AS BIGINT) AS total_groups,
         CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(n) AS BIGINT) AS distinct_pairs FROM g""")),
+
+    // ---- monotonic rule (per-key ordering integrity) ----------------------
+    Q("q_monotonic_lineitem",
+      (s, d) => Checks.monotonicGroups(t(s, d, "lineitem"), Seq("l_orderkey"),
+          "l_linenumber", "l_shipdate")
+        .agg(count(lit(1)).as("total_groups"),
+          sum(when(col("inversions") > 0L, 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("inversions")).as("total_inversions")),
+      Some("""WITH g AS (SELECT l_orderkey,
+          CASE WHEN l_shipdate < lag(l_shipdate) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate)
+               THEN 1 ELSE 0 END AS v
+          FROM lineitem WHERE l_linenumber IS NOT NULL AND l_shipdate IS NOT NULL),
+        a AS (SELECT l_orderkey, SUM(v) AS inv FROM g GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_groups,
+        CAST(SUM(CASE WHEN inv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        CAST(SUM(inv) AS BIGINT) AS total_inversions FROM a""")),
 
     // ---- referential integrity (anti-join) -------------------------------
     Q("q_referential_orphans",

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * The suite is exactly what BASELINE.md defines as "full constraint-suite
   * pass": single-pass fused column stats (completeness / pattern / range /
   * type-conformance), composite-key uniqueness on (conv_id, turn_idx),
-  * referential integrity of conv_id against the conversation index
-  * (broadcast anti-join), chi-square drift on role and KS drift on
-  * text-length vs a drifted snapshot, and per-partition verdicts over
-  * conv_id buckets.
+  * dense turn_idx sequence and monotone ts per conversation, referential
+  * integrity of
+  * conv_id against the conversation index (broadcast anti-join), chi-square
+  * drift on role and KS drift on text-length vs a drifted snapshot, and
+  * per-partition verdicts over conv_id buckets.
   */
 object TranscriptSuite {
 
@@ -36,6 +37,19 @@ object TranscriptSuite {
     ValidationRule("key_uniqueness", RuleType.Uniqueness, Seq("conv_id", "turn_idx"),
       threshold = Some(0.99),
       parameters = Map("partition_covers_key" -> "true")),
+    // dense per-conversation turn_idx (the −1 injections leave gaps); on the
+    // bucketed layout both grouped phases are satisfied by the at-rest
+    // conv_id distribution — zero exchange (BucketingSpec)
+    ValidationRule("turn_sequence", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0",
+        "partition_covers_key" -> "true"),
+      threshold = Some(0.9), severity = Severity.Warning),
+    // ts never regresses along turn_idx; the window partitions by conv_id,
+    // so the bucketed layout plans NO exchange — only the per-bucket sort
+    ValidationRule("ts_monotonic", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
+        "partition_covers_key" -> "true"),
+      threshold = Some(0.9), severity = Severity.Warning),
     // broadcast=false: the conversation index is ~turns/18 rows (10^9-scale
     // dim at the design point) — a broadcast would serialize a driver-side
     // hash build; shuffle join scales with the cluster and AQE can still

@@ -93,6 +93,66 @@ object Checks {
       start: Option[Long]): DataFrame =
     sequenceGroups(df, keys, idx).filter(sequenceViolationCond(start))
 
+  /** Per-group monotonicity stats: for each key group, whether `valueCol`
+    * is monotone (default non-decreasing) when the group's rows are walked
+    * in `orderCol` order. The transcripts shape: event time `ts` must never
+    * run backwards as turn_idx advances within a conversation — the
+    * ordering invariant sequence (density) and uniqueness (duplicates)
+    * don't see.
+    *
+    * One window pass + one grouped aggregate. The window partitions by the
+    * keys, so under a key-bucketed at-rest layout it needs NO exchange —
+    * only a per-partition sort that a `sortBy` bucketed layout would also
+    * remove. The window orders by (orderCol, valueCol): the value tiebreak
+    * makes the walk DETERMINISTIC when orderCol has ties (duplicate
+    * turn_idx injections), checking "is there an ordering of tied rows
+    * under which the group is monotone" — partitioning- and run-invariant,
+    * so verdicts are oracle-comparable. NULL order or value rows are
+    * excluded (completeness owns nulls); NULL keys form their own group. */
+  def monotonicGroups(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, strict: Boolean = false, descending: Boolean = false,
+      part: Option[Column] = None): DataFrame = {
+    // an optional partition expression joins BOTH the window partitioning
+    // and the grouping: per-partition verdicts evaluate each (partition,
+    // group) subgroup's own walk — consistent with sequence/uniqueness,
+    // and exactly the global answer when the partition derives from the key
+    // the walk always ascends in orderCol; `descending` flips only the
+    // value comparison (and the tiebreak, so tied rows walk toward the
+    // permitted direction): non-increasing values along the SAME walk
+    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
+              else Seq(col(orderCol), col(valueCol))
+    val w = Window.partitionBy(part.toSeq ++ keys.map(col): _*).orderBy(ord: _*)
+    val prev = lag(col(valueCol), 1).over(w)
+    // asc: violation when value < prev (or == under strict); desc mirrored
+    val worse = if (descending) col(valueCol) > prev else col(valueCol) < prev
+    val tie = col(valueCol) === prev
+    val viol = if (strict) worse || tie else worse
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(part.map(_.as("__part")).toSeq ++ keys.map(col) :+
+        when(viol, 1L).otherwise(0L).as("__viol"): _*)
+      .groupBy(part.map(_ => col("__part")).toSeq ++ keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__viol")).as("inversions"))
+  }
+
+  /** The violating TRANSITIONS (quarantine face of the monotonic rule):
+    * each row whose value regresses vs its predecessor in the walk, with
+    * the predecessor value alongside. */
+  def monotonicViolations(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, strict: Boolean = false,
+      descending: Boolean = false): DataFrame = {
+    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
+              else Seq(col(orderCol), col(valueCol))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    // materialize the predecessor, THEN filter on the plain column (window
+    // expressions are not allowed directly in a WHERE)
+    val prev = col("__prev_value")
+    val worse = if (descending) col(valueCol) > prev else col(valueCol) < prev
+    val viol = if (strict) worse || (col(valueCol) === prev) else worse
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__prev_value", lag(col(valueCol), 1).over(w))
+      .filter(viol)
+  }
+
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.
     * collecting examples per key) and a hot key would overload one reducer:
     * stage 1 groups by (key, salt) — the hot key fans out over `saltBuckets`

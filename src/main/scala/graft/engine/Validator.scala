@@ -207,15 +207,19 @@ class Validator(
         (rf, uf)
       case _ => (Nil, Nil)
     }
-    // sequence rules: same shape as uniqueness — one grouped job per rule
-    // yields per-partition verdicts, and partition_covers_key promotes the
-    // roll-up to the global verdict (verdict unit: groups)
+    // sequence + monotonic rules: same shape as uniqueness — one grouped
+    // job per rule yields per-partition verdicts, and partition_covers_key
+    // promotes the roll-up to the global verdict (verdict unit: groups)
     val seqFs = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
-        rules.filter(_.ruleType == RuleType.Sequence).map { r =>
+        rules.filter(r => r.ruleType == RuleType.Sequence ||
+            r.ruleType == RuleType.Monotonic).map { r =>
           Future {
             val tu = System.nanoTime()
-            sequencePartitionVerdicts(df, r, p) match {
+            val grouped =
+              if (r.ruleType == RuleType.Sequence) sequencePartitionVerdicts(df, r, p)
+              else monotonicPartitionVerdicts(df, r, p)
+            grouped match {
               case Right(verdicts) =>
                 val globalFromRollup =
                   if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
@@ -359,6 +363,42 @@ class Validator(
         .groupBy(col("__part"))
         .agg(count(lit(1)).as("__groups"),
           sum(when(Checks.sequenceViolationCond(start), 1L).otherwise(0L)).as("__violating"))
+        .collect()
+      Right(rows.toSeq.map { r =>
+        val part = Checks.partKeyString(r.get(0))
+        val total = r.getLong(1)
+        val failed = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
+      })
+    } catch { case e: Throwable => Left(e) }
+
+  /** (order_by, value, strict, descending) of a monotonic rule; order_by
+    * and value are required. */
+  private def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) = (
+    rule.param("order_by").getOrElse(throw new IllegalArgumentException(
+      s"monotonic rule '${rule.name}' needs an order_by parameter")),
+    rule.param("value").getOrElse(throw new IllegalArgumentException(
+      s"monotonic rule '${rule.name}' needs a value parameter")),
+    rule.param("strict").contains("true"),
+    rule.param("direction").contains("desc"))
+
+  /** Per-partition monotonic verdicts from ONE window + grouped job (the
+    * [[Checks.monotonicGroups]] pipeline additionally keyed by the partition
+    * expression). Verdict unit is groups; same partition_covers_key
+    * contract as sequence/uniqueness. */
+  private def monotonicPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+      val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
+      val rows = Checks.monotonicGroups(df, keys, orderCol, valueCol, strict, desc,
+          part = Some(Checks.partGroupCol(df, p)))
+        .groupBy(col("__part"))
+        .agg(count(lit(1)).as("__groups"),
+          sum(when(col("inversions") > 0L, 1L).otherwise(0L)).as("__violating"))
         .collect()
       Right(rows.toSeq.map { r =>
         val part = Checks.partKeyString(r.get(0))
@@ -621,6 +661,21 @@ class Validator(
           ValidationResult.verdict(rule, failed, total, ms,
             Map("keys" -> keys.mkString(","), "index" -> idx, "unit" -> "groups"))
 
+        case RuleType.Monotonic =>
+          // per-key ordering integrity; verdict unit is GROUPS (like
+          // sequence): rate = fraction of conversations whose value walk
+          // never regresses
+          val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+          val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
+          val row = Checks.monotonicGroups(df, keys, orderCol, valueCol, strict, desc)
+            .agg(count(lit(1)),
+              sum(when(col("inversions") > 0L, 1L).otherwise(0L))).head()
+          val total = row.getLong(0)
+          val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
+          ValidationResult.verdict(rule, failed, total, ms,
+            Map("keys" -> keys.mkString(","), "order_by" -> orderCol,
+              "value" -> valueCol, "unit" -> "groups"))
+
         case RuleType.Referential =>
           val refTable = rule.param("ref_table").getOrElse(
             throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
@@ -721,6 +776,13 @@ class Validator(
         rule.param("index").getOrElse(throw new IllegalArgumentException(
           s"sequence rule '${rule.name}' needs an index parameter")),
         rule.param("start").map(_.toLong))
+    case RuleType.Monotonic =>
+      // transition-level violation rows: each row whose value regresses vs
+      // its predecessor in the ordered walk, predecessor alongside
+      val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
+      Checks.monotonicViolations(df,
+        if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
+        orderCol, valueCol, strict, desc)
     case RuleType.Referential =>
       val refTable = rule.param("ref_table").getOrElse(
         throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))

@@ -34,6 +34,7 @@ object RuleType {
   val AllowedValues = "allowed_values" // set membership (dbt accepted_values / Deequ isContainedIn)
   val Freshness = "freshness" // event-time staleness vs a reference instant
   val Sequence = "sequence" // per-key dense index integrity (gapless turn_idx per conv_id)
+  val Monotonic = "monotonic" // per-key ordering integrity (ts never regresses along turn_idx)
 }
 
 /** One validation rule.

@@ -28,6 +28,17 @@ class BucketingSpec extends SparkSpec {
       uniq.collect()
       val plan = uniq.queryExecution.executedPlan.toString
       plan should not include "Exchange hashpartitioning"
+      // sequence-rule pipeline: both grouped phases ((conv_id, turn_idx)
+      // dedup, then conv_id stats) are satisfied by the conv_id bucketing —
+      // the whole dense-index check reads at-rest data with no exchange
+      val seq = graft.engine.Checks.sequenceGroups(turns, Seq("conv_id"), "turn_idx")
+      seq.collect()
+      seq.queryExecution.executedPlan.toString should not include "Exchange hashpartitioning"
+      // monotonic-rule pipeline: the window partitions by conv_id, which the
+      // bucketing satisfies — no exchange, only the per-bucket sort
+      val mono = graft.engine.Checks.monotonicGroups(turns, Seq("conv_id"), "turn_idx", "ts")
+      mono.collect()
+      mono.queryExecution.executedPlan.toString should not include "Exchange hashpartitioning"
       // and the verdict math is identical to the unbucketed formulation
       val fromBucketed = uniq.groupBy("__part")
         .agg((sum("__cnt") - count(lit(1))).as("f"))

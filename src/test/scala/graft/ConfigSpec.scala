@@ -136,7 +136,8 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     types shouldBe Set(RuleType.Custom, RuleType.Completeness, RuleType.Pattern,
       RuleType.Range, RuleType.TypeConformance, RuleType.Uniqueness,
       RuleType.Referential, RuleType.drift, RuleType.Outlier, RuleType.SchemaDrift,
-      RuleType.AllowedValues, RuleType.Freshness, RuleType.Sequence)
+      RuleType.AllowedValues, RuleType.Freshness, RuleType.Sequence,
+      RuleType.Monotonic)
     // the drift rules in the shipped example cover every implemented method
     val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
       .flatMap(_.param("method")).toSet

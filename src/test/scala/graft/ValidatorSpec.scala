@@ -447,4 +447,48 @@ class ValidatorSpec extends SparkSpec {
       Seq(ValidationRule("noidx", RuleType.Sequence, Seq("conv_id"))), "t").results.head
     bad.failed_count shouldBe -1
   }
+
+  test("monotonic rule: inversions, strict mode, ties, NULLs, partition verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, abs => sabs, xxhash64}
+    val df = Seq(
+      ("a", Some(0), Some(10L)), ("a", Some(1), Some(20L)), ("a", Some(2), Some(20L)), // non-decreasing: clean (ties ok non-strict)
+      ("b", Some(0), Some(10L)), ("b", Some(1), Some(5L)),                             // regression: violating
+      ("c", Some(0), Some(1L)), ("c", Some(1), None), ("c", Some(2), Some(2L)),        // NULL value excluded: 1→2 clean
+      ("d", Some(0), Some(3L)), ("d", Some(0), Some(1L)), ("d", Some(1), Some(5L))     // tie on order: (order,value) walk 1,3,5 clean
+    ).toDF("conv_id", "turn_idx", "v")
+    val v = new Validator(spark, ValidationConfig())
+    val rule = ValidationRule("mono", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v"))
+    val r1 = v.executeRules(df, Seq(rule), "t").results.head
+    r1.total_count shouldBe 4 // unit = groups
+    r1.failed_count shouldBe 1 // only b
+    // strict: a's tie (20,20) now violates
+    val strict = ValidationRule("monos", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v", "strict" -> "true"))
+    v.executeRules(df, Seq(strict), "t").results.head.failed_count shouldBe 2
+    // descending direction: b's 10→5 walk is now clean; a (10→20),
+    // c (1→2) and d (3,1 tie-walk →5) ascend somewhere → violating
+    val desc = ValidationRule("monod", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v", "direction" -> "desc"))
+    v.executeRules(df, Seq(desc), "t").results.head.failed_count shouldBe 3
+    // violation rows: the regressing transition with its predecessor
+    val viols = v.violations(df, rule).collect()
+    viols.map(_.getString(0)).toSeq shouldBe Seq("b")
+    viols.head.getAs[Long]("__prev_value") shouldBe 10L
+    // per-partition verdicts: partition derives from the key → roll-up
+    // equals the global and partition_covers_key promotes it
+    val covered = ValidationRule("monop", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v",
+        "partition_covers_key" -> "true"))
+    val (summary, verdicts) = v.executeRulesPartitioned(df, Seq(covered), "t",
+      Some(pmod(sabs(xxhash64(col("conv_id"))), org.apache.spark.sql.functions.lit(4))))
+    val mv = verdicts.filter(_.rule_name == "monop")
+    mv.map(_.failed_count).sum shouldBe 1
+    mv.map(_.total_count).sum shouldBe 4
+    summary.results.head.failed_count shouldBe 1
+    summary.results.head.total_count shouldBe 4
+    // missing parameters surface as the rule's error result
+    v.executeRules(df, Seq(ValidationRule("noparams", RuleType.Monotonic,
+      Seq("conv_id"))), "t").results.head.failed_count shouldBe -1
+  }
 }

@@ -1253,9 +1253,10 @@ object SparkEntry {
     Q("q_transcripts_partition_verdicts",
       (s, _) => {
         // full per-partition surface: fusible rules from the grouped fused
-        // pass PLUS uniqueness (within-partition dups), referential
-        // (grouped orphan counts) and drift (grouped histograms vs a
-        // drifted baseline) — 8 buckets × 9 rules
+        // pass PLUS uniqueness (within-partition dups), sequence/monotonic
+        // (grouped group-unit stats), referential (grouped orphan counts)
+        // and drift (grouped histograms vs a drifted baseline) — 8 buckets
+        // × the full transcriptRules vocabulary + 2 drift rules
         import s.implicits._
         // synthesized input cached for the suite's many grouped passes
         // (see entry) — released by the harness's per-query CacheScope

@@ -73,12 +73,20 @@ object Checks {
     * at-rest layout the whole pipeline plans ZERO exchange. NULL indices
     * are excluded (completeness owns nulls); NULL keys form their own
     * group, matching uniqueness's NULL-is-a-value semantics. */
-  def sequenceGroups(df: DataFrame, keys: Seq[String], idx: String): DataFrame =
+  def sequenceGroups(df: DataFrame, keys: Seq[String], idx: String,
+      part: Option[Column] = None): DataFrame = {
+    // an optional partition expression rides both phases (as "__part"):
+    // per-partition verdicts evaluate each (partition, group) subgroup's
+    // own density — exactly the global answer when the partition derives
+    // from the key
+    val partAliased = part.map(_.as("__part")).toSeq
+    val partCol = part.map(_ => col("__part")).toSeq
     df.filter(col(idx).isNotNull)
-      .groupBy((keys :+ idx).map(col): _*).agg(count(lit(1)).as("__n"))
-      .groupBy(keys.map(col): _*)
+      .groupBy(partAliased ++ (keys :+ idx).map(col): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(partCol ++ keys.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"),
         min(col(idx)).as("min_idx"), max(col(idx)).as("max_idx"))
+  }
 
   /** Violation predicate over [[sequenceGroups]] rows. */
   def sequenceViolationCond(start: Option[Long]): Column = {

@@ -172,70 +172,61 @@ class Validator(
     // per-rule futures, FLAT (no nested awaits on the bounded pool): every
     // referential and uniqueness rule's grouped job overlaps the drift scan
     // and each other
+    // shared scaffolding for the per-rule grouped-job families (uniqueness,
+    // sequence, monotonic): run the grouped job; on success optionally
+    // promote the partition_covers_key roll-up to the global verdict; on
+    // failure surface the job's error as the rule's result (−1/−1 sentinel,
+    // severity→error) — with partition_covers_key the global verdict
+    // DEPENDS on this job, and a silent Nil would fall back to the
+    // table-wide job the caller opted out of
+    def groupedRuleFuture(r: ValidationRule,
+        run: () => Either[Throwable, Seq[PartitionVerdict]],
+        globalTotal: Seq[PartitionVerdict] => Long,
+        extraMeta: Map[String, String])
+        : Future[(String, Option[ValidationResult], Seq[PartitionVerdict])] =
+      Future {
+        val tu = System.nanoTime()
+        run() match {
+          case Right(verdicts) =>
+            val globalFromRollup =
+              if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
+                val failed = verdicts.map(_.failed_count).sum
+                Some(ValidationResult.verdict(r, failed, globalTotal(verdicts),
+                  (System.nanoTime() - tu) / 1e6,
+                  Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
+                    "partitioned" -> "true") ++ extraMeta))
+              } else None
+            (r.name, globalFromRollup, verdicts)
+          case Left(e) =>
+            (r.name, Some(ValidationResult.failure(r, e,
+              (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
+        }
+      }
     val (refFs, uniqFs) = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
         val rf = rules.filter(_.ruleType == RuleType.Referential).map { r =>
           r.name -> Future(referentialPartitioned(df, r, p, partTotals, totalCount))
         }
         val uf = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
-          Future {
-            val tu = System.nanoTime()
-            uniquenessPartitionVerdicts(df, r, p, partTotals) match {
-              case Right(verdicts) =>
-                val globalFromRollup =
-                  if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
-                    val failed = verdicts.map(_.failed_count).sum
-                    val total = partTotals.values.sum
-                    Some(ValidationResult.verdict(r, failed, total,
-                      (System.nanoTime() - tu) / 1e6,
-                      Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
-                        "partitioned" -> "true")))
-                  } else None
-                (r.name, globalFromRollup, verdicts)
-              case Left(e) =>
-                // surface the per-partition job's failure as this rule's
-                // result (−1/−1 sentinel, severity→error) instead of
-                // silently yielding no verdicts — with partition_covers_key
-                // the global verdict DEPENDS on this job, and without it a
-                // silent Nil would fall back to the table-wide distinct the
-                // caller opted out of
-                (r.name, Some(ValidationResult.failure(r, e,
-                  (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
-            }
-          }
+          groupedRuleFuture(r, () => uniquenessPartitionVerdicts(df, r, p, partTotals),
+            _ => partTotals.values.sum, Map.empty)
         }
         (rf, uf)
       case _ => (Nil, Nil)
     }
     // sequence + monotonic rules: same shape as uniqueness — one grouped
     // job per rule yields per-partition verdicts, and partition_covers_key
-    // promotes the roll-up to the global verdict (verdict unit: groups)
+    // promotes the roll-up to the global verdict (verdict unit: groups, so
+    // the global total is the verdicts' own group-count sum, not the
+    // row-count partTotals)
     val seqFs = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
         rules.filter(r => r.ruleType == RuleType.Sequence ||
             r.ruleType == RuleType.Monotonic).map { r =>
-          Future {
-            val tu = System.nanoTime()
-            val grouped =
-              if (r.ruleType == RuleType.Sequence) sequencePartitionVerdicts(df, r, p)
-              else monotonicPartitionVerdicts(df, r, p)
-            grouped match {
-              case Right(verdicts) =>
-                val globalFromRollup =
-                  if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
-                    val failed = verdicts.map(_.failed_count).sum
-                    val total = verdicts.map(_.total_count).sum
-                    Some(ValidationResult.verdict(r, failed, total,
-                      (System.nanoTime() - tu) / 1e6,
-                      Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
-                        "unit" -> "groups", "partitioned" -> "true")))
-                  } else None
-                (r.name, globalFromRollup, verdicts)
-              case Left(e) =>
-                (r.name, Some(ValidationResult.failure(r, e,
-                  (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
-            }
-          }
+          val run = () =>
+            if (r.ruleType == RuleType.Sequence) sequencePartitionVerdicts(df, r, p, partTotals)
+            else monotonicPartitionVerdicts(df, r, p, partTotals)
+          groupedRuleFuture(r, run, _.map(_.total_count).sum, Map("unit" -> "groups"))
         }
       case _ => Nil
     }
@@ -347,68 +338,86 @@ class Validator(
     * takes the GLOBAL verdict from the roll-up, skipping the table-wide
     * job. */
   private def sequencePartitionVerdicts(
-      df: DataFrame, rule: ValidationRule,
-      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val idx = rule.param("index").getOrElse(throw new IllegalArgumentException(
         s"sequence rule '${rule.name}' needs an index parameter"))
       val start = rule.param("start").map(_.toLong)
-      val rows = df.filter(col(idx).isNotNull)
-        .groupBy((Checks.partGroupCol(df, p).as("__part") +: keys.map(col)) :+ col(idx): _*)
-        .agg(count(lit(1)).as("__n"))
-        .groupBy(col("__part") +: keys.map(col): _*)
-        .agg(count(lit(1)).as("n_distinct"),
-          min(col(idx)).as("min_idx"), max(col(idx)).as("max_idx"))
-        .groupBy(col("__part"))
-        .agg(count(lit(1)).as("__groups"),
-          sum(when(Checks.sequenceViolationCond(start), 1L).otherwise(0L)).as("__violating"))
-        .collect()
-      Right(rows.toSeq.map { r =>
-        val part = Checks.partKeyString(r.get(0))
-        val total = r.getLong(1)
-        val failed = if (r.isNullAt(2)) 0L else r.getLong(2)
-        val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
-        PartitionVerdict(part, rule.name,
-          ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
-      })
+      Right(groupUnitVerdicts(rule,
+        Checks.sequenceGroups(df, keys, idx, part = Some(Checks.partGroupCol(df, p))),
+        Checks.sequenceViolationCond(start), partTotals))
     } catch { case e: Throwable => Left(e) }
 
   /** (order_by, value, strict, descending) of a monotonic rule; order_by
-    * and value are required. */
+    * and value are required, direction must be asc/desc and strict
+    * true/false when present (an ignored typo would silently validate the
+    * WRONG invariant — reject like the drift rules reject unknown
+    * methods). */
   private def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) = (
     rule.param("order_by").getOrElse(throw new IllegalArgumentException(
       s"monotonic rule '${rule.name}' needs an order_by parameter")),
     rule.param("value").getOrElse(throw new IllegalArgumentException(
       s"monotonic rule '${rule.name}' needs a value parameter")),
-    rule.param("strict").contains("true"),
-    rule.param("direction").contains("desc"))
+    rule.param("strict") match {
+      case None | Some("false") => false
+      case Some("true")         => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"monotonic rule '${rule.name}': strict must be true or false, got '$other'")
+    },
+    rule.param("direction") match {
+      case None | Some("asc") => false
+      case Some("desc")       => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
+    })
 
   /** Per-partition monotonic verdicts from ONE window + grouped job (the
     * [[Checks.monotonicGroups]] pipeline additionally keyed by the partition
     * expression). Verdict unit is groups; same partition_covers_key
     * contract as sequence/uniqueness. */
   private def monotonicPartitionVerdicts(
-      df: DataFrame, rule: ValidationRule,
-      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
-      val rows = Checks.monotonicGroups(df, keys, orderCol, valueCol, strict, desc,
-          part = Some(Checks.partGroupCol(df, p)))
-        .groupBy(col("__part"))
-        .agg(count(lit(1)).as("__groups"),
-          sum(when(col("inversions") > 0L, 1L).otherwise(0L)).as("__violating"))
-        .collect()
-      Right(rows.toSeq.map { r =>
-        val part = Checks.partKeyString(r.get(0))
-        val total = r.getLong(1)
-        val failed = if (r.isNullAt(2)) 0L else r.getLong(2)
-        val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
-        PartitionVerdict(part, rule.name,
-          ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
-      })
+      Right(groupUnitVerdicts(rule,
+        Checks.monotonicGroups(df, keys, orderCol, valueCol, strict, desc,
+          part = Some(Checks.partGroupCol(df, p))),
+        col("inversions") > 0L, partTotals))
     } catch { case e: Throwable => Left(e) }
+
+  /** Shared tail of the group-unit families (sequence, monotonic): roll a
+    * per-(partition, group) stats frame up to one verdict per partition.
+    * Partitions present in `partTotals` but ABSENT from the stats (every
+    * row excluded by the family's NULL filter — e.g. a bucket whose
+    * turn_idx is entirely NULL) get an explicit empty verdict (0 groups,
+    * rate 1.0) so every (partition, rule) pair is assessed — a missing row
+    * would be indistinguishable from "never evaluated" downstream. */
+  private def groupUnitVerdicts(rule: ValidationRule, groupStats: DataFrame,
+      violCond: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Seq[PartitionVerdict] = {
+    val rows = groupStats
+      .groupBy(col("__part"))
+      .agg(count(lit(1)).as("__groups"),
+        sum(when(violCond, 1L).otherwise(0L)).as("__violating"))
+      .collect()
+    val present = rows.toSeq.map { r =>
+      val part = Checks.partKeyString(r.get(0))
+      val total = r.getLong(1)
+      val failed = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+      PartitionVerdict(part, rule.name,
+        ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
+    }
+    val seen = present.map(_.partition).toSet
+    present ++ partTotals.keys.filterNot(seen).toSeq.sorted.map { part =>
+      PartitionVerdict(part, rule.name,
+        ValidationResult.passedOf(rule.threshold, 0L, 1.0), 0L, 0L, 1.0)
+    }
+  }
 
   /** Histogram bucket expression for one drift rule. */
   private def driftBucket(rule: ValidationRule): org.apache.spark.sql.Column =

@@ -490,5 +490,30 @@ class ValidatorSpec extends SparkSpec {
     // missing parameters surface as the rule's error result
     v.executeRules(df, Seq(ValidationRule("noparams", RuleType.Monotonic,
       Seq("conv_id"))), "t").results.head.failed_count shouldBe -1
+    // a direction typo is rejected, not silently treated as ascending
+    v.executeRules(df, Seq(ValidationRule("baddir", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v",
+        "direction" -> "descending"))), "t").results.head.failed_count shouldBe -1
+    v.executeRules(df, Seq(ValidationRule("badstrict", RuleType.Monotonic, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "v",
+        "strict" -> "True"))), "t").results.head.failed_count shouldBe -1
+  }
+
+  test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {
+    import org.apache.spark.sql.functions.{col, when => swhen, lit}
+    val df = Seq(
+      ("a", Some(0)), ("a", Some(1)),
+      ("z", None: Option[Int]), ("z", None: Option[Int]) // whole partition excluded by the NULL filter
+    ).toDF("conv_id", "turn_idx")
+    val v = new Validator(spark, ValidationConfig())
+    val rule = ValidationRule("seq", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0"))
+    val (_, verdicts) = v.executeRulesPartitioned(df, Seq(rule), "t",
+      Some(swhen(col("conv_id") === "z", lit(1)).otherwise(lit(0))))
+    val byPart = verdicts.filter(_.rule_name == "seq").map(x => x.partition -> x).toMap
+    byPart.keySet shouldBe Set("0", "1") // one verdict per (partition, rule)
+    byPart("1").total_count shouldBe 0L // empty, not missing
+    byPart("1").passed shouldBe true
+    byPart("0").total_count shouldBe 1L
   }
 }

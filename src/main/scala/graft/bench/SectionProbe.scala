@@ -25,6 +25,11 @@ object SectionProbe {
       }
     })
     val dir = "/tmp/graft_bench"
+    // "mat" re-materializes the bench table first (after a small-conv
+    // harness run overwrote it)
+    if (args.contains("mat"))
+      TranscriptSuite.materialize(spark, dir,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1600000").toLong, cpus)
     val turns = TranscriptSuite.openTurns(spark, dir)
     val index = spark.read.parquet(s"$dir/conv_index")
     val part = pmod(xxhash64(col("conv_id")), lit(32))
@@ -53,6 +58,18 @@ object SectionProbe {
       ()
     }
 
+    def seq(): Unit = Checks
+      .sequenceGroups(turns, Seq("conv_id"), "turn_idx", part = Some(part))
+      .groupBy("__part").agg(count(lit(1)),
+        sum(when(Checks.sequenceViolationCond(Some(0L)), 1L).otherwise(0L)))
+      .collect()
+
+    def mono(): Unit = Checks
+      .monotonicGroups(turns, Seq("conv_id"), "turn_idx", "ts", part = Some(part))
+      .groupBy("__part").agg(count(lit(1)),
+        sum(when(col("inversions") > 0L, 1L).otherwise(0L)))
+      .collect()
+
     def drift(): Unit = {
       Checks.multiHistogramByPartition(turns, Seq(
         "role" -> col("role"),
@@ -74,6 +91,8 @@ object SectionProbe {
 
     measure("fused", fused _)
     measure("uniq", uniq _)
+    measure("seq", seq _)
+    measure("mono", mono _)
     measure("ref", ref _)
     measure("drift", drift _)
     spark.stop()

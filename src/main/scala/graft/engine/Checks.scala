@@ -161,6 +161,34 @@ object Checks {
       .filter(viol)
   }
 
+  /** Filter face of the monotonic rule: KEEP the monotone walk — a row
+    * survives when its value does not regress vs the running extreme
+    * (max for ascending, min for descending) of the rows before it in
+    * (orderCol, valueCol) order. The result is monotone by construction;
+    * NULL order/value rows drop (the range-filter null-rejecting
+    * convention — completeness owns them). Dropped rows never exceed the
+    * running extreme, so including them in the window changes nothing —
+    * the one-pass window is exactly the sequential greedy filter. Same
+    * window shape as [[monotonicGroups]]: no exchange on a key-bucketed
+    * layout. */
+  def keepMonotone(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, strict: Boolean = false,
+      descending: Boolean = false): DataFrame = {
+    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
+              else Seq(col(orderCol), col(valueCol))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runExtreme =
+      if (descending) min(col(valueCol)).over(w) else max(col(valueCol)).over(w)
+    val ok =
+      if (descending) { if (strict) col(valueCol) < col("__run") else col(valueCol) <= col("__run") }
+      else            { if (strict) col(valueCol) > col("__run") else col(valueCol) >= col("__run") }
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__run", runExtreme)
+      .filter(col("__run").isNull || ok) // first row of each walk always survives
+      .drop("__run")
+  }
+
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.
     * collecting examples per key) and a hot key would overload one reducer:
     * stage 1 groups by (key, salt) — the hot key fans out over `saltBuckets`

@@ -215,6 +215,16 @@ object RulePlanner {
         case RuleType.Uniqueness if rule.parameters.get("dedup_order").isDefined =>
           // opt-in extension: keep first row per key by dedup_order column
           Checks.keepFirstPerKey(acc, rule.columns, rule.parameters("dedup_order"))
+        case RuleType.Monotonic if rule.parameters.contains("order_by") &&
+            rule.parameters.contains("value") =>
+          // keep the monotone walk: drop rows whose value regresses vs the
+          // running extreme; NULL order/value rows drop (range-filter
+          // convention)
+          Checks.keepMonotone(acc,
+            if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
+            rule.parameters("order_by"), rule.parameters("value"),
+            strict = rule.parameters.get("strict").contains("true"),
+            descending = rule.parameters.get("direction").contains("desc"))
         case RuleType.Outlier =>
           // keep non-outliers; NULLs drop (range-filter convention). The
           // moments job runs eagerly at chain-build time — the predicate

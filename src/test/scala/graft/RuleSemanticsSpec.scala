@@ -103,6 +103,25 @@ class RuleSemanticsSpec extends SparkSpec {
     filtered.count() shouldBe 6
   }
 
+  test("monotonic filter keeps the monotone walk (greedy, first row survives)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 0, 10L), ("a", 1, 5L), ("a", 2, 12L), ("a", 3, 11L), // keep 10, drop 5, keep 12, drop 11
+      ("b", 0, 7L)                                               // single row survives
+    ).toDF("k", "o", "v")
+    val rule = ValidationRule("m", RuleType.Monotonic, Seq("k"),
+      parameters = Map("order_by" -> "o", "value" -> "v"))
+    val out = RulePlanner.applyFilters(df, Seq(rule))
+    out.orderBy("k", "o").collect().map(r => (r.getString(0), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 10L), ("a", 12L), ("b", 7L))
+    // the cleaned data re-validates clean under the same rule
+    val v = new Validator(spark, ValidationConfig())
+    v.executeRules(out, Seq(rule), "t").results.head.failed_count shouldBe 0
+    // without order_by/value parameters the rule passes data through
+    RulePlanner.applyFilters(df,
+      Seq(ValidationRule("m2", RuleType.Monotonic, Seq("k")))).count() shouldBe 5
+  }
+
   test("error path: bad rule → sentinel result, severity forced to error") {
     val validator = new Validator(spark, ValidationConfig())
     val bad = ValidationRule("broken", RuleType.Custom, Seq(),

@@ -74,7 +74,15 @@ object SparkEntry {
     ValidationRule("ts_monotonic", RuleType.Monotonic, Seq("conv_id"),
       parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
         "partition_covers_key" -> "true"),
-      threshold = Some(0.9), severity = Severity.Warning)
+      threshold = Some(0.9), severity = Severity.Warning),
+    // size contract: rides the fused count globally and partTotals per
+    // partition — zero extra jobs; flags dead/thin ingest buckets
+    ValidationRule("min_size", RuleType.RowCount, Seq(),
+      parameters = Map("min_rows" -> "10"), severity = Severity.Warning),
+    // distinct-count contract: the role vocabulary is small and closed
+    ValidationRule("role_cardinality", RuleType.Cardinality, Seq("role"),
+      parameters = Map("min_distinct" -> "2", "max_distinct" -> "10"),
+      severity = Severity.Warning)
   )
 
   /** Flagship: the full north-rule constraint suite over the synthetic
@@ -268,6 +276,26 @@ object SparkEntry {
         SELECT CAST(COUNT(*) AS BIGINT) AS total_groups,
         CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(n) AS BIGINT) AS distinct_pairs FROM g""")),
+
+    // ---- row_count + cardinality contracts (binary verdicts) -------------
+    Q("q_row_count_events",
+      (s, d) => t(s, d, "events").agg(count(lit(1)).as("row_count"),
+        when(count(lit(1)).between(500L, 100000000L), 0L).otherwise(1L).as("failed")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+        CAST(CASE WHEN COUNT(*) BETWEEN 500 AND 100000000 THEN 0 ELSE 1 END AS BIGINT) AS failed
+        FROM events""")),
+    Q("q_cardinality_events",
+      (s, d) => {
+        val c = col("event_type")
+        val distinctVals = (countDistinct(c) +
+          max(when(c.isNull, 1L).otherwise(0L))).as("distinct_vals")
+        t(s, d, "events").agg(distinctVals,
+          when((countDistinct(c) + max(when(c.isNull, 1L).otherwise(0L)))
+            .between(2L, 50L), 0L).otherwise(1L).as("failed"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT event_type) + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS distinct_vals,
+        CAST(CASE WHEN COUNT(DISTINCT event_type) + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) BETWEEN 2 AND 50 THEN 0 ELSE 1 END AS BIGINT) AS failed
+        FROM events""")),
 
     // ---- monotonic rule (per-key ordering integrity) ----------------------
     Q("q_monotonic_lineitem",
@@ -1282,15 +1310,17 @@ object SparkEntry {
         })
         val (summary, verdicts) = v.executeRulesPartitioned(
           turns, rules, "transcripts", Some(pmod(xxhash64(col("conv_id")), lit(8))))
-        // driver-visible invariant rows: for every non-drift rule the
+        // driver-visible invariant rows: for every additive rule the
         // per-partition failure counts must roll up to the global verdict
         // EXACTLY (fusible counts are the same pass; orphanhood is
-        // row-level; the uniqueness partition derives from conv_id ⊆ key).
-        // passed=false on any __global_check row means the partition
-        // machinery disagrees with the global one — certified in
-        // CORRECTNESS_r{N} without ScalaTest. Drift is excluded: its
-        // failed_count is partition-total-or-zero, not additive.
-        val checks = rules.filter(_.ruleType != RuleType.drift).map { r =>
+        // row-level; the uniqueness/sequence/monotonic partition derives
+        // from conv_id ⊆ key). passed=false on any __global_check row means
+        // the partition machinery disagrees with the global one — certified
+        // in CORRECTNESS_r{N} without ScalaTest. Excluded as non-additive:
+        // drift (failed is partition-total-or-zero) and the binary families
+        // (row_count/cardinality — 0/1 per partition, 0/1 globally).
+        val nonAdditive = Set(RuleType.drift, RuleType.RowCount, RuleType.Cardinality)
+        val checks = rules.filterNot(r => nonAdditive(r.ruleType)).map { r =>
           val partSum = verdicts.filter(_.rule_name == r.name).map(_.failed_count).sum
           val global = summary.results.find(_.rule_name == r.name).map(_.failed_count).getOrElse(-1L)
           PartitionVerdict("__global_check", r.name,

@@ -230,15 +230,46 @@ class Validator(
         }
       case _ => Nil
     }
+    // cardinality rules: one grouped distinct job per rule for the
+    // per-partition binary verdicts; the GLOBAL verdict always runs its own
+    // job (distinct counts don't roll up) via the straggler path below
+    val cardFs = partitionExpr match {
+      case Some(p) if partTotals.nonEmpty =>
+        rules.filter(_.ruleType == RuleType.Cardinality).map { r =>
+          groupedRuleFuture(r, () => cardinalityPartitionVerdicts(df, r, p),
+            _.map(_.total_count).sum, Map.empty)
+        }
+      case _ => Nil
+    }
+    // row_count rules: per-partition binary verdicts derived from the fused
+    // pass's partition totals — ZERO extra jobs (dead/thin ingest buckets
+    // flagged for free); parse errors fall through to the global
+    // executeSingle, which surfaces them as the rule's failure result
+    val rowCountVerdicts: Seq[PartitionVerdict] =
+      if (partTotals.nonEmpty)
+        rules.filter(_.ruleType == RuleType.RowCount).flatMap { r =>
+          try {
+            val minR = r.param("min_rows").map(_.toLong).getOrElse(1L)
+            val maxR = r.param("max_rows").map(_.toLong).getOrElse(Long.MaxValue)
+            partTotals.toSeq.map { case (part, n) =>
+              val failed = if (n < minR || n > maxR) 1L else 0L
+              val rate = 1.0 - failed
+              PartitionVerdict(part, r.name,
+                ValidationResult.passedOf(r.threshold, failed, rate), failed, 1L, rate)
+            }
+          } catch { case _: Throwable => Nil }
+        }
+      else Nil
     val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
     val (outlierResults, outlierVerdicts) = Await.result(outlierF, Duration.Inf)
     val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
     val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf)) ++
-      seqFs.map(f => Await.result(f, Duration.Inf))
+      seqFs.map(f => Await.result(f, Duration.Inf)) ++
+      cardFs.map(f => Await.result(f, Duration.Inf))
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
       (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
         uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
-        refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3))
+        refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3) ++ rowCountVerdicts)
 
     // 3. remaining rules (uniqueness/referential on the UNPARTITIONED path,
     // custom SQL, stragglers) — each is an independent Spark job, so they
@@ -348,6 +379,53 @@ class Validator(
       Right(groupUnitVerdicts(rule,
         Checks.sequenceGroups(df, keys, idx, part = Some(Checks.partGroupCol(df, p))),
         Checks.sequenceViolationCond(start), partTotals))
+    } catch { case e: Throwable => Left(e) }
+
+  /** Distinct count of a cardinality rule's column (NULL = one distinct
+    * value, pyspark parity; approx=true → HLL with the rsd param), plus
+    * whether approx ran — one aggregate job. */
+  private def cardinalityOf(df: DataFrame, rule: ValidationRule): (Long, Boolean) = {
+    val c = col(rule.column)
+    val approx = rule.param("approx").contains("true")
+    val distinctAgg =
+      if (approx) approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
+      else countDistinct(c)
+    val row = df.agg(distinctAgg.as("__d"),
+      max(when(c.isNull, 1L).otherwise(0L)).as("__has_null")).head()
+    val nulls = if (row.isNullAt(1)) 0L else row.getLong(1)
+    (row.getLong(0) + nulls, approx)
+  }
+
+  /** Per-partition cardinality verdicts: one grouped distinct job (exact or
+    * HLL), binary verdict per partition. Binary verdicts don't roll up, so
+    * `partition_covers_key` is rejected rather than silently producing a
+    * nonsense global. */
+  private def cardinalityPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      if (rule.param("partition_covers_key").contains("true"))
+        throw new IllegalArgumentException(
+          s"cardinality rule '${rule.name}': partition_covers_key is not supported " +
+            "(binary per-partition verdicts do not roll up to the global distinct)")
+      val c = col(rule.column)
+      val minD = rule.param("min_distinct").map(_.toLong).getOrElse(0L)
+      val maxD = rule.param("max_distinct").map(_.toLong).getOrElse(Long.MaxValue)
+      val distinctAgg =
+        if (rule.param("approx").contains("true"))
+          approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
+        else countDistinct(c)
+      val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
+        .agg(distinctAgg.as("__d"), max(when(c.isNull, 1L).otherwise(0L)).as("__has_null"))
+        .collect()
+      Right(rows.toSeq.map { r =>
+        val part = Checks.partKeyString(r.get(0))
+        val n = r.getLong(1) + (if (r.isNullAt(2)) 0L else r.getLong(2))
+        val failed = if (n < minD || n > maxD) 1L else 0L
+        val rate = 1.0 - failed
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
+      })
     } catch { case e: Throwable => Left(e) }
 
   /** (order_by, value, strict, descending) of a monotonic rule; order_by
@@ -736,6 +814,38 @@ class Validator(
           // the batch machinery for this one rule so the real analysis
           // error surfaces in this rule's failure result
           executeOutlierBatch(df, Seq(rule), cachedTotal)._1(rule.name)
+
+        case RuleType.RowCount =>
+          // table-size contract (the dbt/Deequ "size" check): BINARY verdict
+          // — failed = 1 when the row count falls outside
+          // [min_rows, max_rows]. Rides the fused pass's cached count, so a
+          // row_count rule costs ZERO extra jobs. Note: a partition with no
+          // rows does not exist in the data — min_rows flags suspiciously
+          // SMALL buckets; detecting wholly-missing partitions needs an
+          // expected-partition list (checkpoint lineage's job).
+          val minR = rule.param("min_rows").map(_.toLong).getOrElse(1L)
+          val maxR = rule.param("max_rows").map(_.toLong).getOrElse(Long.MaxValue)
+          val n = totalOf(df, cachedTotal)
+          val failed = if (n < minR || n > maxR) 1L else 0L
+          ValidationResult.verdict(rule, failed, 1L, ms,
+            Map("row_count" -> n.toString, "min_rows" -> minR.toString) ++
+              rule.param("max_rows").map("max_rows" -> _))
+
+        case RuleType.Cardinality =>
+          // distinct-count contract (Deequ hasNumberOfDistinctValues):
+          // BINARY verdict on countDistinct(column) ∈ [min_distinct,
+          // max_distinct]. NULL counts as one distinct value (the
+          // uniqueness family's pyspark parity); approx=true swaps the
+          // exact distinct for HLL (rsd param, default 5%) — the one-pass
+          // tier for 100 TB columns where ±rsd is acceptable.
+          val (n, _) = cardinalityOf(df, rule)
+          val minD = rule.param("min_distinct").map(_.toLong).getOrElse(0L)
+          val maxD = rule.param("max_distinct").map(_.toLong).getOrElse(Long.MaxValue)
+          val failed = if (n < minD || n > maxD) 1L else 0L
+          ValidationResult.verdict(rule, failed, 1L, ms,
+            Map("distinct" -> n.toString) ++
+              rule.param("min_distinct").map("min_distinct" -> _) ++
+              rule.param("max_distinct").map("max_distinct" -> _))
 
         case RuleType.SchemaDrift =>
           // schema CONTRACT vs a reference table: failed = number of

@@ -499,6 +499,45 @@ class ValidatorSpec extends SparkSpec {
         "strict" -> "True"))), "t").results.head.failed_count shouldBe -1
   }
 
+  test("row_count and cardinality rules: binary verdicts, NULL distinct, approx, partitions") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None), ("b", Some("x")))
+      .toDF("part_key", "v")
+    val v = new Validator(spark, ValidationConfig())
+    def rc(params: (String, String)*) = ValidationRule("size", RuleType.RowCount, Seq(),
+      parameters = params.toMap)
+    def card(params: (String, String)*) = ValidationRule("card", RuleType.Cardinality, Seq("v"),
+      parameters = params.toMap)
+    // row_count: 4 rows; binary verdict, total 1
+    val ok = v.executeRules(df, Seq(rc("min_rows" -> "2")), "t").results.head
+    ok.failed_count shouldBe 0; ok.total_count shouldBe 1
+    ok.metadata("row_count") shouldBe "4"
+    v.executeRules(df, Seq(rc("min_rows" -> "5")), "t").results.head.failed_count shouldBe 1
+    v.executeRules(df, Seq(rc("max_rows" -> "3")), "t").results.head.failed_count shouldBe 1
+    // cardinality: distinct v = {x, y, NULL} = 3 (NULL is a value, pyspark parity)
+    val c1 = v.executeRules(df, Seq(card("min_distinct" -> "3", "max_distinct" -> "3")), "t").results.head
+    c1.failed_count shouldBe 0; c1.metadata("distinct") shouldBe "3"
+    v.executeRules(df, Seq(card("max_distinct" -> "2")), "t").results.head.failed_count shouldBe 1
+    // approx tier agrees at tiny cardinality
+    v.executeRules(df, Seq(card("min_distinct" -> "3", "max_distinct" -> "3",
+      "approx" -> "true")), "t").results.head.failed_count shouldBe 0
+    // partitioned: a has 3 rows / distinct {x,y,NULL}=3; b has 1 row / {x}=1
+    val (summary, verdicts) = v.executeRulesPartitioned(df,
+      Seq(rc("min_rows" -> "2"), card("min_distinct" -> "2")), "t", Some(col("part_key")))
+    val rcByPart = verdicts.filter(_.rule_name == "size").map(x => x.partition -> x.failed_count).toMap
+    rcByPart shouldBe Map("a" -> 0L, "b" -> 1L) // thin bucket flagged, zero extra jobs
+    val cdByPart = verdicts.filter(_.rule_name == "card").map(x => x.partition -> x.failed_count).toMap
+    cdByPart shouldBe Map("a" -> 0L, "b" -> 1L)
+    summary.results.find(_.rule_name == "size").get.failed_count shouldBe 0 // global 4 ≥ 2
+    summary.results.find(_.rule_name == "card").get.failed_count shouldBe 0 // global 3 ≥ 2
+    // partition_covers_key is rejected for cardinality (binary verdicts
+    // don't roll up) and surfaces as the rule's error result
+    val (s2, _) = v.executeRulesPartitioned(df,
+      Seq(card("min_distinct" -> "2", "partition_covers_key" -> "true")), "t",
+      Some(col("part_key")))
+    s2.results.head.failed_count shouldBe -1
+  }
+
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {
     import org.apache.spark.sql.functions.{col, when => swhen, lit}
     val df = Seq(

@@ -78,7 +78,8 @@ object SparkEntry {
     // size contract: rides the fused count globally and partTotals per
     // partition — zero extra jobs; flags dead/thin ingest buckets
     ValidationRule("min_size", RuleType.RowCount, Seq(),
-      parameters = Map("min_rows" -> "10"), severity = Severity.Warning),
+      parameters = Map("min_rows" -> "10", "min_partition_rows" -> "10"),
+      severity = Severity.Warning),
     // distinct-count contract: the role vocabulary is small and closed
     ValidationRule("role_cardinality", RuleType.Cardinality, Seq("role"),
       parameters = Map("min_distinct" -> "2", "max_distinct" -> "10"),

@@ -9,10 +9,11 @@ import java.util.concurrent.atomic.AtomicLong
 /** Ad-hoc per-SECTION cpu/wall probe over the materialized bench table:
   * which pass carries the 8→32-thread CPU inflation (dev tool; plans
   * mirror the Validator's section shapes). `runMain graft.bench.SectionProbe
-  * [cpus]`. */
+  * [cpus] [mat]` — "mat" (any position) re-materializes the bench table
+  * first. */
 object SectionProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = args.headOption.getOrElse("32").toInt
+    val cpus = args.filterNot(_ == "mat").headOption.getOrElse("32").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

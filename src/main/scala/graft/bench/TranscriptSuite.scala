@@ -53,7 +53,8 @@ object TranscriptSuite {
     // size contract — rides the fused count and the partition totals,
     // ZERO additional jobs (suite cost unchanged)
     ValidationRule("min_size", RuleType.RowCount, Seq(),
-      parameters = Map("min_rows" -> "10"), severity = Severity.Warning),
+      parameters = Map("min_rows" -> "10", "min_partition_rows" -> "10"),
+      severity = Severity.Warning),
     // broadcast=false: the conversation index is ~turns/18 rows (10^9-scale
     // dim at the design point) — a broadcast would serialize a driver-side
     // hash build; shuffle join scales with the cluster and AQE can still

@@ -208,6 +208,30 @@ object RulePlanner {
       case _ => None // uniqueness etc. handled separately / passed through
     }
 
+  /** (order_by, value, strict, descending) of a monotonic rule; order_by
+    * and value are required, direction must be asc/desc and strict
+    * true/false when present (an ignored typo would silently validate — or
+    * in filter mode CLEAN AGAINST — the wrong invariant; reject like the
+    * drift rules reject unknown methods). Shared by the verdict and filter
+    * paths so both enforce the same contract. */
+  private[engine] def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) = (
+    rule.param("order_by").getOrElse(throw new IllegalArgumentException(
+      s"monotonic rule '${rule.name}' needs an order_by parameter")),
+    rule.param("value").getOrElse(throw new IllegalArgumentException(
+      s"monotonic rule '${rule.name}' needs a value parameter")),
+    rule.param("strict") match {
+      case None | Some("false") => false
+      case Some("true")         => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"monotonic rule '${rule.name}': strict must be true or false, got '$other'")
+    },
+    rule.param("direction") match {
+      case None | Some("asc") => false
+      case Some("desc")       => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
+    })
+
   def applyFilters(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
     val schema = df.schema
     rules.filter(_.enabled).foldLeft(df) { (acc, rule) =>
@@ -219,12 +243,12 @@ object RulePlanner {
             rule.parameters.contains("value") =>
           // keep the monotone walk: drop rows whose value regresses vs the
           // running extreme; NULL order/value rows drop (range-filter
-          // convention)
+          // convention). Params validated like the verdict path — a
+          // direction typo must not clean against the wrong invariant.
+          val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
           Checks.keepMonotone(acc,
             if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
-            rule.parameters("order_by"), rule.parameters("value"),
-            strict = rule.parameters.get("strict").contains("true"),
-            descending = rule.parameters.get("direction").contains("desc"))
+            orderCol, valueCol, strict = strict, descending = desc)
         case RuleType.Outlier =>
           // keep non-outliers; NULLs drop (range-filter convention). The
           // moments job runs eagerly at chain-build time — the predicate

@@ -2,7 +2,7 @@ package graft.engine
 
 import graft._
 import graft.state.Checkpoint
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.util.concurrent.atomic.AtomicLong
 
@@ -243,19 +243,28 @@ class Validator(
     }
     // row_count rules: per-partition binary verdicts derived from the fused
     // pass's partition totals — ZERO extra jobs (dead/thin ingest buckets
-    // flagged for free); parse errors fall through to the global
-    // executeSingle, which surfaces them as the rule's failure result
+    // flagged for free). Partition verdicts use their OWN bounds
+    // (min_partition_rows / max_partition_rows) and only exist when one is
+    // set: applying the table-level bound to every bucket would fail all 32
+    // buckets of a healthy table whose min_rows exceeds table_size/32.
+    // Parse errors fall through to the global executeSingle, which
+    // surfaces them as the rule's failure result.
     val rowCountVerdicts: Seq[PartitionVerdict] =
       if (partTotals.nonEmpty)
         rules.filter(_.ruleType == RuleType.RowCount).flatMap { r =>
           try {
-            val minR = r.param("min_rows").map(_.toLong).getOrElse(1L)
-            val maxR = r.param("max_rows").map(_.toLong).getOrElse(Long.MaxValue)
-            partTotals.toSeq.map { case (part, n) =>
-              val failed = if (n < minR || n > maxR) 1L else 0L
-              val rate = 1.0 - failed
-              PartitionVerdict(part, r.name,
-                ValidationResult.passedOf(r.threshold, failed, rate), failed, 1L, rate)
+            val minP = r.param("min_partition_rows").map(_.toLong)
+            val maxP = r.param("max_partition_rows").map(_.toLong)
+            if (minP.isEmpty && maxP.isEmpty) Nil // table bound is global-only
+            else {
+              val lo = minP.getOrElse(1L)
+              val hi = maxP.getOrElse(Long.MaxValue)
+              partTotals.toSeq.map { case (part, n) =>
+                val failed = if (n < lo || n > hi) 1L else 0L
+                val rate = 1.0 - failed
+                PartitionVerdict(part, r.name,
+                  ValidationResult.passedOf(r.threshold, failed, rate), failed, 1L, rate)
+              }
             }
           } catch { case _: Throwable => Nil }
         }
@@ -381,42 +390,51 @@ class Validator(
         Checks.sequenceViolationCond(start), partTotals))
     } catch { case e: Throwable => Left(e) }
 
-  /** Distinct count of a cardinality rule's column (NULL = one distinct
-    * value, pyspark parity; approx=true → HLL with the rsd param), plus
-    * whether approx ran — one aggregate job. */
-  private def cardinalityOf(df: DataFrame, rule: ValidationRule): (Long, Boolean) = {
+  /** (min_distinct, max_distinct) of a cardinality rule. Also rejects
+    * `partition_covers_key` here — in the shared parse, not only the
+    * partitioned job — so the misconfiguration surfaces on EVERY path
+    * (binary verdicts don't roll up; an empty table must not flip the
+    * error into a silent pass). */
+  private def cardinalityBounds(rule: ValidationRule): (Long, Long) = {
+    if (rule.param("partition_covers_key").contains("true"))
+      throw new IllegalArgumentException(
+        s"cardinality rule '${rule.name}': partition_covers_key is not supported " +
+          "(binary per-partition verdicts do not roll up to the global distinct)")
+    (rule.param("min_distinct").map(_.toLong).getOrElse(0L),
+      rule.param("max_distinct").map(_.toLong).getOrElse(Long.MaxValue))
+  }
+
+  /** The (distinct, has-null) aggregate pair of a cardinality rule — ONE
+    * definition for the global and per-partition jobs so the approx/rsd
+    * selection and the NULL-counts-as-one adjustment cannot diverge. */
+  private def cardinalityAggs(rule: ValidationRule): (Column, Column) = {
     val c = col(rule.column)
-    val approx = rule.param("approx").contains("true")
     val distinctAgg =
-      if (approx) approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
+      if (rule.param("approx").contains("true"))
+        approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
       else countDistinct(c)
-    val row = df.agg(distinctAgg.as("__d"),
-      max(when(c.isNull, 1L).otherwise(0L)).as("__has_null")).head()
-    val nulls = if (row.isNullAt(1)) 0L else row.getLong(1)
-    (row.getLong(0) + nulls, approx)
+    (distinctAgg, max(when(c.isNull, 1L).otherwise(0L)))
+  }
+
+  /** Distinct count of a cardinality rule's column (NULL = one distinct
+    * value, pyspark parity; approx=true → HLL with the rsd param) — one
+    * aggregate job. */
+  private def cardinalityOf(df: DataFrame, rule: ValidationRule): Long = {
+    val (distinctAgg, hasNull) = cardinalityAggs(rule)
+    val row = df.agg(distinctAgg.as("__d"), hasNull.as("__has_null")).head()
+    row.getLong(0) + (if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** Per-partition cardinality verdicts: one grouped distinct job (exact or
-    * HLL), binary verdict per partition. Binary verdicts don't roll up, so
-    * `partition_covers_key` is rejected rather than silently producing a
-    * nonsense global. */
+    * HLL), binary verdict per partition. */
   private def cardinalityPartitionVerdicts(
       df: DataFrame, rule: ValidationRule,
       p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
     try {
-      if (rule.param("partition_covers_key").contains("true"))
-        throw new IllegalArgumentException(
-          s"cardinality rule '${rule.name}': partition_covers_key is not supported " +
-            "(binary per-partition verdicts do not roll up to the global distinct)")
-      val c = col(rule.column)
-      val minD = rule.param("min_distinct").map(_.toLong).getOrElse(0L)
-      val maxD = rule.param("max_distinct").map(_.toLong).getOrElse(Long.MaxValue)
-      val distinctAgg =
-        if (rule.param("approx").contains("true"))
-          approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
-        else countDistinct(c)
+      val (minD, maxD) = cardinalityBounds(rule)
+      val (distinctAgg, hasNull) = cardinalityAggs(rule)
       val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
-        .agg(distinctAgg.as("__d"), max(when(c.isNull, 1L).otherwise(0L)).as("__has_null"))
+        .agg(distinctAgg.as("__d"), hasNull.as("__has_null"))
         .collect()
       Right(rows.toSeq.map { r =>
         val part = Checks.partKeyString(r.get(0))
@@ -428,28 +446,8 @@ class Validator(
       })
     } catch { case e: Throwable => Left(e) }
 
-  /** (order_by, value, strict, descending) of a monotonic rule; order_by
-    * and value are required, direction must be asc/desc and strict
-    * true/false when present (an ignored typo would silently validate the
-    * WRONG invariant — reject like the drift rules reject unknown
-    * methods). */
-  private def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) = (
-    rule.param("order_by").getOrElse(throw new IllegalArgumentException(
-      s"monotonic rule '${rule.name}' needs an order_by parameter")),
-    rule.param("value").getOrElse(throw new IllegalArgumentException(
-      s"monotonic rule '${rule.name}' needs a value parameter")),
-    rule.param("strict") match {
-      case None | Some("false") => false
-      case Some("true")         => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"monotonic rule '${rule.name}': strict must be true or false, got '$other'")
-    },
-    rule.param("direction") match {
-      case None | Some("asc") => false
-      case Some("desc")       => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
-    })
+  private def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) =
+    RulePlanner.monotonicParams(rule)
 
   /** Per-partition monotonic verdicts from ONE window + grouped job (the
     * [[Checks.monotonicGroups]] pipeline additionally keyed by the partition
@@ -838,9 +836,8 @@ class Validator(
           // uniqueness family's pyspark parity); approx=true swaps the
           // exact distinct for HLL (rsd param, default 5%) — the one-pass
           // tier for 100 TB columns where ±rsd is acceptable.
-          val (n, _) = cardinalityOf(df, rule)
-          val minD = rule.param("min_distinct").map(_.toLong).getOrElse(0L)
-          val maxD = rule.param("max_distinct").map(_.toLong).getOrElse(Long.MaxValue)
+          val (minD, maxD) = cardinalityBounds(rule)
+          val n = cardinalityOf(df, rule)
           val failed = if (n < minD || n > maxD) 1L else 0L
           ValidationResult.verdict(rule, failed, 1L, ms,
             Map("distinct" -> n.toString) ++

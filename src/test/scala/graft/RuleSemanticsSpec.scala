@@ -120,6 +120,12 @@ class RuleSemanticsSpec extends SparkSpec {
     // without order_by/value parameters the rule passes data through
     RulePlanner.applyFilters(df,
       Seq(ValidationRule("m2", RuleType.Monotonic, Seq("k")))).count() shouldBe 5
+    // a direction typo is rejected in filter mode too — it must not
+    // silently clean against the wrong invariant
+    intercept[IllegalArgumentException] {
+      RulePlanner.applyFilters(df, Seq(ValidationRule("m3", RuleType.Monotonic, Seq("k"),
+        parameters = Map("order_by" -> "o", "value" -> "v", "direction" -> "descending"))))
+    }
   }
 
   test("error path: bad rule → sentinel result, severity forced to error") {

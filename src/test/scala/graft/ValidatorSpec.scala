@@ -521,15 +521,23 @@ class ValidatorSpec extends SparkSpec {
     // approx tier agrees at tiny cardinality
     v.executeRules(df, Seq(card("min_distinct" -> "3", "max_distinct" -> "3",
       "approx" -> "true")), "t").results.head.failed_count shouldBe 0
-    // partitioned: a has 3 rows / distinct {x,y,NULL}=3; b has 1 row / {x}=1
+    // partitioned: a has 3 rows / distinct {x,y,NULL}=3; b has 1 row / {x}=1.
+    // Partition verdicts use their OWN bound (min_partition_rows) — the
+    // table-level min_rows must NOT be applied per bucket (a healthy table
+    // whose min_rows exceeds table_size/buckets would go 100% red)
     val (summary, verdicts) = v.executeRulesPartitioned(df,
-      Seq(rc("min_rows" -> "2"), card("min_distinct" -> "2")), "t", Some(col("part_key")))
+      Seq(rc("min_rows" -> "4", "min_partition_rows" -> "2"),
+        card("min_distinct" -> "2")), "t", Some(col("part_key")))
     val rcByPart = verdicts.filter(_.rule_name == "size").map(x => x.partition -> x.failed_count).toMap
     rcByPart shouldBe Map("a" -> 0L, "b" -> 1L) // thin bucket flagged, zero extra jobs
     val cdByPart = verdicts.filter(_.rule_name == "card").map(x => x.partition -> x.failed_count).toMap
     cdByPart shouldBe Map("a" -> 0L, "b" -> 1L)
-    summary.results.find(_.rule_name == "size").get.failed_count shouldBe 0 // global 4 ≥ 2
+    summary.results.find(_.rule_name == "size").get.failed_count shouldBe 0 // global 4 ≥ 4
     summary.results.find(_.rule_name == "card").get.failed_count shouldBe 0 // global 3 ≥ 2
+    // a table-bound-only row_count rule emits NO partition verdicts
+    val (_, v2) = v.executeRulesPartitioned(df, Seq(rc("min_rows" -> "2")), "t",
+      Some(col("part_key")))
+    v2.filter(_.rule_name == "size") shouldBe empty
     // partition_covers_key is rejected for cardinality (binary verdicts
     // don't roll up) and surfaces as the rule's error result
     val (s2, _) = v.executeRulesPartitioned(df,

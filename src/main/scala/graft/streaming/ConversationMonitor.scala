@@ -23,11 +23,12 @@ object ConversationMonitor {
   final case class ConvState(
       maxTurn: Int,
       turnCount: Long,
-      recentTurns: Seq[Int]) // bounded window for cross-batch dup detection
+      recentTurns: Seq[Int], // bounded window for cross-batch dup detection
+      maxTsMs: Long = Long.MinValue) // event-time high-water at the turn frontier
 
   final case class TurnAnomaly(
       conv_id: String,
-      kind: String, // duplicate_turn | out_of_order | negative_turn
+      kind: String, // duplicate_turn | out_of_order | negative_turn | ts_regression
       turn_idx: Int,
       detail: String)
 
@@ -44,12 +45,21 @@ object ConversationMonitor {
         out += TurnAnomaly(convId, "negative_turn", t.turn_idx, s"turn_idx=${t.turn_idx}")
       else {
         val isDup = st.recentTurns.contains(t.turn_idx)
+        val advances = !isDup && t.turn_idx > st.maxTurn
         if (isDup)
           out += TurnAnomaly(convId, "duplicate_turn", t.turn_idx,
             s"turn ${t.turn_idx} seen again (window=$RecentWindow)")
         else if (t.turn_idx < st.maxTurn)
           out += TurnAnomaly(convId, "out_of_order", t.turn_idx,
             s"turn ${t.turn_idx} after max ${st.maxTurn}")
+        // the streaming face of the batch monotonic rule: a turn EXTENDING
+        // the conversation must not carry event time behind the frontier
+        // high-water (late fills below maxTurn have unknown neighbors and
+        // are already flagged out_of_order — no ts verdict on them)
+        if (advances && t.ts != null && st.maxTsMs != Long.MinValue &&
+            t.ts.getTime < st.maxTsMs)
+          out += TurnAnomaly(convId, "ts_regression", t.turn_idx,
+            s"ts ${t.ts} behind frontier ${new java.sql.Timestamp(st.maxTsMs)}")
         // duplicates do NOT advance turnCount (or re-enter the window):
         // turnCount approximates "distinct indexes seen", which is what the
         // close-time gap check compares against maxTurn+1 — counting a
@@ -62,7 +72,9 @@ object ConversationMonitor {
           else ConvState(
             math.max(st.maxTurn, t.turn_idx),
             st.turnCount + 1,
-            (t.turn_idx +: st.recentTurns).take(RecentWindow))
+            (t.turn_idx +: st.recentTurns).take(RecentWindow),
+            if (advances && t.ts != null) math.max(st.maxTsMs, t.ts.getTime)
+            else st.maxTsMs)
       }
     }
     state.update(st)

@@ -36,6 +36,34 @@ class ConversationMonitorSpec extends SparkSpec {
     rows.length shouldBe 3 // nothing else flagged
   }
 
+  test("ts_regression: an extending turn with event time behind the frontier is flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val stream = MemoryStream[Turn]
+    val query = ConversationMonitor.anomalies(stream.toDS()).writeStream
+      .format("memory").queryName("ts_anoms").outputMode("append").start()
+    // batch 1: turns 0,1 with advancing event time
+    stream.addData(turn("c", 0, t0), turn("c", 1, t0 + 1000))
+    query.processAllAvailable()
+    // batch 2: turn 2 extends the conversation but its ts is BEHIND the
+    // frontier → flagged; turn 0 is a (windowed) duplicate — no ts verdict
+    stream.addData(turn("c", 2, t0 - 5000), turn("c", 0, t0 - 9000))
+    query.processAllAvailable()
+    // batch 3: a late fill BELOW maxTurn with old ts: out_of_order only —
+    // its neighbors are unknown, so no ts verdict on fills
+    stream.addData(turn("d", 0, t0), turn("d", 5, t0 + 1000))
+    query.processAllAvailable()
+    stream.addData(turn("d", 3, t0 - 7000))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("ts_anoms").as[ConversationMonitor.TurnAnomaly].collect()
+    rows.filter(_.kind == "ts_regression").map(a => (a.conv_id, a.turn_idx)).toSet shouldBe
+      Set(("c", 2))
+    rows.filter(_.kind == "out_of_order").map(a => (a.conv_id, a.turn_idx)).toSet shouldBe
+      Set(("d", 3))
+  }
+
   test("event-time timeout closes idle conversations, reports gaps, and frees state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -124,12 +124,8 @@ object Checks {
     // and the grouping: per-partition verdicts evaluate each (partition,
     // group) subgroup's own walk — consistent with sequence/uniqueness,
     // and exactly the global answer when the partition derives from the key
-    // the walk always ascends in orderCol; `descending` flips only the
-    // value comparison (and the tiebreak, so tied rows walk toward the
-    // permitted direction): non-increasing values along the SAME walk
-    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
-              else Seq(col(orderCol), col(valueCol))
-    val w = Window.partitionBy(part.toSeq ++ keys.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(part.toSeq ++ keys.map(col): _*)
+      .orderBy(walkOrder(orderCol, valueCol, descending): _*)
     val prev = lag(col(valueCol), 1).over(w)
     // asc: violation when value < prev (or == under strict); desc mirrored
     val worse = if (descending) col(valueCol) > prev else col(valueCol) < prev
@@ -142,15 +138,26 @@ object Checks {
       .agg(count(lit(1)).as("n_rows"), sum(col("__viol")).as("inversions"))
   }
 
+  /** THE monotonic walk order — the load-bearing determinism invariant
+    * shared by the verdict ([[monotonicGroups]]), quarantine
+    * ([[monotonicViolations]]) and filter ([[keepMonotone]]) faces: the
+    * walk always ascends in orderCol; `descending` flips only the value
+    * tiebreak (tied rows walk toward the permitted direction) and, in the
+    * callers, the comparison. One definition so the three faces can never
+    * disagree about what "the walk" is. */
+  private def walkOrder(orderCol: String, valueCol: String,
+      descending: Boolean): Seq[Column] =
+    if (descending) Seq(col(orderCol), col(valueCol).desc)
+    else Seq(col(orderCol), col(valueCol))
+
   /** The violating TRANSITIONS (quarantine face of the monotonic rule):
     * each row whose value regresses vs its predecessor in the walk, with
     * the predecessor value alongside. */
   def monotonicViolations(df: DataFrame, keys: Seq[String], orderCol: String,
       valueCol: String, strict: Boolean = false,
       descending: Boolean = false): DataFrame = {
-    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
-              else Seq(col(orderCol), col(valueCol))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(walkOrder(orderCol, valueCol, descending): _*)
     // materialize the predecessor, THEN filter on the plain column (window
     // expressions are not allowed directly in a WHERE)
     val prev = col("__prev_value")
@@ -174,9 +181,8 @@ object Checks {
   def keepMonotone(df: DataFrame, keys: Seq[String], orderCol: String,
       valueCol: String, strict: Boolean = false,
       descending: Boolean = false): DataFrame = {
-    val ord = if (descending) Seq(col(orderCol), col(valueCol).desc)
-              else Seq(col(orderCol), col(valueCol))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(walkOrder(orderCol, valueCol, descending): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val runExtreme =
       if (descending) min(col(valueCol)).over(w) else max(col(valueCol)).over(w)

@@ -239,12 +239,16 @@ object RulePlanner {
         case RuleType.Uniqueness if rule.parameters.get("dedup_order").isDefined =>
           // opt-in extension: keep first row per key by dedup_order column
           Checks.keepFirstPerKey(acc, rule.columns, rule.parameters("dedup_order"))
-        case RuleType.Monotonic if rule.parameters.contains("order_by") &&
+        case RuleType.Monotonic if rule.parameters.contains("order_by") ||
             rule.parameters.contains("value") =>
           // keep the monotone walk: drop rows whose value regresses vs the
           // running extreme; NULL order/value rows drop (range-filter
           // convention). Params validated like the verdict path — a
-          // direction typo must not clean against the wrong invariant.
+          // direction typo must not clean against the wrong invariant, and
+          // a HALF-specified rule (one of order_by/value typo'd away) must
+          // raise through monotonicParams, not silently pass data through;
+          // only a rule with NEITHER param set is the documented
+          // filter-opt-out pass-through.
           val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
           Checks.keepMonotone(acc,
             if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),

@@ -253,8 +253,7 @@ class Validator(
       if (partTotals.nonEmpty)
         rules.filter(_.ruleType == RuleType.RowCount).flatMap { r =>
           try {
-            val minP = r.param("min_partition_rows").map(_.toLong)
-            val maxP = r.param("max_partition_rows").map(_.toLong)
+            val (_, _, minP, maxP) = rowCountBounds(r)
             if (minP.isEmpty && maxP.isEmpty) Nil // table bound is global-only
             else {
               val lo = minP.getOrElse(1L)
@@ -390,6 +389,27 @@ class Validator(
         Checks.sequenceViolationCond(start), partTotals))
     } catch { case e: Throwable => Left(e) }
 
+  /** ALL bounds of a row_count rule — (min_rows, max_rows,
+    * min_partition_rows, max_partition_rows). The global verdict path
+    * parses the partition params too, so a malformed partition bound
+    * surfaces as the rule's error result instead of silently disabling
+    * the per-partition size check. */
+  private def rowCountBounds(rule: ValidationRule): (Long, Long, Option[Long], Option[Long]) = (
+    rule.param("min_rows").map(_.toLong).getOrElse(1L),
+    rule.param("max_rows").map(_.toLong).getOrElse(Long.MaxValue),
+    rule.param("min_partition_rows").map(_.toLong),
+    rule.param("max_partition_rows").map(_.toLong))
+
+  /** Strict boolean parameter: only "true"/"false" (or absent) accepted —
+    * a typo'd boolean must not silently flip behavior. */
+  private def boolParam(rule: ValidationRule, name: String): Boolean =
+    rule.param(name) match {
+      case None | Some("false") => false
+      case Some("true")         => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"rule '${rule.name}': $name must be true or false, got '$other'")
+    }
+
   /** (min_distinct, max_distinct) of a cardinality rule. Also rejects
     * `partition_covers_key` here — in the shared parse, not only the
     * partitioned job — so the misconfiguration surfaces on EVERY path
@@ -409,8 +429,10 @@ class Validator(
     * selection and the NULL-counts-as-one adjustment cannot diverge. */
   private def cardinalityAggs(rule: ValidationRule): (Column, Column) = {
     val c = col(rule.column)
+    // approx is a strict boolean: "True"/"tru" must not silently fall back
+    // to the full exact distinct the user opted out of at 100 TB
     val distinctAgg =
-      if (rule.param("approx").contains("true"))
+      if (boolParam(rule, "approx"))
         approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
       else countDistinct(c)
     (distinctAgg, max(when(c.isNull, 1L).otherwise(0L)))
@@ -489,7 +511,9 @@ class Validator(
         ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
     }
     val seen = present.map(_.partition).toSet
-    present ++ partTotals.keys.filterNot(seen).toSeq.sorted.map { part =>
+    // null-safe ordering: a NULL partition key is a legal partition (the
+    // grouped passes keep it), so the fill must not NPE sorting it
+    present ++ partTotals.keys.filterNot(seen).toSeq.sortBy(Option(_)).map { part =>
       PartitionVerdict(part, rule.name,
         ValidationResult.passedOf(rule.threshold, 0L, 1.0), 0L, 0L, 1.0)
     }
@@ -821,8 +845,7 @@ class Validator(
           // rows does not exist in the data — min_rows flags suspiciously
           // SMALL buckets; detecting wholly-missing partitions needs an
           // expected-partition list (checkpoint lineage's job).
-          val minR = rule.param("min_rows").map(_.toLong).getOrElse(1L)
-          val maxR = rule.param("max_rows").map(_.toLong).getOrElse(Long.MaxValue)
+          val (minR, maxR, _, _) = rowCountBounds(rule)
           val n = totalOf(df, cachedTotal)
           val failed = if (n < minR || n > maxR) 1L else 0L
           ValidationResult.verdict(rule, failed, 1L, ms,

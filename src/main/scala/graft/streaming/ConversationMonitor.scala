@@ -20,6 +20,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ConversationMonitor {
 
+  /** State schema v2 (maxTsMs added). A streaming query restarted from a
+    * checkpoint written by the 3-field v1 state will fail Spark's state
+    * schema compatibility check — discard the checkpoint (or disable
+    * `spark.sql.streaming.stateStore.stateSchemaCheck`) when upgrading a
+    * live monitor; dedup/gap state restarts cold. */
   final case class ConvState(
       maxTurn: Int,
       turnCount: Long,

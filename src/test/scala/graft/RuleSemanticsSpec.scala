@@ -126,6 +126,12 @@ class RuleSemanticsSpec extends SparkSpec {
       RulePlanner.applyFilters(df, Seq(ValidationRule("m3", RuleType.Monotonic, Seq("k"),
         parameters = Map("order_by" -> "o", "value" -> "v", "direction" -> "descending"))))
     }
+    // a HALF-specified rule (value key typo'd away) raises rather than
+    // silently passing dirty data through as "cleaned"
+    intercept[IllegalArgumentException] {
+      RulePlanner.applyFilters(df, Seq(ValidationRule("m4", RuleType.Monotonic, Seq("k"),
+        parameters = Map("order_by" -> "o", "valu" -> "v"))))
+    }
   }
 
   test("error path: bad rule → sentinel result, severity forced to error") {

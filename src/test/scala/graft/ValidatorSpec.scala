@@ -544,6 +544,13 @@ class ValidatorSpec extends SparkSpec {
       Seq(card("min_distinct" -> "2", "partition_covers_key" -> "true")), "t",
       Some(col("part_key")))
     s2.results.head.failed_count shouldBe -1
+    // fail-loud on typo'd parameters: a malformed partition bound surfaces
+    // as the rule's error result (not a silently-disabled check), and a
+    // typo'd approx boolean must not fall back to the exact distinct
+    v.executeRules(df, Seq(rc("min_partition_rows" -> "1O")), "t")
+      .results.head.failed_count shouldBe -1
+    v.executeRules(df, Seq(card("approx" -> "True")), "t")
+      .results.head.failed_count shouldBe -1
   }
 
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {
@@ -562,5 +569,13 @@ class ValidatorSpec extends SparkSpec {
     byPart("1").total_count shouldBe 0L // empty, not missing
     byPart("1").passed shouldBe true
     byPart("0").total_count shouldBe 1L
+    // a NULL partition key whose rows are all NULL-filtered is also filled
+    // (no NPE sorting the null key into the empty-verdict fill)
+    val df2 = Seq((Some("a"), Some(0)), (None: Option[String], None: Option[Int]))
+      .toDF("conv_id", "turn_idx")
+    val (_, v2) = v.executeRulesPartitioned(df2, Seq(rule), "t", Some(col("conv_id")))
+    val seqV = v2.filter(_.rule_name == "seq")
+    seqV.size shouldBe 2
+    seqV.find(_.partition == null).get.total_count shouldBe 0L
   }
 }

@@ -278,6 +278,23 @@ object SparkEntry {
         CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(n) AS BIGINT) AS distinct_pairs FROM g""")),
 
+    // ---- conversation assembly (ordered parts → one document per key) ----
+    Q("q_assemble_lineitem",
+      (s, d) => graft.operators.Curation.assembleByKey(
+        t(s, d, "lineitem").filter(col("l_orderkey") < 3000),
+        "l_orderkey", "l_linenumber", Seq("l_returnflag", "l_linestatus"),
+        fieldSep = ":", lineSep = "|")
+        .orderBy("l_orderkey"),
+      // ORDER BY pins the FULL struct order: the testdata injects duplicate
+      // l_linenumber values, and a bare ORDER BY l_linenumber leaves tie
+      // order engine-defined — the operator's lexicographic struct sort is
+      // the deterministic contract both sides must state explicitly
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        string_agg(l_returnflag || ':' || l_linestatus, '|'
+          ORDER BY l_linenumber, l_returnflag, l_linestatus) AS document
+        FROM lineitem WHERE l_orderkey < 3000 AND l_linenumber IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- row_count + cardinality contracts (binary verdicts) -------------
     Q("q_row_count_events",
       (s, d) => t(s, d, "events").agg(count(lit(1)).as("row_count"),

@@ -15,6 +15,41 @@ import org.apache.spark.sql.functions._
   * which rules out `df.sample()` (its RNG is partition-dependent). */
 object Curation {
 
+  /** Assemble ordered parts into ONE document per key — the step that
+    * renders a transcripts table (conv_id, turn_idx, role, text) into
+    * trainable conversation documents ("role: text" lines in turn order,
+    * the chat-template shape). One grouped aggregate: `collect_list` of
+    * (order, fields) structs, `array_sort` (lexicographic over ALL struct
+    * fields — so order ties break by the remaining fields and the result
+    * is DETERMINISTIC even with duplicate turn indexes), then a per-row
+    * render. The shuffled payload is exactly the surviving columns, the
+    * aggregate is map-side combined, and under a key-bucketed at-rest
+    * layout the whole pipeline plans ZERO exchange. NULL order rows are
+    * excluded (completeness owns them); a group's document length is
+    * bounded by the conversation, not the table — the transcripts
+    * invariant that makes collect_list safe here (a 10^6-turn "conversation"
+    * would be a validation failure upstream: see the sequence/row_count
+    * rules). */
+  def assembleByKey(
+      df: DataFrame, keyCol: String, orderCol: String,
+      renderCols: Seq[String], fieldSep: String = ": ",
+      lineSep: String = "\n"): DataFrame = {
+    val struct_ = struct((orderCol +: renderCols).map(col): _*)
+    df.filter(col(orderCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_parts"),
+        array_join(
+          transform(array_sort(collect_list(struct_)),
+            x => concat_ws(fieldSep, renderCols.map(c => x(c)): _*)),
+          lineSep).as("document"))
+  }
+
+  /** [[assembleByKey]] with the transcripts schema defaults: one
+    * "role: text" line per turn in turn_idx order, one document per
+    * conversation. */
+  def assembleConversations(df: DataFrame): DataFrame =
+    assembleByKey(df, "conv_id", "turn_idx", Seq("role", "text"))
+
   /** Deterministic hash sample: keep rows whose `md5(key)` leading hex
     * digit falls in the first `sixteenths` of "0123456789abcdef" — a
     * sixteenths/16 sample that is bit-reproducible across engines, runs

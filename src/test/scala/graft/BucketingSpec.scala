@@ -39,6 +39,11 @@ class BucketingSpec extends SparkSpec {
       val mono = graft.engine.Checks.monotonicGroups(turns, Seq("conv_id"), "turn_idx", "ts")
       mono.collect()
       mono.queryExecution.executedPlan.toString should not include "Exchange hashpartitioning"
+      // conversation assembly: the collect_list aggregate groups by conv_id
+      // — the render of 28M turns into documents shuffles NOTHING at rest
+      val docs = graft.operators.Curation.assembleConversations(turns)
+      docs.collect()
+      docs.queryExecution.executedPlan.toString should not include "Exchange hashpartitioning"
       // and the verdict math is identical to the unbucketed formulation
       val fromBucketed = uniq.groupBy("__part")
         .agg((sum("__cnt") - count(lit(1))).as("f"))

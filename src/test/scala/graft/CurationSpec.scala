@@ -34,6 +34,29 @@ class CurationSpec extends SparkSpec {
 
   private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("assembleByKey renders ordered parts into one deterministic document per key") {
+    import spark.implicits._
+    val turns = Seq(
+      ("c1", Some(1), "assistant", "hi there"),
+      ("c1", Some(0), "user", "hello"),
+      ("c1", Some(2), "user", "bye"),
+      ("c2", Some(0), "user", "solo"),
+      ("c2", None, "system", "dropped"),           // NULL order excluded
+      ("c3", Some(0), "user", "b-text"),           // duplicate turn_idx: tie
+      ("c3", Some(0), "assistant", "a-text")       // broken by (role, text)
+    ).toDF("conv_id", "turn_idx", "role", "text")
+    val docs = Curation.assembleConversations(turns)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    docs("c1") shouldBe ((3L, "user: hello\nassistant: hi there\nuser: bye"))
+    docs("c2") shouldBe ((1L, "user: solo"))
+    // tie on turn_idx: lexicographic struct sort breaks by remaining fields
+    docs("c3") shouldBe ((2L, "assistant: a-text\nuser: b-text"))
+    // partitioning-invariant (the determinism contract)
+    val re = Curation.assembleConversations(turns.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    re shouldBe docs.view.mapValues(_._2).toMap
+  }
+
   test("hash sample is deterministic and partitioning-invariant") {
     val a = Curation.hashSample(docs, "doc_id", 3).select("doc_id")
       .collect().map(_.getLong(0)).toSet

@@ -290,7 +290,7 @@ object SparkEntry {
       // order engine-defined — the operator's lexicographic struct sort is
       // the deterministic contract both sides must state explicitly
       Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
-        string_agg(l_returnflag || ':' || l_linestatus, '|'
+        string_agg(COALESCE(l_returnflag, '') || ':' || COALESCE(l_linestatus, ''), '|'
           ORDER BY l_linenumber, l_returnflag, l_linestatus) AS document
         FROM lineitem WHERE l_orderkey < 3000 AND l_linenumber IS NOT NULL
         GROUP BY 1 ORDER BY 1""")),

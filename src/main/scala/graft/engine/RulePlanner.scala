@@ -80,7 +80,7 @@ object RulePlanner {
         graft.functions.long_castable(c.cast(StringType))
       case _ => expr(s"try_cast(`${rule.column}` AS $t)").isNotNull
     }
-    if (rule.param("reject").contains("true")) c.isNotNull && conforms
+    if (rule.paramBool("reject")) c.isNotNull && conforms
     else c.isNotNull && !conforms
   }
 
@@ -219,12 +219,7 @@ object RulePlanner {
       s"monotonic rule '${rule.name}' needs an order_by parameter")),
     rule.param("value").getOrElse(throw new IllegalArgumentException(
       s"monotonic rule '${rule.name}' needs a value parameter")),
-    rule.param("strict") match {
-      case None | Some("false") => false
-      case Some("true")         => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"monotonic rule '${rule.name}': strict must be true or false, got '$other'")
-    },
+    rule.paramBool("strict"),
     rule.param("direction") match {
       case None | Some("asc") => false
       case Some("desc")       => true

@@ -186,18 +186,26 @@ class Validator(
         : Future[(String, Option[ValidationResult], Seq[PartitionVerdict])] =
       Future {
         val tu = System.nanoTime()
-        run() match {
-          case Right(verdicts) =>
-            val globalFromRollup =
-              if (r.param("partition_covers_key").contains("true") && verdicts.nonEmpty) {
-                val failed = verdicts.map(_.failed_count).sum
-                Some(ValidationResult.verdict(r, failed, globalTotal(verdicts),
-                  (System.nanoTime() - tu) / 1e6,
-                  Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
-                    "partitioned" -> "true") ++ extraMeta))
-              } else None
-            (r.name, globalFromRollup, verdicts)
-          case Left(e) =>
+        // outer try: paramBool in the promotion check is fail-loud, and its
+        // raise must land in THIS rule's failure result, not kill the await
+        try {
+          run() match {
+            case Right(verdicts) =>
+              val globalFromRollup =
+                if (r.paramBool("partition_covers_key") && verdicts.nonEmpty) {
+                  val failed = verdicts.map(_.failed_count).sum
+                  Some(ValidationResult.verdict(r, failed, globalTotal(verdicts),
+                    (System.nanoTime() - tu) / 1e6,
+                    Map("keys" -> (if (r.columns.nonEmpty) r.columns else Seq(r.column)).mkString(","),
+                      "partitioned" -> "true") ++ extraMeta))
+                } else None
+              (r.name, globalFromRollup, verdicts)
+            case Left(e) =>
+              (r.name, Some(ValidationResult.failure(r, e,
+                (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
+          }
+        } catch {
+          case e: Throwable =>
             (r.name, Some(ValidationResult.failure(r, e,
               (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
         }
@@ -400,23 +408,13 @@ class Validator(
     rule.param("min_partition_rows").map(_.toLong),
     rule.param("max_partition_rows").map(_.toLong))
 
-  /** Strict boolean parameter: only "true"/"false" (or absent) accepted —
-    * a typo'd boolean must not silently flip behavior. */
-  private def boolParam(rule: ValidationRule, name: String): Boolean =
-    rule.param(name) match {
-      case None | Some("false") => false
-      case Some("true")         => true
-      case Some(other) => throw new IllegalArgumentException(
-        s"rule '${rule.name}': $name must be true or false, got '$other'")
-    }
-
   /** (min_distinct, max_distinct) of a cardinality rule. Also rejects
     * `partition_covers_key` here — in the shared parse, not only the
     * partitioned job — so the misconfiguration surfaces on EVERY path
     * (binary verdicts don't roll up; an empty table must not flip the
     * error into a silent pass). */
   private def cardinalityBounds(rule: ValidationRule): (Long, Long) = {
-    if (rule.param("partition_covers_key").contains("true"))
+    if (rule.paramBool("partition_covers_key"))
       throw new IllegalArgumentException(
         s"cardinality rule '${rule.name}': partition_covers_key is not supported " +
           "(binary per-partition verdicts do not roll up to the global distinct)")
@@ -432,7 +430,7 @@ class Validator(
     // approx is a strict boolean: "True"/"tru" must not silently fall back
     // to the full exact distinct the user opted out of at 100 TB
     val distinctAgg =
-      if (boolParam(rule, "approx"))
+      if (rule.paramBool("approx"))
         approx_count_distinct(c, rule.paramDouble("rsd").getOrElse(0.05))
       else countDistinct(c)
     (distinctAgg, max(when(c.isNull, 1L).otherwise(0L)))
@@ -795,7 +793,7 @@ class Validator(
           // broadcast=true → anti-join against a broadcast dim (small dims);
           // otherwise the sort-free union/hash-agg count (large dims)
           val orphanCount =
-            if (rule.param("broadcast").contains("true"))
+            if (rule.paramBool("broadcast"))
               Checks.orphans(df, rule.column, dim, refColumn, broadcastDim = true).count()
             else Checks.orphanCount(df, rule.column, dim, refColumn)
           ValidationResult.verdict(rule, orphanCount, total, ms,
@@ -879,7 +877,7 @@ class Validator(
             throw new IllegalArgumentException(s"schema rule '${rule.name}' needs ref_table"))
           val refDf = tableResolver(refTable).getOrElse(
             throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
-          val checkNullability = rule.param("check_nullability").contains("true")
+          val checkNullability = rule.paramBool("check_nullability")
           val diffs = Checks.schemaDiff(df.schema, refDf.schema)
             .filter(d => checkNullability || d._2 != "nullability_changed")
           val unionCols = Checks.schemaUnionColumnCount(df.schema, refDf.schema).toLong

@@ -67,6 +67,18 @@ final case class ValidationRule(
     throw new IllegalArgumentException(s"Rule '$name' ($ruleType) requires a column"))
   def param(key: String): Option[String] = parameters.get(key)
   def paramDouble(key: String): Option[Double] = parameters.get(key).map(_.toDouble)
+
+  /** Strict boolean parameter: only "true"/"false" (or absent) accepted —
+    * a typo'd boolean ("True", "tru") must raise, never silently flip the
+    * rule's behavior. One definition for every boolean param
+    * (partition_covers_key, broadcast, approx, strict, reject,
+    * check_nullability). */
+  def paramBool(key: String): Boolean = parameters.get(key) match {
+    case None | Some("false") => false
+    case Some("true")         => true
+    case Some(other) => throw new IllegalArgumentException(
+      s"rule '$name': $key must be true or false, got '$other'")
+  }
 }
 
 /** Per-table config: table name + its rules (reference `config.py:58-71`). */

@@ -22,7 +22,8 @@ object Curation {
     * (order, fields) structs, `array_sort` (lexicographic over ALL struct
     * fields — so order ties break by the remaining fields and the result
     * is DETERMINISTIC even with duplicate turn indexes), then a per-row
-    * render. The shuffled payload is exactly the surviving columns, the
+    * render (NULL fields render as '' with the separator KEPT — 'user: ' —
+    * never silently skipped). The shuffled payload is exactly the surviving columns, the
     * aggregate is map-side combined, and under a key-bucketed at-rest
     * layout the whole pipeline plans ZERO exchange. NULL order rows are
     * excluded (completeness owns them); a group's document length is
@@ -34,13 +35,23 @@ object Curation {
       df: DataFrame, keyCol: String, orderCol: String,
       renderCols: Seq[String], fieldSep: String = ": ",
       lineSep: String = "\n"): DataFrame = {
-    val struct_ = struct((orderCol +: renderCols).map(col): _*)
+    // positional field aliases: renderCols may repeat the order column (or
+    // each other) — by-name extraction on duplicate struct fields would be
+    // ambiguous. NULL render fields rendered as '' EXPLICITLY: concat_ws
+    // would silently SKIP them ('user' with no separator — ambiguous with a
+    // one-field line) where SQL '||' nullifies the whole line — coalesce
+    // pins one deterministic, oracle-expressible semantics.
+    val fields = (orderCol +: renderCols).zipWithIndex.map {
+      case (c, i) => col(c).as(s"_$i")
+    }
     df.filter(col(orderCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_parts"),
         array_join(
-          transform(array_sort(collect_list(struct_)),
-            x => concat_ws(fieldSep, renderCols.map(c => x(c)): _*)),
+          transform(array_sort(collect_list(struct(fields: _*))),
+            x => concat_ws(fieldSep,
+              renderCols.indices.map(i =>
+                coalesce(x(s"_${i + 1}").cast("string"), lit(""))): _*)),
           lineSep).as("document"))
   }
 

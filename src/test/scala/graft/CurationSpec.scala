@@ -55,6 +55,15 @@ class CurationSpec extends SparkSpec {
     val re = Curation.assembleConversations(turns.repartition(7))
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     re shouldBe docs.view.mapValues(_._2).toMap
+    // NULL render field renders as '' with the separator kept (concat_ws
+    // alone would silently drop it, making 'user' ambiguous)
+    val withNull = Seq(("c", Some(0), "user", null: String)).toDF("conv_id", "turn_idx", "role", "text")
+    Curation.assembleConversations(withNull).collect().head.getString(2) shouldBe "user: "
+    // renderCols may repeat the order column (positional struct aliases)
+    val withIdx = Curation.assembleByKey(turns.filter($"conv_id" === "c1"),
+      "conv_id", "turn_idx", Seq("turn_idx", "role"), fieldSep = "|", lineSep = ";")
+      .collect().head.getString(2)
+    withIdx shouldBe "0|user;1|assistant;2|user"
   }
 
   test("hash sample is deterministic and partitioning-invariant") {

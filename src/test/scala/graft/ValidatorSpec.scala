@@ -551,6 +551,13 @@ class ValidatorSpec extends SparkSpec {
       .results.head.failed_count shouldBe -1
     v.executeRules(df, Seq(card("approx" -> "True")), "t")
       .results.head.failed_count shouldBe -1
+    // the same strict-boolean contract on partition_covers_key: "True" must
+    // error, not silently skip the roll-up promotion
+    val (s3, _) = v.executeRulesPartitioned(df,
+      Seq(ValidationRule("u", RuleType.Uniqueness, Seq("part_key"),
+        parameters = Map("partition_covers_key" -> "True"))), "t",
+      Some(col("part_key")))
+    s3.results.head.failed_count shouldBe -1
   }
 
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {

@@ -757,6 +757,33 @@ object SparkEntry {
     // CONSTRUCTED deterministically from the table (the word-soup corpus
     // has none); the oracle builds the same augmented text and nests the
     // same four regexp_replace calls in the same order ('g' flag). --------
+    // ---- web-text markup cleaning (constructed markup corpus) ------------
+    Q("q_strip_markup_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(
+            lit("<div class=\"post\"><p>"), col("text"),
+            lit("</p> see https://example.org/item/"), col("doc_id"),
+            lit("?q=1 and <a href=\"/x\">link</a></div>")).as("text"))
+        docs.select(col("doc_id"),
+          TextAnalysis.urlCount(col("text")).as("url_count"),
+          TextAnalysis.stripMarkup(col("text")).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id,
+            '<div class="post"><p>' || text || '</p> see https://example.org/item/' ||
+            CAST(doc_id AS VARCHAR) || '?q=1 and <a href="/x">link</a></div>' AS text
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id,
+          CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS url_count,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              'https?://[^\s]+', ' ', 'g'),
+            '\s+', ' ', 'g')) AS clean
+        FROM docs ORDER BY doc_id""")),
+
     Q("q_redact_docs",
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)

@@ -91,6 +91,23 @@ object TextAnalysis {
   def phoneCount(text: Column): Column =
     coalesce(regexp_count(text, lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]")), lit(0))
 
+  /** Count of URL-shaped substrings (http/https). */
+  def urlCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("https?://[^\\s]+")), lit(0))
+
+  /** Web-text markup cleaning (the C4/CCNet-style pre-filter step): strip
+    * HTML/XML tags, drop URLs, then collapse runs of whitespace to one
+    * space and trim — so tag/URL removal can't leave double spaces that
+    * would skew the downstream word/line statistics. All three patterns
+    * are Java∩RE2-safe, so the DuckDB oracle states the identical
+    * pipeline; pure per-row rewrite, no shuffle. */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit("<[^>]*>"), lit(" ")),
+        lit("https?://[^\\s]+"), lit(" ")),
+      lit("\\s+"), lit(" ")))
+
   /** PII REDACTION: the four detector patterns replaced with typed
     * placeholders — the rewrite step a compliance pipeline actually ships
     * (counts gate, redaction cleans). Application order is part of the

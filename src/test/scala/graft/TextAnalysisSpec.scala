@@ -193,6 +193,21 @@ class TextAnalysisSpec extends SparkSpec {
     out(3) shouldBe "clean text with no pii at all"
   }
 
+  test("stripMarkup removes tags and URLs, collapses whitespace; urlCount counts links") {
+    val df = Seq(
+      "<div><p>hello  world</p> see https://a.example/x?q=1 ok</div>",
+      "plain text, no markup",
+      "<br/><span attr=\"v\">x</span> http://b.example and https://c.example/z").toDF("text")
+    val out = df.select(TextAnalysis.stripMarkup(col("text")).as("clean"),
+      TextAnalysis.urlCount(col("text")).as("urls")).collect()
+    out(0).getString(0) shouldBe "hello world see ok"
+    out(0).getInt(1) shouldBe 1
+    out(1).getString(0) shouldBe "plain text, no markup"
+    out(1).getInt(1) shouldBe 0
+    out(2).getString(0) shouldBe "x and"
+    out(2).getInt(1) shouldBe 2
+  }
+
   test("topNgrams counts document frequency with deterministic tie-break") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // "alpha beta gamma", "beta gamma delta"

@@ -1,0 +1,77 @@
+package graft
+
+import graft.engine.{RulePlanner, Validator}
+import graft.io.{TranscriptConfig, Transcripts}
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** End-to-end composition of the training-data pipeline over the synthetic
+  * transcripts table — the chain a 100 TB deployment runs:
+  *
+  *   validate → clean (filter mode) → assemble conversations → strip
+  *   markup → exact dedup → token-budget slice → pack
+  *
+  * Each stage is oracle/spec-verified on its own elsewhere; this spec pins
+  * the CONTRACTS BETWEEN stages (schemas compose, invariants survive, no
+  * stage silently drops or duplicates mass) so a refactor of one operator
+  * cannot quietly break its neighbors.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("transcripts → clean → assemble → dedup → budget → pack composes with conserved invariants") {
+    val turns = Transcripts.turns(spark, TranscriptConfig(numConvs = 400L, hotConvExtraTurns = 40L))
+
+    // 1. validation verdicts on the raw table (the gate)
+    val v = new Validator(spark, ValidationConfig())
+    val rules = Seq(
+      ValidationRule("text_complete", RuleType.Completeness, Seq("text"), threshold = Some(0.5)),
+      ValidationRule("seq", RuleType.Sequence, Seq("conv_id"),
+        parameters = Map("index" -> "turn_idx", "start" -> "0"), threshold = Some(0.5)),
+      ValidationRule("mono", RuleType.Monotonic, Seq("conv_id"),
+        parameters = Map("order_by" -> "turn_idx", "value" -> "ts"), threshold = Some(0.5)))
+    val summary = v.executeRules(turns, rules, "transcripts")
+    summary.results.foreach(_.failed_count should be >= 0L) // no error sentinels
+
+    // 2. clean: completeness filter + monotone walk (chained filter mode)
+    val cleaned = RulePlanner.applyFilters(turns, rules)
+    val nCleaned = cleaned.count()
+    nCleaned should be > 0L
+    nCleaned should be <= turns.count()
+    // the cleaned table re-validates perfectly on the filterable rules
+    val re = v.executeRules(cleaned, rules.filter(_.name != "seq"), "cleaned")
+    re.results.foreach(_.failed_count shouldBe 0L)
+
+    // 3. assemble: one document per conversation, all cleaned turns covered
+    val docs = Curation.assembleConversations(cleaned)
+      .withColumn("text", TextAnalysis.stripMarkup(col("document")))
+      .select(col("conv_id").as("doc_id"), col("text"), col("n_parts"))
+    docs.agg(sum("n_parts")).head().getLong(0) shouldBe
+      cleaned.filter(col("turn_idx").isNotNull).count() // every turn rendered exactly once
+    val nDocs = docs.count()
+    nDocs shouldBe cleaned.select("conv_id").distinct().count()
+
+    // 4. exact dedup on the assembled documents (deterministic fingerprint)
+    val deduped = Dedup.dedupExact(docs, "text", "doc_id")
+    val nDeduped = deduped.count()
+    nDeduped should be <= nDocs
+    deduped.select("text").distinct().count() shouldBe
+      docs.select("text").distinct().count() // dedup keeps every distinct text
+
+    // 5. token-budget slice: conserve the selection contract
+    val withTokens = deduped.withColumn("tokens", TextAnalysis.tokenCount(col("text")))
+    val budget = 2000L
+    val slice = Curation.tokenBudgetSample(withTokens, "doc_id", "tokens", budget)
+    val sliceTokens = slice.agg(coalesce(sum("tokens"), lit(0L))).head().getLong(0)
+    sliceTokens should be <= budget
+
+    // 6. pack the slice into training batches (numeric doc ids via hash —
+    // packSequences contracts a long id): coverage + budget invariants
+    val packable = slice.withColumn("id", xxhash64(col("doc_id")))
+    val packed = Curation.packSequences(packable, "id", "tokens", budget = 256L)
+    packed.count() shouldBe packable.filter(col("tokens").isNotNull).count() // every doc exactly once
+    val overBudget = packed.groupBy("pack_id")
+      .agg(sum("tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 256L && col("n") > 1L)
+    overBudget.count() shouldBe 0L // no multi-doc pack exceeds the budget
+  }
+}

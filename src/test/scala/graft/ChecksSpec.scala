@@ -213,5 +213,15 @@ class ChecksSpec extends SparkSpec {
     val r1 = Checks.distinctKeyCount(t, Seq("conv_id", "turn_idx"))
     val r2 = Checks.distinctKeyCount(t.repartition(17), Seq("conv_id", "turn_idx"))
     r1 shouldBe r2
+    // the group-unit families carry the same contract: group stats and the
+    // derived verdicts cannot depend on physical layout
+    def seqStats(df: org.apache.spark.sql.DataFrame) =
+      Checks.sequenceGroups(df, Seq("conv_id"), "turn_idx")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.get(3))).toMap
+    seqStats(t.repartition(17)) shouldBe seqStats(t)
+    def monoStats(df: org.apache.spark.sql.DataFrame) =
+      Checks.monotonicGroups(df, Seq("conv_id"), "turn_idx", "ts")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    monoStats(t.repartition(17)) shouldBe monoStats(t)
   }
 }

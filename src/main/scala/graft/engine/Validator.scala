@@ -307,7 +307,38 @@ class Validator(
               Await.result(singleFs(r.name), Duration.Inf)))))
     }
 
-    val summary = ValidationSummary.from(tableName, results, (System.nanoTime() - t0) / 1e6)
+    // opt-in violation EXAMPLES (`examples: N`, capped at 20): for each
+    // FAILED rule with a violation-row face, up to N offending rows are
+    // rendered into the result metadata — the consumer sees concrete
+    // offenders without a trip to the quarantine table. Zero cost unless a
+    // rule opts in AND failed; one bounded limit-job per such rule. Example
+    // capture never fails the rule (the verdict already stands) — a
+    // capture error degrades to an examples_error note. Kept OUT of the
+    // reference-parity report JSON (CliSpec pins its keys); metadata is the
+    // library/metrics-sink surface.
+    val withExamples = results.map { res =>
+      rules.find(_.name == res.rule_name) match {
+        case Some(r) if res.failed_count > 0 && r.param("examples").isDefined =>
+          try {
+            val n = math.min(math.max(r.param("examples").get.toInt, 1), 20)
+            val rows = violations(df, r).limit(n).collect()
+            val rendered = rows.map(row =>
+              row.schema.fieldNames.zip(row.toSeq)
+                .map { case (f, v) => s"$f=$v" }.mkString(", ")).mkString(" | ")
+            // table-level verdicts (drift/custom_agg) have no row face —
+            // their empty row set attaches nothing rather than a "" note
+            if (rows.isEmpty) res
+            else res.copy(metadata = res.metadata + ("examples" -> rendered))
+          } catch {
+            case e: Throwable =>
+              res.copy(metadata = res.metadata +
+                ("examples_error" -> String.valueOf(e.getMessage)))
+          }
+        case _ => res
+      }
+    }
+
+    val summary = ValidationSummary.from(tableName, withExamples, (System.nanoTime() - t0) / 1e6)
     (summary, fusedOutcome.toOption.map(_._3).getOrElse(Nil) ++ specialVerdicts ++
       driftVerdicts ++ outlierVerdicts)
   }

@@ -134,6 +134,26 @@ class RuleSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("examples: N — failed rules attach sample violating rows to metadata") {
+    val validator = new Validator(spark, ValidationConfig())
+    val range = ValidationRule("age_range", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "0", "max" -> "120", "examples" -> "2"))
+    val r = validator.executeRules(customers, Seq(range), "t").results.head
+    r.failed_count should be > 0L
+    r.metadata("examples") should include ("age=155") // the seeded defect, named
+    // a PASSING rule spends nothing and attaches nothing
+    val pass = ValidationRule("age_ok", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "-1000", "max" -> "1000", "examples" -> "2"))
+    validator.executeRules(customers, Seq(pass), "t")
+      .results.head.metadata.contains("examples") shouldBe false
+    // capture failure degrades to a note, never the rule's verdict
+    val noFace = ValidationRule("drifty", RuleType.drift, Seq("age"),
+      parameters = Map("method" -> "chi_square", "ref_table" -> "missing",
+        "examples" -> "2"))
+    val dr = validator.executeRules(customers, Seq(noFace), "t").results.head
+    dr.failed_count shouldBe -1 // fails for the missing ref_table, not examples
+  }
+
   test("error path: bad rule → sentinel result, severity forced to error") {
     val validator = new Validator(spark, ValidationConfig())
     val bad = ValidationRule("broken", RuleType.Custom, Seq(),

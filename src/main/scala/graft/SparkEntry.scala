@@ -753,11 +753,10 @@ object SparkEntry {
                ELSE 'it' END AS lang_pred
         FROM s ORDER BY doc_id""")),
 
-    // ---- PII redaction. Like the boilerplate query, the PII instances are
-    // CONSTRUCTED deterministically from the table (the word-soup corpus
-    // has none); the oracle builds the same augmented text and nests the
-    // same four regexp_replace calls in the same order ('g' flag). --------
-    // ---- web-text markup cleaning (constructed markup corpus) ------------
+    // ---- web-text markup cleaning. Like the boilerplate/redaction
+    // queries, the markup is CONSTRUCTED deterministically from the table
+    // (the word-soup corpus has none); the oracle builds the same
+    // augmented text and runs the identical strip pipeline. ---------------
     Q("q_strip_markup_docs",
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)
@@ -784,6 +783,10 @@ object SparkEntry {
             '\s+', ' ', 'g')) AS clean
         FROM docs ORDER BY doc_id""")),
 
+    // ---- PII redaction: instances CONSTRUCTED deterministically from the
+    // table (the word-soup corpus has none); the oracle builds the same
+    // augmented text and nests the same four regexp_replace calls in the
+    // same order ('g' flag). ----------------------------------------------
     Q("q_redact_docs",
       (s, d) => {
         val docs = t(s, d, "documents").filter(col("text").isNotNull)

@@ -307,35 +307,55 @@ class Validator(
               Await.result(singleFs(r.name), Duration.Inf)))))
     }
 
-    // opt-in violation EXAMPLES (`examples: N`, capped at 20): for each
-    // FAILED rule with a violation-row face, up to N offending rows are
-    // rendered into the result metadata — the consumer sees concrete
-    // offenders without a trip to the quarantine table. Zero cost unless a
-    // rule opts in AND failed; one bounded limit-job per such rule. Example
-    // capture never fails the rule (the verdict already stands) — a
-    // capture error degrades to an examples_error note. Kept OUT of the
-    // reference-parity report JSON (CliSpec pins its keys); metadata is the
-    // library/metrics-sink surface.
-    val withExamples = results.map { res =>
-      rules.find(_.name == res.rule_name) match {
-        case Some(r) if res.failed_count > 0 && r.param("examples").isDefined =>
-          try {
-            val n = math.min(math.max(r.param("examples").get.toInt, 1), 20)
-            val rows = violations(df, r).limit(n).collect()
-            val rendered = rows.map(row =>
-              row.schema.fieldNames.zip(row.toSeq)
-                .map { case (f, v) => s"$f=$v" }.mkString(", ")).mkString(" | ")
-            // table-level verdicts (drift/custom_agg) have no row face —
-            // their empty row set attaches nothing rather than a "" note
-            if (rows.isEmpty) res
-            else res.copy(metadata = res.metadata + ("examples" -> rendered))
-          } catch {
-            case e: Throwable =>
-              res.copy(metadata = res.metadata +
-                ("examples_error" -> String.valueOf(e.getMessage)))
+    // opt-in violation EXAMPLES (`examples: N`, capped at 20 rows × 256
+    // chars/field): a rule that FAILED ITS VERDICT (not merely tolerated
+    // violations under its threshold) gets up to N offending rows rendered
+    // into its result metadata — the consumer sees concrete offenders
+    // without a trip to the quarantine table. `examples: 0` disables.
+    // Deterministic: the face is sorted over all its columns before the
+    // limit (TakeOrderedAndProject — bounded), so WHICH offenders appear is
+    // layout- and run-invariant like every other output here. Capture jobs
+    // overlap on the section pool. Cost note: capturing rows re-runs the
+    // family's ROW face — for a partition_covers_key uniqueness rule that
+    // is the table-wide shuffle the promoted verdict avoided, which is why
+    // this is opt-in per rule. Capture never fails the rule (the verdict
+    // already stands) — errors degrade to an examples_error note. Kept OUT
+    // of the reference-parity report JSON (CliSpec pins its keys);
+    // metadata is the library/metrics-sink surface.
+    val exampleFs: Map[String, Future[ValidationResult => ValidationResult]] =
+      results.collect {
+        case res if !res.passed && res.failed_count > 0 &&
+            rules.exists(r => r.name == res.rule_name && r.param("examples").isDefined) =>
+          val r = rules.find(_.name == res.rule_name).get
+          res.rule_name -> Future[ValidationResult => ValidationResult] {
+            try {
+              val n = r.param("examples").get.toInt
+              if (n <= 0) identity[ValidationResult] _
+              else {
+                val face = violations(df, r)
+                val rows = face
+                  .orderBy(face.columns.map(col): _*)
+                  .limit(math.min(n, 20)).collect()
+                val rendered = rows.map(row =>
+                  row.schema.fieldNames.zip(row.toSeq)
+                    .map { case (f, v) => s"$f=${String.valueOf(v).take(256)}" }
+                    .mkString(", ")).mkString(" | ")
+                // table-level verdicts (drift/custom_agg) have no row face —
+                // their empty row set attaches nothing rather than a "" note
+                if (rows.isEmpty) identity[ValidationResult] _
+                else (x: ValidationResult) =>
+                  x.copy(metadata = x.metadata + ("examples" -> rendered))
+              }
+            } catch {
+              case e: Throwable => (x: ValidationResult) =>
+                x.copy(metadata = x.metadata +
+                  ("examples_error" -> String.valueOf(e.getMessage)))
+            }
           }
-        case _ => res
-      }
+      }.toMap
+    val withExamples = results.map { res =>
+      exampleFs.get(res.rule_name)
+        .map(f => Await.result(f, Duration.Inf)(res)).getOrElse(res)
     }
 
     val summary = ValidationSummary.from(tableName, withExamples, (System.nanoTime() - t0) / 1e6)

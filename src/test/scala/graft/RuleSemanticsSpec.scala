@@ -141,17 +141,38 @@ class RuleSemanticsSpec extends SparkSpec {
     val r = validator.executeRules(customers, Seq(range), "t").results.head
     r.failed_count should be > 0L
     r.metadata("examples") should include ("age=155") // the seeded defect, named
-    // a PASSING rule spends nothing and attaches nothing
+    // a PASSING rule attaches nothing — including one that passes its
+    // THRESHOLD while tolerating violations (no capture job for it)
     val pass = ValidationRule("age_ok", RuleType.Range, Seq("age"),
       parameters = Map("min" -> "-1000", "max" -> "1000", "examples" -> "2"))
     validator.executeRules(customers, Seq(pass), "t")
       .results.head.metadata.contains("examples") shouldBe false
-    // capture failure degrades to a note, never the rule's verdict
+    val tolerated = ValidationRule("age_tolerant", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "0", "max" -> "120", "examples" -> "2"),
+      threshold = Some(0.5))
+    val tr = validator.executeRules(customers, Seq(tolerated), "t").results.head
+    tr.passed shouldBe true
+    tr.failed_count should be > 0L
+    tr.metadata.contains("examples") shouldBe false
+    // examples: "0" disables capture entirely
+    val off = ValidationRule("age_off", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "0", "max" -> "120", "examples" -> "0"))
+    validator.executeRules(customers, Seq(off), "t")
+      .results.head.metadata.contains("examples") shouldBe false
+    // a capture error (malformed examples value) degrades to a note and
+    // never changes the verdict
+    val bad = ValidationRule("age_badn", RuleType.Range, Seq("age"),
+      parameters = Map("min" -> "0", "max" -> "120", "examples" -> "two"))
+    val br = validator.executeRules(customers, Seq(bad), "t").results.head
+    br.failed_count should be > 0L // verdict stands
+    br.metadata.contains("examples_error") shouldBe true
+    // a drift rule erroring on its own (missing ref_table) is untouched by
+    // the examples machinery (sentinel result, no capture attempted)
     val noFace = ValidationRule("drifty", RuleType.drift, Seq("age"),
       parameters = Map("method" -> "chi_square", "ref_table" -> "missing",
         "examples" -> "2"))
-    val dr = validator.executeRules(customers, Seq(noFace), "t").results.head
-    dr.failed_count shouldBe -1 // fails for the missing ref_table, not examples
+    validator.executeRules(customers, Seq(noFace), "t")
+      .results.head.failed_count shouldBe -1
   }
 
   test("error path: bad rule → sentinel result, severity forced to error") {

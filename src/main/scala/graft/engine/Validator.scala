@@ -976,8 +976,11 @@ class Validator(
         throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
       val dim = tableResolver(refTable).getOrElse(
         throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+      // same strict boolean AND same default as the verdict path: an unset
+      // broadcast means "dim may be huge" — the row face must not then
+      // broadcast it (driver OOM at scale) while the count path hash-joins
       Checks.orphans(df, rule.column, dim, rule.param("ref_column").getOrElse(rule.column),
-        rule.param("broadcast").forall(_.toBoolean))
+        broadcastDim = rule.paramBool("broadcast"))
     case RuleType.Custom =>
       val view = s"violations_view_${viewCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)

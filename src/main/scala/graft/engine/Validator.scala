@@ -321,7 +321,8 @@ class Validator(
     // this is opt-in per rule. Capture never fails the rule (the verdict
     // already stands) — errors degrade to an examples_error note. Kept OUT
     // of the reference-parity report JSON (CliSpec pins its keys);
-    // metadata is the library/metrics-sink surface.
+    // metadata is the library surface (the metrics sink stores metrics
+    // only, by design — the DURABLE row surface is the quarantine sink).
     val exampleFs: Map[String, Future[ValidationResult => ValidationResult]] =
       results.collect {
         case res if !res.passed && res.failed_count > 0 &&

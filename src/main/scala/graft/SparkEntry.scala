@@ -75,6 +75,10 @@ object SparkEntry {
       parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
         "partition_covers_key" -> "true"),
       threshold = Some(0.9), severity = Severity.Warning),
+    // declarative compliance, fused: tool turns must name their tool
+    ValidationRule("tool_turns_have_tool", RuleType.Predicate, Seq(),
+      expression = Some("role != 'tool' OR tool IS NOT NULL"),
+      threshold = Some(0.5), severity = Severity.Warning),
     // size contract: rides the fused count globally and partTotals per
     // partition — zero extra jobs; flags dead/thin ingest buckets
     ValidationRule("min_size", RuleType.RowCount, Seq(),
@@ -294,6 +298,21 @@ object SparkEntry {
           ORDER BY l_linenumber, l_returnflag, l_linestatus) AS document
         FROM lineitem WHERE l_orderkey < 3000 AND l_linenumber IS NOT NULL
         GROUP BY 1 ORDER BY 1""")),
+
+    // ---- predicate rule (declarative row compliance, fused) --------------
+    Q("q_predicate_lineitem",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val rule = ValidationRule("sane_charges", RuleType.Predicate, Seq(),
+          expression = Some("l_discount <= 0.06 AND l_tax >= 0 AND l_quantity >= 1"))
+        li.agg(count(lit(1)).as("total_rows"),
+          sum(when(RulePlanner.failCondition(li.schema, rule), 1L).otherwise(0L))
+            .as("failed_rows"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+        CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.06 AND l_tax >= 0 AND l_quantity >= 1, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS failed_rows
+        FROM lineitem""")),
 
     // ---- row_count + cardinality contracts (binary verdicts) -------------
     Q("q_row_count_events",

@@ -50,6 +50,11 @@ object TranscriptSuite {
       parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
         "partition_covers_key" -> "true"),
       threshold = Some(0.9), severity = Severity.Warning),
+    // declarative compliance — one more counter in the SAME fused pass
+    // (zero extra scans): tool turns must name their tool
+    ValidationRule("tool_turns_have_tool", RuleType.Predicate, Seq(),
+      expression = Some("role != 'tool' OR tool IS NOT NULL"),
+      threshold = Some(0.5), severity = Severity.Warning),
     // size contract — rides the fused count and the partition totals,
     // ZERO additional jobs (suite cost unchanged)
     ValidationRule("min_size", RuleType.RowCount, Seq(),

@@ -143,6 +143,10 @@ object RulePlanner {
   def fusible(rule: ValidationRule): Boolean = rule.ruleType match {
     case RuleType.Completeness | RuleType.Range | RuleType.Pattern |
         RuleType.TypeConformance | RuleType.AllowedValues | RuleType.Freshness => true
+    // declarative compliance (Deequ satisfies / dbt SQL tests): the
+    // predicate is one more counter in the SAME single pass — N predicate
+    // rules cost zero extra scans
+    case RuleType.Predicate => rule.expression.isDefined
     case _ => false
   }
 
@@ -153,6 +157,11 @@ object RulePlanner {
     case RuleType.TypeConformance => typeConformanceFailCond(rule)
     case RuleType.AllowedValues   => allowedValuesFailCond(rule)
     case RuleType.Freshness       => freshnessFailCond(rule)
+    // compliance semantics: a row fails unless the predicate is TRUE — a
+    // NULL predicate (3-valued logic) fails, matching Deequ's satisfies
+    case RuleType.Predicate =>
+      !coalesce(expr(rule.expression.getOrElse(throw new IllegalArgumentException(
+        s"predicate rule '${rule.name}' needs expression"))), lit(false))
     case other => throw new IllegalArgumentException(s"not a fusible rule type: $other")
   }
 
@@ -205,6 +214,9 @@ object RulePlanner {
           case _ => Some(!typeConformanceFailCond(rule))
         }
       case RuleType.Custom => rule.expression.map(expr)
+      case RuleType.Predicate =>
+        // keep = predicate TRUE (null-rejecting, matching the verdict face)
+        rule.expression.map(e => coalesce(expr(e), lit(false)))
       case _ => None // uniqueness etc. handled separately / passed through
     }
 

@@ -65,7 +65,13 @@ class Validator(
     val schema = df.schema
 
     val wellFormedFusible = rules.filter { r =>
-      RulePlanner.fusible(r) && r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      RulePlanner.fusible(r) &&
+        r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))) &&
+        // a predicate rule's expression must ANALYZE against this schema to
+        // a Boolean before it may join the fused pass — one broken
+        // predicate must fail ITS OWN rule (via executeSingle, where the
+        // real analysis error surfaces), never the whole fused job
+        (r.ruleType != RuleType.Predicate || analyzableBooleanPredicate(df, r))
     }
 
     // 1. one fused job for all fusible rules (optionally partition-grouped);
@@ -448,6 +454,17 @@ class Validator(
         Checks.sequenceGroups(df, keys, idx, part = Some(Checks.partGroupCol(df, p))),
         Checks.sequenceViolationCond(start), partTotals))
     } catch { case e: Throwable => Left(e) }
+
+  /** True when the predicate rule's expression analyzes against `df` to a
+    * Boolean — driver-side analysis only, no job. Rules failing this are
+    * excluded from the fused pass and routed to executeSingle, whose
+    * single-rule job isolates the real analysis error to the rule. */
+  private def analyzableBooleanPredicate(df: DataFrame, rule: ValidationRule): Boolean =
+    try {
+      rule.expression.exists(e =>
+        df.select(expr(e)).schema.head.dataType ==
+          org.apache.spark.sql.types.BooleanType)
+    } catch { case _: Throwable => false }
 
   /** ALL bounds of a row_count rule — (min_rows, max_rows,
     * min_partition_rows, max_partition_rows). The global verdict path
@@ -886,6 +903,13 @@ class Validator(
           // the batch machinery for this one rule so the real analysis
           // error surfaces in this rule's failure result
           executeOutlierBatch(df, Seq(rule), cachedTotal)._1(rule.name)
+
+        case RuleType.Predicate =>
+          // reached only when the expression is missing (with one present —
+          // even unanalyzable — the rule is fusible and the single-rule
+          // fused job above surfaces the real analysis error)
+          throw new IllegalArgumentException(
+            s"predicate rule '${rule.name}' needs expression")
 
         case RuleType.RowCount =>
           // table-size contract (the dbt/Deequ "size" check): BINARY verdict

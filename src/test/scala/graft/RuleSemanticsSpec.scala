@@ -134,6 +134,34 @@ class RuleSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("predicate rule: compliance fused into the single pass, NULL fails, blast radius isolated") {
+    val validator = new Validator(spark, ValidationConfig())
+    // Ivan (155) violates the age clause; Eve's NULL customer_id makes the
+    // predicate NULL — which FAILS under compliance semantics
+    val pred = ValidationRule("age_sane", RuleType.Predicate, Seq(),
+      expression = Some("customer_id < 100 AND age < 150"))
+    val completeness = ValidationRule("name_complete", RuleType.Completeness, Seq("name"))
+    val rs = validator.executeRules(customers, Seq(pred, completeness), "t").results
+    rs(0).failed_count shouldBe 2 // 155 violates; NULL predicate fails (compliance)
+    rs(0).metadata.get("fused") shouldBe Some("true") // rode the single pass
+    // filter mode keeps satisfying rows (null-rejecting)
+    RulePlanner.applyFilters(customers, Seq(pred)).count() shouldBe 8
+    // a predicate referencing a missing column fails ITS OWN rule — the
+    // other fused rule still gets its real verdict (no blast radius)
+    val broken = ValidationRule("typo", RuleType.Predicate, Seq(),
+      expression = Some("agee < 150"))
+    val rs2 = validator.executeRules(customers, Seq(broken, completeness), "t").results
+    rs2(0).failed_count shouldBe -1
+    rs2(0).message should include ("Rule execution failed")
+    rs2(1).failed_count shouldBe 1 // completeness unharmed, real verdict
+    // a non-Boolean expression is likewise isolated
+    validator.executeRules(customers, Seq(ValidationRule("notbool", RuleType.Predicate,
+      Seq(), expression = Some("age"))), "t").results.head.failed_count shouldBe -1
+    // missing expression errors cleanly
+    validator.executeRules(customers, Seq(ValidationRule("noexpr", RuleType.Predicate,
+      Seq())), "t").results.head.failed_count shouldBe -1
+  }
+
   test("examples: N — failed rules attach sample violating rows to metadata") {
     val validator = new Validator(spark, ValidationConfig())
     val range = ValidationRule("age_range", RuleType.Range, Seq("age"),

@@ -314,6 +314,19 @@ object SparkEntry {
                  THEN 1 ELSE 0 END) AS BIGINT) AS failed_rows
         FROM lineitem""")),
 
+    // ---- correlation contract (binary verdict; flag-only output so no
+    // cross-engine float formatting enters the compare) --------------------
+    Q("q_correlation_events",
+      (s, d) => t(s, d, "events").agg(
+        when(Checks.safeCorr(col("value"), col("user_id")).between(-0.5, 0.5), 0L)
+          .otherwise(1L).as("failed"),
+        sum(when(col("value").isNotNull && col("user_id").isNotNull, 1L).otherwise(0L))
+          .as("pairs")),
+      Some("""SELECT CAST(CASE WHEN corr(value, CAST(user_id AS DOUBLE)) BETWEEN -0.5 AND 0.5
+                 THEN 0 ELSE 1 END AS BIGINT) AS failed,
+        CAST(SUM(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+        FROM events""")),
+
     // ---- row_count + cardinality contracts (binary verdicts) -------------
     Q("q_row_count_events",
       (s, d) => t(s, d, "events").agg(count(lit(1)).as("row_count"),

@@ -195,6 +195,26 @@ object Checks {
       .drop("__run")
   }
 
+  /** ANSI-safe Pearson correlation aggregate: the builtin `corr` DIVIDES BY
+    * ZERO under ANSI mode (Spark 4 default) when either column is constant,
+    * failing the whole job — this formulation computes the same moments and
+    * guards the denominator, yielding NULL for the degenerate case so the
+    * caller can treat "undefined" as a verdict, not a crash. NULL pairs are
+    * excluded like the builtin. */
+  def safeCorr(x: Column, y: Column): Column = {
+    val both = x.isNotNull && y.isNotNull
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val n = sum(when(both, 1.0d).otherwise(0.0d))
+    val sx = sum(when(both, xd).otherwise(0.0d))
+    val sy = sum(when(both, yd).otherwise(0.0d))
+    val sxx = sum(when(both, xd * xd).otherwise(0.0d))
+    val syy = sum(when(both, yd * yd).otherwise(0.0d))
+    val sxy = sum(when(both, xd * yd).otherwise(0.0d))
+    val num = n * sxy - sx * sy
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    when(den > 0.0d, num / den)
+  }
+
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.
     * collecting examples per key) and a hot key would overload one reducer:
     * stage 1 groups by (key, salt) — the hot key fans out over `saltBuckets`

@@ -244,14 +244,17 @@ class Validator(
         }
       case _ => Nil
     }
-    // cardinality rules: one grouped distinct job per rule for the
+    // cardinality + correlation rules: one grouped job per rule for the
     // per-partition binary verdicts; the GLOBAL verdict always runs its own
-    // job (distinct counts don't roll up) via the straggler path below
+    // job (neither metric rolls up) via the straggler path below
     val cardFs = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
-        rules.filter(_.ruleType == RuleType.Cardinality).map { r =>
-          groupedRuleFuture(r, () => cardinalityPartitionVerdicts(df, r, p),
-            _.map(_.total_count).sum, Map.empty)
+        rules.filter(r => r.ruleType == RuleType.Cardinality ||
+            r.ruleType == RuleType.Correlation).map { r =>
+          val run = () =>
+            if (r.ruleType == RuleType.Cardinality) cardinalityPartitionVerdicts(df, r, p)
+            else correlationPartitionVerdicts(df, r, p)
+          groupedRuleFuture(r, run, _.map(_.total_count).sum, Map.empty)
         }
       case _ => Nil
     }
@@ -453,6 +456,51 @@ class Validator(
       Right(groupUnitVerdicts(rule,
         Checks.sequenceGroups(df, keys, idx, part = Some(Checks.partGroupCol(df, p))),
         Checks.sequenceViolationCond(start), partTotals))
+    } catch { case e: Throwable => Left(e) }
+
+  /** The two columns of a correlation rule (columns: [a, b], or column +
+    * `column2`). */
+  private def correlationCols(rule: ValidationRule): (String, String) =
+    if (rule.columns.size >= 2) (rule.columns.head, rule.columns(1))
+    else (rule.column, rule.param("column2").getOrElse(
+      throw new IllegalArgumentException(
+        s"correlation rule '${rule.name}' needs two columns (columns: [a, b] or column2)")))
+
+  /** (min_corr, max_corr) of a correlation rule; rejects
+    * partition_covers_key in the shared parse (binary verdicts don't roll
+    * up — same contract as cardinality). */
+  private def correlationBounds(rule: ValidationRule): (Double, Double) = {
+    if (rule.paramBool("partition_covers_key"))
+      throw new IllegalArgumentException(
+        s"correlation rule '${rule.name}': partition_covers_key is not supported " +
+          "(binary per-partition verdicts do not roll up to the global correlation)")
+    (rule.paramDouble("min_corr").getOrElse(-1.0),
+      rule.paramDouble("max_corr").getOrElse(1.0))
+  }
+
+  /** Per-partition correlation verdicts: one grouped corr job, binary
+    * verdict per partition. A partition whose corr is UNDEFINED (constant
+    * column within the bucket — e.g. a stuck sensor) FAILS that partition:
+    * it cannot certify the relationship, and "stuck" is exactly the signal
+    * per-partition monitoring exists to catch. */
+  private def correlationPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val (a, b) = correlationCols(rule)
+      val (minC, maxC) = correlationBounds(rule)
+      val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
+        .agg(Checks.safeCorr(col(a), col(b)).as("__c"))
+        .collect()
+      Right(rows.toSeq.map { r =>
+        val part = Checks.partKeyString(r.get(0))
+        val failed =
+          if (r.isNullAt(1) || r.getDouble(1).isNaN) 1L
+          else { val c = r.getDouble(1); if (c < minC || c > maxC) 1L else 0L }
+        val rate = 1.0 - failed
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
+      })
     } catch { case e: Throwable => Left(e) }
 
   /** True when the predicate rule's expression analyzes against `df` to a
@@ -940,6 +988,23 @@ class Validator(
             Map("distinct" -> n.toString) ++
               rule.param("min_distinct").map("min_distinct" -> _) ++
               rule.param("max_distinct").map("max_distinct" -> _))
+
+        case RuleType.Correlation =>
+          // relationship contract (Deequ hasCorrelation): BINARY verdict on
+          // Pearson corr(colA, colB) ∈ [min_corr, max_corr]; NULL pairs are
+          // excluded by corr itself. An undefined global corr (constant or
+          // empty column) is a configuration-level problem → error result,
+          // never a silent pass.
+          val (a, b) = correlationCols(rule)
+          val (minC, maxC) = correlationBounds(rule)
+          val row = df.agg(Checks.safeCorr(col(a), col(b)).as("__c")).head()
+          if (row.isNullAt(0) || row.getDouble(0).isNaN)
+            throw new IllegalArgumentException(
+              s"correlation rule '${rule.name}': corr($a, $b) undefined (constant or empty column)")
+          val c = row.getDouble(0)
+          val failed = if (c < minC || c > maxC) 1L else 0L
+          ValidationResult.verdict(rule, failed, 1L, ms,
+            Map("correlation" -> c.toString, "columns" -> s"$a,$b"))
 
         case RuleType.SchemaDrift =>
           // schema CONTRACT vs a reference table: failed = number of

@@ -38,6 +38,7 @@ object RuleType {
   val Predicate = "predicate" // declarative row compliance: SQL predicate, fused into the single pass
   val RowCount = "row_count" // table/partition size within [min_rows, max_rows]
   val Cardinality = "cardinality" // distinct count of a column within [min_distinct, max_distinct]
+  val Correlation = "correlation" // Pearson corr of two columns within [min_corr, max_corr]
 }
 
 /** One validation rule.

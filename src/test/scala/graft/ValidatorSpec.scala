@@ -560,6 +560,42 @@ class ValidatorSpec extends SparkSpec {
     s3.results.head.failed_count shouldBe -1
   }
 
+  test("correlation rule: bounds, degenerate handling, partition verdicts") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0), // corr +1
+      ("b", 1.0, 3.0), ("b", 2.0, 2.0), ("b", 3.0, 1.0), // corr −1
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0), ("c", 3.0, 5.0)  // y constant: corr undefined
+    ).toDF("part_key", "x", "y")
+    val v = new Validator(spark, ValidationConfig())
+    def rule(params: (String, String)*) = ValidationRule("corr", RuleType.Correlation,
+      Seq("x", "y"), parameters = params.toMap)
+    // wide bounds pass; a tight positive bound fails the mixed global
+    v.executeRules(df, Seq(rule()), "t").results.head.failed_count shouldBe 0
+    val tight = v.executeRules(df, Seq(rule("min_corr" -> "0.99")), "t").results.head
+    tight.failed_count shouldBe 1
+    tight.metadata.contains("correlation") shouldBe true
+    // per-partition: a passes, b (anti-correlated) and c (undefined —
+    // stuck column, exactly what partition monitoring must catch) fail
+    val (ps, verdicts) = v.executeRulesPartitioned(df,
+      Seq(rule("min_corr" -> "0.9")), "t", Some(col("part_key")))
+    withClue(ps.results.map(_.message).mkString("; ")) {
+      verdicts.filter(_.rule_name == "corr").size should be > 0
+    }
+    verdicts.filter(_.rule_name == "corr")
+      .map(x => x.partition -> x.failed_count).toMap shouldBe
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L)
+    // a GLOBALLY undefined corr is an error result, never a silent pass
+    val const = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0)).toDF("part_key", "x", "y")
+    v.executeRules(const, Seq(rule()), "t").results.head.failed_count shouldBe -1
+    // missing second column and covers_key surface as errors
+    v.executeRules(df, Seq(ValidationRule("c1", RuleType.Correlation, Seq("x"))), "t")
+      .results.head.failed_count shouldBe -1
+    val (s2, _) = v.executeRulesPartitioned(df,
+      Seq(rule("partition_covers_key" -> "true")), "t", Some(col("part_key")))
+    s2.results.head.failed_count shouldBe -1
+  }
+
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {
     import org.apache.spark.sql.functions.{col, when => swhen, lit}
     val df = Seq(

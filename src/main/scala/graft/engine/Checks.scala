@@ -197,22 +197,22 @@ object Checks {
 
   /** ANSI-safe Pearson correlation aggregate: the builtin `corr` DIVIDES BY
     * ZERO under ANSI mode (Spark 4 default) when either column is constant,
-    * failing the whole job — this formulation computes the same moments and
-    * guards the denominator, yielding NULL for the degenerate case so the
-    * caller can treat "undefined" as a verdict, not a crash. NULL pairs are
-    * excluded like the builtin. */
+    * failing the whole job. This formulation keeps the builtins' STABLE
+    * central-moment computation (covar_pop / stddev_pop are Welford-style —
+    * a raw-moment Σx²−(Σx)² variant cancels catastrophically on
+    * large-magnitude columns like epoch timestamps) and only guards the
+    * final division, yielding NULL for the degenerate case so the caller
+    * can treat "undefined" as a verdict, not a crash. Pairwise NULL
+    * deletion matches the builtin: both inputs are masked to the rows
+    * where BOTH are present. */
   def safeCorr(x: Column, y: Column): Column = {
     val both = x.isNotNull && y.isNotNull
-    val xd = x.cast("double"); val yd = y.cast("double")
-    val n = sum(when(both, 1.0d).otherwise(0.0d))
-    val sx = sum(when(both, xd).otherwise(0.0d))
-    val sy = sum(when(both, yd).otherwise(0.0d))
-    val sxx = sum(when(both, xd * xd).otherwise(0.0d))
-    val syy = sum(when(both, yd * yd).otherwise(0.0d))
-    val sxy = sum(when(both, xd * yd).otherwise(0.0d))
-    val num = n * sxy - sx * sy
-    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    when(den > 0.0d, num / den)
+    val xb = when(both, x.cast("double"))
+    val yb = when(both, y.cast("double"))
+    val cov = covar_pop(xb, yb)
+    val sdx = stddev_pop(xb)
+    val sdy = stddev_pop(yb)
+    when(sdx > 0.0d && sdy > 0.0d, cov / (sdx * sdy))
   }
 
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.

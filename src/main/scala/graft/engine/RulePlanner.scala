@@ -215,8 +215,12 @@ object RulePlanner {
         }
       case RuleType.Custom => rule.expression.map(expr)
       case RuleType.Predicate =>
-        // keep = predicate TRUE (null-rejecting, matching the verdict face)
-        rule.expression.map(e => coalesce(expr(e), lit(false)))
+        // keep = predicate TRUE (null-rejecting, matching the verdict face);
+        // a predicate rule WITHOUT an expression is misconfigured — raise
+        // like the verdict path does, never silently pass dirty data through
+        Some(coalesce(expr(rule.expression.getOrElse(
+          throw new IllegalArgumentException(
+            s"predicate rule '${rule.name}' needs expression"))), lit(false)))
       case _ => None // uniqueness etc. handled separately / passed through
     }
 

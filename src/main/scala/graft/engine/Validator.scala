@@ -129,8 +129,14 @@ class Validator(
           r.name -> ValidationResult.verdict(r, failedByRule(r.name), total, fusedMs,
             Map("fused" -> "true"))
         }.toMap
-      case Left(e) =>
-        wellFormedFusible.map(r => r.name -> ValidationResult.failure(r, e, fusedMs)).toMap
+      case Left(_) =>
+        // blast-radius recovery: the SHARED job failed (e.g. one predicate
+        // raising at runtime under ANSI — statically undetectable). Leave
+        // every fused rule UNRESOLVED so each falls through to its own
+        // isolated single-rule job below: the poisoned rule gets its real
+        // error, the healthy rules still get real verdicts — at the
+        // reference's per-rule cost, paid only on this failure path.
+        Map.empty
     }
     val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
 
@@ -485,33 +491,35 @@ class Validator(
     * per-partition monitoring exists to catch. */
   private def correlationPartitionVerdicts(
       df: DataFrame, rule: ValidationRule,
-      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] = {
     try {
       val (a, b) = correlationCols(rule)
       val (minC, maxC) = correlationBounds(rule)
-      val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
-        .agg(Checks.safeCorr(col(a), col(b)).as("__c"))
-        .collect()
-      Right(rows.toSeq.map { r =>
-        val part = Checks.partKeyString(r.get(0))
-        val failed =
+      binaryPartitionVerdicts(df, rule, p,
+        Seq(Checks.safeCorr(col(a), col(b)).as("__c")),
+        r =>
           if (r.isNullAt(1) || r.getDouble(1).isNaN) 1L
-          else { val c = r.getDouble(1); if (c < minC || c > maxC) 1L else 0L }
-        val rate = 1.0 - failed
-        PartitionVerdict(part, rule.name,
-          ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
-      })
+          else { val c = r.getDouble(1); if (c < minC || c > maxC) 1L else 0L })
     } catch { case e: Throwable => Left(e) }
+  }
 
   /** True when the predicate rule's expression analyzes against `df` to a
-    * Boolean — driver-side analysis only, no job. Rules failing this are
-    * excluded from the fused pass and routed to executeSingle, whose
-    * single-rule job isolates the real analysis error to the rule. */
+    * row-level Boolean — driver-side analysis only, no job. Must be a plain
+    * Project: an aggregate or window expression ("count(*) >= 1") analyzes
+    * fine in a SELECT but is illegal nested inside the fused
+    * `sum(when(...))`, so admitting it would kill the shared job. Rules
+    * failing this are excluded from the fused pass and routed to
+    * executeSingle, whose single-rule job isolates the real error to the
+    * rule. (Runtime ANSI raises remain undetectable here — the fused
+    * failure-recovery path covers those.) */
   private def analyzableBooleanPredicate(df: DataFrame, rule: ValidationRule): Boolean =
     try {
-      rule.expression.exists(e =>
-        df.select(expr(e)).schema.head.dataType ==
-          org.apache.spark.sql.types.BooleanType)
+      rule.expression.exists { e =>
+        val ds = df.select(expr(e))
+        ds.schema.head.dataType == org.apache.spark.sql.types.BooleanType &&
+          ds.queryExecution.analyzed.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Project]
+      }
     } catch { case _: Throwable => false }
 
   /** ALL bounds of a row_count rule — (min_rows, max_rows,
@@ -562,26 +570,42 @@ class Validator(
     row.getLong(0) + (if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
-  /** Per-partition cardinality verdicts: one grouped distinct job (exact or
-    * HLL), binary verdict per partition. */
-  private def cardinalityPartitionVerdicts(
-      df: DataFrame, rule: ValidationRule,
-      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+  /** Shared tail of the binary metric families (cardinality, correlation):
+    * ONE grouped job over the given aggregate columns, then one 0/1
+    * verdict per partition from the caller's failed-flag function. */
+  private def binaryPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      aggCols: Seq[Column],
+      failedOf: org.apache.spark.sql.Row => Long): Either[Throwable, Seq[PartitionVerdict]] =
     try {
-      val (minD, maxD) = cardinalityBounds(rule)
-      val (distinctAgg, hasNull) = cardinalityAggs(rule)
       val rows = df.groupBy(Checks.partGroupCol(df, p).as("__part"))
-        .agg(distinctAgg.as("__d"), hasNull.as("__has_null"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
       Right(rows.toSeq.map { r =>
         val part = Checks.partKeyString(r.get(0))
-        val n = r.getLong(1) + (if (r.isNullAt(2)) 0L else r.getLong(2))
-        val failed = if (n < minD || n > maxD) 1L else 0L
+        val failed = failedOf(r)
         val rate = 1.0 - failed
         PartitionVerdict(part, rule.name,
           ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
       })
     } catch { case e: Throwable => Left(e) }
+
+  /** Per-partition cardinality verdicts: one grouped distinct job (exact or
+    * HLL), binary verdict per partition. */
+  private def cardinalityPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] = {
+    try {
+      val (minD, maxD) = cardinalityBounds(rule)
+      val (distinctAgg, hasNull) = cardinalityAggs(rule)
+      binaryPartitionVerdicts(df, rule, p,
+        Seq(distinctAgg.as("__d"), hasNull.as("__has_null")),
+        r => {
+          val n = r.getLong(1) + (if (r.isNullAt(2)) 0L else r.getLong(2))
+          if (n < minD || n > maxD) 1L else 0L
+        })
+    } catch { case e: Throwable => Left(e) }
+  }
 
   private def monotonicParams(rule: ValidationRule): (String, String, Boolean, Boolean) =
     RulePlanner.monotonicParams(rule)
@@ -1135,7 +1159,14 @@ class Validator(
       partitionExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[PartitionVerdict] = {
     import df.sparkSession.implicits._
     val schema = df.schema
-    val fusible = rules.filter(RulePlanner.fusible)
+    // same admission guard as executeRulesPartitioned: a rule referencing a
+    // missing column or carrying a non-row-level predicate must not poison
+    // this SHARED Dataset for every other rule
+    val fusible = rules.filter { r =>
+      RulePlanner.fusible(r) &&
+        r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))) &&
+        (r.ruleType != RuleType.Predicate || analyzableBooleanPredicate(df, r))
+    }
     val counters = fusible.zipWithIndex.map { case (r, i) =>
       sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L)).as(s"f_$i")
     }

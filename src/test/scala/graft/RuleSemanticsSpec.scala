@@ -157,6 +157,22 @@ class RuleSemanticsSpec extends SparkSpec {
     // a non-Boolean expression is likewise isolated
     validator.executeRules(customers, Seq(ValidationRule("notbool", RuleType.Predicate,
       Seq(), expression = Some("age"))), "t").results.head.failed_count shouldBe -1
+    // an AGGREGATE predicate analyzes to Boolean in a bare SELECT but is
+    // illegal inside the fused sum(when(...)) — the plan-shape guard keeps
+    // it out of the shared job, so only ITS rule fails
+    val aggPred = ValidationRule("aggpred", RuleType.Predicate, Seq(),
+      expression = Some("count(*) >= 1"))
+    val rs3 = validator.executeRules(customers, Seq(aggPred, completeness), "t").results
+    rs3(0).failed_count shouldBe -1
+    rs3(1).failed_count shouldBe 1 // unharmed
+    // a predicate that RAISES AT RUNTIME under ANSI (statically clean)
+    // fails the shared job — the recovery path re-runs each fused rule in
+    // isolation, so the healthy rule still gets its real verdict
+    val runtimeBomb = ValidationRule("bomb", RuleType.Predicate, Seq(),
+      expression = Some("1/(age-25) > 0")) // Alice's age=25 divides by zero
+    val rs4 = validator.executeRules(customers, Seq(runtimeBomb, completeness), "t").results
+    rs4(0).failed_count shouldBe -1
+    rs4(1).failed_count shouldBe 1 // recovered, real verdict
     // missing expression errors cleanly
     validator.executeRules(customers, Seq(ValidationRule("noexpr", RuleType.Predicate,
       Seq())), "t").results.head.failed_count shouldBe -1

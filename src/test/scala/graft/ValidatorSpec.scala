@@ -596,6 +596,36 @@ class ValidatorSpec extends SparkSpec {
     s2.results.head.failed_count shouldBe -1
   }
 
+  test("the SHIPPED example config executes end-to-end against the advertised table shape") {
+    import org.apache.spark.sql.functions.{coalesce => scoalesce, col, length => slength, lit}
+    // the file users copy must RUN, not merely parse: a column typo or bad
+    // parameter in examples/transcripts_config.yaml would otherwise ship
+    // as a latent error the vocabulary test cannot see
+    val cfg = graft.config.ConfigLoader.fromYamlFile(
+      "examples/transcripts_config.yaml", env = Map.empty)
+    val tcfg = graft.io.TranscriptConfig(numConvs = 300L, hotConvExtraTurns = 30L)
+    def withLen(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text_len", scoalesce(slength(col("text")), lit(0)).cast("double"))
+    val turns = withLen(graft.io.Transcripts.turns(spark, tcfg))
+    val baseline = withLen(graft.io.Transcripts.turns(spark,
+      graft.io.Transcripts.drifted(tcfg)))
+    val index = graft.io.Transcripts.convIndex(spark, tcfg)
+    val v = new Validator(spark, cfg, {
+      case "transcripts_baseline" => Some(baseline)
+      case "conv_index"           => Some(index)
+      case _                      => None
+    })
+    val rules = cfg.enabledRules("transcripts")
+    rules.size should be >= 18 // the full advertised vocabulary
+    val summary = v.executeRules(turns, rules, "transcripts")
+    // every rule must produce a REAL verdict — an error sentinel here means
+    // the shipped example is broken against its own advertised schema
+    val errored = summary.results.filter(_.failed_count < 0)
+    withClue(errored.map(r => s"${r.rule_name}: ${r.message}").mkString("; ")) {
+      errored shouldBe empty
+    }
+  }
+
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {
     import org.apache.spark.sql.functions.{col, when => swhen, lit}
     val df = Seq(

@@ -208,6 +208,23 @@ class ChecksSpec extends SparkSpec {
     Checks.totalVariationDistance(Map.empty, Map("x" -> 30L)) shouldBe 1.0
   }
 
+  test("safeCorr: hand values, degenerate → NULL, large-magnitude stability") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    df.agg(Checks.safeCorr(col("x"), col("y"))).head().getDouble(0) shouldBe 1.0 +- 1e-12
+    val anti = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    anti.agg(Checks.safeCorr(col("x"), col("y"))).head().getDouble(0) shouldBe -1.0 +- 1e-12
+    // constant column: NULL (a verdict), never a divide-by-zero job failure
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    const.agg(Checks.safeCorr(col("x"), col("y"))).head().isNullAt(0) shouldBe true
+    // epoch-microsecond magnitudes with a tiny spread: a raw-moment
+    // Σx²−(Σx)² formulation cancels catastrophically here (the bug this
+    // formulation replaced); central moments stay exact
+    val base = 1700000000000000L
+    val big = (0 until 100).map(i => (base + i.toLong, base + 2L * i)).toDF("x", "y")
+    big.agg(Checks.safeCorr(col("x"), col("y"))).head().getDouble(0) shouldBe 1.0 +- 1e-9
+  }
+
   test("verdicts are invariant under repartitioning (property)") {
     val t = Transcripts.turns(spark, TranscriptConfig(numConvs = 100L))
     val r1 = Checks.distinctKeyCount(t, Seq("conv_id", "turn_idx"))

@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
       Set("batch-0", "batch-1")
   }
 
+  test("group-unit and fused-predicate families validate inside a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Int, Long)]
+    val input = stream.toDF().toDF("conv_id", "turn_idx", "v")
+    val config = ValidationConfig(tables = Seq(TableConfig("turns", Seq(
+      ValidationRule("seq", RuleType.Sequence, Seq("conv_id"),
+        parameters = Map("index" -> "turn_idx", "start" -> "0")),
+      ValidationRule("mono", RuleType.Monotonic, Seq("conv_id"),
+        parameters = Map("order_by" -> "turn_idx", "value" -> "v")),
+      ValidationRule("pred", RuleType.Predicate, Seq(),
+        expression = Some("v >= 0"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val chk = Files.createTempDirectory("stream_chk2").toString
+    val query = StreamValidator.start(spark, input, config, "turns",
+      checkpointDir = chk, validatedSink = None, triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o })
+    // batch: conv a clean (0,1); conv b gapped (0,2) with a ts regression
+    // shape in v and one negative v for the predicate
+    stream.addData(("a", 0, 10L), ("a", 1, 20L), ("b", 0, 30L), ("b", 2, -5L))
+    query.processAllAvailable()
+    query.stop()
+
+    val byName = outcomes.head.summary.results.map(r => r.rule_name -> r).toMap
+    byName("seq").failed_count shouldBe 1  // b gapped
+    byName("seq").total_count shouldBe 2   // group unit inside the batch
+    byName("mono").failed_count shouldBe 1 // b's walk 30 → −5 regresses
+    byName("pred").failed_count shouldBe 1 // the negative v
+    byName("pred").metadata.get("fused") shouldBe Some("true")
+  }
+
   test("referential rules resolve ref tables through the streaming tableResolver") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

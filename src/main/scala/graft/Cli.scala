@@ -78,6 +78,13 @@ object Cli {
         val runId = java.util.UUID.randomUUID().toString
         summaries.values.foreach(s =>
           graft.io.MetricsSink.appendSummary(spark, s, metricsDir, runId))
+        // per-partition verdicts of partition_by-configured tables ride the
+        // same sink (they already exist — validateTable ran the partitioned
+        // pass — this only persists them)
+        summaries.keys.foreach { t =>
+          graft.io.MetricsSink.appendPartitionVerdicts(spark, t,
+            validator.partitionVerdictsOf(t), metricsDir, runId)
+        }
       }
 
       val report = validator.report(summaries)

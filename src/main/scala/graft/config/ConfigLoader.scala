@@ -69,6 +69,10 @@ object ConfigLoader {
       m.put("rules", toJavaList(t.rules.map(ruleToMap)))
       t.source.foreach(m.put("source", _))
       if (t.filterMode) m.put("filter_mode", java.lang.Boolean.TRUE)
+      t.partitionBy.foreach { c =>
+        m.put("partition_by", c)
+        m.put("partition_buckets", Integer.valueOf(t.partitionBuckets))
+      }
       m
     }))
     if (config.requireSqlRules) root.put("require_sql_rules", java.lang.Boolean.TRUE)
@@ -196,7 +200,9 @@ object ConfigLoader {
             name = str(t, "name").getOrElse(throw new IllegalArgumentException("table needs name")),
             rules = rules(t, "rules"),
             source = str(t, "source"),
-            filterMode = bool(t, "filter_mode", dflt = false))
+            filterMode = bool(t, "filter_mode", dflt = false),
+            partitionBy = str(t, "partition_by"),
+            partitionBuckets = str(t, "partition_buckets").map(_.toInt).getOrElse(32))
         }
       case _ => Nil
     }

@@ -1128,11 +1128,28 @@ class Validator(
     QuarantineOutcome(graft.io.Sinks.observedAppend(all, path), errors)
   }
 
+  /** Per-table partition verdicts from the most recent [[validateTable]]
+    * run of a `partition_by`-configured table — the CLI's handle for the
+    * metrics sink (the reference-parity summary type has no verdict slot). */
+  @volatile private var lastVerdicts: Map[String, Seq[PartitionVerdict]] = Map.empty
+  def partitionVerdictsOf(tableName: String): Seq[PartitionVerdict] =
+    lastVerdicts.getOrElse(tableName, Nil)
+
   /** Validate one table end-to-end; marks checkpoint state on success
-    * (reference `validator.py:71-99`). */
+    * (reference `validator.py:71-99`). A table configured with
+    * `partition_by` runs the PARTITIONED path — global verdicts ride the
+    * same grouped pass, and the per-partition verdicts are retrievable via
+    * [[partitionVerdictsOf]]. */
   def validateTable(df: DataFrame, tableName: String): ValidationSummary = {
     val rules = config.enabledRules(tableName)
-    val summary = executeRules(df, rules, tableName)
+    val partExpr = config.tables.find(_.name == tableName).flatMap { t =>
+      t.partitionBy.map { c =>
+        if (t.partitionBuckets > 0) pmod(xxhash64(col(c)), lit(t.partitionBuckets))
+        else col(c)
+      }
+    }
+    val (summary, verdicts) = executeRulesPartitioned(df, rules, tableName, partExpr)
+    lastVerdicts = lastVerdicts + (tableName -> verdicts)
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
           "failed_rules" -> summary.failed_rules.toString)))

@@ -88,7 +88,13 @@ final case class TableConfig(
     name: String,
     rules: Seq[ValidationRule] = Nil,
     source: Option[String] = None,
-    filterMode: Boolean = false
+    filterMode: Boolean = false,
+    // per-partition verdicts from the config surface: partition_by names a
+    // column, partition_buckets > 0 buckets it via pmod(xxhash64(col), n)
+    // (the recommended shape — a raw high-cardinality column trips the
+    // 65536-bucket guard); 0 groups on the raw column (dates, shards)
+    partitionBy: Option[String] = None,
+    partitionBuckets: Int = 32
 )
 
 final case class EngineConfig(

@@ -144,6 +144,9 @@ class ConfigSpec extends AnyFunSuite with Matchers {
       .flatMap(_.param("method")).toSet
     methods shouldBe Set("chi_square", "ks", "tvd", "psi")
     c.stateFile shouldBe defined
+    // partition verdicts from the config surface
+    c.tables.head.partitionBy shouldBe Some("conv_id")
+    c.tables.head.partitionBuckets shouldBe 32
   }
 
   test("invalid severity rejected (config.py:44-49)") {

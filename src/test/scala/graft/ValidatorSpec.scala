@@ -596,6 +596,24 @@ class ValidatorSpec extends SparkSpec {
     s2.results.head.failed_count shouldBe -1
   }
 
+  test("partition_by table config drives the partitioned path through validateTable") {
+    val cfg = ValidationConfig(tables = Seq(TableConfig("t",
+      Seq(ValidationRule("c", RuleType.Completeness, Seq("v"))),
+      partitionBy = Some("k"), partitionBuckets = 4)))
+    val v = new Validator(spark, cfg)
+    val df = Seq(("a", Some(1)), ("b", None: Option[Int])).toDF("k", "v")
+    val s = v.validateTable(df, "t")
+    s.results.head.failed_count shouldBe 1 // global rides the grouped pass
+    val verdicts = v.partitionVerdictsOf("t")
+    verdicts.map(_.failed_count).sum shouldBe 1 // per-bucket, sums to global
+    verdicts.foreach(_.rule_name shouldBe "c")
+    // a table without partition_by yields no verdicts (and no grouped cost)
+    val plain = new Validator(spark, ValidationConfig(tables = Seq(TableConfig("t",
+      Seq(ValidationRule("c", RuleType.Completeness, Seq("v")))))))
+    plain.validateTable(df, "t")
+    plain.partitionVerdictsOf("t") shouldBe empty
+  }
+
   test("the SHIPPED example config executes end-to-end against the advertised table shape") {
     import org.apache.spark.sql.functions.{coalesce => scoalesce, col, length => slength, lit}
     // the file users copy must RUN, not merely parse: a column typo or bad

@@ -78,12 +78,13 @@ object Cli {
         val runId = java.util.UUID.randomUUID().toString
         summaries.values.foreach(s =>
           graft.io.MetricsSink.appendSummary(spark, s, metricsDir, runId))
-        // per-partition verdicts of partition_by-configured tables ride the
-        // same sink (they already exist — validateTable ran the partitioned
-        // pass — this only persists them)
+        // per-partition verdicts of partition_by-configured tables land in
+        // their OWN subdirectory — their schema (partition column, no
+        // run_ts/severity) must not mix into the summary time-series that
+        // MetricsSink.anomalies reads
         summaries.keys.foreach { t =>
           graft.io.MetricsSink.appendPartitionVerdicts(spark, t,
-            validator.partitionVerdictsOf(t), metricsDir, runId)
+            validator.partitionVerdictsOf(t), s"$metricsDir/partitions", runId)
         }
       }
 

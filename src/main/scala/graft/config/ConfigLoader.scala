@@ -69,10 +69,11 @@ object ConfigLoader {
       m.put("rules", toJavaList(t.rules.map(ruleToMap)))
       t.source.foreach(m.put("source", _))
       if (t.filterMode) m.put("filter_mode", java.lang.Boolean.TRUE)
-      t.partitionBy.foreach { c =>
-        m.put("partition_by", c)
+      t.partitionBy.foreach(m.put("partition_by", _))
+      // emitted whenever non-default so round-trip identity holds even for
+      // a config carrying buckets without partition_by
+      if (t.partitionBy.isDefined || t.partitionBuckets != 32)
         m.put("partition_buckets", Integer.valueOf(t.partitionBuckets))
-      }
       m
     }))
     if (config.requireSqlRules) root.put("require_sql_rules", java.lang.Boolean.TRUE)
@@ -202,7 +203,14 @@ object ConfigLoader {
             source = str(t, "source"),
             filterMode = bool(t, "filter_mode", dflt = false),
             partitionBy = str(t, "partition_by"),
-            partitionBuckets = str(t, "partition_buckets").map(_.toInt).getOrElse(32))
+            partitionBuckets = str(t, "partition_buckets").map { s =>
+              val n = try s.toInt catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"partition_buckets must be an integer, got '$s'")
+              }
+              require(n >= 0, s"partition_buckets must be >= 0, got $n")
+              n
+            }.getOrElse(32))
         }
       case _ => Nil
     }

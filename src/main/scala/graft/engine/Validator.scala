@@ -1149,7 +1149,9 @@ class Validator(
       }
     }
     val (summary, verdicts) = executeRulesPartitioned(df, rules, tableName, partExpr)
-    lastVerdicts = lastVerdicts + (tableName -> verdicts)
+    // synchronized: the += on the map is read-modify-write — concurrent
+    // validateTable calls for different tables must not lose each other
+    this.synchronized { lastVerdicts = lastVerdicts + (tableName -> verdicts) }
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
           "failed_rules" -> summary.failed_rules.toString)))

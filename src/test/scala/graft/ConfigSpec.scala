@@ -147,6 +147,17 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     // partition verdicts from the config surface
     c.tables.head.partitionBy shouldBe Some("conv_id")
     c.tables.head.partitionBuckets shouldBe 32
+    // non-default buckets parse for real (32 is also the fallback, so the
+    // shipped assertion above can't see a silently-dropped value) and a
+    // negative or non-numeric count fails fast with the key named
+    val y = "tables:\n  - name: t\n    partition_by: k\n    partition_buckets: 16\n"
+    ConfigLoader.fromYamlString(y, env = Map.empty).tables.head.partitionBuckets shouldBe 16
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(y.replace("16", "-4"), env = Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(y.replace("16", "lots"), env = Map.empty)
+    }
   }
 
   test("invalid severity rejected (config.py:44-49)") {

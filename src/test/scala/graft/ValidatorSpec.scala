@@ -635,13 +635,17 @@ class ValidatorSpec extends SparkSpec {
     })
     val rules = cfg.enabledRules("transcripts")
     rules.size should be >= 18 // the full advertised vocabulary
-    val summary = v.executeRules(turns, rules, "transcripts")
+    // validateTable — the entry point the CLI runs — so the shipped
+    // partition_by takes the PARTITIONED path over every family
+    val summary = v.validateTable(turns, "transcripts")
     // every rule must produce a REAL verdict — an error sentinel here means
     // the shipped example is broken against its own advertised schema
     val errored = summary.results.filter(_.failed_count < 0)
     withClue(errored.map(r => s"${r.rule_name}: ${r.message}").mkString("; ")) {
       errored shouldBe empty
     }
+    // and the configured partition_by actually produced per-bucket verdicts
+    v.partitionVerdictsOf("transcripts") should not be empty
   }
 
   test("group-unit partition verdicts: an all-NULL partition is assessed as explicitly empty") {

@@ -347,6 +347,51 @@ object SparkEntry {
         CAST(CASE WHEN COUNT(DISTINCT event_type) + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) BETWEEN 2 AND 50 THEN 0 ELSE 1 END AS BIGINT) AS failed
         FROM events""")),
 
+    // ---- entropy contract (distribution shape; flag + integer pair so no
+    // cross-engine float formatting enters the compare — the bounds sit far
+    // from the data's entropy, so a ULP of drift cannot flip the flag) ------
+    Q("q_entropy_events",
+      (s, d) => Checks.entropyParts(t(s, d, "events"), "event_type")
+        .select(col("__n").as("n_nonnull"),
+          when((log(col("__n")) - col("__clnc") / col("__n")).between(0.5, 5.0), 0L)
+            .otherwise(1L).as("failed")),
+      Some("""WITH c AS (SELECT event_type AS v, COUNT(*) AS c FROM events
+               WHERE event_type IS NOT NULL GROUP BY 1)
+        SELECT CAST(SUM(c) AS BIGINT) AS n_nonnull,
+        CAST(CASE WHEN ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) BETWEEN 0.5 AND 5.0
+             THEN 0 ELSE 1 END AS BIGINT) AS failed FROM c""")),
+
+    // ---- reconciliation (cross-table aggregate audit): the FULL library
+    // path — Validator + tableResolver + per-partition verdicts — against a
+    // fact slice with one surgically-dropped stratum; the oracle re-derives
+    // the per-partition FULL OUTER compare in SQL -------------------------
+    Q("q_reconciliation_events",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("event_type").isNotNull)
+        val fact = ev.filter(!(col("event_type") === "click" && col("user_id") % 50 === 0))
+        val v = new Validator(s, ValidationConfig(),
+          n => if (n == "events_src") Some(ev) else None)
+        val rule = ValidationRule("recon_events", RuleType.Reconciliation, Nil,
+          parameters = Map("ref_table" -> "events_src"))
+        val (_, verdicts) = v.executeRulesPartitioned(fact, Seq(rule), "events",
+          Some(col("event_type")))
+        import s.implicits._
+        verdicts.filter(_.rule_name == "recon_events")
+          .map(x => (x.partition, x.failed_count, x.total_count))
+          .toDF("part", "failed_count", "total_count")
+          .orderBy("part")
+      },
+      Some("""WITH fact AS (SELECT event_type, COUNT(*) AS c FROM events
+               WHERE event_type IS NOT NULL
+                 AND NOT (event_type = 'click' AND user_id % 50 = 0) GROUP BY 1),
+             ref AS (SELECT event_type, COUNT(*) AS c FROM events
+               WHERE event_type IS NOT NULL GROUP BY 1)
+        SELECT COALESCE(f.event_type, r.event_type) AS part,
+        CAST(CASE WHEN f.c IS NULL OR r.c IS NULL OR f.c <> r.c THEN 1 ELSE 0 END AS BIGINT) AS failed_count,
+        CAST(1 AS BIGINT) AS total_count
+        FROM fact f FULL OUTER JOIN ref r ON f.event_type = r.event_type
+        ORDER BY part""")),
+
     // ---- monotonic rule (per-key ordering integrity) ----------------------
     Q("q_monotonic_lineitem",
       (s, d) => Checks.monotonicGroups(t(s, d, "lineitem"), Seq("l_orderkey"),

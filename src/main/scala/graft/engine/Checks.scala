@@ -215,6 +215,42 @@ object Checks {
     when(sdx > 0.0d && sdy > 0.0d, cov / (sdx * sdy))
   }
 
+  /** Shannon-entropy aggregate pair (non-null count N, Σ c·ln c) of a
+    * column's value distribution — entropy = ln(N) − Σc·ln(c)/N in NATS,
+    * assembled driver-side from these O(1) numbers (Deequ's hasEntropy
+    * semantics: the distribution is over NON-NULL values; nulls are
+    * completeness's concern). Two map-side-combined aggregations, never a
+    * collect of the value space — the value cardinality only sizes the
+    * intermediate grouped frame, which shuffles (value, count) pairs only.
+    * NULL values are kept through the FIRST grouping and masked in the
+    * second so that, on the partitioned shape, an all-NULL partition still
+    * surfaces (N=0 → entropy undefined) instead of vanishing from the
+    * output. `part` threads a partition expression through both levels:
+    * per-partition entropies ride the same two-aggregation shape, one scan.
+    * Output: (__n long, __clnc double) — plus leading `__part` when
+    * partitioned; __n is NULL (not 0) when no non-null rows exist. */
+  def entropyParts(df: DataFrame, column: String, part: Option[Column] = None): DataFrame = {
+    val counts = part match {
+      case Some(p) =>
+        df.groupBy(p.as("__part"), col(column).as("__v")).agg(count(lit(1)).as("__c"))
+      case None =>
+        df.groupBy(col(column).as("__v")).agg(count(lit(1)).as("__c"))
+    }
+    val nonNull = col("__v").isNotNull
+    val nAgg = sum(when(nonNull, col("__c"))).as("__n")
+    val clncAgg = sum(when(nonNull,
+      col("__c").cast("double") * log(col("__c").cast("double")))).as("__clnc")
+    part match {
+      case Some(_) => counts.groupBy(col("__part")).agg(nAgg, clncAgg)
+      case None    => counts.agg(nAgg, clncAgg)
+    }
+  }
+
+  /** Entropy in nats from the [[entropyParts]] pair; None when undefined
+    * (no non-null rows). A constant column yields Some(0.0) — defined. */
+  def entropyFromParts(n: Long, clnc: Double): Option[Double] =
+    if (n <= 0) None else Some(math.log(n.toDouble) - clnc / n)
+
   /** Two-phase salted variant for when the aggregate payload is heavy (e.g.
     * collecting examples per key) and a hot key would overload one reducer:
     * stage 1 groups by (key, salt) — the hot key fans out over `saltBuckets`

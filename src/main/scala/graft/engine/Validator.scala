@@ -250,16 +250,22 @@ class Validator(
         }
       case _ => Nil
     }
-    // cardinality + correlation rules: one grouped job per rule for the
+    // cardinality + correlation + entropy + reconciliation rules: one
+    // grouped job per rule (reconciliation: one per side) for the
     // per-partition binary verdicts; the GLOBAL verdict always runs its own
-    // job (neither metric rolls up) via the straggler path below
+    // job (none of these metrics roll up) via the straggler path below
     val cardFs = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
         rules.filter(r => r.ruleType == RuleType.Cardinality ||
-            r.ruleType == RuleType.Correlation).map { r =>
-          val run = () =>
-            if (r.ruleType == RuleType.Cardinality) cardinalityPartitionVerdicts(df, r, p)
-            else correlationPartitionVerdicts(df, r, p)
+            r.ruleType == RuleType.Correlation ||
+            r.ruleType == RuleType.Entropy ||
+            r.ruleType == RuleType.Reconciliation).map { r =>
+          val run = () => r.ruleType match {
+            case RuleType.Cardinality => cardinalityPartitionVerdicts(df, r, p)
+            case RuleType.Correlation => correlationPartitionVerdicts(df, r, p)
+            case RuleType.Entropy => entropyPartitionVerdicts(df, r, p)
+            case _ => reconciliationPartitionVerdicts(df, r, p)
+          }
           groupedRuleFuture(r, run, _.map(_.total_count).sum, Map.empty)
         }
       case _ => Nil
@@ -584,6 +590,162 @@ class Validator(
       Right(rows.toSeq.map { r =>
         val part = Checks.partKeyString(r.get(0))
         val failed = failedOf(r)
+        val rate = 1.0 - failed
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
+      })
+    } catch { case e: Throwable => Left(e) }
+
+  /** (min_entropy, max_entropy) of an entropy rule; rejects
+    * partition_covers_key in the shared parse (same contract as
+    * cardinality/correlation — a per-partition entropy does not roll up to
+    * the global one). */
+  private def entropyBounds(rule: ValidationRule): (Double, Double) = {
+    if (rule.paramBool("partition_covers_key"))
+      throw new IllegalArgumentException(
+        s"entropy rule '${rule.name}': partition_covers_key is not supported " +
+          "(binary per-partition verdicts do not roll up to the global entropy)")
+    (rule.paramDouble("min_entropy").getOrElse(0.0),
+      rule.paramDouble("max_entropy").getOrElse(Double.MaxValue))
+  }
+
+  /** Per-partition entropy verdicts: the SAME two-aggregation shape as the
+    * global job ([[Checks.entropyParts]]) keyed by the partition expression
+    * — one scan. A partition whose entropy is UNDEFINED (all values NULL)
+    * FAILS: it cannot certify the distribution, and a dead column in one
+    * ingest bucket is exactly what per-partition monitoring exists to
+    * catch (the correlation family's contract). */
+  private def entropyPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val (minE, maxE) = entropyBounds(rule)
+      val rows = Checks.entropyParts(df, rule.column, part = Some(Checks.partGroupCol(df, p)))
+        .limit(maxPartitionBuckets + 1)
+        .collect()
+      require(rows.length <= maxPartitionBuckets,
+        s"partition expression produced more than $maxPartitionBuckets buckets")
+      Right(rows.toSeq.map { r =>
+        val part = Checks.partKeyString(r.get(0))
+        val h = if (r.isNullAt(1)) None
+          else Checks.entropyFromParts(r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+        val failed = h match {
+          case Some(e) => if (e < minE || e > maxE) 1L else 0L
+          case None    => 1L
+        }
+        val rate = 1.0 - failed
+        PartitionVerdict(part, rule.name,
+          ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
+      })
+    } catch { case e: Throwable => Left(e) }
+
+  /** Parsed spec of a reconciliation rule — (ref DataFrame, aggregate name,
+    * fact-side agg column, ref-side agg column, absolute tolerance,
+    * relative tolerance). ONE definition for the global and per-partition
+    * jobs so the aggregate/tolerance semantics cannot diverge. Rejects
+    * partition_covers_key in the shared parse (binary verdicts don't roll
+    * up — the cardinality/correlation contract). The agg columns are
+    * by-need: `count` never touches `rule.column`, so a count
+    * reconciliation needs no columns at all. */
+  private def reconciliationSpec(rule: ValidationRule)
+      : (DataFrame, String, Column, Column, Double, Option[Double]) = {
+    if (rule.paramBool("partition_covers_key"))
+      throw new IllegalArgumentException(
+        s"reconciliation rule '${rule.name}': partition_covers_key is not supported " +
+          "(binary per-partition verdicts do not roll up to the global comparison)")
+    val refTable = rule.param("ref_table").getOrElse(throw new IllegalArgumentException(
+      s"reconciliation rule '${rule.name}' needs ref_table"))
+    val refDf = tableResolver(refTable).getOrElse(
+      throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+    val aggName = rule.param("agg").getOrElse("count")
+    def aggOf(c: => String): Column = (aggName match {
+      case "count" => count(lit(1))
+      case "sum"   => sum(col(c))
+      case "avg"   => avg(col(c))
+      case "min"   => min(col(c))
+      case "max"   => max(col(c))
+      case other => throw new IllegalArgumentException(
+        s"reconciliation rule '${rule.name}': agg must be one of " +
+          s"count/sum/avg/min/max, got '$other'")
+    }).cast("double")
+    val tol = rule.paramDouble("tolerance").getOrElse(0.0)
+    require(tol >= 0.0, s"reconciliation rule '${rule.name}': tolerance must be >= 0")
+    val tolPct = rule.paramDouble("tolerance_pct")
+    tolPct.foreach(p => require(p >= 0.0,
+      s"reconciliation rule '${rule.name}': tolerance_pct must be >= 0"))
+    (refDf, aggName, aggOf(rule.column),
+      aggOf(rule.param("ref_column").getOrElse(rule.column)), tol, tolPct)
+  }
+
+  /** Effective tolerance for one comparison: the LARGER of the absolute
+    * tolerance and tolerance_pct·|ref value| — "within 100 rows or 0.1%,
+    * whichever is looser", the audit idiom. */
+  private def reconciliationTol(tol: Double, tolPct: Option[Double], refV: Double): Double =
+    math.max(tol, tolPct.map(_ * math.abs(refV)).getOrElse(0.0))
+
+  /** Cross-table aggregate reconciliation (the audit pattern: a fact table
+    * vs its upstream source — dbt-utils equal_rowcount / Great Expectations
+    * expect_table_row_count_to_equal_other_table, generalized to any
+    * aggregate): BINARY verdict on |agg(table) − agg(ref_table)| within
+    * tolerance. agg: count (default — no column needed) / sum / avg / min /
+    * max over `column` (param ref_column when the reference names it
+    * differently). Two aggregate jobs with O(1) results, one scan per side.
+    * An undefined aggregate on either side (non-count agg over an empty
+    * table or all-NULL column) is an ERROR result, never a silent pass —
+    * the correlation family's contract. */
+  private def executeReconciliation(
+      df: DataFrame, rule: ValidationRule, ms: () => Double): ValidationResult = {
+    val (refDf, aggName, aggCol, refAggCol, tol, tolPct) = reconciliationSpec(rule)
+    def scalarOf(d: DataFrame, c: Column, side: String): Double = {
+      val r = d.agg(c.as("__v")).head()
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        s"reconciliation rule '${rule.name}': $aggName undefined on the $side table " +
+          "(empty table or all-NULL column)")
+      r.getDouble(0)
+    }
+    val v = scalarOf(df, aggCol, "validated")
+    val rv = scalarOf(refDf, refAggCol, "reference")
+    val failed = if (math.abs(v - rv) > reconciliationTol(tol, tolPct, rv)) 1L else 0L
+    ValidationResult.verdict(rule, failed, 1L, ms(),
+      Map("agg" -> aggName, "value" -> v.toString, "ref_value" -> rv.toString,
+        "ref_table" -> rule.param("ref_table").getOrElse(""),
+        "tolerance" -> tol.toString) ++ tolPct.map("tolerance_pct" -> _.toString))
+  }
+
+  /** Per-partition reconciliation: BOTH tables grouped by the SAME
+    * partition expression (the reference table must therefore carry the
+    * partition column — the shared ingest-date / bucketed-key layout),
+    * compared partition-by-partition driver-side over the two O(buckets)
+    * collected maps. A partition present on only ONE side, or whose
+    * aggregate is undefined, FAILS — a bucket that vanished (or appeared)
+    * between source and fact is exactly what per-partition reconciliation
+    * exists to catch, and a totals-only comparison can silently net it out
+    * against an opposite error elsewhere. One grouped job per side. */
+  private def reconciliationPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val (refDf, _, aggCol, refAggCol, tol, tolPct) = reconciliationSpec(rule)
+      def sideMap(d: DataFrame, c: Column): Map[String, Option[Double]] = {
+        val rows = d.groupBy(Checks.partGroupCol(d, p).as("__part"))
+          .agg(c.as("__v"))
+          .limit(maxPartitionBuckets + 1)
+          .collect()
+        require(rows.length <= maxPartitionBuckets,
+          s"partition expression produced more than $maxPartitionBuckets buckets")
+        rows.map(r => Checks.partKeyString(r.get(0)) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      }
+      val facts = sideMap(df, aggCol)
+      val refs = sideMap(refDf, refAggCol)
+      // sortBy(Option) — a NULL partition key (partKeyString of an all-NULL
+      // bucket) must order, not NPE
+      Right((facts.keySet ++ refs.keySet).toSeq.sortBy(Option(_)).map { part =>
+        val failed = (facts.get(part).flatten, refs.get(part).flatten) match {
+          case (Some(v), Some(rv)) =>
+            if (math.abs(v - rv) > reconciliationTol(tol, tolPct, rv)) 1L else 0L
+          case _ => 1L
+        }
         val rate = 1.0 - failed
         PartitionVerdict(part, rule.name,
           ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
@@ -1029,6 +1191,29 @@ class Validator(
           val failed = if (c < minC || c > maxC) 1L else 0L
           ValidationResult.verdict(rule, failed, 1L, ms,
             Map("correlation" -> c.toString, "columns" -> s"$a,$b"))
+
+        case RuleType.Entropy =>
+          // distribution-shape contract (Deequ hasEntropy): BINARY verdict
+          // on the Shannon entropy (nats) of the column's non-null value
+          // distribution ∈ [min_entropy, max_entropy]. min_entropy catches
+          // a collapsed distribution (one value swamping a categorical
+          // column after an upstream break); max_entropy catches an
+          // exploded one (e.g. free text leaking into an enum column).
+          // Undefined (all-NULL column) → error result, never a silent
+          // pass — the correlation family's contract.
+          val (minE, maxE) = entropyBounds(rule)
+          val row = Checks.entropyParts(df, rule.column).head()
+          val h = (if (row.isNullAt(0)) None
+            else Checks.entropyFromParts(row.getLong(0),
+              if (row.isNullAt(1)) 0.0 else row.getDouble(1)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"entropy rule '${rule.name}': entropy(${rule.column}) undefined (no non-null rows)"))
+          val failed = if (h < minE || h > maxE) 1L else 0L
+          ValidationResult.verdict(rule, failed, 1L, ms,
+            Map("entropy" -> h.toString, "column" -> rule.column))
+
+        case RuleType.Reconciliation =>
+          executeReconciliation(df, rule, ms _)
 
         case RuleType.SchemaDrift =>
           // schema CONTRACT vs a reference table: failed = number of

@@ -39,6 +39,8 @@ object RuleType {
   val RowCount = "row_count" // table/partition size within [min_rows, max_rows]
   val Cardinality = "cardinality" // distinct count of a column within [min_distinct, max_distinct]
   val Correlation = "correlation" // Pearson corr of two columns within [min_corr, max_corr]
+  val Entropy = "entropy" // Shannon entropy (nats) of a column's distribution within bounds
+  val Reconciliation = "reconciliation" // cross-table aggregate match vs a reference table
 }
 
 /** One validation rule.

@@ -596,6 +596,98 @@ class ValidatorSpec extends SparkSpec {
     s2.results.head.failed_count shouldBe -1
   }
 
+  test("entropy rule: bounds, undefined handling, partition verdicts") {
+    import org.apache.spark.sql.functions.col
+    // a: constant (entropy 0 — defined); b: two equally-likely values
+    // (entropy ln 2); c: all NULL (undefined)
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("x")),
+      ("b", Some("x")), ("b", Some("y")),
+      ("c", None: Option[String]), ("c", None: Option[String])
+    ).toDF("part_key", "v")
+    val v = new Validator(spark, ValidationConfig())
+    def rule(params: (String, String)*) = ValidationRule("ent", RuleType.Entropy,
+      Seq("v"), parameters = params.toMap)
+    // global: counts {x:3, y:1} over N=4 → H = ln4 − (3·ln3)/4 ≈ 0.5623 nats
+    val wide = v.executeRules(df, Seq(rule()), "t").results.head
+    wide.failed_count shouldBe 0
+    math.abs(wide.metadata("entropy").toDouble -
+      (math.log(4) - 3 * math.log(3) / 4)) should be < 1e-12
+    v.executeRules(df, Seq(rule("min_entropy" -> "0.6")), "t").results.head.failed_count shouldBe 1
+    v.executeRules(df, Seq(rule("max_entropy" -> "0.5")), "t").results.head.failed_count shouldBe 1
+    // a constant column has entropy 0 — DEFINED (passes default bounds)
+    val const = Seq(("a", "x"), ("a", "x")).toDF("part_key", "v")
+    v.executeRules(const, Seq(rule()), "t").results.head.failed_count shouldBe 0
+    // an all-NULL column is undefined → error result, never a silent pass
+    val allNull = Seq(("a", None: Option[String])).toDF("part_key", "v")
+    v.executeRules(allNull, Seq(rule()), "t").results.head.failed_count shouldBe -1
+    // per-partition with min_entropy 0.5: a (constant, H=0) and c
+    // (undefined — dead column in one ingest bucket) fail; b (H=ln2) passes
+    val (_, verdicts) = v.executeRulesPartitioned(df,
+      Seq(rule("min_entropy" -> "0.5")), "t", Some(col("part_key")))
+    verdicts.filter(_.rule_name == "ent")
+      .map(x => x.partition -> x.failed_count).toMap shouldBe
+      Map("a" -> 1L, "b" -> 0L, "c" -> 1L)
+    // partition_covers_key is rejected (binary verdicts don't roll up)
+    val (s2, _) = v.executeRulesPartitioned(df,
+      Seq(rule("partition_covers_key" -> "true")), "t", Some(col("part_key")))
+    s2.results.head.failed_count shouldBe -1
+  }
+
+  test("reconciliation rule: aggregate match vs ref table, tolerances, partition verdicts") {
+    import org.apache.spark.sql.functions.col
+    val fact = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)).toDF("part_key", "amount")
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("c", 3.0), ("c", 5.0)).toDF("part_key", "amt")
+    val v = new Validator(spark, ValidationConfig(),
+      n => if (n == "src") Some(ref) else None)
+    def rule(cols: Seq[String], params: (String, String)*) =
+      ValidationRule("recon", RuleType.Reconciliation, cols,
+        parameters = params.toMap + ("ref_table" -> "src"))
+    // count (default agg, no column needed): 4 vs 4 → pass
+    val cnt = v.executeRules(fact, Seq(rule(Nil)), "t").results.head
+    cnt.failed_count shouldBe 0; cnt.total_count shouldBe 1
+    cnt.metadata("value") shouldBe "4.0"; cnt.metadata("ref_value") shouldBe "4.0"
+    // a dropped row fails the count; absolute tolerance absorbs it
+    val short = fact.limit(3)
+    v.executeRules(short, Seq(rule(Nil)), "t").results.head.failed_count shouldBe 1
+    v.executeRules(short, Seq(rule(Nil, "tolerance" -> "1")), "t")
+      .results.head.failed_count shouldBe 0
+    // sum with ref_column mapping: 10 vs 11 → fail bare, pass within
+    // tolerance 1 or tolerance_pct 10% (1.1); the LARGER tolerance applies
+    v.executeRules(fact, Seq(rule(Seq("amount"), "agg" -> "sum",
+      "ref_column" -> "amt")), "t").results.head.failed_count shouldBe 1
+    v.executeRules(fact, Seq(rule(Seq("amount"), "agg" -> "sum",
+      "ref_column" -> "amt", "tolerance" -> "1")), "t").results.head.failed_count shouldBe 0
+    v.executeRules(fact, Seq(rule(Seq("amount"), "agg" -> "sum",
+      "ref_column" -> "amt", "tolerance_pct" -> "0.1")), "t").results.head.failed_count shouldBe 0
+    // misconfiguration surfaces as the rule's error result: unknown ref
+    // table, missing ref_table, unknown agg, undefined aggregate (sum over
+    // an all-NULL column)
+    v.executeRules(fact, Seq(ValidationRule("r2", RuleType.Reconciliation, Nil,
+      parameters = Map("ref_table" -> "nope"))), "t").results.head.failed_count shouldBe -1
+    v.executeRules(fact, Seq(ValidationRule("r3", RuleType.Reconciliation, Nil)), "t")
+      .results.head.failed_count shouldBe -1
+    v.executeRules(fact, Seq(rule(Nil, "agg" -> "median")), "t")
+      .results.head.failed_count shouldBe -1
+    val nullRef = Seq(("a", None: Option[Double])).toDF("part_key", "amt")
+    val vn = new Validator(spark, ValidationConfig(),
+      n => if (n == "src") Some(nullRef) else None)
+    vn.executeRules(fact, Seq(rule(Seq("amount"), "agg" -> "sum",
+      "ref_column" -> "amt")), "t").results.head.failed_count shouldBe -1
+    // per-partition: a matches on both sides; b exists only in the fact,
+    // c only in the ref — BOTH fail (a vanished bucket must not net out)
+    val (_, verdicts) = v.executeRulesPartitioned(fact,
+      Seq(rule(Seq("amount"), "agg" -> "sum", "ref_column" -> "amt")), "t",
+      Some(col("part_key")))
+    verdicts.filter(_.rule_name == "recon")
+      .map(x => x.partition -> x.failed_count).toMap shouldBe
+      Map("a" -> 0L, "b" -> 1L, "c" -> 1L)
+    // partition_covers_key is rejected (binary verdicts don't roll up)
+    val (s2, _) = v.executeRulesPartitioned(fact,
+      Seq(rule(Nil, "partition_covers_key" -> "true")), "t", Some(col("part_key")))
+    s2.results.head.failed_count shouldBe -1
+  }
+
   test("partition_by table config drives the partitioned path through validateTable") {
     val cfg = ValidationConfig(tables = Seq(TableConfig("t",
       Seq(ValidationRule("c", RuleType.Completeness, Seq("v"))),

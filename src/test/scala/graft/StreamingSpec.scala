@@ -89,6 +89,43 @@ class StreamingSpec extends SparkSpec {
     byName("pred").metadata.get("fused") shouldBe Some("true")
   }
 
+  test("entropy and reconciliation families validate inside a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the streaming use case: each micro-batch's event_type mix must keep
+    // its shape (entropy) and its row count must reconcile against a
+    // reference snapshot resolved through the streaming tableResolver
+    val ref = Seq("x", "x", "y", "y").toDF("v")
+    val stream = MemoryStream[String]
+    val input = stream.toDF().toDF("v")
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("shape", RuleType.Entropy, Seq("v"),
+        parameters = Map("min_entropy" -> "0.5")),
+      ValidationRule("recon", RuleType.Reconciliation, Seq(),
+        parameters = Map("ref_table" -> "snapshot"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val chk = Files.createTempDirectory("stream_chk_ent").toString
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o },
+      tableResolver = n => if (n == "snapshot") Some(ref) else None)
+
+    // batch of 4 balanced values: entropy ln 2 ≥ 0.5 passes, count 4 = 4
+    stream.addData("x", "x", "y", "y")
+    query.processAllAvailable()
+    // batch of 3 constant values: entropy 0 < 0.5 fails, count 3 ≠ 4 fails
+    stream.addData("x", "x", "x")
+    query.processAllAvailable()
+    query.stop()
+
+    val byBatch = outcomes.sortBy(_.batchId)
+      .map(_.summary.results.map(r => r.rule_name -> r.failed_count).toMap)
+    byBatch(0) shouldBe Map("shape" -> 0L, "recon" -> 0L)
+    byBatch(1) shouldBe Map("shape" -> 1L, "recon" -> 1L)
+  }
+
   test("referential rules resolve ref tables through the streaming tableResolver") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -138,7 +138,8 @@ class ConfigSpec extends AnyFunSuite with Matchers {
       RuleType.Referential, RuleType.drift, RuleType.Outlier, RuleType.SchemaDrift,
       RuleType.AllowedValues, RuleType.Freshness, RuleType.Sequence,
       RuleType.Monotonic, RuleType.RowCount, RuleType.Cardinality,
-      RuleType.Predicate, RuleType.Correlation)
+      RuleType.Predicate, RuleType.Correlation, RuleType.Entropy,
+      RuleType.Reconciliation)
     // the drift rules in the shipped example cover every implemented method
     val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
       .flatMap(_.param("method")).toSet

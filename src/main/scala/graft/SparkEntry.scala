@@ -1392,8 +1392,21 @@ object SparkEntry {
         // pairs excluded) but near-dups of slice docs must surface
         val fresh = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
           .select(col("doc_id") + lit(1000000L) as "doc_id", col("text"))
-        Dedup.minHashLshPairsAgainstStoredIndex(fresh, "doc_id", "text", dir,
-          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.99)
+        val pairs = graft.operators.CacheScope.ambient.cache(
+          Dedup.minHashLshPairsAgainstStoredIndex(fresh, "doc_id", "text", dir,
+            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.99))
+        // embedded CERTIFICATION row (id_new = −1, id_index = missing-self
+        // count): every re-ingested doc is byte-identical to its original,
+        // so its signature matches ALL bands and the exact-Jaccard verify
+        // reads 1.0 — the on-disk index round-trip must rediscover every
+        // one (testdata slice docs all exceed the shingle size). 0 in the
+        // dump certifies detection completeness over exact duplicates.
+        import s.implicits._
+        val missingSelf = fresh.select(col("doc_id").as("id_new"))
+          .join(pairs.filter(col("id_index") === col("id_new") - lit(1000000L))
+            .select("id_new").distinct(), Seq("id_new"), "left_anti")
+          .count()
+        pairs.unionByName(Seq((-1L, missingSelf, -1.0)).toDF("id_new", "id_index", "jaccard"))
           .orderBy("id_new", "id_index")
       },
       None),

@@ -525,6 +525,27 @@ object SparkEntry {
           (GREATEST(cnt_a / ta, 1e-6) - GREATEST(cnt_b / tb, 1e-6)) * LN(GREATEST(cnt_a / ta, 1e-6) / GREATEST(cnt_b / tb, 1e-6)) AS contrib
         FROM j, tot ORDER BY bucket""")),
 
+    // ---- Jensen–Shannon drift (per-bucket contribution face; every row is
+    // IEEE double arithmetic over rational proportions + one LN — the same
+    // operand class the psi oracle verified bit-identical) -----------------
+    Q("q_js_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.jsContributions(
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), "event_type"),
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS cnt_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(cnt_a, 0.0) AS cnt_a, coalesce(cnt_b, 0.0) AS cnt_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM j),
+        p AS (SELECT bucket, cnt_a / ta AS p_a, cnt_b / tb AS p_b FROM j, tot)
+        SELECT bucket, p_a, p_b,
+          (CASE WHEN p_a > 0 THEN p_a * LN(p_a / ((p_a + p_b) / 2.0)) ELSE 0.0 END) / 2.0 +
+          (CASE WHEN p_b > 0 THEN p_b * LN(p_b / ((p_a + p_b) / 2.0)) ELSE 0.0 END) / 2.0 AS contrib
+        FROM p ORDER BY bucket""")),
+
     // ---- allowed_values rule (set membership), grouped -------------------
     Q("q_allowed_values_events",
       (s, d) => {

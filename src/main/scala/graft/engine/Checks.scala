@@ -549,6 +549,61 @@ object Checks {
     }.sum
   }
 
+  /** Jensen–Shannon divergence between the normalized distributions of two
+    * collected histograms: ½·KL(p_a ‖ m) + ½·KL(p_b ‖ m) with m = (p_a +
+    * p_b)/2, in NATS — symmetric, size-invariant like tvd/psi, and BOUNDED
+    * in [0, ln 2 ≈ 0.693], so a critical gate is a fraction of a known
+    * maximum (conventional gates: 0.05 investigate / 0.1 act on √JS², here
+    * the raw divergence). Unlike PSI it needs NO epsilon floor: a bucket
+    * with zero share on one side contributes p·ln 2/2 through the mixture —
+    * finite by construction — so disjoint supports read exactly ln 2
+    * instead of an epsilon-dependent magnitude. Empty-input conventions
+    * match the siblings: both empty → 0.0; ONE empty → ln 2 (an empty
+    * baseline must read as total divergence, never a silent pass). Buckets
+    * are summed in sorted order (double addition is not associative). */
+  def jensenShannon(a: Map[String, Long], b: Map[String, Long]): Double = {
+    val totA = a.values.sum.toDouble
+    val totB = b.values.sum.toDouble
+    if (totA == 0 && totB == 0) return 0.0
+    if (totA == 0 || totB == 0) return math.log(2.0)
+    val buckets = (a.keySet ++ b.keySet).toSeq.sorted
+    buckets.iterator.map { k =>
+      val pa = a.getOrElse(k, 0L) / totA
+      val pb = b.getOrElse(k, 0L) / totB
+      val m = (pa + pb) / 2.0
+      (if (pa > 0) pa * math.log(pa / m) else 0.0) / 2.0 +
+        (if (pb > 0) pb * math.log(pb / m) else 0.0) / 2.0
+    }.sum
+  }
+
+  /** Per-bucket Jensen–Shannon contributions as a DataFrame — the
+    * oracle-checkable face of [[jensenShannon]] (the statistic is Σ contrib
+    * over rows). Both-empty inputs yield the schema-only empty table
+    * matching the scalar's 0.0; with ONE empty side this table stays the
+    * formula's per-bucket face (rows sum to ½·ln 2) while the scalar layers
+    * the conventional ln 2 on top — same contract split as
+    * [[tvdContributions]] vs [[totalVariationDistance]]. */
+  def jsContributions(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val a = histA.select(col("bucket"), col("cnt").cast("double").as("cnt_a"))
+    val b = histB.select(col("bucket"), col("cnt").cast("double").as("cnt_b"))
+    val j = a.join(b, Seq("bucket"), "full_outer").na.fill(0.0, Seq("cnt_a", "cnt_b"))
+    val totals = j.agg(sum("cnt_a"), sum("cnt_b")).head()
+    val totA = if (totals.isNullAt(0)) 0.0 else totals.getDouble(0)
+    val totB = if (totals.isNullAt(1)) 0.0 else totals.getDouble(1)
+    if (totA == 0.0 && totB == 0.0)
+      j.select(col("bucket"), lit(0.0).as("p_a"), lit(0.0).as("p_b"),
+        lit(0.0).as("contrib")) // j is empty: schema-only
+    else {
+      val pA = if (totA > 0) col("cnt_a") / lit(totA) else lit(0.0)
+      val pB = if (totB > 0) col("cnt_b") / lit(totB) else lit(0.0)
+      val m = (pA + pB) / lit(2.0)
+      val contrib =
+        (when(pA > 0.0, pA * log(pA / m)).otherwise(lit(0.0)) / lit(2.0)) +
+          (when(pB > 0.0, pB * log(pB / m)).otherwise(lit(0.0)) / lit(2.0))
+      j.select(col("bucket"), pA.as("p_a"), pB.as("p_b"), contrib.as("contrib"))
+    }
+  }
+
   /** Per-bucket PSI contributions as a DataFrame — the oracle-checkable face
     * of [[psi]] (the statistic is Σ contrib over rows). Same epsilon-floor
     * contract; both-empty inputs yield the schema-only empty table,

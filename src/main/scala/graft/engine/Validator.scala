@@ -907,6 +907,13 @@ class Validator(
               case "psi" =>
                 val eps = rule.paramDouble("epsilon").getOrElse(1e-6)
                 (Checks.psi(ha, hb, eps), Map("epsilon" -> eps.toString))
+              // symmetric, size-invariant AND bounded ([0, ln 2]) — no
+              // epsilon in the contract (zero-share buckets are finite
+              // through the mixture), so the gate is a fraction of a known
+              // maximum; the choice when psi's epsilon sensitivity is
+              // unwanted
+              case "js" =>
+                (Checks.jensenShannon(ha, hb), Map.empty[String, String])
               case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
               case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }

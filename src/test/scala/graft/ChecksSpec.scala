@@ -175,6 +175,38 @@ class ChecksSpec extends SparkSpec {
     intercept[IllegalArgumentException](Checks.psi(a, b, epsilon = 0.0))
   }
 
+  test("jensenShannon: hand value, bounds, no-epsilon zero buckets, edges") {
+    // hand case: p_a = (0.75, 0.25), p_b = (0.25, 0.75), m = (0.5, 0.5)
+    // JS = 0.75·ln(1.5)/2 + 0.25·ln(0.5)/2 + 0.25·ln(0.5)/2 + 0.75·ln(1.5)/2
+    //    = 0.75·ln 1.5 + 0.25·ln 0.5
+    val a = Map("x" -> 30L, "y" -> 10L)
+    val b = Map("x" -> 10L, "y" -> 30L)
+    val expected = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    Checks.jensenShannon(a, b) shouldBe expected +- 1e-12
+    Checks.jensenShannon(a, a) shouldBe 0.0 +- 1e-15
+    // size-invariant (proportions only)
+    Checks.jensenShannon(a, b.map { case (k, v) => k -> v * 100 }) shouldBe expected +- 1e-12
+    // BOUNDED: disjoint supports read exactly ln 2 — no epsilon in the
+    // contract, unlike psi whose zero-bucket magnitude is an epsilon choice
+    Checks.jensenShannon(Map("x" -> 5L), Map("y" -> 7L)) shouldBe math.log(2.0) +- 1e-12
+    // a zero-share bucket is finite through the mixture (psi needs a floor)
+    Checks.jensenShannon(Map("x" -> 1L, "y" -> 1L), Map("x" -> 2L)) should be < math.log(2.0)
+    // empty conventions match the siblings: both → 0, one → ln 2
+    Checks.jensenShannon(Map.empty, Map.empty) shouldBe 0.0
+    Checks.jensenShannon(Map.empty, Map("x" -> 5L)) shouldBe math.log(2.0)
+    Checks.jensenShannon(Map("x" -> 5L), Map.empty) shouldBe math.log(2.0)
+    // scalar ≡ contributions-table sum (the oracle face)
+    val histA = Seq(("x", 30L), ("y", 10L), ("z", 5L)).toDF("bucket", "cnt")
+    val histB = Seq(("x", 10L), ("y", 30L)).toDF("bucket", "cnt")
+    val tableSum = Checks.jsContributions(histA, histB)
+      .agg(org.apache.spark.sql.functions.sum("contrib")).head().getDouble(0)
+    tableSum shouldBe Checks.jensenShannon(
+      Map("x" -> 30L, "y" -> 10L, "z" -> 5L), Map("x" -> 10L, "y" -> 30L)) +- 1e-12
+    // both-empty contributions table is schema-only empty
+    val empty = Seq.empty[(String, Long)].toDF("bucket", "cnt")
+    Checks.jsContributions(empty, empty).count() shouldBe 0
+  }
+
   test("momentsExact raises on values outside the exact decimal range instead of silently skewing") {
     // 1e15 doesn't fit DECIMAL(18,4): without the guard its cast would drop
     // it from the sums while count(col) still counted it — mean/std of a

@@ -143,7 +143,7 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     // the drift rules in the shipped example cover every implemented method
     val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
       .flatMap(_.param("method")).toSet
-    methods shouldBe Set("chi_square", "ks", "tvd", "psi")
+    methods shouldBe Set("chi_square", "ks", "tvd", "psi", "js")
     c.stateFile shouldBe defined
     // partition verdicts from the config surface
     c.tables.head.partitionBy shouldBe Some("conv_id")

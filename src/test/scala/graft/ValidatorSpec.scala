@@ -313,6 +313,11 @@ class ValidatorSpec extends SparkSpec {
     val tvd = run("tvd", "0.2")
     tvd("0") shouldBe false // caught: 0.5 of the mass moved, size-free
     tvd("1") shouldBe true
+    // js through the same rule path: size-invariant too (all-b vs 50/50
+    // reads ≈0.216 nats regardless of the 40-row sample), bounded gate
+    val js = run("js", "0.1")
+    js("0") shouldBe false
+    js("1") shouldBe true
   }
 
   test("totalVariationDistance: hand values and edge cases") {

@@ -347,6 +347,28 @@ object SparkEntry {
         CAST(CASE WHEN COUNT(DISTINCT event_type) + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) BETWEEN 2 AND 50 THEN 0 ELSE 1 END AS BIGINT) AS failed
         FROM events""")),
 
+    // ---- functional dependency (determinant → dependent consistency): the
+    // violating-groups face — every order whose return flag is inconsistent
+    // across its line items, with the distinct-flag count -----------------
+    Q("q_fd_lineitem",
+      (s, d) => Checks.fdViolations(t(s, d, "lineitem"),
+        Seq("l_orderkey"), Seq("l_returnflag")).orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_values FROM (
+          SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+        GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""")),
+
+    // ---- quantile contract (binary verdict; flag-only output — the exact
+    // interpolated percentile itself stays out of the cross-engine compare,
+    // the correlation family's convention) --------------------------------
+    Q("q_quantile_events",
+      (s, d) => t(s, d, "events").agg(
+        when(percentile(col("value").cast("double"), lit(0.95)).between(100.0, 200.0), 0L)
+          .otherwise(1L).as("failed"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("non_null")),
+      Some("""SELECT CAST(CASE WHEN quantile_cont(value, 0.95) BETWEEN 100 AND 200 THEN 0 ELSE 1 END AS BIGINT) AS failed,
+        CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_null
+        FROM events""")),
+
     // ---- entropy contract (distribution shape; flag + integer pair so no
     // cross-engine float formatting enters the compare — the bounds sit far
     // from the data's entropy, so a ULP of drift cannot flip the flag) ------

@@ -195,6 +195,42 @@ object Checks {
       .drop("__run")
   }
 
+  /** Per-determinant-group dependent-value counts — the shared core of the
+    * functional-dependency family (Deequ's hasUniqueValueRatio cousin; the
+    * GE "expect column A to determine column B" contract): for each
+    * distinct value of the determinant `keys`, how many distinct dependent
+    * tuples appear. The FD A→B holds for a group iff `n_values` = 1.
+    *
+    * Same two-phase shape as [[sequenceGroups]] — both group-bys
+    * partial-aggregate map-side, so the shuffle carries (keys, dependent)
+    * DISTINCT pairs, not rows; under a key-bucketed at-rest layout phase 2
+    * needs no exchange at all. NULL handling follows the engine's
+    * uniqueness conventions: a NULL dependent is ONE distinct value (the
+    * pyspark-parity rule), NULL determinant keys form their own group
+    * (monotonic's convention). An optional partition expression rides both
+    * phases (as "__part") for per-(partition, group) verdicts — exactly the
+    * global answer when the partition derives from the determinant. */
+  def fdGroups(df: DataFrame, keys: Seq[String], dependent: Seq[String],
+      part: Option[Column] = None): DataFrame = {
+    val partAliased = part.map(_.as("__part")).toSeq
+    val partCol = part.map(_ => col("__part")).toSeq
+    df.groupBy(partAliased ++ (keys ++ dependent).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(partCol ++ keys.map(col): _*)
+      .agg(count(lit(1)).as("n_values"))
+  }
+
+  /** Violation predicate over [[fdGroups]] rows: the determinant value maps
+    * to more than one dependent tuple. */
+  def fdViolationCond: Column = col("n_values") > 1L
+
+  /** The violating groups (quarantine face of the functional_dependency
+    * rule): one row per determinant value whose dependent is inconsistent,
+    * with how many distinct dependent tuples it maps to. */
+  def fdViolations(df: DataFrame, keys: Seq[String],
+      dependent: Seq[String]): DataFrame =
+    fdGroups(df, keys, dependent).filter(fdViolationCond)
+
   /** ANSI-safe Pearson correlation aggregate: the builtin `corr` DIVIDES BY
     * ZERO under ANSI mode (Spark 4 default) when either column is constant,
     * failing the whole job. This formulation keeps the builtins' STABLE

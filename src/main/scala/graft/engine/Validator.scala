@@ -242,10 +242,13 @@ class Validator(
     val seqFs = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
         rules.filter(r => r.ruleType == RuleType.Sequence ||
-            r.ruleType == RuleType.Monotonic).map { r =>
-          val run = () =>
-            if (r.ruleType == RuleType.Sequence) sequencePartitionVerdicts(df, r, p, partTotals)
-            else monotonicPartitionVerdicts(df, r, p, partTotals)
+            r.ruleType == RuleType.Monotonic ||
+            r.ruleType == RuleType.FunctionalDependency).map { r =>
+          val run = () => r.ruleType match {
+            case RuleType.Sequence  => sequencePartitionVerdicts(df, r, p, partTotals)
+            case RuleType.Monotonic => monotonicPartitionVerdicts(df, r, p, partTotals)
+            case _                  => fdPartitionVerdicts(df, r, p, partTotals)
+          }
           groupedRuleFuture(r, run, _.map(_.total_count).sum, Map("unit" -> "groups"))
         }
       case _ => Nil
@@ -259,11 +262,13 @@ class Validator(
         rules.filter(r => r.ruleType == RuleType.Cardinality ||
             r.ruleType == RuleType.Correlation ||
             r.ruleType == RuleType.Entropy ||
+            r.ruleType == RuleType.Quantile ||
             r.ruleType == RuleType.Reconciliation).map { r =>
           val run = () => r.ruleType match {
             case RuleType.Cardinality => cardinalityPartitionVerdicts(df, r, p)
             case RuleType.Correlation => correlationPartitionVerdicts(df, r, p)
             case RuleType.Entropy => entropyPartitionVerdicts(df, r, p)
+            case RuleType.Quantile => quantilePartitionVerdicts(df, r, p)
             case _ => reconciliationPartitionVerdicts(df, r, p)
           }
           groupedRuleFuture(r, run, _.map(_.total_count).sum, Map.empty)
@@ -470,6 +475,43 @@ class Validator(
         Checks.sequenceViolationCond(start), partTotals))
     } catch { case e: Throwable => Left(e) }
 
+  /** (determinant keys, dependent columns) of a functional_dependency rule.
+    * The determinant comes from columns/column, the dependent from the
+    * `dependent` parameter (comma-separated for a compound dependent).
+    * A column on BOTH sides makes the FD vacuously true — that is a
+    * configuration error, never a silent pass. ONE parse for the global,
+    * per-partition, and violations faces so the semantics cannot diverge. */
+  private def fdSpec(rule: ValidationRule): (Seq[String], Seq[String]) = {
+    val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+    val dep = rule.param("dependent")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"functional_dependency rule '${rule.name}' needs a dependent parameter"))
+    val overlap = keys.map(_.toLowerCase).toSet intersect dep.map(_.toLowerCase).toSet
+    if (overlap.nonEmpty)
+      throw new IllegalArgumentException(
+        s"functional_dependency rule '${rule.name}': ${overlap.mkString(",")} on both " +
+          "sides — a dependent inside the determinant is vacuously consistent")
+    (keys, dep)
+  }
+
+  /** Per-partition functional-dependency verdicts from ONE grouped job:
+    * the two-phase distinct-pair aggregation additionally keyed by the
+    * partition expression. The verdict unit is GROUPS (determinant
+    * values); like sequence, `partition_covers_key=true` promotes the
+    * roll-up to the global verdict when the partition derives from the
+    * determinant (groups never straddle partitions). */
+  private def fdPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val (keys, dep) = fdSpec(rule)
+      Right(groupUnitVerdicts(rule,
+        Checks.fdGroups(df, keys, dep, part = Some(Checks.partGroupCol(df, p))),
+        Checks.fdViolationCond, partTotals))
+    } catch { case e: Throwable => Left(e) }
+
   /** The two columns of a correlation rule (columns: [a, b], or column +
     * `column2`). */
   private def correlationCols(rule: ValidationRule): (String, String) =
@@ -594,6 +636,55 @@ class Validator(
         PartitionVerdict(part, rule.name,
           ValidationResult.passedOf(rule.threshold, failed, rate), failed, 1L, rate)
       })
+    } catch { case e: Throwable => Left(e) }
+
+  /** (q, min_value, max_value) of a quantile rule; rejects
+    * partition_covers_key in the shared parse (binary family — a
+    * per-partition percentile does not roll up to the global one; same
+    * contract as cardinality/correlation/entropy). */
+  private def quantileBounds(rule: ValidationRule): (Double, Double, Double) = {
+    if (rule.paramBool("partition_covers_key"))
+      throw new IllegalArgumentException(
+        s"quantile rule '${rule.name}': partition_covers_key is not supported " +
+          "(binary per-partition verdicts do not roll up to the global percentile)")
+    val q = rule.paramDouble("q").getOrElse(throw new IllegalArgumentException(
+      s"quantile rule '${rule.name}' needs a q parameter in [0, 1]"))
+    require(q >= 0.0 && q <= 1.0, s"quantile rule '${rule.name}': q=$q outside [0, 1]")
+    (q,
+      rule.paramDouble("min_value").getOrElse(Double.NegativeInfinity),
+      rule.paramDouble("max_value").getOrElse(Double.PositiveInfinity))
+  }
+
+  /** The percentile aggregate of a quantile rule — ONE definition for the
+    * global and per-partition jobs so the exact/approx selection cannot
+    * diverge. Default is the exact interpolated `percentile` (a sort-based
+    * aggregate — right for interactive tables); `approx: true` swaps in
+    * the mergeable one-pass `approx_percentile` sketch (`accuracy` param,
+    * default 10000) — the 100 TB tier, where an exact percentile is
+    * inherently a global sort. `approx` is a strict boolean
+    * (ValidationRule.paramBool): a typo must not silently buy the full
+    * sort the user opted out of. */
+  private def quantileAgg(rule: ValidationRule, q: Double): Column = {
+    val c = col(rule.column).cast("double")
+    if (rule.paramBool("approx"))
+      percentile_approx(c, lit(q), lit(rule.param("accuracy").map(_.toInt).getOrElse(10000)))
+    else percentile(c, lit(q))
+  }
+
+  /** Per-partition quantile verdicts: one grouped percentile job, binary
+    * verdict per partition. A partition whose percentile is UNDEFINED
+    * (all-NULL column within the bucket) FAILS — it cannot certify the
+    * distribution position (the correlation/entropy contract). */
+  private def quantilePartitionVerdicts(
+      df: DataFrame, rule: ValidationRule,
+      p: org.apache.spark.sql.Column): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val (q, minV, maxV) = quantileBounds(rule)
+      binaryPartitionVerdicts(df, rule, p,
+        Seq(quantileAgg(rule, q).cast("double").as("__q")),
+        r =>
+          if (r.isNullAt(1)) 1L
+          else { val v = r.getDouble(1); if (v < minV || v > maxV) 1L else 0L })
     } catch { case e: Throwable => Left(e) }
 
   /** (min_entropy, max_entropy) of an entropy rule; rejects
@@ -1093,6 +1184,38 @@ class Validator(
             Map("keys" -> keys.mkString(","), "order_by" -> orderCol,
               "value" -> valueCol, "unit" -> "groups"))
 
+        case RuleType.FunctionalDependency =>
+          // determinant → dependent consistency (the FD A→B contract);
+          // verdict unit is GROUPS like sequence/monotonic: rate =
+          // fraction of determinant values mapping to exactly one
+          // dependent tuple
+          val (keys, dep) = fdSpec(rule)
+          val row = Checks.fdGroups(df, keys, dep).agg(
+            count(lit(1)),
+            sum(when(Checks.fdViolationCond, 1L).otherwise(0L))).head()
+          val total = row.getLong(0)
+          val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
+          ValidationResult.verdict(rule, failed, total, ms,
+            Map("keys" -> keys.mkString(","), "dependent" -> dep.mkString(","),
+              "unit" -> "groups"))
+
+        case RuleType.Quantile =>
+          // distribution-position contract (Deequ hasApproxQuantile):
+          // BINARY verdict on the q-th percentile of the column ∈
+          // [min_value, max_value]. NULLs are excluded by the percentile
+          // aggregate itself; undefined (no non-null rows) → error result,
+          // never a silent pass (the correlation/entropy contract).
+          val (q, minV, maxV) = quantileBounds(rule)
+          val row = df.agg(quantileAgg(rule, q).cast("double").as("__q")).head()
+          if (row.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"quantile rule '${rule.name}': percentile(${rule.column}, $q) undefined (no non-null rows)")
+          val v = row.getDouble(0)
+          val failed = if (v < minV || v > maxV) 1L else 0L
+          ValidationResult.verdict(rule, failed, 1L, ms,
+            Map("quantile" -> v.toString, "q" -> q.toString,
+              "column" -> rule.column))
+
         case RuleType.Referential =>
           val refTable = rule.param("ref_table").getOrElse(
             throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))
@@ -1277,6 +1400,11 @@ class Validator(
       Checks.monotonicViolations(df,
         if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
         orderCol, valueCol, strict, desc)
+    case RuleType.FunctionalDependency =>
+      // group-level violation rows: each determinant value mapping to more
+      // than one dependent tuple, with its distinct-tuple count
+      val (keys, dep) = fdSpec(rule)
+      Checks.fdViolations(df, keys, dep)
     case RuleType.Referential =>
       val refTable = rule.param("ref_table").getOrElse(
         throw new IllegalArgumentException(s"referential rule '${rule.name}' needs ref_table"))

@@ -41,6 +41,8 @@ object RuleType {
   val Correlation = "correlation" // Pearson corr of two columns within [min_corr, max_corr]
   val Entropy = "entropy" // Shannon entropy (nats) of a column's distribution within bounds
   val Reconciliation = "reconciliation" // cross-table aggregate match vs a reference table
+  val FunctionalDependency = "functional_dependency" // determinant → dependent consistency (one value of B per A)
+  val Quantile = "quantile" // a percentile of a numeric column within [min_value, max_value]
 }
 
 /** One validation rule.

@@ -126,6 +126,41 @@ class StreamingSpec extends SparkSpec {
     byBatch(1) shouldBe Map("shape" -> 1L, "recon" -> 1L)
   }
 
+  test("functional_dependency and quantile families validate inside a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the streaming use case: within each micro-batch a key must keep one
+    // consistent label (FD k→label), and the batch's median value must stay
+    // in band (quantile) — both through the ordinary foreachBatch path
+    val stream = MemoryStream[(String, String, Double)]
+    val input = stream.toDF().toDF("k", "label", "v")
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("fd", RuleType.FunctionalDependency, Seq("k"),
+        parameters = Map("dependent" -> "label")),
+      ValidationRule("p50", RuleType.Quantile, Seq("v"),
+        parameters = Map("q" -> "0.5", "max_value" -> "10"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val chk = Files.createTempDirectory("stream_chk_fd").toString
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o })
+
+    // consistent labels, median 2.0 ≤ 10: both pass
+    stream.addData(("a", "x", 1.0), ("a", "x", 2.0), ("b", "y", 3.0))
+    query.processAllAvailable()
+    // a flips its label mid-batch; median 50 > 10: both fail
+    stream.addData(("a", "x", 50.0), ("a", "z", 50.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val byBatch = outcomes.sortBy(_.batchId)
+      .map(_.summary.results.map(r => r.rule_name -> r.failed_count).toMap)
+    byBatch(0) shouldBe Map("fd" -> 0L, "p50" -> 0L)
+    byBatch(1) shouldBe Map("fd" -> 1L, "p50" -> 1L)
+  }
+
   test("referential rules resolve ref tables through the streaming tableResolver") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
-  * [--metrics-dir DIR] [--set key=value]...`.
+  * [--metrics-dir DIR] [--anomaly-gate alerts.json [--anomaly-window N]
+  * [--anomaly-max-z Z] [--anomaly-min-delta D]] [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -74,8 +75,8 @@ object Cli {
       // metrics sink: append this run's per-rule results as a time-series
       // slice (--metrics-dir), queryable over runs — the real counterpart
       // of the reference's print-only observability hooks
+      val runId = java.util.UUID.randomUUID().toString
       for (metricsDir <- opts.get("metrics-dir").toSeq) {
-        val runId = java.util.UUID.randomUUID().toString
         summaries.values.foreach(s =>
           graft.io.MetricsSink.appendSummary(spark, s, metricsDir, runId))
         // per-partition verdicts of partition_by-configured tables land in
@@ -88,13 +89,46 @@ object Cli {
         }
       }
 
+      // anomaly gate (--anomaly-gate alerts.json, requires --metrics-dir):
+      // after appending, compare THIS run's per-rule success_rate against
+      // each rule's own trailing history in the sink and fail the run when
+      // quality CHANGED — the alert a fixed threshold cannot raise (a rate
+      // can collapse 0.99 → 0.90 and still clear every threshold). Gate
+      // parameters mirror MetricsSink.anomalies: --anomaly-window (7),
+      // --anomaly-max-z (3.0), --anomaly-min-delta (0.05). Flagged rows
+      // are written as JSON so the scheduler's failure artifact names
+      // exactly what moved and by how much.
+      val anomalyAlerts: Seq[AnomalyAlert] = opts.get("anomaly-gate") match {
+        case None => Nil
+        case Some(out) =>
+          val metricsDir = opts.getOrElse("metrics-dir",
+            sys.error("--anomaly-gate requires --metrics-dir (the history to gate against)"))
+          val alerts = graft.io.MetricsSink.runAnomalies(spark, metricsDir, runId,
+            window = opts.get("anomaly-window").map(_.toInt).getOrElse(7),
+            maxZ = opts.get("anomaly-max-z").map(_.toDouble).getOrElse(3.0),
+            minAbsDelta = opts.get("anomaly-min-delta").map(_.toDouble).getOrElse(0.05))
+            .collect().toSeq.map { r =>
+              AnomalyAlert(
+                table_name = r.getAs[String]("table_name"),
+                rule_name = r.getAs[String]("rule_name"),
+                run_id = r.getAs[String]("run_id"),
+                success_rate = r.getAs[Double]("success_rate"),
+                trailing_mean = r.getAs[Double]("trailing_mean"),
+                trailing_std = r.getAs[Double]("trailing_std"),
+                n_history = r.getAs[Long]("n_history"),
+                deviation = r.getAs[Double]("deviation"))
+            }
+          Files.writeString(Paths.get(out), Json.writeAnomalies(alerts))
+          alerts
+      }
+
       val report = validator.report(summaries)
       val json = Json.write(report)
       opts.get("output") match {
         case Some(path) => Files.writeString(Paths.get(path), json)
         case None       => println(json)
       }
-      if (report.overall_stats.total_failed > 0) sys.exit(1)
+      if (report.overall_stats.total_failed > 0 || anomalyAlerts.nonEmpty) sys.exit(1)
     } finally spark.stop()
   }
 
@@ -126,10 +160,19 @@ object Cli {
   }
 }
 
+/** One flagged rule of an `--anomaly-gate` run: its rate, its own trailing
+  * history's mean/std, and the deviation that cleared the gate. */
+final case class AnomalyAlert(
+    table_name: String, rule_name: String, run_id: String,
+    success_rate: Double, trailing_mean: Double, trailing_std: Double,
+    n_history: Long, deviation: Double)
+
 /** Minimal JSON writer for the report tree (no extra dependencies). */
 object Json {
   import org.json4s.DefaultFormats
   import org.json4s.jackson.Serialization
   private implicit val formats: DefaultFormats.type = DefaultFormats
   def write(report: graft.engine.Report): String = Serialization.writePretty(report)
+  def writeAnomalies(alerts: Seq[AnomalyAlert]): String =
+    Serialization.writePretty(Map("anomalies" -> alerts))
 }

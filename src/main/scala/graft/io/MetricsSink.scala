@@ -117,6 +117,18 @@ object MetricsSink {
       .drop("__rn")
   }
 
+  /** [[anomalies]] restricted to ONE run id — the CLI `--anomaly-gate`
+    * shape: after a run appends its slice, flag exactly THAT run's
+    * deviations. Filtering by run_id (not "latest") means a stale flagged
+    * run of some table this run never touched cannot re-fire the gate
+    * forever. */
+  def runAnomalies(
+      spark: SparkSession, path: String, runId: String,
+      window: Int = 7, maxZ: Double = 3.0,
+      minAbsDelta: Double = 0.05): DataFrame =
+    anomalies(spark, path, window, maxZ, minAbsDelta)
+      .filter(col("run_id") === runId && col("flagged"))
+
   /** Append per-partition verdicts alongside (separate sink path — the
     * row count is O(partitions × rules), still bounded by the verdict
     * machinery's bucket guard). */

@@ -219,6 +219,45 @@ class CliSpec extends SparkSpec {
     MetricsSink.latestAnomalies(spark, dir2, window = 7).count() shouldBe 0
   }
 
+  test("anomaly gate: flags THIS run only, untouched tables' stale flags don't re-fire") {
+    import graft.io.MetricsSink
+    val dir = Files.createTempDirectory("anomgate").toString
+    val rule = ValidationRule("id_complete", RuleType.Completeness, Seq("id"))
+    def append(table: String, i: Int, failed: Long, runId: String): Unit = {
+      val s = ValidationSummary.from(table,
+        Seq(ValidationResult.verdict(rule, failed, 1000L, 1.0)), 1.0)
+      MetricsSink.appendSummary(spark, s, dir, runId,
+        java.time.Instant.parse(f"2026-07-${i}%02dT10:00:00Z"))
+    }
+    // table OTHER degraded on its LAST run days ago — a stale flag
+    (1 to 7).foreach(i => append("other", i, 20L, f"old-$i%02d"))
+    append("other", 8, 300L, "old-08")
+    // table T: healthy history, then today's degraded run
+    (9 to 16).foreach(i => append("t", i, 20L, f"t-$i%02d"))
+    append("t", 17, 200L, "t-17")
+    // the gate sees only run t-17's deviation — not other's stale one
+    val flagged = MetricsSink.runAnomalies(spark, dir, "t-17").collect()
+    flagged.map(_.getAs[String]("table_name")).toSeq shouldBe Seq("t")
+    flagged.head.getAs[String]("run_id") shouldBe "t-17"
+    // a healthy run of the same table passes the same gate
+    MetricsSink.runAnomalies(spark, dir, "t-16").count() shouldBe 0
+    // the alert JSON the CLI writes names what moved and by how much
+    val alerts = flagged.toSeq.map { r =>
+      AnomalyAlert(r.getAs[String]("table_name"), r.getAs[String]("rule_name"),
+        r.getAs[String]("run_id"), r.getAs[Double]("success_rate"),
+        r.getAs[Double]("trailing_mean"), r.getAs[Double]("trailing_std"),
+        r.getAs[Long]("n_history"), r.getAs[Double]("deviation"))
+    }
+    val parsed = JsonMethods.parse(Json.writeAnomalies(alerts))
+    val first = (parsed \ "anomalies")(0)
+    (first \ "table_name").extract[String] shouldBe "t"
+    (first \ "rule_name").extract[String] shouldBe "id_complete"
+    (first \ "success_rate").extract[Double] shouldBe 0.8
+    (first \ "n_history").extract[Long] shouldBe 7L
+    // empty gate result still writes a well-formed document
+    (JsonMethods.parse(Json.writeAnomalies(Nil)) \ "anomalies") shouldBe JArray(Nil)
+  }
+
   test("batch job spec carries the reference's knobs and round-trips through JSON") {
     import graft.deploy.JobSpec
     // reference create_validation_job (databricks_utils.py:49-93): 2 workers,

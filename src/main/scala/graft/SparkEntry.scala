@@ -87,6 +87,21 @@ object SparkEntry {
     // distinct-count contract: the role vocabulary is small and closed
     ValidationRule("role_cardinality", RuleType.Cardinality, Seq("role"),
       parameters = Map("min_distinct" -> "2", "max_distinct" -> "10"),
+      severity = Severity.Warning),
+    // determinant→dependent consistency: a duplicated (conv_id, turn_idx)
+    // slot must AGREE on its role — the generator's re-ingest duplicates
+    // are exact copies and pass; a conflicting slot would be corruption
+    // only this family isolates. conv_id ⊆ determinant, so the suite's
+    // conv_id-derived partitions cover it and the roll-up IS the global
+    ValidationRule("turn_role_consistent", RuleType.FunctionalDependency,
+      Seq("conv_id", "turn_idx"),
+      parameters = Map("dependent" -> "role", "partition_covers_key" -> "true"),
+      severity = Severity.Warning),
+    // distribution-position contract: p95 conversation depth in band via
+    // the mergeable one-pass sketch tier (binary verdict)
+    ValidationRule("turn_depth_p95", RuleType.Quantile, Seq("turn_idx"),
+      parameters = Map("q" -> "0.95", "min_value" -> "1", "max_value" -> "100000",
+        "approx" -> "true"),
       severity = Severity.Warning)
   )
 
@@ -1500,7 +1515,8 @@ object SparkEntry {
         // in CORRECTNESS_r{N} without ScalaTest. Excluded as non-additive:
         // drift (failed is partition-total-or-zero) and the binary families
         // (row_count/cardinality — 0/1 per partition, 0/1 globally).
-        val nonAdditive = Set(RuleType.drift, RuleType.RowCount, RuleType.Cardinality)
+        val nonAdditive = Set(RuleType.drift, RuleType.RowCount, RuleType.Cardinality,
+          RuleType.Quantile)
         val checks = rules.filterNot(r => nonAdditive(r.ruleType)).map { r =>
           val partSum = verdicts.filter(_.rule_name == r.name).map(_.failed_count).sum
           val global = summary.results.find(_.rule_name == r.name).map(_.failed_count).getOrElse(-1L)

@@ -681,6 +681,21 @@ object SparkEntry {
         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types
         FROM events""")),
 
+    // ---- profiler heavy hitters: the typed Aggregator's frequent-items
+    // sketch face, ORACLED — with fewer distinct values than sketch
+    // counters (events has a handful of types vs 256 counters) the
+    // Misra-Gries-style summary is EXACT, so the sketch path must
+    // reproduce a plain GROUP BY bit-for-bit; TopItems (8) exceeds the
+    // value space, so tie order cannot change the reported SET ------------
+    Q("q_profile_topk_events",
+      (s, d) => {
+        import s.implicits._
+        graft.engine.Profiler.profileTyped(t(s, d, "events"), Seq("event_type"))
+          .head.top_items.toDF("item", "cnt").orderBy("item")
+      },
+      Some("""SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
     // ---- profiler quantiles (rows-only: sketch estimates are approximate
     // by contract). Embedded CERTIFICATION rows make the dumped artifact
     // self-verifying without ScalaTest: for each profiled column a

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * targets: `spark-submit --class graft.StreamCli app.jar --config c.yaml
   * --stream-source <dir-or-table> --checkpoint-location <dir>
   * [--trigger-interval 60] [--table t] [--validated-sink dir]
-  * [--source-format parquet] [--await-seconds n]`.
+  * [--metrics-dir dir] [--source-format parquet] [--await-seconds n]`.
   *
   * Mirrors the parameter surface of the reference's generated streaming job
   * (`/root/reference/src/data_validator/databricks_utils.py:125-135`:
@@ -51,7 +51,12 @@ object StreamCli {
       validatedSink = opts.get("validated-sink"),
       triggerMs = triggerSec * 1000L,
       onResult = o => println(
-        s"[stream] batch=${o.batchId} passed=${o.summary.passed_rules} failed=${o.summary.failed_rules}"))
+        s"[stream] batch=${o.batchId} passed=${o.summary.passed_rules} failed=${o.summary.failed_rules}"),
+      // --metrics-dir: per-batch rule results appended as the same
+      // time-series the batch CLI writes (run_id = batch-<id>), so
+      // MetricsSink.anomalies does batch-over-batch change detection on a
+      // LIVE stream — "quality degraded at batch 17" — with plain SQL
+      metricsSink = opts.get("metrics-dir"))
 
     // --await-seconds bounds the run (tests, smoke checks); absent = forever
     opts.get("await-seconds") match {

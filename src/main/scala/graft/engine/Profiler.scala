@@ -25,7 +25,9 @@ import java.io.{ObjectInputStream, ObjectOutputStream}
   *    ObjectHashAggregate (no codegen) but its buffers are bounded (~2 KB
   *    HLL per column) and merge associatively across partitions — the
   *    serialized sketch bytes can be persisted into a checkpoint and
-  *    unioned across incremental runs, which the builtin path cannot do.
+  *    unioned across incremental runs, which the builtin path cannot do —
+  *    that surface is [[profileState]]/[[mergeStates]]/[[finishState]]
+  *    (+ [[writeState]]/[[readState]] for cross-run persistence).
   *    Buffers hold LIVE sketch objects; (de)serialization happens only at
   *    partition-exchange boundaries via the writeObject/readObject hooks.
   *
@@ -159,6 +161,82 @@ object Profiler {
     }
   }
 
+  // ONE definition of the typed path's accumulate/merge/finish semantics,
+  // shared by the finishing aggregator ([[ProfileAggregator]]), the
+  // state-returning aggregator ([[ProfileStateAggregator]]) and the
+  // driver-side incremental union ([[mergeStates]]) — so the one-shot and
+  // incremental answers cannot diverge.
+  private def ltVal(a: String, b: String, numeric: Boolean): Boolean =
+    if (numeric) a.toDouble < b.toDouble else a < b
+
+  private[engine] def reduceInto(b: ProfileBuf, row: Row, types: Seq[DataType],
+      numeric: Array[Boolean], floating: Array[Boolean]): ProfileBuf = {
+    val n = numeric.length
+    b.total += 1
+    var i = 0
+    while (i < n) {
+      val isNull = row.isNullAt(i) || (floating(i) && (types(i) match {
+        case DoubleType => java.lang.Double.isNaN(row.getDouble(i))
+        case _          => java.lang.Float.isNaN(row.getFloat(i))
+      }))
+      if (isNull) b.nulls(i) += 1
+      else {
+        b.conforming(i) += 1
+        val s = String.valueOf(row.get(i))
+        if (b.minV(i) == null || ltVal(s, b.minV(i), numeric(i))) b.minV(i) = s
+        if (b.maxV(i) == null || ltVal(b.maxV(i), s, numeric(i))) b.maxV(i) = s
+        b.sketches(i).update(s)
+        b.freq(i).update(s)
+        if (numeric(i)) row.get(i) match {
+          case v: Number => b.kll(i).update(v.doubleValue())
+          case _         => ()
+        }
+      }
+      i += 1
+    }
+    b
+  }
+
+  private[engine] def mergeInto(a: ProfileBuf, c: ProfileBuf, lgK: Int,
+      numeric: Array[Boolean]): ProfileBuf = {
+    val n = numeric.length
+    a.total += c.total
+    var i = 0
+    while (i < n) {
+      a.nulls(i) += c.nulls(i)
+      a.conforming(i) += c.conforming(i)
+      if (c.minV(i) != null && (a.minV(i) == null || ltVal(c.minV(i), a.minV(i), numeric(i)))) a.minV(i) = c.minV(i)
+      if (c.maxV(i) != null && (a.maxV(i) == null || ltVal(a.maxV(i), c.maxV(i), numeric(i)))) a.maxV(i) = c.maxV(i)
+      val u = new Union(lgK)
+      u.update(a.sketches(i)); u.update(c.sketches(i))
+      a.sketches(i) = u.getResult(TgtHllType.HLL_8)
+      if (numeric(i)) a.kll(i).merge(c.kll(i))
+      a.freq(i).merge(c.freq(i))
+      i += 1
+    }
+    a
+  }
+
+  private[engine] def finishBuf(b: ProfileBuf, columns: Seq[String],
+      types: Seq[DataType], numeric: Array[Boolean]): Seq[ColumnProfile] =
+    columns.indices.map { i =>
+      val quantiles =
+        if (numeric(i) && !b.kll(i).isEmpty)
+          QuantileRanks.map { case (nm, r) => nm -> b.kll(i).getQuantile(r) }.toMap
+        else Map.empty[String, Double]
+      // NO_FALSE_POSITIVES: every reported item is a genuine frequent
+      // value (its lower-bound count exceeds the sketch's error band)
+      val top = b.freq(i).getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+        .take(TopItems).map(r => r.getItem -> r.getEstimate).toSeq
+      ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
+        if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
+        Option(b.minV(i)), Option(b.maxV(i)),
+        math.round(b.sketches(i).getEstimate),
+        b.conforming(i),
+        quantiles,
+        top)
+    }
+
   /** Typed single-pass profiler. Input rows must be pre-projected to exactly
     * `columns` (ordinal access — no per-row name lookups). */
   class ProfileAggregator(
@@ -172,72 +250,12 @@ object Profiler {
     private val floating: Array[Boolean] = types.map(isFloating).toArray
 
     override def zero: ProfileBuf = new ProfileBuf(n, lgK, numeric)
-
-    private def lt(a: String, b: String, i: Int): Boolean =
-      if (numeric(i)) a.toDouble < b.toDouble else a < b
-
-    override def reduce(b: ProfileBuf, row: Row): ProfileBuf = {
-      b.total += 1
-      var i = 0
-      while (i < n) {
-        val isNull = row.isNullAt(i) || (floating(i) && (types(i) match {
-          case DoubleType => java.lang.Double.isNaN(row.getDouble(i))
-          case _          => java.lang.Float.isNaN(row.getFloat(i))
-        }))
-        if (isNull) b.nulls(i) += 1
-        else {
-          b.conforming(i) += 1
-          val s = String.valueOf(row.get(i))
-          if (b.minV(i) == null || lt(s, b.minV(i), i)) b.minV(i) = s
-          if (b.maxV(i) == null || lt(b.maxV(i), s, i)) b.maxV(i) = s
-          b.sketches(i).update(s)
-          b.freq(i).update(s)
-          if (numeric(i)) row.get(i) match {
-            case v: Number => b.kll(i).update(v.doubleValue())
-            case _         => ()
-          }
-        }
-        i += 1
-      }
-      b
-    }
-
-    override def merge(a: ProfileBuf, c: ProfileBuf): ProfileBuf = {
-      a.total += c.total
-      var i = 0
-      while (i < n) {
-        a.nulls(i) += c.nulls(i)
-        a.conforming(i) += c.conforming(i)
-        if (c.minV(i) != null && (a.minV(i) == null || lt(c.minV(i), a.minV(i), i))) a.minV(i) = c.minV(i)
-        if (c.maxV(i) != null && (a.maxV(i) == null || lt(a.maxV(i), c.maxV(i), i))) a.maxV(i) = c.maxV(i)
-        val u = new Union(lgK)
-        u.update(a.sketches(i)); u.update(c.sketches(i))
-        a.sketches(i) = u.getResult(TgtHllType.HLL_8)
-        if (numeric(i)) a.kll(i).merge(c.kll(i))
-        a.freq(i).merge(c.freq(i))
-        i += 1
-      }
-      a
-    }
-
+    override def reduce(b: ProfileBuf, row: Row): ProfileBuf =
+      reduceInto(b, row, types, numeric, floating)
+    override def merge(a: ProfileBuf, c: ProfileBuf): ProfileBuf =
+      mergeInto(a, c, lgK, numeric)
     override def finish(b: ProfileBuf): Seq[ColumnProfile] =
-      columns.indices.map { i =>
-        val quantiles =
-          if (numeric(i) && !b.kll(i).isEmpty)
-            QuantileRanks.map { case (nm, r) => nm -> b.kll(i).getQuantile(r) }.toMap
-          else Map.empty[String, Double]
-        // NO_FALSE_POSITIVES: every reported item is a genuine frequent
-        // value (its lower-bound count exceeds the sketch's error band)
-        val top = b.freq(i).getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
-          .take(TopItems).map(r => r.getItem -> r.getEstimate).toSeq
-        ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
-          if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
-          Option(b.minV(i)), Option(b.maxV(i)),
-          math.round(b.sketches(i).getEstimate),
-          b.conforming(i),
-          quantiles,
-          top)
-      }
+      finishBuf(b, columns, types, numeric)
 
     override def bufferEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]
     override def outputEncoder: Encoder[Seq[ColumnProfile]] =
@@ -250,5 +268,96 @@ object Profiler {
     val projected = df.select(cols.map(col): _*)
     val agg = new ProfileAggregator(cols, types)
     projected.as(Encoders.row(projected.schema)).select(agg.toColumn).head()
+  }
+
+  // ------------------------------------------------------ incremental profiling
+
+  /** A profile's full mergeable STATE — the typed path's aggregation buffer
+    * plus the column/type identity it was computed over. This is the
+    * incremental-profiling currency: profile each ingest slice ONCE, persist
+    * the state (a few KB of sketch bytes per column — never rows), then
+    * [[mergeStates]] across slices/runs and [[finishState]] when a profile
+    * is needed. Exact fields (counts, min/max, conformance) union exactly;
+    * sketch fields (HLL distinct, KLL quantiles, frequent items) union by
+    * sketch merge — the SAME answer the one-shot aggregator would give over
+    * the concatenated data, because all three sketch families merge
+    * losslessly relative to their own error bounds. At 10^12 turns this is
+    * the only profile that never re-reads history. */
+  final case class ProfileState(
+      columns: Seq[String], typeNames: Seq[String], buf: ProfileBuf) {
+    private[engine] def types: Seq[DataType] =
+      typeNames.map(org.apache.spark.sql.types.DataType.fromDDL)
+  }
+
+  /** [[profileTyped]] stopped before `finish`: one pass over `df`, returning
+    * the mergeable state instead of the finished profiles. */
+  def profileState(df: DataFrame, columns: Seq[String] = Nil): ProfileState = {
+    val cols = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
+    val types = cols.map(c => df.schema(c).dataType)
+    val projected = df.select(cols.map(col): _*)
+    val agg = new ProfileStateAggregator(cols, types)
+    ProfileState(cols, types.map(_.sql),
+      projected.as(Encoders.row(projected.schema)).select(agg.toColumn).head())
+  }
+
+  /** Union two profile states. Column names AND types must match — merging
+    * across a schema change would silently blend incompatible value spaces,
+    * so it is an error (the schema rule's job is to catch the change).
+    * Neither input is mutated (the left buffer is deep-copied through its
+    * own serialization hooks — KB-scale). */
+  def mergeStates(a: ProfileState, b: ProfileState): ProfileState = {
+    require(a.columns == b.columns && a.typeNames == b.typeNames,
+      s"profile states disagree: ${a.columns.zip(a.typeNames)} vs ${b.columns.zip(b.typeNames)}")
+    val numeric = a.types.map(_.isInstanceOf[NumericType]).toArray
+    ProfileState(a.columns, a.typeNames, mergeInto(copyBuf(a.buf), b.buf, a.buf.lgK, numeric))
+  }
+
+  private def copyBuf(b: ProfileBuf): ProfileBuf = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new ObjectOutputStream(bos)
+    try out.writeObject(b) finally out.close()
+    val in = new ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    try in.readObject().asInstanceOf[ProfileBuf] finally in.close()
+  }
+
+  /** Finish a (possibly merged) state into per-column profiles. */
+  def finishState(s: ProfileState): Seq[ColumnProfile] = {
+    val types = s.types
+    finishBuf(s.buf, s.columns, types, types.map(_.isInstanceOf[NumericType]).toArray)
+  }
+
+  /** Persist a profile state (driver-side, KB-scale: counts + compact
+    * sketch images via the buffer's own serialization hooks). */
+  def writeState(s: ProfileState, path: String): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new ObjectOutputStream(bos)
+    try { out.writeObject(s) } finally out.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+  }
+
+  /** Reopen a persisted profile state. */
+  def readState(path: String): ProfileState = {
+    val in = new ObjectInputStream(new java.io.ByteArrayInputStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+    try in.readObject().asInstanceOf[ProfileState] finally in.close()
+  }
+
+  /** [[ProfileAggregator]] with the buffer itself as the result — the
+    * distributed half of incremental profiling. */
+  class ProfileStateAggregator(
+      columns: Seq[String],
+      types: Seq[DataType],
+      lgK: Int = DefaultLgK
+  ) extends Aggregator[Row, ProfileBuf, ProfileBuf] {
+    private val numeric: Array[Boolean] = types.map(_.isInstanceOf[NumericType]).toArray
+    private val floating: Array[Boolean] = types.map(isFloating).toArray
+    override def zero: ProfileBuf = new ProfileBuf(columns.length, lgK, numeric)
+    override def reduce(b: ProfileBuf, row: Row): ProfileBuf =
+      reduceInto(b, row, types, numeric, floating)
+    override def merge(a: ProfileBuf, c: ProfileBuf): ProfileBuf =
+      mergeInto(a, c, lgK, numeric)
+    override def finish(b: ProfileBuf): ProfileBuf = b
+    override def bufferEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]
+    override def outputEncoder: Encoder[ProfileBuf] = Encoders.javaSerialization[ProfileBuf]
   }
 }

@@ -83,6 +83,61 @@ class ProfilerSpec extends SparkSpec {
     p.top_items.head._1 shouldBe "hot"
   }
 
+  test("incremental profile state: slice-merge equals one-shot over the union") {
+    // two ingest slices, profiled independently; merged state must agree
+    // with profiling the concatenated data in one pass
+    val slice1 = spark.range(0, 6000).repartition(4)
+      .selectExpr("id", "cast(id % 50 as string) as s", "cast(id as double) as d")
+    val slice2 = spark.range(6000, 10000).repartition(4)
+      .selectExpr("id", "cast(id % 50 as string) as s", "cast(id as double) as d")
+    val merged = Profiler.finishState(Profiler.mergeStates(
+      Profiler.profileState(slice1), Profiler.profileState(slice2)))
+      .map(c => c.column -> c).toMap
+    val oneShot = Profiler.profileTyped(slice1.union(slice2))
+      .map(c => c.column -> c).toMap
+    for (c <- Seq("id", "s", "d")) {
+      // exact fields union exactly
+      merged(c).total_count shouldBe oneShot(c).total_count
+      merged(c).null_count shouldBe oneShot(c).null_count
+      merged(c).type_conforming shouldBe oneShot(c).type_conforming
+      merged(c).min_value shouldBe oneShot(c).min_value
+      merged(c).max_value shouldBe oneShot(c).max_value
+    }
+    // sketch fields union within their own error bounds
+    merged("id").approx_distinct.toDouble shouldBe 10000.0 +- 600.0
+    merged("s").approx_distinct shouldBe 50L // exact below sketch capacity
+    merged("d").quantiles("p50") shouldBe 5000.0 +- 200.0
+    merged("d").quantiles("p99") shouldBe 9900.0 +- 200.0
+  }
+
+  test("profile state: write/read round-trip and non-mutating merge") {
+    val slice1 = Seq(("a", 1.0), ("b", 2.0)).toDF("s", "d")
+    val slice2 = Seq(("c", 3.0), ("a", 4.0)).toDF("s", "d")
+    val s1 = Profiler.profileState(slice1)
+    val s2 = Profiler.profileState(slice2)
+    val dir = java.nio.file.Files.createTempDirectory("profstate").toString
+    Profiler.writeState(s1, s"$dir/s1.bin")
+    val reloaded = Profiler.readState(s"$dir/s1.bin")
+    Profiler.finishState(reloaded) shouldBe Profiler.finishState(s1)
+    // merge through the reloaded state — the persisted-across-runs shape
+    val m = Profiler.finishState(Profiler.mergeStates(reloaded, s2))
+      .map(c => c.column -> c).toMap
+    m("s").total_count shouldBe 4
+    m("s").approx_distinct shouldBe 3L
+    m("d").min_value shouldBe Some("1.0")
+    m("d").max_value shouldBe Some("4.0")
+    // s1 must be untouched by the merge (non-mutating contract)
+    Profiler.finishState(s1).map(_.total_count).head shouldBe 2
+    Profiler.finishState(s1) shouldBe Profiler.finishState(reloaded)
+  }
+
+  test("profile state merge rejects schema drift") {
+    val a = Profiler.profileState(Seq(("a", 1L)).toDF("s", "n"))
+    val b = Profiler.profileState(Seq(("a", 1.0)).toDF("s", "n")) // n: double
+    val e = intercept[IllegalArgumentException](Profiler.mergeStates(a, b))
+    e.getMessage should include ("disagree")
+  }
+
   test("approx quantiles: both paths track exact percentiles; non-numeric empty") {
     // uniform 0..9999 across 8 partitions — exact p50/p95/p99 known
     val big = spark.range(10000).repartition(8)

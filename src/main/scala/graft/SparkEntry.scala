@@ -757,6 +757,101 @@ object SparkEntry {
       },
       None),
 
+    // ---- incremental profiler state: slice → persist → reopen → merge.
+    // The only profile shape that never re-reads history at 10^12 rows:
+    // each ingest slice is profiled ONCE, the KB-scale sketch state
+    // persisted, and whole-corpus profiles derived by merging states
+    // (Profiler.profileState/mergeStates/finishState). ORACLED: the merge
+    // below runs over states REOPENED from disk, so the hash match itself
+    // covers the persistence round-trip — exact fields of the merged
+    // profile (counts, min/max, conformance) must equal plain SQL
+    // aggregates over the un-sliced table bit-for-bit, and
+    // distinct:event_type is exact (5 values ≪ sketch capacity).
+    // Embedded __check metrics certify what SQL cannot: each is a
+    // deviation beyond tolerance (0.0 in the oracle) — merged exact
+    // fields vs the one-shot aggregator, finished-profile equality across
+    // the round-trip, and merged HLL/KLL estimates vs the exact answer. --
+    Q("q_profile_incremental_events",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+        val cols = Seq("event_type", "value")
+        val slice = pmod(xxhash64(coalesce(col("event_id"), lit(-1L))), lit(2))
+        val states = Seq(0, 1).map(i =>
+          graft.engine.Profiler.profileState(ev.filter(slice === i), cols))
+        val dir = java.nio.file.Files.createTempDirectory("profstate")
+        val reopened = states.zipWithIndex.map { case (st, i) =>
+          val p = s"$dir/slice_$i.bin"
+          graft.engine.Profiler.writeState(st, p)
+          graft.engine.Profiler.readState(p)
+        }
+        val roundtripDiffs = states.zip(reopened).count { case (a, b) =>
+          graft.engine.Profiler.finishState(a) != graft.engine.Profiler.finishState(b) }
+        val merged = graft.engine.Profiler
+          .finishState(reopened.reduce(graft.engine.Profiler.mergeStates))
+          .map(p => p.column -> p).toMap
+        val oneShot = graft.engine.Profiler.profileTyped(ev, cols)
+          .map(p => p.column -> p).toMap
+        val exactDiffs = cols.map { c =>
+          val (m, o) = (merged(c), oneShot(c))
+          Seq(m.total_count != o.total_count, m.null_count != o.null_count,
+            m.type_conforming != o.type_conforming,
+            m.min_value != o.min_value, m.max_value != o.max_value).count(identity)
+        }.sum
+        // exact distinct + rank positions of the merged quantile estimates:
+        // one aggregate over the exact data (value has no NaN in testdata;
+        // count(col) ignores nulls on both engines)
+        val mq = merged("value").quantiles
+        val qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+        val v = col("value")
+        val aggs = Seq(countDistinct(v).as("nd"), count(v).as("n")) ++
+          qs.flatMap { case (k, _) =>
+            val est = lit(mq(k))
+            Seq(sum(when(v <= est, 1L).otherwise(0L)).as(s"le_$k"),
+                sum(when(v < est, 1L).otherwise(0L)).as(s"lt_$k"))
+          }
+        val row = ev.agg(aggs.head, aggs.tail: _*).head()
+        val idx = row.schema.fieldNames.zipWithIndex.toMap
+        val n = row.getLong(idx("n")).toDouble
+        val rankTol = 0.025 // KLL k=200 ≈ 1.65% rank error; merged ≤ ~2.5%
+        val rankDev = qs.map { case (k, q) =>
+          if (n == 0) 0.0 else {
+            val fracLe = row.getLong(idx(s"le_$k")) / n
+            val fracLt = row.getLong(idx(s"lt_$k")) / n
+            math.max(0.0, math.max((q - fracLe) - rankTol, (fracLt - q) - rankTol))
+          }
+        }.max
+        val exactNd = row.getLong(idx("nd")).toDouble
+        val distDev = if (exactNd == 0) 0.0 else math.max(0.0,
+          math.abs(merged("value").approx_distinct - exactNd) / exactNd - 0.05)
+        Seq(
+          ("__oneshot_exact_diffs", exactDiffs.toDouble),
+          ("__persist_roundtrip_diffs", roundtripDiffs.toDouble),
+          ("__sketch_distinct_check", distDev),
+          ("__sketch_rank_check", rankDev),
+          ("conforming:value", merged("value").type_conforming.toDouble),
+          ("distinct:event_type", merged("event_type").approx_distinct.toDouble),
+          ("max:value", merged("value").max_value.get.toDouble),
+          ("min:value", merged("value").min_value.get.toDouble),
+          ("null:event_type", merged("event_type").null_count.toDouble),
+          ("null:value", merged("value").null_count.toDouble),
+          ("total_count", merged("value").total_count.toDouble)
+        ).toDF("metric", "num_value").orderBy("metric")
+      },
+      Some("""SELECT metric, num_value FROM (
+          SELECT 'conforming:value' AS metric, CAST(COUNT(value) AS DOUBLE) AS num_value FROM events
+          UNION ALL SELECT 'distinct:event_type', CAST(COUNT(DISTINCT event_type) AS DOUBLE) FROM events
+          UNION ALL SELECT 'max:value', MAX(value) FROM events
+          UNION ALL SELECT 'min:value', MIN(value) FROM events
+          UNION ALL SELECT 'null:event_type', CAST(COUNT(*) - COUNT(event_type) AS DOUBLE) FROM events
+          UNION ALL SELECT 'null:value', CAST(COUNT(*) - COUNT(value) AS DOUBLE) FROM events
+          UNION ALL SELECT 'total_count', CAST(COUNT(*) AS DOUBLE) FROM events
+          UNION ALL SELECT '__oneshot_exact_diffs', 0.0
+          UNION ALL SELECT '__persist_roundtrip_diffs', 0.0
+          UNION ALL SELECT '__sketch_distinct_check', 0.0
+          UNION ALL SELECT '__sketch_rank_check', 0.0
+        ) ORDER BY metric""")),
+
     // ---- outlier rule: violation rows through the engine's quarantine
     // feed. Bit-exact by the decimal recipe: moments route through
     // DECIMAL(18,4) (events.value is 2-dp — exact), mean/std derive in a

@@ -9,8 +9,9 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
-  * [--metrics-dir DIR] [--anomaly-gate alerts.json [--anomaly-window N]
-  * [--anomaly-max-z Z] [--anomaly-min-delta D]] [--set key=value]...`.
+  * [--metrics-dir DIR] [--profile-dir DIR] [--anomaly-gate alerts.json
+  * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
+  * [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -87,6 +88,20 @@ object Cli {
           graft.io.MetricsSink.appendPartitionVerdicts(spark, t,
             validator.partitionVerdictsOf(t), s"$metricsDir/partitions", runId)
         }
+      }
+
+      // incremental profiling (--profile-dir DIR): profile each validated
+      // table in ONE extra pass, persist the KB-scale mergeable sketch
+      // state under DIR/<table>/state_<runId>.bin, and refresh
+      // DIR/<table>/profile.json with the LIFETIME profile — the merge of
+      // every compatible run state, covering all data ever processed
+      // without re-reading any prior run's rows (states from an older
+      // schema are skipped and counted, not blended)
+      for (profileDir <- opts.get("profile-dir").toSeq; t <- summaries.keys.toSeq.sorted) {
+        val df = Tables.load(spark, sources.getOrElse(t, t))
+        val res = graft.engine.Profiler.profileRun(df, s"$profileDir/$t", runId)
+        Files.writeString(Paths.get(s"$profileDir/$t/profile.json"),
+          Json.writeProfile(t, runId, res))
       }
 
       // anomaly gate (--anomaly-gate alerts.json, requires --metrics-dir):
@@ -175,4 +190,25 @@ object Json {
   def write(report: graft.engine.Report): String = Serialization.writePretty(report)
   def writeAnomalies(alerts: Seq[AnomalyAlert]): String =
     Serialization.writePretty(Map("anomalies" -> alerts))
+  /** Lifetime-profile JSON for one table (`--profile-dir`). */
+  def writeProfile(table: String, runId: String,
+      res: graft.engine.Profiler.ProfileRunResult): String =
+    Serialization.writePretty(Map(
+      "table_name" -> table,
+      "run_id" -> runId,
+      "runs_merged" -> res.runsMerged,
+      "incompatible_states_skipped" -> res.incompatibleSkipped,
+      "columns" -> res.profiles.map(p => Map(
+        "column" -> p.column,
+        "data_type" -> p.dataType,
+        "total_count" -> p.total_count,
+        "null_count" -> p.null_count,
+        "null_rate" -> p.null_rate,
+        "min_value" -> p.min_value,
+        "max_value" -> p.max_value,
+        "approx_distinct" -> p.approx_distinct,
+        "type_conforming" -> p.type_conforming,
+        "quantiles" -> p.quantiles,
+        "top_items" -> p.top_items.map { case (v, c) =>
+          Map("value" -> v, "count" -> c) }))))
 }

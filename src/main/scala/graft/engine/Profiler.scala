@@ -11,6 +11,7 @@ import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import java.io.{ObjectInputStream, ObjectOutputStream}
+import scala.jdk.CollectionConverters._
 
 /** Single-pass per-column statistics: null rate, min/max, approx-distinct
   * (HLL), type conformance. Two interchangeable engines:
@@ -341,6 +342,40 @@ object Profiler {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
     try in.readObject().asInstanceOf[ProfileState] finally in.close()
   }
+
+  /** One run of CLI-surface incremental profiling: profile `df` in ONE
+    * pass, persist the state under `dir/state_<runId>.bin`, then merge
+    * every compatible persisted state (this run's included) into the
+    * lifetime profile. States whose columns/types disagree with this run's
+    * are SKIPPED and counted, not merged — a schema change starts a new
+    * lineage rather than blending incompatible value spaces (the schema
+    * rule's job is to alert on the change itself). Merge order is the
+    * sorted file list, so the result is deterministic across runs.
+    *
+    * This is the append-only-ingest shape: each run validates and profiles
+    * only its own slice; the lifetime profile covers every slice ever
+    * processed without re-reading any of them. */
+  def profileRun(df: DataFrame, dir: String, runId: String,
+      columns: Seq[String] = Nil): ProfileRunResult = {
+    val st = profileState(df, columns)
+    val dirPath = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirPath)
+    writeState(st, s"$dir/state_$runId.bin")
+    val files = {
+      val s = java.nio.file.Files.list(dirPath)
+      try s.iterator().asScala.map(_.toString)
+        .filter(p => p.substring(p.lastIndexOf('/') + 1).matches("state_.*\\.bin"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    val states = files.map(readState)
+    val (compat, skipped) = states.partition(o =>
+      o.columns == st.columns && o.typeNames == st.typeNames)
+    ProfileRunResult(finishState(compat.reduce(mergeStates)), compat.size, skipped.size)
+  }
+
+  final case class ProfileRunResult(
+      profiles: Seq[ColumnProfile], runsMerged: Int, incompatibleSkipped: Int)
 
   /** [[ProfileAggregator]] with the buffer itself as the result — the
     * distributed half of incremental profiling. */

@@ -258,6 +258,41 @@ class CliSpec extends SparkSpec {
     (JsonMethods.parse(Json.writeAnomalies(Nil)) \ "anomalies") shouldBe JArray(Nil)
   }
 
+  test("profile-dir: per-run states merge into a lifetime profile; schema drift starts a new lineage") {
+    import graft.engine.Profiler
+    val dir = Files.createTempDirectory("profdir").toString + "/events"
+    // run 1 profiles slice A only, run 2 slice B only — the lifetime
+    // profile after run 2 must cover A ∪ B without re-reading A
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, null, 30.0)).toDF("id", "s", "d")
+    val b = Seq((4L, "z", -5.0), (5L, "x", 99.0)).toDF("id", "s", "d")
+    val r1 = Profiler.profileRun(a, dir, "run1")
+    r1.runsMerged shouldBe 1
+    r1.profiles.head.total_count shouldBe 3
+    val r2 = Profiler.profileRun(b, dir, "run2")
+    r2.runsMerged shouldBe 2
+    r2.incompatibleSkipped shouldBe 0
+    val byCol = r2.profiles.map(p => p.column -> p).toMap
+    byCol("id").total_count shouldBe 5
+    byCol("s").null_count shouldBe 1
+    byCol("s").approx_distinct shouldBe 3L // x,y,z — exact below capacity
+    byCol("d").min_value shouldBe Some("-5.0")
+    byCol("d").max_value shouldBe Some("99.0")
+    // run 3 arrives with a retyped column: prior states are skipped (new
+    // lineage), never blended into an incompatible value space
+    val c = Seq((6L, "w", "notadouble")).toDF("id", "s", "d")
+    val r3 = Profiler.profileRun(c, dir, "run3")
+    r3.runsMerged shouldBe 1
+    r3.incompatibleSkipped shouldBe 2
+    r3.profiles.head.total_count shouldBe 1
+    // the CLI's JSON rendering carries the bookkeeping + per-column fields
+    val parsed = JsonMethods.parse(Json.writeProfile("events", "run2", r2))
+    (parsed \ "runs_merged").extract[Int] shouldBe 2
+    (parsed \ "incompatible_states_skipped").extract[Int] shouldBe 0
+    val cols = (parsed \ "columns").extract[List[JObject]]
+    cols.map(co => (co \ "column").extract[String]) shouldBe List("id", "s", "d")
+    (cols.head \ "total_count").extract[Long] shouldBe 5
+  }
+
   test("batch job spec carries the reference's knobs and round-trips through JSON") {
     import graft.deploy.JobSpec
     // reference create_validation_job (databricks_utils.py:49-93): 2 workers,

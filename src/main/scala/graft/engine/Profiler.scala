@@ -343,6 +343,29 @@ object Profiler {
     try in.readObject().asInstanceOf[ProfileState] finally in.close()
   }
 
+  /** EXACT value histogram of one profiled column, derived from a profile
+    * state's frequent-items sketch — the drift-baseline face of incremental
+    * profiling (`ref_state` on a drift rule): drift vs yesterday without
+    * re-scanning yesterday. Only legal while the sketch never purged
+    * (maximum error 0 — the column's value space fit the sketch counters,
+    * the categorical case drift monitoring targets); a purged sketch could
+    * under-count, so this RAISES instead of returning a silently-wrong
+    * baseline. NULLs, which the sketch never sees, are restored from the
+    * state's exact null counter under the engine's "__NULL__" bucket
+    * ([[Checks.multiHistogram]] parity). */
+  def columnHistogram(s: ProfileState, column: String): Map[String, Long] = {
+    val i = s.columns.indexOf(column)
+    require(i >= 0, s"profile state has no column '$column' (has: ${s.columns.mkString(", ")})")
+    val sk = s.buf.freq(i)
+    require(sk.getMaximumError == 0,
+      s"profile state's value sketch for '$column' is approximate (max error " +
+        s"${sk.getMaximumError}): too many distinct values for a sketch-derived " +
+        "drift baseline — use ref_table")
+    val items = sk.getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+      .map(r => r.getItem -> r.getEstimate).toMap
+    if (s.buf.nulls(i) > 0) items + ("__NULL__" -> s.buf.nulls(i)) else items
+  }
+
   /** One run of CLI-surface incremental profiling: profile `df` in ONE
     * pass, persist the state under `dir/state_<runId>.bin`, then merge
     * every compatible persisted state (this run's included) into the

@@ -959,13 +959,36 @@ class Validator(
             (global, byPart)
           case None => (Checks.multiHistogram(df, specs), Map.empty)
         }
-      val outcomes = driftRules.groupBy(_.param("ref_table")).toSeq.map { case (refOpt, group) =>
+      // baseline per group: a ref_table is scanned ONCE for all its rules;
+      // a ref_state (persisted Profiler state) is read driver-side — ZERO
+      // baseline scan, the incremental-profiling face of drift: compare
+      // today's table against yesterday's persisted sketch state without
+      // re-reading yesterday's rows. ref_state baselines are exact value
+      // histograms (Profiler.columnHistogram raises on a purged sketch),
+      // so the binned-numeric ks method is rejected — its current side
+      // buckets by bin index, which a value histogram can never match.
+      val outcomes = driftRules.groupBy(r => (r.param("ref_table"), r.param("ref_state")))
+          .toSeq.map { case ((refOpt, stateOpt), group) =>
         try {
-          val refTable = refOpt.getOrElse(
-            throw new IllegalArgumentException("drift rule needs ref_table"))
-          val baseline = tableResolver(refTable).getOrElse(
-            throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
-          val baseHists = Checks.multiHistogram(baseline, group.map(r => r.name -> driftBucket(r)))
+          val baseHists: Map[String, Map[String, Long]] = (refOpt, stateOpt) match {
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              "drift rule takes ref_table OR ref_state, not both")
+            case (None, None) => throw new IllegalArgumentException(
+              "drift rule needs ref_table or ref_state")
+            case (None, Some(path)) =>
+              val st = Profiler.readState(path)
+              group.map { r =>
+                if (r.param("method").getOrElse("chi_square") == "ks")
+                  throw new IllegalArgumentException(
+                    s"drift rule '${r.name}': method ks needs a binned numeric " +
+                      "baseline — ref_state carries a value histogram; use ref_table")
+                r.name -> Profiler.columnHistogram(st, r.column)
+              }.toMap
+            case (Some(refTable), None) =>
+              val baseline = tableResolver(refTable).getOrElse(
+                throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
+              Checks.multiHistogram(baseline, group.map(r => r.name -> driftBucket(r)))
+          }
           val perRule = group.map { rule =>
             val critical = rule.paramDouble("critical").getOrElse(
               throw new IllegalArgumentException(s"drift rule '${rule.name}' needs critical"))

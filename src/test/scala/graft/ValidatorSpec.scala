@@ -73,6 +73,64 @@ class ValidatorSpec extends SparkSpec {
     r.passed shouldBe true
   }
 
+  test("drift ref_state: baseline from a persisted profile state, zero baseline scan") {
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("refstate").toString
+    // yesterday: 80/20 a/b with some NULLs — profiled once, state persisted
+    val base = (Seq.fill(80)(Some("a")) ++ Seq.fill(20)(Some("b")) ++
+      Seq.fill(10)(Option.empty[String])).toDF("cat")
+    Profiler.writeState(Profiler.profileState(base), s"$dir/cat.bin")
+    val rule = ValidationRule("cat_drift", RuleType.drift, Seq("cat"),
+      parameters = Map("method" -> "tvd", "ref_state" -> s"$dir/cat.bin",
+        "critical" -> "0.2"))
+    // resolver knows NO tables: a verdict proves the baseline never
+    // resolved a table (came from the state file alone)
+    def run(current: org.apache.spark.sql.DataFrame) =
+      new Validator(spark, ValidationConfig(), _ => None)
+        .executeRules(current, Seq(rule), "t").results.head
+    val quiet = run(base) // identical distribution incl. the NULL bucket
+    quiet.passed shouldBe true
+    quiet.metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
+    val loud = run((Seq.fill(20)(Some("a")) ++ Seq.fill(80)(Some("b")) ++
+      Seq.fill(10)(Option.empty[String])).toDF("cat"))
+    loud.passed shouldBe false
+    loud.metadata("statistic").toDouble should be > 0.2
+  }
+
+  test("drift ref_state misconfigurations route to the rule's error path") {
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("refstate2").toString
+    val cur = Seq("a", "b").toDF("cat")
+    def result(params: Map[String, String]) =
+      new Validator(spark, ValidationConfig(), _ => None)
+        .executeRules(cur, Seq(ValidationRule("d", RuleType.drift, Seq("cat"),
+          parameters = params)), "t").results.head
+    Profiler.writeState(Profiler.profileState(cur), s"$dir/ok.bin")
+    // ks needs a binned numeric baseline — a value-histogram state can't
+    // serve it (numeric column, so the current-side scan itself is legal
+    // and the explicit ref_state rejection is what fires)
+    val num = Seq(1.0, 2.0).toDF("v")
+    Profiler.writeState(Profiler.profileState(num), s"$dir/num.bin")
+    val ks = new Validator(spark, ValidationConfig(), _ => None)
+      .executeRules(num, Seq(ValidationRule("d", RuleType.drift, Seq("v"),
+        parameters = Map("method" -> "ks", "ref_state" -> s"$dir/num.bin",
+          "critical" -> "0.3", "lo" -> "0", "hi" -> "10", "bins" -> "4"))), "t")
+      .results.head
+    ks.failed_count shouldBe -1L
+    ks.message should include ("ks")
+    // both baselines named → ambiguous, error
+    result(Map("method" -> "tvd", "ref_table" -> "x", "ref_state" -> s"$dir/ok.bin",
+      "critical" -> "0.2")).failed_count shouldBe -1L
+    // a purged (approximate) sketch must never become a silently-wrong
+    // baseline: high-cardinality column → error naming the cause
+    val wide = spark.range(200000).selectExpr("cast(id as string) as cat")
+    Profiler.writeState(Profiler.profileState(wide), s"$dir/wide.bin")
+    val approx = result(Map("method" -> "tvd", "ref_state" -> s"$dir/wide.bin",
+      "critical" -> "0.2"))
+    approx.failed_count shouldBe -1L
+    approx.message should include ("approximate")
+  }
+
   test("range rule accepts the reference's min_value/max_value spellings") {
     val df = Seq(-5.0, 1.0, 50.0, 120.0).toDF("score")
     val rule = ValidationRule("r", RuleType.Range, Seq("score"),

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * targets: `spark-submit --class graft.StreamCli app.jar --config c.yaml
   * --stream-source <dir-or-table> --checkpoint-location <dir>
   * [--trigger-interval 60] [--table t] [--validated-sink dir]
-  * [--metrics-dir dir] [--source-format parquet] [--await-seconds n]`.
+  * [--metrics-dir dir] [--profile-dir dir] [--source-format parquet]
+  * [--await-seconds n]`.
   *
   * Mirrors the parameter surface of the reference's generated streaming job
   * (`/root/reference/src/data_validator/databricks_utils.py:125-135`:
@@ -41,9 +42,15 @@ object StreamCli {
       config.tables.headOption.map(_.name).getOrElse(sys.error("no table configured")))
     val format = opts.getOrElse("source-format", "parquet")
     val input =
-      if (source.contains("/") || source.contains(java.io.File.separator))
-        spark.readStream.format(format).load(source)
-      else spark.readStream.table(source)
+      if (source.contains("/") || source.contains(java.io.File.separator)) {
+        // file streams require an explicit schema: infer it once from the
+        // files already present (the reference job also points at an
+        // existing landing directory — databricks_utils.py:433)
+        val schema = scala.util.Try(spark.read.format(format).load(source).schema)
+          .getOrElse(sys.error(s"cannot infer stream schema from '$source' — " +
+            "the directory must hold at least one readable file at launch"))
+        spark.readStream.format(format).schema(schema).load(source)
+      } else spark.readStream.table(source)
 
     val query = StreamValidator.start(
       spark, input, config, tableName,
@@ -56,7 +63,12 @@ object StreamCli {
       // time-series the batch CLI writes (run_id = batch-<id>), so
       // MetricsSink.anomalies does batch-over-batch change detection on a
       // LIVE stream — "quality degraded at batch 17" — with plain SQL
-      metricsSink = opts.get("metrics-dir"))
+      metricsSink = opts.get("metrics-dir"),
+      // --profile-dir: per-batch mergeable profile states + a continuously
+      // refreshed lifetime profile.json covering all data ever streamed,
+      // without re-reading history (batchId-keyed states make replays
+      // overwrite, not double-count)
+      profileDir = opts.get("profile-dir"))
 
     // --await-seconds bounds the run (tests, smoke checks); absent = forever
     opts.get("await-seconds") match {

@@ -32,6 +32,17 @@ object StreamValidator {
     * @param metricsSink    path for the per-batch rule-result time-series
     *                       ([[graft.io.MetricsSink]], run_id = "batch-<id>")
     *                       — observability without a custom onResult
+    * @param profileDir     incremental-profiling sink: each micro-batch is
+    *                       profiled in one pass and its mergeable sketch
+    *                       state persisted under `DIR/<table>/state_batch-
+    *                       <id>.bin`; `DIR/<table>/profile.json` is
+    *                       refreshed with the LIFETIME profile (merge of
+    *                       every batch state — all data ever streamed,
+    *                       never re-read). State files are keyed by
+    *                       batchId, so a replayed batch OVERWRITES its own
+    *                       state instead of double-counting: the lifetime
+    *                       profile is effectively-once even though
+    *                       foreachBatch is at-least-once
     */
   def start(
       spark: SparkSession,
@@ -43,7 +54,8 @@ object StreamValidator {
       triggerMs: Long = 60000L,
       onResult: BatchOutcome => Unit = _ => (),
       tableResolver: String => Option[DataFrame] = _ => None,
-      metricsSink: Option[String] = None): StreamingQuery = {
+      metricsSink: Option[String] = None,
+      profileDir: Option[String] = None): StreamingQuery = {
 
     val rules = config.enabledRules(tableName)
 
@@ -56,6 +68,13 @@ object StreamValidator {
         onResult(BatchOutcome(batchId, summary))
         metricsSink.foreach(path =>
           graft.io.MetricsSink.appendSummary(spark, summary, path, s"batch-$batchId"))
+        profileDir.foreach { dir =>
+          val res = graft.engine.Profiler.profileRun(
+            batch, s"$dir/$tableName", s"batch-$batchId")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/$tableName/profile.json"),
+            graft.Json.writeProfile(tableName, s"batch-$batchId", res))
+        }
         validatedSink.foreach { sink =>
           RulePlanner.applyFilters(batch, rules)
             .write.mode("append").parquet(sink)

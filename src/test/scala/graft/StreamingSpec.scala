@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
       Set("batch-0", "batch-1")
   }
 
+  test("streaming incremental profile: lifetime profile.json covers every micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Double)]
+    val input = stream.toDF().toDF("id", "v")
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("id_complete", RuleType.Completeness, Seq("id"))))))
+    val chk = Files.createTempDirectory("stream_chk_p").toString
+    val profDir = Files.createTempDirectory("stream_prof").toString + "/p"
+
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, triggerMs = 100L, profileDir = Some(profDir))
+    stream.addData(("a", 1.0), ("b", 2.0), ("c", 3.0))
+    query.processAllAvailable()
+    stream.addData(("d", -9.0), ("e", 50.0))
+    query.processAllAvailable()
+    query.stop()
+
+    // one state per batch + the refreshed lifetime profile
+    val files = new java.io.File(s"$profDir/events").list().toSet
+    files should contain allOf ("state_batch-0.bin", "state_batch-1.bin", "profile.json")
+    val parsed = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(java.nio.file.Paths.get(s"$profDir/events/profile.json")))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (parsed \ "runs_merged").extract[Int] shouldBe 2
+    val cols = (parsed \ "columns").extract[List[org.json4s.JObject]]
+    val v = cols.find(c => (c \ "column").extract[String] == "v").get
+    (v \ "total_count").extract[Long] shouldBe 5 // both batches, never re-read
+    (v \ "min_value").extract[Option[String]] shouldBe Some("-9.0")
+    (v \ "max_value").extract[Option[String]] shouldBe Some("50.0")
+  }
+
   test("group-unit and fused-predicate families validate inside a micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -982,6 +982,23 @@ class Validator(
                   throw new IllegalArgumentException(
                     s"drift rule '${r.name}': method ks needs a binned numeric " +
                       "baseline — ref_state carries a value histogram; use ref_table")
+                // the state's sketch keys values by their JVM string form,
+                // the current side by SQL cast-to-string — identical for
+                // string/integral/boolean, DIVERGENT for timestamps
+                // (trailing ".0") and NaN floats: those columns must error,
+                // not drift-compare two spellings of the same value
+                df.schema(r.column).dataType match {
+                  case org.apache.spark.sql.types.StringType
+                     | org.apache.spark.sql.types.BooleanType
+                     | org.apache.spark.sql.types.ByteType
+                     | org.apache.spark.sql.types.ShortType
+                     | org.apache.spark.sql.types.IntegerType
+                     | org.apache.spark.sql.types.LongType => ()
+                  case other => throw new IllegalArgumentException(
+                    s"drift rule '${r.name}': ref_state baselines compare values " +
+                      s"by string form and support string/integral/boolean columns; " +
+                      s"'${r.column}' is ${other.simpleString} — use ref_table")
+                }
                 r.name -> Profiler.columnHistogram(st, r.column)
               }.toMap
             case (Some(refTable), None) =>

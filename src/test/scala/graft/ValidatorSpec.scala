@@ -118,6 +118,15 @@ class ValidatorSpec extends SparkSpec {
       .results.head
     ks.failed_count shouldBe -1L
     ks.message should include ("ks")
+    // non-categorical column type: JVM vs SQL string forms diverge for
+    // timestamps/floats, so a double column errors instead of comparing
+    // two spellings of the same value
+    val typed = new Validator(spark, ValidationConfig(), _ => None)
+      .executeRules(num, Seq(ValidationRule("d", RuleType.drift, Seq("v"),
+        parameters = Map("method" -> "tvd", "ref_state" -> s"$dir/num.bin",
+          "critical" -> "0.2"))), "t").results.head
+    typed.failed_count shouldBe -1L
+    typed.message should include ("string form")
     // both baselines named → ambiguous, error
     result(Map("method" -> "tvd", "ref_table" -> "x", "ref_state" -> s"$dir/ok.bin",
       "critical" -> "0.2")).failed_count shouldBe -1L

@@ -429,6 +429,51 @@ object SparkEntry {
         FROM fact f FULL OUTER JOIN ref r ON f.event_type = r.event_type
         ORDER BY part""")),
 
+    // ---- diff rule (keyed row-level diff vs a reference snapshot): the
+    // full library path — Validator + resolver + the quarantine face — over
+    // a current table derived from the snapshot with surgical removals
+    // (keys %97), content changes (+1 price on keys %31) and additions
+    // (re-keyed copies of keys %89); the oracle re-derives every key's
+    // status by comparing the actual content in SQL, so the engine's
+    // hash-digest classification is certified against a direct compare ----
+    Q("q_diff_orders",
+      (s, d) => {
+        val ref = t(s, d, "orders").filter(col("o_orderkey").isNotNull)
+        val cur = ref.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+          .unionByName(ref.filter(col("o_orderkey") % 89 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+        val v = new Validator(s, ValidationConfig(),
+          n => if (n == "orders_snapshot") Some(ref) else None)
+        val rule = ValidationRule("orders_diff", RuleType.Diff, Seq("o_orderkey"),
+          parameters = Map("ref_table" -> "orders_snapshot",
+            "compare_columns" -> "o_totalprice,o_orderstatus"))
+        v.violations(cur, rule).orderBy("o_orderkey", "status")
+      },
+      Some("""WITH ref AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey IS NOT NULL),
+        cur AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM ref WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus FROM ref WHERE o_orderkey % 89 = 0),
+        l AS (SELECT o_orderkey, COUNT(*) AS cnt_left, MIN(o_totalprice) AS p, MIN(o_orderstatus) AS st FROM cur GROUP BY 1),
+        r AS (SELECT o_orderkey, COUNT(*) AS cnt_right, MIN(o_totalprice) AS p, MIN(o_orderstatus) AS st FROM ref GROUP BY 1),
+        j AS (SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+          CASE WHEN r.o_orderkey IS NULL THEN 'added'
+               WHEN l.o_orderkey IS NULL THEN 'removed'
+               WHEN l.cnt_left = r.cnt_right
+                    AND (l.p = r.p OR (l.p IS NULL AND r.p IS NULL))
+                    AND (l.st = r.st OR (l.st IS NULL AND r.st IS NULL)) THEN 'equal'
+               ELSE 'changed' END AS status,
+          CAST(l.cnt_left AS BIGINT) AS cnt_left, CAST(r.cnt_right AS BIGINT) AS cnt_right
+          FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+        SELECT * FROM j WHERE status <> 'equal' ORDER BY o_orderkey, status""")),
+
     // ---- monotonic rule (per-key ordering integrity) ----------------------
     Q("q_monotonic_lineitem",
       (s, d) => Checks.monotonicGroups(t(s, d, "lineitem"), Seq("l_orderkey"),

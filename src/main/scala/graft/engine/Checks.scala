@@ -231,6 +231,74 @@ object Checks {
       dependent: Seq[String]): DataFrame =
     fdGroups(df, keys, dependent).filter(fdViolationCond)
 
+  /** Per-key content summary for the keyed table diff: one row per key
+    * with the key's row count and an order-independent content digest —
+    * the SUM of per-row `xxhash64` over the compare columns. Sum (not XOR)
+    * so duplicate content rows cannot cancel across the two sides
+    * ({a,a,b} vs {b,c,c} XOR to the same value; their sums differ), and
+    * the sum runs in DECIMAL(38,0) so ANSI mode cannot overflow-raise on
+    * full-range 64-bit hash values. (count, digest) equality is multiset
+    * equality of the key's compare-column tuples up to 64-bit hash
+    * collision (~2⁻⁶⁴ per compared key — the standard content-digest
+    * trade every keyed diff tool makes).
+    *
+    * This is THE 100 TB shape: one map-side-combined groupBy per side, and
+    * the shuffle carries (key, count, 16-byte digest) per DISTINCT key —
+    * never rows, never the compared payload columns. Under a key-bucketed
+    * at-rest layout the aggregation plans no exchange at all. */
+  def keyContentSummary(df: DataFrame, keys: Seq[String], compare: Seq[String],
+      cntName: String, digestName: String): DataFrame = {
+    val rowHash =
+      if (compare.isEmpty) lit(0L) // keys-only diff: presence + multiplicity
+      else xxhash64(compare.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(cntName),
+        sum(rowHash.cast(DecimalType(38, 0))).as(digestName))
+  }
+
+  /** Keyed row-level diff of `left` (the table under validation) against
+    * `right` (the reference snapshot) — the row-granular counterpart of the
+    * reconciliation family's aggregate audit. One output row per key in
+    * EITHER table, with
+    *   status ∈ {added, removed, changed, equal}:
+    *     added   — key present only in `left` (new vs the reference)
+    *     removed — key present only in `right` (vanished from `left`)
+    *     changed — key in both, but row count or content digest differs
+    *     equal   — identical multiset of compare-column tuples
+    * plus both sides' row counts (`cnt_left` / `cnt_right`, NULL on the
+    * absent side). Duplicate keys are handled as multisets via
+    * [[keyContentSummary]]. NULL keys never join (SQL equality), so an
+    * all-NULL key group surfaces honestly as one `added` AND one `removed`
+    * row rather than silently comparing.
+    *
+    * The full-outer join runs on two frames hash-partitioned by the same
+    * keys from their own aggregations — co-partitioned, so the join itself
+    * adds no third shuffle; AQE picks the physical join at runtime. */
+  def tableDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    val l = keyContentSummary(left, keys, compare, "cnt_left", "__digest_l")
+    val r = keyContentSummary(right, keys, compare, "cnt_right", "__digest_r")
+    l.join(r, keys, "full_outer")
+      .withColumn("status",
+        when(col("cnt_right").isNull, lit("added"))
+          .when(col("cnt_left").isNull, lit("removed"))
+          .when(col("cnt_left") === col("cnt_right") &&
+            col("__digest_l") <=> col("__digest_r"), lit("equal"))
+          .otherwise(lit("changed")))
+  }
+
+  /** Violation predicate over [[tableDiff]] rows: any key whose multiset of
+    * compared rows differs between the two tables. */
+  def diffViolationCond: Column = col("status") =!= "equal"
+
+  /** The differing keys (quarantine face of the diff rule): one row per
+    * added / removed / changed key with both sides' counts. */
+  def diffViolations(left: DataFrame, right: DataFrame, keys: Seq[String],
+      compare: Seq[String]): DataFrame =
+    tableDiff(left, right, keys, compare)
+      .filter(diffViolationCond)
+      .select((keys.map(col) :+ col("status") :+ col("cnt_left") :+ col("cnt_right")): _*)
+
   /** ANSI-safe Pearson correlation aggregate: the builtin `corr` DIVIDES BY
     * ZERO under ANSI mode (Spark 4 default) when either column is constant,
     * failing the whole job. This formulation keeps the builtins' STABLE

@@ -43,6 +43,7 @@ object RuleType {
   val Reconciliation = "reconciliation" // cross-table aggregate match vs a reference table
   val FunctionalDependency = "functional_dependency" // determinant → dependent consistency (one value of B per A)
   val Quantile = "quantile" // a percentile of a numeric column within [min_value, max_value]
+  val Diff = "diff" // keyed row-level diff vs a reference table (added/removed/changed keys)
 }
 
 /** One validation rule.

@@ -139,7 +139,8 @@ class ConfigSpec extends AnyFunSuite with Matchers {
       RuleType.AllowedValues, RuleType.Freshness, RuleType.Sequence,
       RuleType.Monotonic, RuleType.RowCount, RuleType.Cardinality,
       RuleType.Predicate, RuleType.Correlation, RuleType.Entropy,
-      RuleType.Reconciliation, RuleType.FunctionalDependency, RuleType.Quantile)
+      RuleType.Reconciliation, RuleType.FunctionalDependency, RuleType.Quantile,
+      RuleType.Diff)
     // the drift rules in the shipped example cover every implemented method
     val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
       .flatMap(_.param("method")).toSet

@@ -924,4 +924,93 @@ class ValidatorSpec extends SparkSpec {
     seqV.size shouldBe 2
     seqV.find(_.partition == null).get.total_count shouldBe 0L
   }
+
+  test("diff rule: keyed row-level diff vs a reference table") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(
+      ("k1", 1.0, "x"), ("k2", 2.0, "y"), ("k3", 3.0, "z"),
+      ("k4", 4.0, "w"), ("k4", 4.0, "w"), // duplicate key, identical content
+      ("k5", 5.0, "v")).toDF("id", "amt", "tag")
+    val cur = Seq(
+      ("k1", 1.0, "x"), // equal
+      ("k2", 2.5, "y"), // changed: content differs
+      // k3 removed
+      ("k4", 4.0, "w"), // changed: multiplicity 2 → 1
+      ("k5", 5.0, "v"), // equal
+      ("k6", 6.0, "u")).toDF("id", "amt", "tag") // added
+    val v = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(ref) else None)
+    def rule(params: (String, String)*) = ValidationRule("d", RuleType.Diff,
+      Seq("id"), parameters = params.toMap + ("ref_table" -> "snapshot"))
+
+    // verdict unit is KEYS: 6 in the union, 4 differ (k2, k3, k4, k6)
+    val r1 = v.executeRules(cur, Seq(rule()), "t").results.head
+    r1.total_count shouldBe 6
+    r1.failed_count shouldBe 4
+    r1.metadata("unit") shouldBe "keys"
+    r1.metadata("compare") shouldBe "amt,tag" // default: common non-key columns
+
+    // violation rows: each differing key with its status and both counts
+    val viols = v.violations(cur, rule()).orderBy("id").collect()
+    viols.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(
+      ("k2", "changed"), ("k3", "removed"), ("k4", "changed"), ("k6", "added"))
+    val k3 = viols.find(_.getString(0) == "k3").get
+    k3.isNullAt(2) shouldBe true // cnt_left: absent side is NULL
+    k3.getLong(3) shouldBe 1L
+    val k4 = viols.find(_.getString(0) == "k4").get
+    k4.getLong(2) shouldBe 1L; k4.getLong(3) shouldBe 2L
+
+    // explicit compare_columns narrows the comparison: a tag-only change is
+    // invisible when only amt is compared
+    val tagOnly = Seq(("k1", 1.0, "CHANGED")).toDF("id", "amt", "tag")
+    val vt = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(Seq(("k1", 1.0, "x")).toDF("id", "amt", "tag")) else None)
+    vt.executeRules(tagOnly, Seq(rule("compare_columns" -> "amt")), "t")
+      .results.head.failed_count shouldBe 0L
+    vt.executeRules(tagOnly, Seq(rule()), "t").results.head.failed_count shouldBe 1L
+
+    // multiset digest is a SUM, not XOR: {A,A,B} vs {B,C,C} must differ
+    // (same count; an XOR digest cancels the pairs and calls them equal)
+    val ml = Seq(("k7", 7.0), ("k7", 7.0), ("k7", 8.0)).toDF("id", "amt")
+    val mr = Seq(("k7", 8.0), ("k7", 9.0), ("k7", 9.0)).toDF("id", "amt")
+    val vm = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(mr) else None)
+    val rm = vm.executeRules(ml, Seq(rule()), "t").results.head
+    rm.failed_count shouldBe 1L
+
+    // NULL keys never join: the same all-NULL key group on both sides
+    // surfaces as one added AND one removed row, never a silent compare
+    val nl = Seq((Option.empty[String], 1.0)).toDF("id", "amt")
+    val vnull = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(nl) else None)
+    val nviols = vnull.violations(nl, rule()).collect()
+    nviols.map(_.getString(1)).sorted.toSeq shouldBe Seq("added", "removed")
+
+    // misconfiguration → the rule's error result, never a silent pass:
+    // missing ref_table, unknown ref table, compare column absent on a side
+    v.executeRules(cur, Seq(ValidationRule("d2", RuleType.Diff, Seq("id"))), "t")
+      .results.head.failed_count shouldBe -1
+    v.executeRules(cur, Seq(ValidationRule("d3", RuleType.Diff, Seq("id"),
+      parameters = Map("ref_table" -> "nope"))), "t").results.head.failed_count shouldBe -1
+    v.executeRules(cur, Seq(rule("compare_columns" -> "amt, missing_col")), "t")
+      .results.head.failed_count shouldBe -1
+
+    // per-partition verdicts: partitioned by the key itself; removed keys
+    // land in their own bucket; partition_covers_key promotes the roll-up
+    // to the global verdict (the joined key frame IS the global universe)
+    val covered = rule("partition_covers_key" -> "true")
+    val (summary, verdicts) = v.executeRulesPartitioned(cur, Seq(covered), "t",
+      Some(col("id")))
+    summary.results.head.failed_count shouldBe 4
+    summary.results.head.total_count shouldBe 6
+    summary.results.head.metadata("partitioned") shouldBe "true"
+    verdicts.filter(_.rule_name == "d")
+      .map(x => x.partition -> x.failed_count).toMap shouldBe Map(
+      "k1" -> 0L, "k2" -> 1L, "k3" -> 1L, "k4" -> 1L, "k5" -> 0L, "k6" -> 1L)
+    // a partition expression over a NON-key column cannot evaluate on the
+    // per-key frame → the rule's error result, not a wrong grouping
+    val (sBad, _) = v.executeRulesPartitioned(cur, Seq(covered), "t",
+      Some(col("amt")))
+    sBad.results.head.failed_count shouldBe -1
+  }
 }

@@ -17,11 +17,51 @@ import java.nio.file.{Files, Paths}
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
   * caller override map (highest precedence — the reference's widget layer,
   * `settings.py:76-105`).
+  *
+  * Config-authoring mode: `--suggest-config out.yaml --sources s.yaml
+  * [--table t]` profiles each source table and writes a STARTER config
+  * whose suggested rules the data provably passes (the Deequ
+  * ConstraintSuggestion workflow) — feed it straight back via --config.
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
+    opts.get("suggest-config") match {
+      case Some(out) => runSuggest(opts, out)
+      case None      => runValidation(opts)
+    }
+  }
+
+  private def runSuggest(opts: Map[String, String], out: String): Unit = {
+    val builder = SparkSession.builder().appName("graft-suggest")
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
+    try {
+      val sources = opts.get("sources").map(loadSources)
+        .getOrElse(sys.error("--suggest-config requires --sources"))
+      val names = opts.get("table").map(Seq(_)).getOrElse(sources.keys.toSeq.sorted)
+      writeSuggestedConfig(spark,
+        names.map(n => n -> sources.getOrElse(n,
+          sys.error(s"--table $n not present in --sources"))), out)
+    } finally spark.stop()
+  }
+
+  /** Suggest rules for each (table, path) and save the starter config —
+    * self-contained: table sources are embedded, so the output runs with
+    * `--config out.yaml --sources s.yaml` unchanged. */
+  private[graft] def writeSuggestedConfig(spark: SparkSession,
+      tables: Seq[(String, String)], out: String): ValidationConfig = {
+    val cfg = ValidationConfig(tables = tables.map { case (n, path) =>
+      TableConfig(n, graft.engine.Suggest.suggestRules(Tables.load(spark, path)),
+        source = Some(path))
+    })
+    ConfigLoader.saveYamlFile(cfg, out)
+    cfg
+  }
+
+  private def runValidation(opts: Map[String, String]): Unit = {
     val configPath = opts.getOrElse("config",
       sys.error("--config is required"))
 

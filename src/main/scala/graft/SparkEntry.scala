@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Checks, RulePlanner, Validator}
+import graft.engine.{Checks, RulePlanner, Suggest, Validator}
 import graft.io.{Tables, TranscriptConfig, Transcripts}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -428,6 +428,96 @@ object SparkEntry {
         CAST(1 AS BIGINT) AS total_count
         FROM fact f FULL OUTER JOIN ref r ON f.event_type = r.event_type
         ORDER BY part""")),
+
+    // ---- constraint suggestion (Deequ ConstraintSuggestion workflow): the
+    // rules the DATA supports — completeness / uniqueness / range /
+    // allowed_values / type_conformance derived in two scans (one fused
+    // facts aggregate + one exact pass over HLL-gated candidates). The
+    // oracle re-derives every suggestion with exact SQL aggregates, so the
+    // engine's candidate gating provably changes nothing. No float ever
+    // enters a string: bounds/thresholds are typed columns ---------------
+    Q("q_suggest_rules_events",
+      (s, d) => Suggest.suggestionsDF(s, t(s, d, "events"),
+          columns = Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy("column", "rule_type"),
+      Some("""WITH f AS (SELECT COUNT(*) AS total,
+          COUNT(*) - COUNT(event_id) AS n_eid, COUNT(DISTINCT event_id) AS d_eid,
+          MIN(CAST(event_id AS DOUBLE)) AS lo_eid, MAX(CAST(event_id AS DOUBLE)) AS hi_eid,
+          COUNT(*) - COUNT(user_id) AS n_uid, COUNT(DISTINCT user_id) AS d_uid,
+          MIN(CAST(user_id AS DOUBLE)) AS lo_uid, MAX(CAST(user_id AS DOUBLE)) AS hi_uid,
+          COUNT(*) - COUNT(event_type) AS n_et, COUNT(DISTINCT event_type) AS d_et,
+          SUM(CASE WHEN event_type IS NOT NULL AND TRY_CAST(event_type AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS cast_et,
+          MAX(CASE WHEN event_type LIKE '%,%' THEN 1 ELSE 0 END) AS comma_et,
+          COUNT(*) - COUNT(value) + COALESCE(SUM(CASE WHEN value IS NOT NULL AND isnan(value) THEN 1 ELSE 0 END), 0) AS n_val,
+          COALESCE(SUM(CASE WHEN value IS NOT NULL AND isnan(value) THEN 1 ELSE 0 END), 0) AS nan_val,
+          COUNT(DISTINCT value) AS d_val,
+          MIN(value) FILTER (WHERE NOT isnan(value)) AS lo_val,
+          MAX(value) FILTER (WHERE NOT isnan(value)) AS hi_val
+          FROM events),
+        vals AS (SELECT string_agg(v, ',' ORDER BY v) AS set_et FROM
+          (SELECT DISTINCT event_type AS v FROM events WHERE event_type IS NOT NULL))
+        SELECT * FROM (
+          SELECT 'event_id' AS "column", 'completeness' AS rule_type,
+            CASE WHEN n_eid = 0 THEN NULL ELSE floor(100.0*(total-n_eid)/total)/100.0 END AS threshold,
+            CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, CAST(NULL AS VARCHAR) AS allowed,
+            CASE WHEN n_eid = 0 THEN 'no NULLs observed in ' || CAST(total AS VARCHAR) || ' rows'
+                 ELSE 'NULLs in ' || CAST(n_eid AS VARCHAR) || ' of ' || CAST(total AS VARCHAR) || ' rows; threshold floored to the observed rate' END AS reason
+          FROM f WHERE CAST(n_eid AS DOUBLE)/total <= 0.05
+          UNION ALL
+          SELECT 'event_id', 'uniqueness', NULL, NULL, NULL, NULL,
+            'all ' || CAST(total AS VARCHAR) || ' rows distinct'
+          FROM f WHERE n_eid = 0 AND d_eid = total
+          UNION ALL
+          SELECT 'event_id', 'range', NULL, lo_eid, hi_eid, NULL, 'observed numeric bounds'
+          FROM f WHERE total - n_eid > 0
+          UNION ALL
+          SELECT 'user_id', 'completeness',
+            CASE WHEN n_uid = 0 THEN NULL ELSE floor(100.0*(total-n_uid)/total)/100.0 END,
+            NULL, NULL, NULL,
+            CASE WHEN n_uid = 0 THEN 'no NULLs observed in ' || CAST(total AS VARCHAR) || ' rows'
+                 ELSE 'NULLs in ' || CAST(n_uid AS VARCHAR) || ' of ' || CAST(total AS VARCHAR) || ' rows; threshold floored to the observed rate' END
+          FROM f WHERE CAST(n_uid AS DOUBLE)/total <= 0.05
+          UNION ALL
+          SELECT 'user_id', 'uniqueness', NULL, NULL, NULL, NULL,
+            'all ' || CAST(total AS VARCHAR) || ' rows distinct'
+          FROM f WHERE n_uid = 0 AND d_uid = total
+          UNION ALL
+          SELECT 'user_id', 'range', NULL, lo_uid, hi_uid, NULL, 'observed numeric bounds'
+          FROM f WHERE total - n_uid > 0
+          UNION ALL
+          SELECT 'event_type', 'completeness',
+            CASE WHEN n_et = 0 THEN NULL ELSE floor(100.0*(total-n_et)/total)/100.0 END,
+            NULL, NULL, NULL,
+            CASE WHEN n_et = 0 THEN 'no NULLs observed in ' || CAST(total AS VARCHAR) || ' rows'
+                 ELSE 'NULLs in ' || CAST(n_et AS VARCHAR) || ' of ' || CAST(total AS VARCHAR) || ' rows; threshold floored to the observed rate' END
+          FROM f WHERE CAST(n_et AS DOUBLE)/total <= 0.05
+          UNION ALL
+          SELECT 'event_type', 'uniqueness', NULL, NULL, NULL, NULL,
+            'all ' || CAST(total AS VARCHAR) || ' rows distinct'
+          FROM f WHERE n_et = 0 AND d_et = total
+          UNION ALL
+          SELECT 'event_type', 'allowed_values', NULL, NULL, NULL, (SELECT set_et FROM vals),
+            CAST(d_et AS VARCHAR) || ' distinct values observed'
+          FROM f WHERE total - n_et > 0 AND d_et BETWEEN 1 AND 10 AND comma_et = 0
+          UNION ALL
+          SELECT 'event_type', 'type_conformance', NULL, NULL, NULL, NULL,
+            'all non-null values parse as bigint'
+          FROM f WHERE total - n_et > 0 AND cast_et = total - n_et
+          UNION ALL
+          SELECT 'value', 'completeness',
+            CASE WHEN n_val = 0 THEN NULL ELSE floor(100.0*(total-n_val)/total)/100.0 END,
+            NULL, NULL, NULL,
+            CASE WHEN n_val = 0 THEN 'no NULLs observed in ' || CAST(total AS VARCHAR) || ' rows'
+                 ELSE 'NULLs in ' || CAST(n_val AS VARCHAR) || ' of ' || CAST(total AS VARCHAR) || ' rows; threshold floored to the observed rate' END
+          FROM f WHERE CAST(n_val AS DOUBLE)/total <= 0.05
+          UNION ALL
+          SELECT 'value', 'uniqueness', NULL, NULL, NULL, NULL,
+            'all ' || CAST(total AS VARCHAR) || ' rows distinct'
+          FROM f WHERE n_val = 0 AND d_val = total
+          UNION ALL
+          SELECT 'value', 'range', NULL, lo_val, hi_val, NULL, 'observed numeric bounds'
+          FROM f WHERE total - n_val > 0 AND nan_val = 0
+        ) ORDER BY "column", rule_type""")),
 
     // ---- diff rule (keyed row-level diff vs a reference snapshot): the
     // full library path — Validator + resolver + the quarantine face — over

@@ -336,4 +336,28 @@ class CliSpec extends SparkSpec {
     spec.arguments should contain inOrderElementsOf Seq("--trigger-interval", "60")
     JobSpec.fromJson(JobSpec.toJson(spec)) shouldBe spec
   }
+
+  test("--suggest-config authors a starter config that validates green on its source") {
+    val dir = Files.createTempDirectory("suggest")
+    val src = dir.resolve("t_parquet").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "cat", "amt").write.parquet(src)
+    val out = dir.resolve("config.yaml").toString
+
+    val cfg = Cli.writeSuggestedConfig(spark, Seq("t" -> src), out)
+    cfg.tables.head.source shouldBe Some(src)
+    cfg.tables.head.rules should not be empty
+
+    // the real CLI round trip: reload the file the flag wrote
+    val loaded = graft.config.ConfigLoader.fromYamlFile(out, env = Map.empty)
+    loaded.enabledRules("t") shouldBe cfg.tables.head.rules
+    loaded.tables.head.source shouldBe Some(src) // self-contained sources
+
+    // the authored config validates green on its own data — the suggestion
+    // contract, through the full table pipeline
+    val v = new graft.engine.Validator(spark, loaded)
+    val summary = v.validateTable(graft.io.Tables.load(spark, src), "t")
+    summary.failed_rules shouldBe 0
+    summary.total_rules shouldBe loaded.enabledRules("t").size
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.config.ConfigLoader
+import graft.engine.{Suggest, Validator}
+
+/** Constraint suggestion: the rules derived from a table must (a) name
+  * exactly the contracts the data supports, (b) PASS when executed on the
+  * same data (self-consistency — the Deequ suggestion contract), and
+  * (c) round-trip through the YAML config surface. */
+class SuggestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def byKey(s: Seq[Suggest.Suggestion]) =
+    s.map(x => (x.column, x.ruleType) -> x).toMap
+
+  test("suggests the contracts the data supports, and only those") {
+    val df = Seq(
+      (1L, "a", 10.0, "7", Option("x")),
+      (2L, "b", 20.0, "8", Option("y")),
+      (3L, "a", 30.0, "9", Option.empty[String])
+    ).toDF("id", "cat", "amt", "num_str", "opt")
+    val s = byKey(Suggest.suggest(df))
+
+    // id: complete, unique, bounded
+    s((("id"), RuleType.Completeness)).reason should include("no NULLs")
+    s(("id", RuleType.Uniqueness)).reason shouldBe "all 3 rows distinct"
+    s(("id", RuleType.Range)).minValue shouldBe Some(1.0)
+    s(("id", RuleType.Range)).maxValue shouldBe Some(3.0)
+    // cat: complete, small closed vocabulary; NOT unique, NOT numeric-castable
+    s(("cat", RuleType.AllowedValues)).allowed shouldBe Some("a,b")
+    s.get(("cat", RuleType.Uniqueness)) shouldBe None
+    s.get(("cat", RuleType.TypeConformance)) shouldBe None
+    s.get(("cat", RuleType.Range)) shouldBe None
+    // amt: numeric bounds + uniqueness (all values distinct)
+    s(("amt", RuleType.Range)).minValue shouldBe Some(10.0)
+    s(("amt", RuleType.Range)).maxValue shouldBe Some(30.0)
+    s.get(("amt", RuleType.Uniqueness)) shouldBe defined
+    // num_str: a string column that is secretly integers
+    s(("num_str", RuleType.TypeConformance)).reason should include("bigint")
+    s(("num_str", RuleType.AllowedValues)).allowed shouldBe Some("7,8,9")
+    // opt: 1/3 NULL is above the default 5% budget → no completeness rule,
+    // but the non-null vocabulary is still a valid set contract
+    s.get(("opt", RuleType.Completeness)) shouldBe None
+    s(("opt", RuleType.AllowedValues)).allowed shouldBe Some("x,y")
+
+    // SELF-CONSISTENCY: every suggested rule passes on the data it came from
+    val v = new Validator(spark, ValidationConfig())
+    val summary = v.executeRules(df, Suggest.suggestRules(df), "t")
+    summary.results.filterNot(_.passed) shouldBe empty
+    summary.results should not be empty
+  }
+
+  test("gates: NaN suppresses range, commas and cardinality suppress allowed_values") {
+    val nan = Seq(1.0, Double.NaN, 3.0).toDF("x")
+    val sn = byKey(Suggest.suggest(nan))
+    sn.get(("x", RuleType.Range)) shouldBe None // NaN would fail its own rule
+    sn.get(("x", RuleType.Completeness)) shouldBe None // NaN counts as missing (1/3 > 5%)
+
+    val commas = Seq("a,b", "c").toDF("v")
+    byKey(Suggest.suggest(commas)).get(("v", RuleType.AllowedValues)) shouldBe None
+
+    val wide = (1 to 100).map(i => s"v$i").toDF("v")
+    byKey(Suggest.suggest(wide)).get(("v", RuleType.AllowedValues)) shouldBe None
+
+    // a tolerable NULL rate becomes a FLOORED threshold that still passes
+    val mostly = (1 to 99).map(i => Option(i.toLong)).toDF("k")
+      .union(Seq(Option.empty[Long]).toDF("k"))
+    val sm = byKey(Suggest.suggest(mostly))
+    sm(("k", RuleType.Completeness)).threshold shouldBe Some(0.99)
+    val v = new Validator(spark, ValidationConfig())
+    v.executeRules(mostly, Suggest.suggestRules(mostly), "t")
+      .results.filterNot(_.passed) shouldBe empty
+
+    Suggest.suggest(spark.emptyDataFrame.limit(0)) shouldBe empty
+    Suggest.suggest(Seq.empty[(Long, String)].toDF("a", "b")) shouldBe empty
+  }
+
+  test("suggested rules round-trip through the YAML config surface") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val rules = Suggest.suggestRules(df, prefix = "auto")
+    val cfg = ValidationConfig(tables = Seq(TableConfig("t", rules)))
+    val back = ConfigLoader.fromYamlString(ConfigLoader.toYamlString(cfg), env = Map.empty)
+    back.enabledRules("t") shouldBe rules
+    // and the reloaded config still validates green on the source data
+    val v = new Validator(spark, back)
+    v.executeRules(df, back.enabledRules("t"), "t")
+      .results.filterNot(_.passed) shouldBe empty
+  }
+}

@@ -192,6 +192,75 @@ object Suggest {
     }
   }
 
+  /** ZERO-SCAN suggestion from a persisted [[Profiler.ProfileState]] — author
+    * a validation config from the lifetime profile without touching the
+    * data (at 10^12 turns, the only suggestion pass that costs nothing:
+    * the states were already paid for by `--profile-dir`). Exactness
+    * contract unchanged — only suggestions the STATE can certify exactly
+    * are emitted:
+    *   - completeness / range from the state's exact counters and extrema
+    *     (range only for non-floating numerics: the state folds NaN into
+    *     its null counter, so a floating column cannot prove itself
+    *     NaN-free the way the scan path can)
+    *   - allowed_values / type_conformance from the frequent-items sketch
+    *     ONLY while it never purged (maximum error 0 — the exact-only
+    *     guard [[Profiler.columnHistogram]] established for drift
+    *     baselines); a purged sketch yields no suggestion, never an
+    *     approximate one
+    *   - uniqueness is never emitted (the state carries HLL distinct only,
+    *     and a ±1.6% estimate cannot certify "every row distinct")
+    */
+  def fromState(s: Profiler.ProfileState, maxNullRate: Double = 0.05,
+      maxAllowedValues: Int = 10): Seq[Suggestion] = {
+    import org.apache.datasketches.frequencies.ErrorType
+    require(maxAllowedValues >= 1, "maxAllowedValues must be >= 1")
+    val types = s.typeNames.map(DataType.fromDDL)
+    val b = s.buf
+    val total = b.total
+    if (total == 0) return Nil
+    s.columns.indices.flatMap { i =>
+      val name = s.columns(i)
+      val dt = types(i)
+      val nulls = b.nulls(i)
+      val nonNull = total - nulls
+      val completeness: Option[Suggestion] =
+        if (nulls == 0L)
+          Some(Suggestion(name, RuleType.Completeness, None, None, None, None,
+            s"no NULLs observed in $total rows"))
+        else if (nulls.toDouble / total <= maxNullRate) {
+          val thr = math.floor(100.0 * nonNull / total) / 100.0
+          Some(Suggestion(name, RuleType.Completeness, Some(thr), None, None, None,
+            s"NULLs in $nulls of $total rows; threshold floored to the observed rate"))
+        } else None
+      val range: Option[Suggestion] = dt match {
+        case _: NumericType if !isFloating(dt) && b.minV(i) != null =>
+          Some(Suggestion(name, RuleType.Range, None,
+            Some(b.minV(i).toDouble), Some(b.maxV(i).toDouble), None,
+            "observed numeric bounds"))
+        case _ => None
+      }
+      // exact value universe, available only while the sketch never purged
+      val exactVals: Option[Seq[String]] =
+        if (dt == StringType && nonNull > 0 && b.freq(i).getMaximumError == 0)
+          Some(b.freq(i).getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
+            .map(_.getItem).toSeq.sorted)
+        else None
+      val allowedValues: Option[Suggestion] = exactVals.collect {
+        case vals if vals.nonEmpty && vals.size <= maxAllowedValues &&
+            vals.forall(v => !v.contains(",")) =>
+          Suggestion(name, RuleType.AllowedValues, None, None, None,
+            Some(vals.mkString(",")), s"${vals.size} distinct values observed")
+      }
+      val typeConformance: Option[Suggestion] = exactVals.collect {
+        case vals if vals.nonEmpty &&
+            vals.forall(v => scala.util.Try(v.toLong).isSuccess) =>
+          Suggestion(name, RuleType.TypeConformance, None, None, None, None,
+            "all non-null values parse as bigint")
+      }
+      Seq(completeness, range, allowedValues, typeConformance).flatten
+    }
+  }
+
   /** [[suggest]] as typed rules, named `<prefix>_<column>_<rule_type>`. */
   def suggestRules(df: DataFrame, columns: Seq[String] = Nil,
       maxNullRate: Double = 0.05, maxAllowedValues: Int = 10,

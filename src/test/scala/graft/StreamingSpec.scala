@@ -194,6 +194,42 @@ class StreamingSpec extends SparkSpec {
     byBatch(1) shouldBe Map("fd" -> 1L, "p50" -> 1L)
   }
 
+  test("diff family validates a micro-batch against a reference snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the streaming use case: each micro-batch is a keyed re-delivery that
+    // must MATCH the reference snapshot row-for-row — added / removed /
+    // changed keys fail, through the ordinary foreachBatch path with the
+    // snapshot resolved via the streaming tableResolver
+    val ref = Seq(("k1", "a"), ("k2", "b")).toDF("id", "v")
+    val stream = MemoryStream[(String, String)]
+    val input = stream.toDF().toDF("id", "v")
+    val config = ValidationConfig(tables = Seq(TableConfig("events", Seq(
+      ValidationRule("d", RuleType.Diff, Seq("id"),
+        parameters = Map("ref_table" -> "snapshot"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val chk = Files.createTempDirectory("stream_chk_diff").toString
+    val query = StreamValidator.start(spark, input, config, "events",
+      checkpointDir = chk, triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o },
+      tableResolver = n => if (n == "snapshot") Some(ref) else None)
+
+    // exact re-delivery: every key equal
+    stream.addData(("k1", "a"), ("k2", "b"))
+    query.processAllAvailable()
+    // k2 changed content, k3 appeared, k1 vanished: 3 of 3 keys differ
+    stream.addData(("k2", "X"), ("k3", "c"))
+    query.processAllAvailable()
+    query.stop()
+
+    val byBatch = outcomes.sortBy(_.batchId)
+      .map(_.summary.results.map(r => (r.failed_count, r.total_count)).head)
+    byBatch(0) shouldBe ((0L, 2L))
+    byBatch(1) shouldBe ((3L, 3L))
+  }
+
   test("referential rules resolve ref tables through the streaming tableResolver") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

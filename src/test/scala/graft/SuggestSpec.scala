@@ -75,6 +75,39 @@ class SuggestSpec extends SparkSpec {
     Suggest.suggest(Seq.empty[(Long, String)].toDF("a", "b")) shouldBe empty
   }
 
+  test("zero-scan suggestion from a persisted profile state") {
+    import graft.engine.Profiler
+    val df = Seq((1L, "a", "7"), (2L, "b", "8"), (3L, "a", "9"))
+      .toDF("id", "cat", "num_str")
+    val dir = java.nio.file.Files.createTempDirectory("suggest_state")
+    val path = dir.resolve("state.bin").toString
+    Profiler.writeState(Profiler.profileState(df), path)
+
+    // the state travels: suggest from the REOPENED file, no data scan
+    val s = byKey(Suggest.fromState(Profiler.readState(path)))
+    s(("id", RuleType.Completeness)).reason should include("no NULLs")
+    s(("id", RuleType.Range)).minValue shouldBe Some(1.0)
+    s(("id", RuleType.Range)).maxValue shouldBe Some(3.0)
+    s(("cat", RuleType.AllowedValues)).allowed shouldBe Some("a,b")
+    s(("num_str", RuleType.TypeConformance)).reason should include("bigint")
+    // exactness contract: uniqueness is never emitted from a state (HLL
+    // cannot certify it)
+    s.keys.map(_._2) should not contain RuleType.Uniqueness
+
+    // self-consistency holds for state-derived rules too
+    val rules = Suggest.fromState(Profiler.readState(path)).map(_.rule("state"))
+    val v = new graft.engine.Validator(spark, ValidationConfig())
+    v.executeRules(df, rules, "t").results.filterNot(_.passed) shouldBe empty
+
+    // a purged value sketch (too many distinct values) yields NO
+    // allowed_values / type_conformance — never an approximate one
+    val wide = (1 to 2000).map(i => s"v$i").toDF("v")
+    val sw = byKey(Suggest.fromState(Profiler.profileState(wide)))
+    sw.get(("v", RuleType.AllowedValues)) shouldBe None
+    sw.get(("v", RuleType.TypeConformance)) shouldBe None
+    sw.get(("v", RuleType.Completeness)) shouldBe defined
+  }
+
   test("suggested rules round-trip through the YAML config surface") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
     val rules = Suggest.suggestRules(df, prefix = "auto")

@@ -95,4 +95,38 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("keyed table diff over a key-bucketed snapshot plans ZERO exchanges") {
+    // the 100 TB diff shape: reference snapshot bucketed by the key; the
+    // current slice derives from the same layout (filter/project preserve
+    // partitioning). Both per-key aggregations are satisfied by the
+    // bucketing and the full-outer join runs co-partitioned — the entire
+    // diff reads at-rest data with no shuffle at all.
+    val sf = "/root/testdata/sf0.001"
+    try {
+      spark.read.parquet(s"$sf/orders.parquet").filter(col("o_orderkey").isNotNull)
+        .write.bucketBy(8, "o_orderkey").mode("overwrite").saveAsTable("diff_ref")
+      val ref = spark.table("diff_ref")
+      val cur = ref.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val d = graft.engine.Checks.tableDiff(cur, ref,
+        Seq("o_orderkey"), Seq("o_totalprice"))
+      val byStatus = d.filter(graft.engine.Checks.diffViolationCond)
+        .groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      d.queryExecution.executedPlan.toString should not include "Exchange hashpartitioning"
+      // and the classification is right: %97 keys removed, the surviving
+      // %31 keys changed, nothing added
+      val keys = ref.select("o_orderkey").distinct()
+        .collect().map(_.getLong(0)).toSet
+      byStatus.getOrElse("removed", 0L) shouldBe keys.count(_ % 97 == 0).toLong
+      byStatus.getOrElse("changed", 0L) shouldBe
+        keys.count(k => k % 31 == 0 && k % 97 != 0).toLong
+      byStatus.getOrElse("added", 0L) shouldBe 0L
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS diff_ref")
+    }
+  }
 }

@@ -429,6 +429,44 @@ object SparkEntry {
         FROM fact f FULL OUTER JOIN ref r ON f.event_type = r.event_type
         ORDER BY part""")),
 
+    // ---- sampled-validation tier: the config surface end-to-end — rate
+    // rules run on the deterministic md5-rank key sample (user_id keys:
+    // whole users kept or dropped together), the diff rule is
+    // sample-exempt and sees the FULL table (vs itself → zero differing
+    // keys; a sampled fact side would read as mass deletion). The oracle
+    // re-derives both: the range counts over the same md5-permille slice,
+    // the diff totals over the full key universe ---------------------------
+    Q("q_sampled_verdicts_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cfg = ValidationConfig(tables = Seq(TableConfig("events",
+          rules = Seq(
+            ValidationRule("value_range", RuleType.Range, Seq("value"),
+              parameters = Map("min" -> "0", "max" -> "100")),
+            ValidationRule("ids_match", RuleType.Diff, Seq("event_id"),
+              parameters = Map("ref_table" -> "events_snapshot",
+                "compare_columns" -> "event_type"))),
+          sampleBy = Some("user_id"), samplePermille = 300)))
+        val v = new Validator(s, cfg,
+          n => if (n == "events_snapshot") Some(ev) else None)
+        val summary = v.validateTable(ev, "events")
+        import s.implicits._
+        summary.results.map(r => (r.rule_name, r.failed_count, r.total_count))
+          .toDF("rule_name", "failed_count", "total_count").orderBy("rule_name")
+      },
+      Some("""WITH s AS (SELECT * FROM events
+          WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 300)
+        SELECT 'ids_match' AS rule_name,
+          CAST(CASE WHEN COUNT(*) - COUNT(event_id) > 0 THEN 2 ELSE 0 END AS BIGINT) AS failed_count,
+          CAST(COUNT(DISTINCT event_id) + CASE WHEN COUNT(*) - COUNT(event_id) > 0 THEN 2 ELSE 0 END AS BIGINT) AS total_count
+        FROM events
+        UNION ALL
+        SELECT 'value_range',
+          CAST(COALESCE(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT)
+        FROM s
+        ORDER BY rule_name""")),
+
     // ---- constraint suggestion (Deequ ConstraintSuggestion workflow): the
     // rules the DATA supports — completeness / uniqueness / range /
     // allowed_values / type_conformance derived in two scans (one fused

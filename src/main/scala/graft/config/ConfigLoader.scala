@@ -74,6 +74,9 @@ object ConfigLoader {
       // a config carrying buckets without partition_by
       if (t.partitionBy.isDefined || t.partitionBuckets != 32)
         m.put("partition_buckets", Integer.valueOf(t.partitionBuckets))
+      t.sampleBy.foreach(m.put("sample_by", _))
+      if (t.sampleBy.isDefined || t.samplePermille != 1000)
+        m.put("sample_permille", Integer.valueOf(t.samplePermille))
       m
     }))
     if (config.requireSqlRules) root.put("require_sql_rules", java.lang.Boolean.TRUE)
@@ -210,7 +213,14 @@ object ConfigLoader {
               }
               require(n >= 0, s"partition_buckets must be >= 0, got $n")
               n
-            }.getOrElse(32))
+            }.getOrElse(32),
+            sampleBy = str(t, "sample_by"),
+            samplePermille = str(t, "sample_permille").map { s =>
+              try s.toInt catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"sample_permille must be an integer, got '$s'")
+              } // range enforced by TableConfig itself (fail-fast at parse)
+            }.getOrElse(1000))
         }
       case _ => Nil
     }

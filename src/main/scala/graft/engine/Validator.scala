@@ -1586,16 +1586,65 @@ class Validator(
     * (reference `validator.py:71-99`). A table configured with
     * `partition_by` runs the PARTITIONED path — global verdicts ride the
     * same grouped pass, and the per-partition verdicts are retrievable via
-    * [[partitionVerdictsOf]]. */
+    * [[partitionVerdictsOf]].
+    *
+    * Sampled tier (`sample_by` + `sample_permille < 1000`): every
+    * sample-compatible rule runs on a DETERMINISTIC key sample (md5-rank
+    * keep predicate — a pure scan filter, whole key groups kept or dropped
+    * together so group-unit families see intact groups; rows with a NULL
+    * sample key are never sampled in). Sampled results carry
+    * `sampled_by` / `sample_permille` plus the Wilson 95% interval of the
+    * observed success rate — the consumer sees not just the estimate but
+    * how tight it is at the sampled n. Families whose semantics are
+    * ABSOLUTE — reconciliation, diff, row_count, cardinality, schema —
+    * still see the full table: a 30% slice reconciles against nothing,
+    * diffs as mass deletion, and under-counts distincts, so sampling them
+    * would manufacture failures. At 10^12 turns this is the hourly tier:
+    * rate-quality rules on the slice for 1/permille the cost, the full
+    * pass nightly. */
   def validateTable(df: DataFrame, tableName: String): ValidationSummary = {
     val rules = config.enabledRules(tableName)
-    val partExpr = config.tables.find(_.name == tableName).flatMap { t =>
+    val tcfg = config.tables.find(_.name == tableName)
+    val partExpr = tcfg.flatMap { t =>
       t.partitionBy.map { c =>
         if (t.partitionBuckets > 0) pmod(xxhash64(col(c)), lit(t.partitionBuckets))
         else col(c)
       }
     }
-    val (summary, verdicts) = executeRulesPartitioned(df, rules, tableName, partExpr)
+    val sampleSpec: Option[(String, Int)] = tcfg
+      .filter(_.samplePermille < 1000)
+      .flatMap(t => t.sampleBy.map(_ -> t.samplePermille))
+    val (summary, verdicts) = sampleSpec match {
+      case None => executeRulesPartitioned(df, rules, tableName, partExpr)
+      case Some((key, permille)) =>
+        val t0 = System.nanoTime()
+        val (absolute, sampled) = rules.partition(r => Validator.sampleExempt(r.ruleType))
+        val sdf = graft.operators.Curation.hashSamplePermille(df, key, permille)
+        val (sRes, sVer) =
+          if (sampled.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
+          else {
+            val (s, v) = executeRulesPartitioned(sdf, sampled, tableName, partExpr)
+            (s.results, v)
+          }
+        val (aRes, aVer) =
+          if (absolute.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
+          else {
+            val (s, v) = executeRulesPartitioned(df, absolute, tableName, partExpr)
+            (s.results, v)
+          }
+        val annotated = sRes.map { r =>
+          val ci =
+            if (r.total_count > 0 && r.failed_count >= 0) {
+              val (lo, hi) = Validator.wilson95(r.failed_count, r.total_count)
+              Map("ci95_lo" -> f"$lo%.6f", "ci95_hi" -> f"$hi%.6f")
+            } else Map.empty[String, String]
+          r.copy(metadata = r.metadata +
+            ("sampled_by" -> key) + ("sample_permille" -> permille.toString) ++ ci)
+        }
+        val byName = (annotated ++ aRes).map(r => r.rule_name -> r).toMap
+        (ValidationSummary.from(tableName, rules.map(r => byName(r.name)),
+          (System.nanoTime() - t0) / 1e6), sVer ++ aVer)
+    }
     // synchronized: the += on the map is read-modify-write — concurrent
     // validateTable calls for different tables must not lose each other
     this.synchronized { lastVerdicts = lastVerdicts + (tableName -> verdicts) }
@@ -1697,6 +1746,32 @@ class Validator(
 }
 
 object Validator {
+  /** Families whose verdicts measure ABSOLUTE quantities of the whole
+    * table — cross-table comparisons (reconciliation, diff), size bounds
+    * (row_count), distinct-count bounds (cardinality; sampling
+    * under-counts distincts — the species problem), and the schema
+    * contract. The sampled-validation tier runs these on the FULL table;
+    * everything else (rates, shapes, per-group integrity) estimates
+    * honestly from a key sample. */
+  private[engine] val sampleExempt: Set[String] = Set(
+    graft.RuleType.Reconciliation, graft.RuleType.Diff, graft.RuleType.RowCount,
+    graft.RuleType.Cardinality, graft.RuleType.SchemaDrift)
+
+  /** Wilson 95% score interval of the SUCCESS rate given (failed, total) —
+    * the sampled tier's "how tight is this estimate" annotation. Preferred
+    * over the normal approximation because sampled rates sit near 1.0,
+    * exactly where the Wald interval collapses. */
+  private[engine] def wilson95(failed: Long, total: Long): (Double, Double) = {
+    val z = 1.959963984540054
+    val n = total.toDouble
+    val p = (n - failed) / n
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    (math.max(0.0, center - half), math.min(1.0, center + half))
+  }
+
   /** Shared daemon pool for submitting independent rule-section Spark jobs
     * concurrently (drift scan ∥ per-rule uniqueness ∥ referential). Sized
     * for SECTION fan-out, not task parallelism — Spark's scheduler owns the

@@ -99,8 +99,19 @@ final case class TableConfig(
     // (the recommended shape — a raw high-cardinality column trips the
     // 65536-bucket guard); 0 groups on the raw column (dates, shards)
     partitionBy: Option[String] = None,
-    partitionBuckets: Int = 32
-)
+    partitionBuckets: Int = 32,
+    // sampled-validation tier: sample_by names the key (whole key groups
+    // kept/dropped together — md5-deterministic, engine-portable),
+    // sample_permille the keep rate; < 1000 runs every sample-compatible
+    // rule on the slice (results annotated with Wilson 95% bounds) while
+    // absolute families (reconciliation, diff, row_count, cardinality,
+    // schema) still see the full table
+    sampleBy: Option[String] = None,
+    samplePermille: Int = 1000
+) {
+  require(samplePermille >= 0 && samplePermille <= 1000,
+    s"sample_permille must be in [0, 1000], got $samplePermille")
+}
 
 final case class EngineConfig(
     engineType: String = "spark",

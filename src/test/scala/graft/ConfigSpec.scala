@@ -160,6 +160,21 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       ConfigLoader.fromYamlString(y.replace("16", "lots"), env = Map.empty)
     }
+    // sampled tier from the config surface: parses, round-trips, fails fast
+    // on an out-of-range or non-numeric rate
+    val sy = "tables:\n  - name: t\n    sample_by: uid\n    sample_permille: 300\n"
+    val sc = ConfigLoader.fromYamlString(sy, env = Map.empty)
+    sc.tables.head.sampleBy shouldBe Some("uid")
+    sc.tables.head.samplePermille shouldBe 300
+    val rt = ConfigLoader.fromYamlString(ConfigLoader.toYamlString(sc), env = Map.empty)
+    rt.tables.head.sampleBy shouldBe Some("uid")
+    rt.tables.head.samplePermille shouldBe 300
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(sy.replace("300", "1500"), env = Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(sy.replace("300", "most"), env = Map.empty)
+    }
   }
 
   test("invalid severity rejected (config.py:44-49)") {

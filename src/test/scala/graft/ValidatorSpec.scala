@@ -925,6 +925,45 @@ class ValidatorSpec extends SparkSpec {
     seqV.find(_.partition == null).get.total_count shouldBe 0L
   }
 
+  test("sampled tier: rate rules on the key sample, absolute families on the full table") {
+    import org.apache.spark.sql.functions.col
+    // 50 keys × 2 rows; every 10th key carries a range violation
+    val df = (0 until 50).flatMap(k =>
+      Seq((s"u$k", 1.0), (s"u$k", if (k % 10 == 0) -1.0 else 2.0))).toDF("uid", "v")
+    val cfg = ValidationConfig(tables = Seq(TableConfig("t",
+      rules = Seq(
+        ValidationRule("v_range", RuleType.Range, Seq("v"),
+          parameters = Map("min" -> "0", "max" -> "10")),
+        // min_rows = the FULL size: passes only if row_count saw the whole table
+        ValidationRule("size", RuleType.RowCount, Seq(),
+          parameters = Map("min_rows" -> "100"))),
+      sampleBy = Some("uid"), samplePermille = 400)))
+    val v = new Validator(spark, cfg)
+    val byName = v.validateTable(df, "t").results.map(r => r.rule_name -> r).toMap
+
+    // the expected slice, derived with the SAME deterministic predicate
+    val sampled = graft.operators.Curation.hashSamplePermille(df, "uid", 400)
+    val expTotal = sampled.count()
+    val expFailed = sampled.filter(col("v") < 0 || col("v") > 10).count()
+    expTotal should be > 0L
+    expTotal should be < 100L
+    byName("v_range").total_count shouldBe expTotal
+    byName("v_range").failed_count shouldBe expFailed
+    byName("v_range").metadata("sampled_by") shouldBe "uid"
+    byName("v_range").metadata("sample_permille") shouldBe "400"
+    // the Wilson interval brackets the observed rate
+    val lo = byName("v_range").metadata("ci95_lo").toDouble
+    val hi = byName("v_range").metadata("ci95_hi").toDouble
+    lo should be <= byName("v_range").success_rate
+    hi should be >= byName("v_range").success_rate
+    // the absolute family saw the FULL table (min_rows = full size passed)
+    byName("size").passed shouldBe true
+    byName("size").metadata("row_count") shouldBe "100"
+    byName("size").metadata.get("sampled_by") shouldBe None
+    // whole key groups are kept or dropped together
+    sampled.groupBy("uid").count().filter(col("count") =!= 2).count() shouldBe 0L
+  }
+
   test("diff rule: keyed row-level diff vs a reference table") {
     import org.apache.spark.sql.functions.col
     val ref = Seq(

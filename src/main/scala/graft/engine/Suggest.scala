@@ -19,12 +19,19 @@ import org.apache.spark.sql.types._
   *      HLL approx-distinct, and for strings the bigint-castable count.
   *   2. ONE aggregate over the few columns the HLL estimates qualify as
   *      candidates: exact `count_distinct` for uniqueness candidates
-  *      (estimate ≥ 90% of non-null — a truly-unique column sits within
-  *      ±5% at the 1.6% rsd used here, so the gate cannot miss it) and
+  *      (estimate ≥ 80% of non-null — at the default 5% rsd a
+  *      truly-unique column's estimate sits within ±15% even at 3σ, so
+  *      the gate cannot miss it; measured: tightening rsd to 1.6%
+  *      instead cost 4× the whole facts scan in big-sketch merges) and
   *      exact distinct + bounded `collect_set` for low-cardinality
   *      allowed-values candidates (estimate ≤ 2× the cap; the set is
   *      sliced to cap+1 inside the aggregate, so a lying estimate cannot
   *      blow up a buffer). Skipped entirely when nothing qualifies.
+  *      Cost note: Catalyst plans N distinct aggregates in one job as an
+  *      Expand with factor N — still one SCAN, but N× the rows into the
+  *      partial aggregation. The HLL gate is what bounds N: only
+  *      plausibly-unique or plausibly-small-vocabulary columns reach this
+  *      pass, not the table's whole width.
   *
   * Every emitted rule is SELF-CONSISTENT by construction: it passes on the
   * data it was suggested from (thresholds are floored to the observed
@@ -108,7 +115,7 @@ object Suggest {
         nans.as(s"__nan_$name"),
         minE.as(s"__min_$name"),
         maxE.as(s"__max_$name"),
-        approx_count_distinct(c, 0.016).as(s"__ad_$name"),
+        approx_count_distinct(c, 0.05).as(s"__ad_$name"),
         castable.as(s"__cast_$name"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -132,7 +139,7 @@ object Suggest {
 
     // ---- scan 2: exact verification, candidates only ----------------------
     val uniqCands = facts.filter(f =>
-      f.nulls == 0L && f.approxDistinct >= math.ceil(0.9 * f.nonNull).toLong && f.nonNull > 0)
+      f.nulls == 0L && f.approxDistinct >= math.ceil(0.8 * f.nonNull).toLong && f.nonNull > 0)
       .map(_.name)
     val avCands = facts.filter(f => f.dt == StringType && f.nonNull > 0 &&
       f.approxDistinct <= 2L * maxAllowedValues).map(_.name)

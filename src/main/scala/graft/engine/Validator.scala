@@ -968,11 +968,20 @@ class Validator(
   private def groupUnitVerdicts(rule: ValidationRule, groupStats: DataFrame,
       violCond: org.apache.spark.sql.Column,
       partTotals: Map[String, Long]): Seq[PartitionVerdict] = {
+    // limit-before-collect: for sequence/monotonic/fd the partition space
+    // was already bounded by the fused pass's guard over the same rows,
+    // but the DIFF family's key frame includes reference-side keys the
+    // fused pass never saw — a reference snapshot with an unbounded raw
+    // partition column must raise the standard bucket guard, not OOM the
+    // driver
     val rows = groupStats
       .groupBy(col("__part"))
       .agg(count(lit(1)).as("__groups"),
         sum(when(violCond, 1L).otherwise(0L)).as("__violating"))
+      .limit(maxPartitionBuckets + 1)
       .collect()
+    require(rows.length <= maxPartitionBuckets,
+      s"partition expression produced more than $maxPartitionBuckets buckets")
     val present = rows.toSeq.map { r =>
       val part = Checks.partKeyString(r.get(0))
       val total = r.getLong(1)

@@ -22,6 +22,9 @@ import java.nio.file.{Files, Paths}
   * [--table t]` profiles each source table and writes a STARTER config
   * whose suggested rules the data provably passes (the Deequ
   * ConstraintSuggestion workflow) — feed it straight back via --config.
+  * With `--from-profile DIR` (a `--profile-dir` directory) the rules are
+  * authored ZERO-SCAN from each table's lifetime profile states instead —
+  * no Spark session, no row read.
   */
 object Cli {
 
@@ -33,19 +36,52 @@ object Cli {
     }
   }
 
-  private def runSuggest(opts: Map[String, String], out: String): Unit = {
-    val builder = SparkSession.builder().appName("graft-suggest")
-    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
-      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    val spark = builder.getOrCreate()
-    try {
-      val sources = opts.get("sources").map(loadSources)
-        .getOrElse(sys.error("--suggest-config requires --sources"))
-      val names = opts.get("table").map(Seq(_)).getOrElse(sources.keys.toSeq.sorted)
-      writeSuggestedConfig(spark,
-        names.map(n => n -> sources.getOrElse(n,
-          sys.error(s"--table $n not present in --sources"))), out)
-    } finally spark.stop()
+  private def runSuggest(opts: Map[String, String], out: String): Unit =
+    opts.get("from-profile") match {
+      case Some(dir) =>
+        // zero-scan authoring: rules come from the persisted profile
+        // states `--profile-dir` already paid for — no Spark session, no
+        // data read at all
+        val sources = opts.get("sources").map(loadSources).getOrElse(Map.empty)
+        val names = opts.get("table").map(Seq(_)).getOrElse {
+          val p = java.nio.file.Paths.get(dir)
+          if (!Files.isDirectory(p)) sys.error(s"--from-profile: no such directory $dir")
+          val s = Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(Files.isDirectory(_))
+              .map(_.getFileName.toString).toSeq.sorted
+          } finally s.close()
+        }
+        writeSuggestedConfigFromProfiles(dir, names, sources, out)
+      case None =>
+        val builder = SparkSession.builder().appName("graft-suggest")
+        if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+          builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        val spark = builder.getOrCreate()
+        try {
+          val sources = opts.get("sources").map(loadSources)
+            .getOrElse(sys.error("--suggest-config requires --sources (or --from-profile)"))
+          val names = opts.get("table").map(Seq(_)).getOrElse(sources.keys.toSeq.sorted)
+          writeSuggestedConfig(spark,
+            names.map(n => n -> sources.getOrElse(n,
+              sys.error(s"--table $n not present in --sources"))), out)
+        } finally spark.stop()
+    }
+
+  /** Zero-scan variant: rules authored from each table's lifetime profile
+    * state (as written by `--profile-dir`) — the config that validates
+    * everything the profiles have seen, produced without reading a row. */
+  private[graft] def writeSuggestedConfigFromProfiles(profileDir: String,
+      tables: Seq[String], sources: Map[String, String], out: String): ValidationConfig = {
+    val cfg = ValidationConfig(tables = tables.map { n =>
+      val st = graft.engine.Profiler.lifetimeState(s"$profileDir/$n").getOrElse(
+        sys.error(s"--from-profile: no profile states under $profileDir/$n"))
+      TableConfig(n, graft.engine.Suggest.fromState(st).map(_.rule("suggested")),
+        source = sources.get(n))
+    })
+    ConfigLoader.saveYamlFile(cfg, out)
+    cfg
   }
 
   /** Suggest rules for each (table, path) and save the starter config —

@@ -400,6 +400,29 @@ object Profiler {
   final case class ProfileRunResult(
       profiles: Seq[ColumnProfile], runsMerged: Int, incompatibleSkipped: Int)
 
+  /** READ-ONLY lifetime state of a `--profile-dir` table directory: every
+    * persisted run state sharing the current lineage's schema, merged —
+    * no data scan, no new state written. The lineage is anchored on the
+    * last state in sorted filename order (the same deterministic walk
+    * [[profileRun]] uses); states from older schemas are skipped exactly
+    * as profileRun skips them. None when the directory holds no states. */
+  def lifetimeState(dir: String): Option[ProfileState] = {
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(dirPath)) return None
+    val files = {
+      val s = java.nio.file.Files.list(dirPath)
+      try s.iterator().asScala.map(_.toString)
+        .filter(p => p.substring(p.lastIndexOf('/') + 1).matches("state_.*\\.bin"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    if (files.isEmpty) return None
+    val states = files.map(readState)
+    val ref = states.last
+    Some(states.filter(s => s.columns == ref.columns && s.typeNames == ref.typeNames)
+      .reduce(mergeStates))
+  }
+
   /** [[ProfileAggregator]] with the buffer itself as the result — the
     * distributed half of incremental profiling. */
   class ProfileStateAggregator(

@@ -360,4 +360,32 @@ class CliSpec extends SparkSpec {
     summary.failed_rules shouldBe 0
     summary.total_rules shouldBe loaded.enabledRules("t").size
   }
+
+  test("--suggest-config --from-profile authors a config zero-scan from persisted states") {
+    import graft.engine.Profiler
+    val dir = Files.createTempDirectory("from_profile")
+    // two ingest slices profiled on different runs (the --profile-dir shape)
+    val slice1 = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val slice2 = Seq((3L, "c"), (4L, "a")).toDF("id", "cat")
+    Profiler.profileRun(slice1, s"$dir/t", "run1")
+    Profiler.profileRun(slice2, s"$dir/t", "run2")
+
+    val out = dir.resolve("config.yaml").toString
+    val cfg = Cli.writeSuggestedConfigFromProfiles(dir.toString, Seq("t"),
+      sources = Map("t" -> "t_path"), out)
+    cfg.tables.head.source shouldBe Some("t_path")
+    val loaded = graft.config.ConfigLoader.fromYamlFile(out, env = Map.empty)
+    val rules = loaded.enabledRules("t")
+    rules should not be empty
+    // the merged-state rules hold over the UNION of the profiled slices:
+    // range spans both runs, the value set is the union vocabulary
+    val byName = rules.map(r => (r.ruleType, r.columns.headOption.getOrElse("")) -> r).toMap
+    byName((RuleType.Range, "id")).parameters("min") shouldBe "1.0"
+    byName((RuleType.Range, "id")).parameters("max") shouldBe "4.0"
+    byName((RuleType.AllowedValues, "cat")).parameters("values") shouldBe "a,b,c"
+    // and the authored config validates green on the full union
+    val v = new graft.engine.Validator(spark, loaded)
+    v.executeRules(slice1.union(slice2), rules, "t")
+      .results.filterNot(_.passed) shouldBe empty
+  }
 }

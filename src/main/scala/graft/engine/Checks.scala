@@ -248,9 +248,16 @@ object Checks {
     * at-rest layout the aggregation plans no exchange at all. */
   def keyContentSummary(df: DataFrame, keys: Seq[String], compare: Seq[String],
       cntName: String, digestName: String): DataFrame = {
+    // xxhash64 SKIPS null children, so hashing the bare columns would give
+    // (NULL,'x') and ('x',NULL) the same digest — a systematic false
+    // 'equal' on rows whose non-null values form the same sequence in
+    // different columns. Interleaving each column's (always non-null)
+    // null indicator pins every value to its position: two rows digest
+    // equal iff they share the null mask AND the per-position values.
     val rowHash =
       if (compare.isEmpty) lit(0L) // keys-only diff: presence + multiplicity
-      else xxhash64(compare.map(col): _*)
+      else xxhash64(compare.flatMap(c =>
+        Seq(col(c).isNull.cast("int"), col(c))): _*)
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(cntName),
         sum(rowHash.cast(DecimalType(38, 0))).as(digestName))

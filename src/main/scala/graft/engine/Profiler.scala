@@ -381,17 +381,9 @@ object Profiler {
   def profileRun(df: DataFrame, dir: String, runId: String,
       columns: Seq[String] = Nil): ProfileRunResult = {
     val st = profileState(df, columns)
-    val dirPath = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(dirPath)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     writeState(st, s"$dir/state_$runId.bin")
-    val files = {
-      val s = java.nio.file.Files.list(dirPath)
-      try s.iterator().asScala.map(_.toString)
-        .filter(p => p.substring(p.lastIndexOf('/') + 1).matches("state_.*\\.bin"))
-        .toSeq.sorted
-      finally s.close()
-    }
-    val states = files.map(readState)
+    val states = stateFiles(dir).map(readState)
     val (compat, skipped) = states.partition(o =>
       o.columns == st.columns && o.typeNames == st.typeNames)
     ProfileRunResult(finishState(compat.reduce(mergeStates)), compat.size, skipped.size)
@@ -400,26 +392,35 @@ object Profiler {
   final case class ProfileRunResult(
       profiles: Seq[ColumnProfile], runsMerged: Int, incompatibleSkipped: Int)
 
-  /** READ-ONLY lifetime state of a `--profile-dir` table directory: every
-    * persisted run state sharing the current lineage's schema, merged —
-    * no data scan, no new state written. The lineage is anchored on the
-    * last state in sorted filename order (the same deterministic walk
-    * [[profileRun]] uses); states from older schemas are skipped exactly
-    * as profileRun skips them. None when the directory holds no states. */
-  def lifetimeState(dir: String): Option[ProfileState] = {
+  /** The persisted state files of a profile directory, in sorted filename
+    * order — ONE definition of the walk for the writer ([[profileRun]])
+    * and every reader, so their notions of the directory cannot diverge. */
+  private def stateFiles(dir: String): Seq[String] = {
     val dirPath = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(dirPath)) return None
-    val files = {
-      val s = java.nio.file.Files.list(dirPath)
-      try s.iterator().asScala.map(_.toString)
-        .filter(p => p.substring(p.lastIndexOf('/') + 1).matches("state_.*\\.bin"))
-        .toSeq.sorted
-      finally s.close()
-    }
+    if (!java.nio.file.Files.isDirectory(dirPath)) return Nil
+    val s = java.nio.file.Files.list(dirPath)
+    try s.iterator().asScala.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).matches("state_.*\\.bin"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** READ-ONLY lifetime state of a `--profile-dir` table directory: every
+    * persisted run state sharing the CURRENT lineage's schema, merged —
+    * no data scan, no new state written. Run ids are random (filename
+    * order says nothing about recency), so the lineage is anchored on the
+    * newest state by modification time — the schema the writer most
+    * recently produced, matching profileRun's anchor-on-the-current-run
+    * semantics; states from older schemas are skipped exactly as
+    * profileRun skips them. None when the directory holds no states. */
+  def lifetimeState(dir: String): Option[ProfileState] = {
+    val files = stateFiles(dir)
     if (files.isEmpty) return None
-    val states = files.map(readState)
-    val ref = states.last
-    Some(states.filter(s => s.columns == ref.columns && s.typeNames == ref.typeNames)
+    val newest = files.maxBy(f =>
+      (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis, f))
+    val ref = readState(newest)
+    Some(files.map(readState)
+      .filter(s => s.columns == ref.columns && s.typeNames == ref.typeNames)
       .reduce(mergeStates))
   }
 

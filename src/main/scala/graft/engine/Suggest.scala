@@ -88,8 +88,19 @@ object Suggest {
   def suggest(df: DataFrame, columns: Seq[String] = Nil,
       maxNullRate: Double = 0.05, maxAllowedValues: Int = 10): Seq[Suggestion] = {
     require(maxAllowedValues >= 1, "maxAllowedValues must be >= 1")
-    val cols = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
     val schema = df.schema
+    // the default sweep skips columns no contract family applies to
+    // (maps/arrays/structs — approx_count_distinct cannot even hash a
+    // map, and one such column would kill the whole authoring run); an
+    // EXPLICIT column list stays fail-loud
+    def suggestible(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType | BinaryType => true
+      case _ => false
+    }
+    val cols =
+      if (columns.nonEmpty) columns
+      else schema.fields.toSeq.filter(f => suggestible(f.dataType)).map(_.name)
 
     // ---- scan 1: the fused facts pass -------------------------------------
     val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { name =>
@@ -106,7 +117,10 @@ object Suggest {
       }
       val castable = dt match {
         case StringType =>
-          sum(when(c.isNotNull && expr(s"try_cast(`$name` AS bigint)").isNotNull, 1L)
+          // backticks in the name are escaped by doubling (a raw backtick
+          // would break the parsed expression)
+          val quoted = name.replace("`", "``")
+          sum(when(c.isNotNull && expr(s"try_cast(`$quoted` AS bigint)").isNotNull, 1L)
             .otherwise(0L))
         case _ => lit(0L)
       }

@@ -857,6 +857,14 @@ class Validator(
   private def diffSpec(df: DataFrame, rule: ValidationRule)
       : (DataFrame, Seq[String], Seq[String]) = {
     val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+    // the diff output schema owns these names — a key called "status"
+    // would be overwritten by the verdict label, corrupting the
+    // violations face and the partition grouping; fail loud instead
+    val reserved = keys.map(_.toLowerCase).toSet
+      .intersect(Set("status", "cnt_left", "cnt_right"))
+    if (reserved.nonEmpty) throw new IllegalArgumentException(
+      s"diff rule '${rule.name}': key column(s) ${reserved.mkString(",")} collide " +
+        "with the diff output schema (status, cnt_left, cnt_right) — alias them first")
     val refTable = rule.param("ref_table").getOrElse(throw new IllegalArgumentException(
       s"diff rule '${rule.name}' needs ref_table"))
     val refDf = tableResolver(refTable).getOrElse(
@@ -1627,20 +1635,38 @@ class Validator(
       case None => executeRulesPartitioned(df, rules, tableName, partExpr)
       case Some((key, permille)) =>
         val t0 = System.nanoTime()
+        def ms = (System.nanoTime() - t0) / 1e6
         val (absolute, sampled) = rules.partition(r => Validator.sampleExempt(r.ruleType))
-        val sdf = graft.operators.Curation.hashSamplePermille(df, key, permille)
-        val (sRes, sVer) =
-          if (sampled.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
-          else {
-            val (s, v) = executeRulesPartitioned(sdf, sampled, tableName, partExpr)
-            (s.results, v)
-          }
-        val (aRes, aVer) =
+        // the two groups are independent Spark job sets — overlap them (the
+        // absolute group often carries the expensive full-table diff/
+        // reconciliation jobs). NOT on sectionPool: executeRulesPartitioned
+        // awaits its own futures there, and a pool future awaiting pool
+        // futures can deadlock the fixed pool — the global EC carries this
+        // one blocking task instead.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val absoluteF = Future {
           if (absolute.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
           else {
             val (s, v) = executeRulesPartitioned(df, absolute, tableName, partExpr)
             (s.results, v)
           }
+        }(scala.concurrent.ExecutionContext.global)
+        // a misconfigured sample key (typo'd column) must degrade to the
+        // SAMPLED rules' failure results — the engine's per-rule error
+        // isolation — not abort the table (the filter analyzes eagerly)
+        val (sRes, sVer) =
+          if (sampled.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
+          else scala.util.Try(
+              graft.operators.Curation.hashSamplePermille(df, key, permille)) match {
+            case scala.util.Failure(e) =>
+              (sampled.map(r => ValidationResult.failure(r, e, ms)),
+                Nil: Seq[PartitionVerdict])
+            case scala.util.Success(sdf) =>
+              val (s, v) = executeRulesPartitioned(sdf, sampled, tableName, partExpr)
+              (s.results, v)
+          }
+        val (aRes, aVer) = Await.result(absoluteF, Duration.Inf)
         val annotated = sRes.map { r =>
           val ci =
             if (r.total_count > 0 && r.failed_count >= 0) {

@@ -73,6 +73,15 @@ class SuggestSpec extends SparkSpec {
 
     Suggest.suggest(spark.emptyDataFrame.limit(0)) shouldBe empty
     Suggest.suggest(Seq.empty[(Long, String)].toDF("a", "b")) shouldBe empty
+
+    // the default sweep SKIPS columns no contract family applies to — a
+    // map column must not kill the authoring run (approx_count_distinct
+    // cannot hash a map); the atomic columns still suggest
+    val withMap = Seq((1L, Map("k" -> "v")), (2L, Map("k" -> "w")))
+      .toDF("id", "attrs")
+    val sMap = Suggest.suggest(withMap)
+    sMap.map(_.column).toSet shouldBe Set("id")
+    sMap should not be empty
   }
 
   test("zero-scan suggestion from a persisted profile state") {
@@ -106,6 +115,23 @@ class SuggestSpec extends SparkSpec {
     sw.get(("v", RuleType.AllowedValues)) shouldBe None
     sw.get(("v", RuleType.TypeConformance)) shouldBe None
     sw.get(("v", RuleType.Completeness)) shouldBe defined
+  }
+
+  test("lifetimeState anchors the lineage on the newest state by mtime, not filename order") {
+    import graft.engine.Profiler
+    import java.nio.file.{Files => F, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = F.createTempDirectory("lineage").toString
+    // run ids are random UUIDs: the RETIRED schema's file can sort last by
+    // name — the anchor must follow recency (mtime), not the name walk
+    val oldSchema = Seq((1, "x")).toDF("a", "b")
+    val newSchema = Seq((1L, 2L)).toDF("a", "c")
+    Profiler.writeState(Profiler.profileState(oldSchema), s"$dir/state_zzz.bin")
+    Profiler.writeState(Profiler.profileState(newSchema), s"$dir/state_aaa.bin")
+    F.setLastModifiedTime(Paths.get(s"$dir/state_zzz.bin"), FileTime.fromMillis(1000000L))
+    F.setLastModifiedTime(Paths.get(s"$dir/state_aaa.bin"), FileTime.fromMillis(2000000L))
+    Profiler.lifetimeState(dir).get.columns shouldBe Seq("a", "c")
+    Profiler.lifetimeState(F.createTempDirectory("empty").toString) shouldBe None
   }
 
   test("suggested rules round-trip through the YAML config surface") {

@@ -962,6 +962,16 @@ class ValidatorSpec extends SparkSpec {
     byName("size").metadata.get("sampled_by") shouldBe None
     // whole key groups are kept or dropped together
     sampled.groupBy("uid").count().filter(col("count") =!= 2).count() shouldBe 0L
+
+    // a typo'd sample key degrades to the SAMPLED rules' failure results
+    // (per-rule error isolation) — the absolute family still verdicts
+    val badKey = ValidationConfig(tables = Seq(TableConfig("t",
+      rules = cfg.tables.head.rules,
+      sampleBy = Some("uidd"), samplePermille = 400)))
+    val bk = new Validator(spark, badKey).validateTable(df, "t")
+      .results.map(r => r.rule_name -> r).toMap
+    bk("v_range").failed_count shouldBe -1
+    bk("size").passed shouldBe true
   }
 
   test("diff rule: keyed row-level diff vs a reference table") {
@@ -1024,6 +1034,26 @@ class ValidatorSpec extends SparkSpec {
       n => if (n == "snapshot") Some(nl) else None)
     val nviols = vnull.violations(nl, rule()).collect()
     nviols.map(_.getString(1)).sorted.toSeq shouldBe Seq("added", "removed")
+
+    // a null SHIFTING position is a content change: (NULL,'x') vs
+    // ('x',NULL) must classify 'changed' — xxhash64 skips null children,
+    // so without the interleaved null indicators both rows would digest
+    // identically and the change would read as 'equal'
+    val nshift = Seq(("k", Option.empty[String], Option("x"))).toDF("id", "a", "b")
+    val nref = Seq(("k", Option("x"), Option.empty[String])).toDF("id", "a", "b")
+    val vns = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(nref) else None)
+    vns.executeRules(nshift, Seq(rule()), "t").results.head.failed_count shouldBe 1L
+
+    // a key column named after the diff output schema is rejected loudly
+    // (the verdict label would overwrite the key value)
+    val sdf = Seq(("k", "x")).toDF("status", "v")
+    val vsd = new Validator(spark, ValidationConfig(),
+      n => if (n == "snapshot") Some(sdf) else None)
+    val res = vsd.executeRules(sdf, Seq(ValidationRule("d9", RuleType.Diff,
+      Seq("status"), parameters = Map("ref_table" -> "snapshot"))), "t").results.head
+    res.failed_count shouldBe -1
+    res.message should include("collide")
 
     // misconfiguration → the rule's error result, never a silent pass:
     // missing ref_table, unknown ref table, compare column absent on a side

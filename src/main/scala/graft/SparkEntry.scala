@@ -602,6 +602,36 @@ object SparkEntry {
           FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
         SELECT * FROM j WHERE status <> 'equal' ORDER BY o_orderkey, status""")),
 
+    // ---- diff column attribution ("what drifted"): per compare column,
+    // how many both-side keys it changed on — price mutations on %31 keys
+    // and status mutations on %53 keys must attribute to exactly their
+    // own column; the oracle re-derives both counts from the mutation
+    // predicates directly --------------------------------------------------
+    Q("q_diff_columns_orders",
+      (s, d) => {
+        val ref = t(s, d, "orders").filter(col("o_orderkey").isNotNull)
+        val cur = ref.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 31 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 53 === 0, lit("Z"))
+              .otherwise(col("o_orderstatus")))
+        Checks.diffColumnStats(cur, ref, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus")).orderBy("column")
+      },
+      Some("""WITH ref AS (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL),
+        k AS (SELECT DISTINCT o_orderkey FROM ref WHERE o_orderkey % 97 <> 0)
+        SELECT * FROM (
+          SELECT 'o_orderstatus' AS "column",
+            CAST((SELECT COUNT(*) FROM k WHERE o_orderkey % 53 = 0) AS BIGINT) AS changed_keys,
+            CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS keys_in_both
+          UNION ALL
+          SELECT 'o_totalprice',
+            CAST((SELECT COUNT(*) FROM k WHERE o_orderkey % 31 = 0) AS BIGINT),
+            CAST((SELECT COUNT(*) FROM k) AS BIGINT)
+        ) ORDER BY "column" """)),
+
     // ---- monotonic rule (per-key ordering integrity) ----------------------
     Q("q_monotonic_lineitem",
       (s, d) => Checks.monotonicGroups(t(s, d, "lineitem"), Seq("l_orderkey"),

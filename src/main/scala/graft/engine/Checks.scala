@@ -298,6 +298,43 @@ object Checks {
     * compared rows differs between the two tables. */
   def diffViolationCond: Column = col("status") =!= "equal"
 
+  /** Column-level change attribution: for keys present in BOTH tables, how
+    * many keys each compare column changed on — the "what drifted" report
+    * a keyed diff owes its consumer ("the re-ingest touched only `tool`,
+    * on 12k keys"). One row per compare column, `changed_keys` counted via
+    * per-column content digests (same null-indicator-interleaved
+    * xxhash64 sums as [[keyContentSummary]], one per column instead of one
+    * per row). A multiplicity change attributes to every column — there is
+    * no single column to blame for a duplicated row. Keys on only one side
+    * are added/removed, not column-attributable (that is [[tableDiff]]'s
+    * face).
+    *
+    * Scale shape unchanged from the diff itself: one map-side-combined
+    * per-key aggregation per side — the shuffle payload grows to
+    * (key, count, 16 bytes × compare columns), still never rows — plus a
+    * co-partitioned join and an O(1)-row final aggregate. */
+  def diffColumnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    require(compare.nonEmpty, "diffColumnStats needs at least one compare column")
+    def summary(d: DataFrame, side: String): DataFrame =
+      d.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"__cnt_$side"),
+          compare.map(c =>
+            sum(xxhash64(col(c).isNull.cast("int"), col(c)).cast(DecimalType(38, 0)))
+              .as(s"__h_${c}_$side")): _*)
+    val joined = summary(left, "l").join(summary(right, "r"), keys, "inner")
+    val agged = joined.agg(
+      count(lit(1)).as("__both"),
+      compare.map(c =>
+        sum(when(!(col(s"__h_${c}_l") <=> col(s"__h_${c}_r")), 1L).otherwise(0L))
+          .as(s"__chg_$c")): _*)
+    agged.select(explode(array(compare.map(c =>
+        struct(lit(c).as("column"),
+          coalesce(col(s"__chg_$c"), lit(0L)).as("changed_keys"),
+          coalesce(col("__both"), lit(0L)).as("keys_in_both"))): _*)).as("s"))
+      .select("s.*")
+  }
+
   /** The differing keys (quarantine face of the diff rule): one row per
     * added / removed / changed key with both sides' counts. */
   def diffViolations(left: DataFrame, right: DataFrame, keys: Seq[String],

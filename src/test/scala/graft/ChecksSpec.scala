@@ -273,4 +273,41 @@ class ChecksSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     monoStats(t.repartition(17)) shouldBe monoStats(t)
   }
+
+  test("diffColumnStats attributes changes to their columns over both-side keys") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(
+      ("k1", Option(1.0), Option("a")),
+      ("k2", Option(2.0), Option("b")),
+      ("k3", Option(3.0), Option("c")),
+      ("k4", Option(4.0), Option("d")),
+      ("k5", Option(5.0), Option("e"))).toDF("id", "amt", "tag")
+    val cur = Seq(
+      ("k1", Option(9.0), Option("a")),              // amt changed only
+      ("k2", Option(2.0), Option("B")),              // tag changed only
+      ("k3", Option.empty[Double], Option("c")),     // amt changed via null shift
+      ("k4", Option(4.0), Option("d")),              // equal
+      ("k6", Option(6.0), Option("f"))).toDF("id", "amt", "tag") // one-side key: excluded
+    val stats = Checks.diffColumnStats(cur, ref, Seq("id"), Seq("amt", "tag"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    stats("amt") shouldBe ((2L, 4L)) // k1 + k3 of the 4 both-side keys
+    stats("tag") shouldBe ((1L, 4L)) // k2
+
+    // a multiplicity change has no single column to blame: attributes to all
+    val dupCur = Seq(("k1", 1.0, "a"), ("k1", 1.0, "a")).toDF("id", "amt", "tag")
+    val dupRef = Seq(("k1", 1.0, "a")).toDF("id", "amt", "tag")
+    val dup = Checks.diffColumnStats(dupCur, dupRef, Seq("id"), Seq("amt", "tag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dup("amt") shouldBe 1L
+    dup("tag") shouldBe 1L
+
+    // no shared keys: zero counts, not an empty frame (the report always
+    // names every compare column)
+    val none = Checks.diffColumnStats(
+      Seq(("a", 1.0)).toDF("id", "amt"), Seq(("b", 1.0)).toDF("id", "amt"),
+      Seq("id"), Seq("amt")).collect()
+    none.length shouldBe 1
+    none.head.getLong(1) shouldBe 0L
+    none.head.getLong(2) shouldBe 0L
+  }
 }

@@ -904,9 +904,21 @@ class Validator(
       .agg(count(lit(1)), sum(when(Checks.diffViolationCond, 1L).otherwise(0L))).head()
     val total = row.getLong(0)
     val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
+    // opt-in column attribution (`attribute_columns: true`): name WHICH
+    // compare columns changed, over how many both-side keys, in the
+    // result metadata — one extra diff-shaped job, paid only when keys
+    // actually differ and there are columns to attribute to
+    val attribution: Map[String, String] =
+      if (rule.paramBool("attribute_columns") && failed > 0 && compare.nonEmpty) {
+        val stats = Checks.diffColumnStats(df, refDf, keys, compare)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        Map("changed_columns" -> stats.sortBy(_._1)
+          .map { case (c, n) => s"$c=$n" }.mkString(";"))
+      } else Map.empty
     ValidationResult.verdict(rule, failed, total, ms(),
       Map("keys" -> keys.mkString(","), "compare" -> compare.mkString(","),
-        "ref_table" -> rule.param("ref_table").getOrElse(""), "unit" -> "keys"))
+        "ref_table" -> rule.param("ref_table").getOrElse(""), "unit" -> "keys") ++
+        attribution)
   }
 
   /** Per-partition diff verdicts from the SAME joined per-key frame, grouped

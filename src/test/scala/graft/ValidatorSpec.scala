@@ -1035,6 +1035,13 @@ class ValidatorSpec extends SparkSpec {
     val nviols = vnull.violations(nl, rule()).collect()
     nviols.map(_.getString(1)).sorted.toSeq shouldBe Seq("added", "removed")
 
+    // opt-in column attribution: the verdict names which compare columns
+    // changed and on how many both-side keys (k2's amt, k4's multiplicity
+    // change attributing to both columns)
+    val attributed = v.executeRules(cur,
+      Seq(rule("attribute_columns" -> "true")), "t").results.head
+    attributed.metadata("changed_columns") shouldBe "amt=2;tag=1"
+
     // a null SHIFTING position is a content change: (NULL,'x') vs
     // ('x',NULL) must classify 'changed' — xxhash64 skips null children,
     // so without the interleaved null indicators both rows would digest

@@ -74,4 +74,67 @@ class PipelineSpec extends SparkSpec {
       .filter(col("t") > 256L && col("n") > 1L)
     overBudget.count() shouldBe 0L // no multi-doc pack exceeds the budget
   }
+
+  test("day-over-day observability loop: profile → author → validate → drift vs state → diff vs snapshot") {
+    import spark.implicits._
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("obs_loop").toString
+
+    // DAY 1 — a healthy ingest slice: profile it ONCE (state persisted),
+    // author the starter config ZERO-SCAN from the profile, and the
+    // authored rules validate the same slice green — the cross-surface
+    // self-consistency contract
+    val day1 = (1 to 100).map(i =>
+      (i.toLong, if (i % 3 == 0) "assistant" else "user", (i % 10) + 1.0))
+      .toDF("id", "role", "score")
+    Profiler.profileRun(day1, s"$dir/profiles/t", "day1")
+    val cfgPath = s"$dir/suggested.yaml"
+    Cli.writeSuggestedConfigFromProfiles(s"$dir/profiles", Seq("t"), Map.empty, cfgPath)
+    val authored = graft.config.ConfigLoader.fromYamlFile(cfgPath, env = Map.empty)
+      .enabledRules("t")
+    authored should not be empty
+    new Validator(spark, ValidationConfig())
+      .executeRules(day1, authored, "t").results.filterNot(_.passed) shouldBe empty
+
+    // DAY 2 — a corrupted ingest: the role vocabulary shifts toward a
+    // foreign label, scores mutate on some keys, a block of keys vanishes
+    // and new ones (outside yesterday's id range) appear
+    val day2 = (11 to 110).map(i => (i.toLong,
+        if (i % 2 == 0) "tool" else "user",
+        if (i % 5 == 0) 99.0 else (i % 10) + 1.0))
+      .toDF("id", "role", "score")
+    val stateFile = new java.io.File(s"$dir/profiles/t").listFiles()
+      .map(_.getPath).find(_.matches(".*state_.*\\.bin")).get
+    val ops = Seq(
+      // drift vs YESTERDAY'S PERSISTED STATE — no day-1 scan
+      ValidationRule("role_drift", RuleType.drift, Seq("role"),
+        parameters = Map("method" -> "tvd", "ref_state" -> stateFile,
+          "critical" -> "0.2")),
+      // keyed diff vs yesterday's snapshot, with column attribution
+      ValidationRule("vs_yesterday", RuleType.Diff, Seq("id"),
+        parameters = Map("ref_table" -> "day1", "attribute_columns" -> "true")))
+    val v2 = new Validator(spark, ValidationConfig(),
+      n => if (n == "day1") Some(day1) else None)
+    val res2 = v2.executeRules(day2, authored ++ ops, "t")
+      .results.map(r => r.rule_name -> r).toMap
+
+    // each surface catches its own face of the corruption:
+    res2("suggested_role_allowed_values").passed shouldBe false // foreign label
+    res2("suggested_id_range").passed shouldBe false // ids beyond yesterday's bounds
+    res2("suggested_role_completeness").passed shouldBe true // not missingness
+    res2("role_drift").passed shouldBe false // distribution moved vs the state
+
+    // and the diff NAMES the damage exactly: shared keys 11..100, of which
+    // role changed on (i%3==0 ∨ i%2==0) and score on i%5==0; 10 keys
+    // removed, 10 added, union universe 1..110
+    val shared = 11 to 100
+    val roleChanged = shared.count(i => i % 3 == 0 || i % 2 == 0)
+    val scoreChanged = shared.count(_ % 5 == 0)
+    val changedKeys = shared.count(i => i % 3 == 0 || i % 2 == 0 || i % 5 == 0)
+    val d = res2("vs_yesterday")
+    d.passed shouldBe false
+    d.total_count shouldBe 110L
+    d.failed_count shouldBe (changedKeys + 20).toLong
+    d.metadata("changed_columns") shouldBe s"role=$roleChanged;score=$scoreChanged"
+  }
 }

@@ -152,7 +152,10 @@ object Cli {
       // metrics sink: append this run's per-rule results as a time-series
       // slice (--metrics-dir), queryable over runs — the real counterpart
       // of the reference's print-only observability hooks
-      val runId = java.util.UUID.randomUUID().toString
+      // time-prefixed: run ids (and the state_<runId>.bin files they name)
+      // sort by recency, so the profile lineage anchor's filename tie-break
+      // agrees with mtime even on copies that flattened timestamps
+      val runId = f"${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
       for (metricsDir <- opts.get("metrics-dir").toSeq) {
         summaries.values.foreach(s =>
           graft.io.MetricsSink.appendSummary(spark, s, metricsDir, runId))

@@ -304,10 +304,14 @@ object Checks {
     * on 12k keys"). One row per compare column, `changed_keys` counted via
     * per-column content digests (same null-indicator-interleaved
     * xxhash64 sums as [[keyContentSummary]], one per column instead of one
-    * per row). A multiplicity change attributes to every column — there is
-    * no single column to blame for a duplicated row. Keys on only one side
-    * are added/removed, not column-attributable (that is [[tableDiff]]'s
-    * face).
+    * per row). Semantics are PER-COLUMN MULTISET: a column changed iff its
+    * multiset of values over the key's rows differs (row-count inequality
+    * counts as change for every column — no single column owns a
+    * duplicated row). Consequently a pure cross-column (or cross-row)
+    * value SWAP that preserves every per-column multiset is attributable
+    * to no column — it still counts as changed in [[tableDiff]]'s
+    * row-level verdict, just not here. Keys on only one side are
+    * added/removed, not column-attributable (also tableDiff's face).
     *
     * Scale shape unchanged from the diff itself: one map-side-combined
     * per-key aggregation per side — the shuffle payload grows to
@@ -323,11 +327,15 @@ object Checks {
             sum(xxhash64(col(c).isNull.cast("int"), col(c)).cast(DecimalType(38, 0)))
               .as(s"__h_${c}_$side")): _*)
     val joined = summary(left, "l").join(summary(right, "r"), keys, "inner")
+    // the count term makes "multiplicity attributes to every column"
+    // structural, not collision-dependent (a duplicated row also shifts
+    // the digest sum, but 2h vs h relies on hash arithmetic; cnt does not)
+    val cntDiffers = !(col("__cnt_l") <=> col("__cnt_r"))
     val agged = joined.agg(
       count(lit(1)).as("__both"),
       compare.map(c =>
-        sum(when(!(col(s"__h_${c}_l") <=> col(s"__h_${c}_r")), 1L).otherwise(0L))
-          .as(s"__chg_$c")): _*)
+        sum(when(cntDiffers || !(col(s"__h_${c}_l") <=> col(s"__h_${c}_r")), 1L)
+          .otherwise(0L)).as(s"__chg_$c")): _*)
     agged.select(explode(array(compare.map(c =>
         struct(lit(c).as("column"),
           coalesce(col(s"__chg_$c"), lit(0L)).as("changed_keys"),

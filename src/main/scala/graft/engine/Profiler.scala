@@ -416,10 +416,14 @@ object Profiler {
   def lifetimeState(dir: String): Option[ProfileState] = {
     val files = stateFiles(dir)
     if (files.isEmpty) return None
-    val newest = files.maxBy(f =>
-      (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis, f))
-    val ref = readState(newest)
-    Some(files.map(readState)
+    val states = files.map(f => f -> readState(f))
+    // mtime primary, filename tie-break. On filesystems or copies that
+    // flatten mtimes the tie-break is only meaningful when run ids sort by
+    // recency — which the CLI guarantees by time-prefixing its run ids.
+    val (_, ref) = states.maxBy { case (f, _) =>
+      (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis, f)
+    }
+    Some(states.map(_._2)
       .filter(s => s.columns == ref.columns && s.typeNames == ref.typeNames)
       .reduce(mergeStates))
   }

@@ -1666,8 +1666,11 @@ class Validator(
         }(scala.concurrent.ExecutionContext.global)
         // a misconfigured sample key (typo'd column) must degrade to the
         // SAMPLED rules' failure results — the engine's per-rule error
-        // isolation — not abort the table (the filter analyzes eagerly)
-        val (sRes, sVer) =
+        // isolation — not abort the table (the filter analyzes eagerly).
+        // The whole sampled branch runs under Try so a FATAL error there
+        // still lets absoluteF be awaited below (never an orphaned
+        // full-table job set) before the error propagates.
+        val sTry = scala.util.Try {
           if (sampled.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
           else scala.util.Try(
               graft.operators.Curation.hashSamplePermille(df, key, permille)) match {
@@ -1678,15 +1681,22 @@ class Validator(
               val (s, v) = executeRulesPartitioned(sdf, sampled, tableName, partExpr)
               (s.results, v)
           }
+        }
         val (aRes, aVer) = Await.result(absoluteF, Duration.Inf)
+        val (sRes, sVer) = sTry.get
+        // failure results carry no sampled_by marker: nothing was sampled,
+        // and the marker is the metrics consumer's sampled-tier key
         val annotated = sRes.map { r =>
-          val ci =
-            if (r.total_count > 0 && r.failed_count >= 0) {
-              val (lo, hi) = Validator.wilson95(r.failed_count, r.total_count)
-              Map("ci95_lo" -> f"$lo%.6f", "ci95_hi" -> f"$hi%.6f")
-            } else Map.empty[String, String]
-          r.copy(metadata = r.metadata +
-            ("sampled_by" -> key) + ("sample_permille" -> permille.toString) ++ ci)
+          if (r.failed_count < 0) r
+          else {
+            val ci =
+              if (r.total_count > 0) {
+                val (lo, hi) = Validator.wilson95(r.failed_count, r.total_count)
+                Map("ci95_lo" -> f"$lo%.6f", "ci95_hi" -> f"$hi%.6f")
+              } else Map.empty[String, String]
+            r.copy(metadata = r.metadata +
+              ("sampled_by" -> key) + ("sample_permille" -> permille.toString) ++ ci)
+          }
         }
         val byName = (annotated ++ aRes).map(r => r.rule_name -> r).toMap
         (ValidationSummary.from(tableName, rules.map(r => byName(r.name)),

@@ -309,5 +309,17 @@ class ChecksSpec extends SparkSpec {
     none.length shouldBe 1
     none.head.getLong(1) shouldBe 0L
     none.head.getLong(2) shouldBe 0L
+
+    // PER-COLUMN MULTISET semantics, pinned: a cross-column value swap
+    // preserves every column's multiset — attributable to NO column here,
+    // while tableDiff's row-level digest still classifies the key changed
+    val swapCur = Seq(("k", 1.0, 2.0), ("k", 2.0, 1.0)).toDF("id", "a", "b")
+    val swapRef = Seq(("k", 1.0, 1.0), ("k", 2.0, 2.0)).toDF("id", "a", "b")
+    val swap = Checks.diffColumnStats(swapCur, swapRef, Seq("id"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    swap("a") shouldBe 0L
+    swap("b") shouldBe 0L
+    Checks.tableDiff(swapCur, swapRef, Seq("id"), Seq("a", "b"))
+      .filter(Checks.diffViolationCond).count() shouldBe 1L
   }
 }

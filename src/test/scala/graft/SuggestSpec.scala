@@ -74,14 +74,17 @@ class SuggestSpec extends SparkSpec {
     Suggest.suggest(spark.emptyDataFrame.limit(0)) shouldBe empty
     Suggest.suggest(Seq.empty[(Long, String)].toDF("a", "b")) shouldBe empty
 
-    // the default sweep SKIPS columns no contract family applies to — a
-    // map column must not kill the authoring run (approx_count_distinct
-    // cannot hash a map); the atomic columns still suggest
-    val withMap = Seq((1L, Map("k" -> "v")), (2L, Map("k" -> "w")))
-      .toDF("id", "attrs")
+    // the default sweep SKIPS only map-containing columns (xxhash64 /
+    // approx_count_distinct reject maps — one would kill the authoring
+    // run); arrays and structs stay in, completeness is a valid contract
+    // for them
+    val withMap = Seq((1L, Map("k" -> "v"), Seq("a"), ("x", 1)),
+        (2L, Map("k" -> "w"), Seq("b"), ("y", 2)))
+      .toDF("id", "attrs", "tags", "pair")
     val sMap = Suggest.suggest(withMap)
-    sMap.map(_.column).toSet shouldBe Set("id")
-    sMap should not be empty
+    sMap.map(_.column).toSet shouldBe Set("id", "tags", "pair")
+    sMap.filter(_.column == "tags").map(_.ruleType) should
+      contain(RuleType.Completeness)
   }
 
   test("zero-scan suggestion from a persisted profile state") {

@@ -971,6 +971,8 @@ class ValidatorSpec extends SparkSpec {
     val bk = new Validator(spark, badKey).validateTable(df, "t")
       .results.map(r => r.rule_name -> r).toMap
     bk("v_range").failed_count shouldBe -1
+    // a failure result carries NO sampled-tier marker: nothing was sampled
+    bk("v_range").metadata.get("sampled_by") shouldBe None
     bk("size").passed shouldBe true
   }
 

@@ -322,4 +322,55 @@ class ChecksSpec extends SparkSpec {
     Checks.tableDiff(swapCur, swapRef, Seq("id"), Seq("a", "b"))
       .filter(Checks.diffViolationCond).count() shouldBe 1L
   }
+
+  test("diff properties over generated tables: exact reference, partition, symmetry, self-identity") {
+    import org.scalacheck.{Gen, rng}
+    // generated tables with duplicate keys, NULLs in both compare columns,
+    // and overlapping-but-distinct key spaces; fixed seeds keep it
+    // deterministic
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 25).map(i => s"k$i")
+      a <- Gen.option(Gen.chooseNum(0, 4).map(_.toDouble))
+      b <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (k, a, b)
+    val tableGen = Gen.listOfN(50, rowGen)
+    def mk(seed: Long) =
+      tableGen.pureApply(Gen.Parameters.default, rng.Seed(seed)).toDF("id", "a", "b")
+    // exact reference implementation: per-key multiset of (a, b) tuples
+    def multisets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(r => (Option(r.get(1)), Option(r.get(2))))
+          .groupBy(identity).map { case (t, o) => t -> o.length }
+      }
+    for (seed <- 1L to 6L) {
+      val l = mk(seed)
+      val r = mk(seed + 100)
+      // self-identity: a table never differs from itself
+      Checks.tableDiff(l, l, Seq("id"), Seq("a", "b"))
+        .filter(Checks.diffViolationCond).count() shouldBe 0L
+      // the engine's classification must equal the exact reference
+      val lm = multisets(l.collect()); val rm = multisets(r.collect())
+      val expected = (lm.keySet ++ rm.keySet).map { k =>
+        k -> ((lm.get(k), rm.get(k)) match {
+          case (Some(_), None)          => "added"
+          case (None, Some(_))          => "removed"
+          case (a, b) if a == b         => "equal"
+          case _                        => "changed"
+        })
+      }.toMap
+      val actual = Checks.tableDiff(l, r, Seq("id"), Seq("a", "b"))
+        .collect().map(x => x.getString(0) -> x.getAs[String]("status")).toMap
+      actual shouldBe expected
+      // symmetry: swapping sides swaps added and removed, fixes the rest
+      val rev = Checks.tableDiff(r, l, Seq("id"), Seq("a", "b"))
+        .collect().map(x => x.getString(0) -> x.getAs[String]("status")).toMap
+      rev.view.mapValues {
+        case "added" => "removed"; case "removed" => "added"; case s => s
+      }.toMap shouldBe actual
+      // layout invariance: repartitioning changes nothing
+      Checks.tableDiff(l.repartition(13), r.coalesce(1), Seq("id"), Seq("a", "b"))
+        .collect().map(x => x.getString(0) -> x.getAs[String]("status"))
+        .toMap shouldBe actual
+    }
+  }
 }

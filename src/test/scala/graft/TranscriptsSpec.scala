@@ -85,4 +85,18 @@ class TranscriptsSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("ts") <= col("prev"))
     bad.count() shouldBe 0
   }
+
+  test("driver smoke contract: SparkEntry.entry returns one verdict row per flagship rule") {
+    // the driver smoke-checks entry(spark) for rows > 0 — pin the contract
+    // here so a refactor cannot silently break the round's gate
+    val rows = graft.operators.CacheScope.cached { SparkEntry.entry(spark).collect() }
+    rows.length should be > 0
+    rows.map(_.getString(0)).distinct.length shouldBe rows.length // one row per rule
+    val families = rows.map(_.getString(1)).toSet
+    families should contain allOf (RuleType.Completeness, RuleType.Uniqueness,
+      RuleType.Referential, RuleType.Sequence, RuleType.FunctionalDependency)
+    // verdict columns are populated (no -1/-1 error sentinels in the
+    // flagship suite — every rule executed for real)
+    rows.count(_.getLong(3) < 0L) shouldBe 0
+  }
 }

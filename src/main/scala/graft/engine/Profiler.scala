@@ -407,12 +407,14 @@ object Profiler {
 
   /** READ-ONLY lifetime state of a `--profile-dir` table directory: every
     * persisted run state sharing the CURRENT lineage's schema, merged —
-    * no data scan, no new state written. Run ids are random (filename
-    * order says nothing about recency), so the lineage is anchored on the
-    * newest state by modification time — the schema the writer most
-    * recently produced, matching profileRun's anchor-on-the-current-run
-    * semantics; states from older schemas are skipped exactly as
-    * profileRun skips them. None when the directory holds no states. */
+    * no data scan, no new state written. The lineage is anchored on the
+    * newest state by (mtime, filename): both engine writers name states
+    * so filenames sort by recency (the CLI time-prefixes run ids, the
+    * streaming writer zero-pads batch ids), so the tie-break agrees with
+    * mtime even on copies that flattened timestamps — matching
+    * profileRun's anchor-on-the-current-run semantics; states from older
+    * schemas are skipped exactly as profileRun skips them. None when the
+    * directory holds no states. */
   def lifetimeState(dir: String): Option[ProfileState] = {
     val files = stateFiles(dir)
     if (files.isEmpty) return None

@@ -89,21 +89,22 @@ object Suggest {
       maxNullRate: Double = 0.05, maxAllowedValues: Int = 10): Seq[Suggestion] = {
     require(maxAllowedValues >= 1, "maxAllowedValues must be >= 1")
     val schema = df.schema
-    // the default sweep skips only columns the fused facts pass cannot
-    // process: anything containing a MAP (xxhash64 / approx_count_distinct
-    // reject map inputs, and one such column would kill the whole
-    // authoring run). Arrays/structs/timestamps stay in — completeness is
-    // a valid contract for any of them. An EXPLICIT column list stays
-    // fail-loud.
-    def containsMap(dt: DataType): Boolean = dt match {
-      case _: MapType           => true
-      case ArrayType(et, _)     => containsMap(et)
-      case StructType(fields)   => fields.exists(f => containsMap(f.dataType))
-      case _                    => false
+    // the default sweep admits only types the fused facts pass provably
+    // processes: the hashable atomic families, plus arrays/structs OF
+    // them (completeness is a valid contract for a nested column).
+    // Everything else — maps (xxhash64/HLL reject them), VARIANT,
+    // geo types, UDTs — is skipped rather than allowed to kill the whole
+    // authoring run. An EXPLICIT column list stays fail-loud.
+    def sweepable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType | TimestampNTZType | BinaryType => true
+      case ArrayType(et, _)   => sweepable(et)
+      case StructType(fields) => fields.forall(f => sweepable(f.dataType))
+      case _ => false
     }
     val cols =
       if (columns.nonEmpty) columns
-      else schema.fields.toSeq.filterNot(f => containsMap(f.dataType)).map(_.name)
+      else schema.fields.toSeq.filter(f => sweepable(f.dataType)).map(_.name)
 
     // ---- scan 1: the fused facts pass -------------------------------------
     val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { name =>

@@ -1667,9 +1667,11 @@ class Validator(
         // a misconfigured sample key (typo'd column) must degrade to the
         // SAMPLED rules' failure results — the engine's per-rule error
         // isolation — not abort the table (the filter analyzes eagerly).
-        // The whole sampled branch runs under Try so a FATAL error there
-        // still lets absoluteF be awaited below (never an orphaned
-        // full-table job set) before the error propagates.
+        // The whole sampled branch runs under Try so any NonFatal error
+        // there still lets absoluteF be awaited below (no orphaned
+        // full-table job set) before the error propagates; genuinely
+        // fatal throws (VM errors, interrupts) bypass Try, but those are
+        // the JVM-is-dying cases where the orphan is moot.
         val sTry = scala.util.Try {
           if (sampled.isEmpty) (Nil: Seq[ValidationResult], Nil: Seq[PartitionVerdict])
           else scala.util.Try(

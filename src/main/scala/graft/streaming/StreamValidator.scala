@@ -69,8 +69,14 @@ object StreamValidator {
         metricsSink.foreach(path =>
           graft.io.MetricsSink.appendSummary(spark, summary, path, s"batch-$batchId"))
         profileDir.foreach { dir =>
+          // zero-padded batch id: state FILENAMES sort by batch recency, so
+          // the profile lineage anchor's filename tie-break
+          // (Profiler.lifetimeState) holds for streaming dirs too —
+          // "batch-10" would sort before "batch-2" unpadded. Same batch →
+          // same name, so the replay-overwrite property is unchanged.
+          val stateRunId = f"batch-$batchId%012d"
           val res = graft.engine.Profiler.profileRun(
-            batch, s"$dir/$tableName", s"batch-$batchId")
+            batch, s"$dir/$tableName", stateRunId)
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$dir/$tableName/profile.json"),
             graft.Json.writeProfile(tableName, s"batch-$batchId", res))

@@ -75,9 +75,12 @@ class StreamingSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
 
-    // one state per batch + the refreshed lifetime profile
+    // one state per batch + the refreshed lifetime profile; batch ids are
+    // zero-padded so state filenames sort by recency (the profile lineage
+    // anchor's tie-break)
     val files = new java.io.File(s"$profDir/events").list().toSet
-    files should contain allOf ("state_batch-0.bin", "state_batch-1.bin", "profile.json")
+    files should contain allOf ("state_batch-000000000000.bin",
+      "state_batch-000000000001.bin", "profile.json")
     val parsed = org.json4s.jackson.JsonMethods.parse(
       Files.readString(java.nio.file.Paths.get(s"$profDir/events/profile.json")))
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

@@ -55,10 +55,7 @@ object Cli {
         }
         writeSuggestedConfigFromProfiles(dir, names, sources, out)
       case None =>
-        val builder = SparkSession.builder().appName("graft-suggest")
-        if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
-          builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-        val spark = builder.getOrCreate()
+        val spark = newSession("graft-suggest")
         try {
           val sources = opts.get("sources").map(loadSources)
             .getOrElse(sys.error("--suggest-config requires --sources (or --from-profile)"))
@@ -97,6 +94,23 @@ object Cli {
     cfg
   }
 
+  /** ONE session recipe for every CLI mode (AQE + skew-join on, master
+    * fallback for standalone runs) — the suggestion scans must not run
+    * under a differently-tuned session than validation of the same data. */
+  private def newSession(appName: String,
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    // under spark-submit the master comes from the launcher; standalone
+    // invocations (tests, local runs) fall back to all local cores
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    builder.getOrCreate()
+  }
+
   private def runValidation(opts: Map[String, String]): Unit = {
     val configPath = opts.getOrElse("config",
       sys.error("--config is required"))
@@ -104,18 +118,8 @@ object Cli {
     // config FIRST: engine connection_params/options become session confs,
     // exactly like the reference's connect (`pyspark_engine.py:34-42`)
     val config = ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts))
-    val builder = SparkSession.builder()
-      .appName("graft-validator")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    (config.engine.connectionParams ++ config.engine.options).foreach {
-      case (k, v) => builder.config(k, v)
-    }
-    // under spark-submit the master comes from the launcher; standalone
-    // invocations (tests, local runs) fall back to all local cores
-    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
-      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
-    val spark = builder.getOrCreate()
+    val spark = newSession("graft-validator",
+      config.engine.connectionParams ++ config.engine.options)
 
     try {
       val checkpoint = config.stateFile.map(new Checkpoint(_))

@@ -246,8 +246,35 @@ object Checks {
     * the shuffle carries (key, count, 16-byte digest) per DISTINCT key —
     * never rows, never the compared payload columns. Under a key-bucketed
     * at-rest layout the aggregation plans no exchange at all. */
-  def keyContentSummary(df: DataFrame, keys: Seq[String], compare: Seq[String],
-      cntName: String, digestName: String): DataFrame = {
+  /** The canonical (column, type) list for a diff's compare columns: the
+    * TIGHTEST COMMON TYPE of each column across the two sides, so a
+    * snapshot written before a lossless widening (INT → BIGINT,
+    * FLOAT → DOUBLE) still digests equal values equally — without this,
+    * xxhash64 hashes each side's native representation and every shared
+    * key classifies 'changed'. A column pair with NO common type is a
+    * configuration error, never a silently-wrong comparison. */
+  private def canonicalCompare(left: DataFrame, right: DataFrame,
+      compare: Seq[String]): Seq[(String, DataType)] = compare.map { c =>
+    def typeOf(d: DataFrame) = d.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(s"no compare column '$c'"))
+      .dataType
+    val (lt, rt) = (typeOf(left), typeOf(right))
+    val common =
+      if (lt == rt) lt
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(lt, rt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"diff compare column '$c': incompatible types " +
+            s"${lt.simpleString} vs ${rt.simpleString}"))
+    c -> common
+  }
+
+  def keyContentSummary(df: DataFrame, keys: Seq[String],
+      compare: Seq[(String, DataType)],
+      cntName: String, digestName: String,
+      perColumnPrefix: Option[String] = None): DataFrame = {
+    def canon(c: (String, DataType)): Column = col(c._1).cast(c._2)
     // xxhash64 SKIPS null children, so hashing the bare columns would give
     // (NULL,'x') and ('x',NULL) the same digest — a systematic false
     // 'equal' on rows whose non-null values form the same sequence in
@@ -257,10 +284,16 @@ object Checks {
     val rowHash =
       if (compare.isEmpty) lit(0L) // keys-only diff: presence + multiplicity
       else xxhash64(compare.flatMap(c =>
-        Seq(col(c).isNull.cast("int"), col(c))): _*)
+        Seq(canon(c).isNull.cast("int"), canon(c))): _*)
+    // optional PER-COLUMN digests ride the SAME aggregation (the shuffle
+    // payload grows to 16 bytes × compare columns — still never rows), so
+    // column attribution costs zero extra passes over the data
+    val colDigests = perColumnPrefix.toSeq.flatMap(p => compare.map(c =>
+      sum(xxhash64(canon(c).isNull.cast("int"), canon(c)).cast(DecimalType(38, 0)))
+        .as(s"$p${c._1}")))
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(cntName),
-        sum(rowHash.cast(DecimalType(38, 0))).as(digestName))
+        (sum(rowHash.cast(DecimalType(38, 0))).as(digestName) +: colDigests): _*)
   }
 
   /** Keyed row-level diff of `left` (the table under validation) against
@@ -282,9 +315,13 @@ object Checks {
     * keys from their own aggregations — co-partitioned, so the join itself
     * adds no third shuffle; AQE picks the physical join at runtime. */
   def tableDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
-      compare: Seq[String]): DataFrame = {
-    val l = keyContentSummary(left, keys, compare, "cnt_left", "__digest_l")
-    val r = keyContentSummary(right, keys, compare, "cnt_right", "__digest_r")
+      compare: Seq[String], perColumn: Boolean = false): DataFrame = {
+    val typed = canonicalCompare(left, right, compare)
+    val pfx = if (perColumn) Some("__hcol_") else None
+    val l = keyContentSummary(left, keys, typed, "cnt_left", "__digest_l",
+      pfx.map(_ + "l_"))
+    val r = keyContentSummary(right, keys, typed, "cnt_right", "__digest_r",
+      pfx.map(_ + "r_"))
     l.join(r, keys, "full_outer")
       .withColumn("status",
         when(col("cnt_right").isNull, lit("added"))
@@ -293,6 +330,15 @@ object Checks {
             col("__digest_l") <=> col("__digest_r"), lit("equal"))
           .otherwise(lit("changed")))
   }
+
+  /** Per-column changed condition over a `perColumn = true` [[tableDiff]]
+    * frame: the key is present on both sides AND (row counts differ — a
+    * multiplicity change attributes to every column, structurally — or
+    * the column's digest sum differs). */
+  private[graft] def colChangedCond(c: String): Column =
+    col("cnt_left").isNotNull && col("cnt_right").isNotNull &&
+      (!(col("cnt_left") <=> col("cnt_right")) ||
+        !(col(s"__hcol_l_$c") <=> col(s"__hcol_r_$c")))
 
   /** Violation predicate over [[tableDiff]] rows: any key whose multiset of
     * compared rows differs between the two tables. */
@@ -320,22 +366,12 @@ object Checks {
   def diffColumnStats(left: DataFrame, right: DataFrame, keys: Seq[String],
       compare: Seq[String]): DataFrame = {
     require(compare.nonEmpty, "diffColumnStats needs at least one compare column")
-    def summary(d: DataFrame, side: String): DataFrame =
-      d.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as(s"__cnt_$side"),
-          compare.map(c =>
-            sum(xxhash64(col(c).isNull.cast("int"), col(c)).cast(DecimalType(38, 0)))
-              .as(s"__h_${c}_$side")): _*)
-    val joined = summary(left, "l").join(summary(right, "r"), keys, "inner")
-    // the count term makes "multiplicity attributes to every column"
-    // structural, not collision-dependent (a duplicated row also shifts
-    // the digest sum, but 2h vs h relies on hash arithmetic; cnt does not)
-    val cntDiffers = !(col("__cnt_l") <=> col("__cnt_r"))
+    val joined = tableDiff(left, right, keys, compare, perColumn = true)
+      .filter(col("cnt_left").isNotNull && col("cnt_right").isNotNull)
     val agged = joined.agg(
       count(lit(1)).as("__both"),
       compare.map(c =>
-        sum(when(cntDiffers || !(col(s"__h_${c}_l") <=> col(s"__h_${c}_r")), 1L)
-          .otherwise(0L)).as(s"__chg_$c")): _*)
+        sum(when(colChangedCond(c), 1L).otherwise(0L)).as(s"__chg_$c")): _*)
     agged.select(explode(array(compare.map(c =>
         struct(lit(c).as("column"),
           coalesce(col(s"__chg_$c"), lit(0L)).as("changed_keys"),

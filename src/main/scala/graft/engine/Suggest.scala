@@ -71,6 +71,14 @@ object Suggest {
     case DoubleType | FloatType => true; case _ => false
   }
 
+  /** A value can survive the allowed_values comma-list round trip: the
+    * validator's parser SPLITS on commas and TRIMS each entry, so a value
+    * containing a comma, carrying outer whitespace, or empty would come
+    * back different and fail (or error) on the very data it was suggested
+    * from — breaking the self-consistency contract. */
+  private def listSafe(v: String): Boolean =
+    !v.contains(",") && v.trim == v && v.nonEmpty
+
   /** Suggest rules for `columns` (default: every column) of `df`.
     *
     * Emitted per column, in this order, when the data supports them:
@@ -203,7 +211,7 @@ object Suggest {
       }
       val allowedValues: Option[Suggestion] = allowedSets.get(f.name).flatMap { vals =>
         val n = exactDistinct(f.name)
-        if (n >= 1 && n <= maxAllowedValues && vals.forall(v => !v.contains(",")))
+        if (n >= 1 && n <= maxAllowedValues && vals.forall(listSafe))
           Some(Suggestion(f.name, RuleType.AllowedValues, None, None, None,
             Some(vals.mkString(",")), s"$n distinct values observed"))
         else None
@@ -272,7 +280,7 @@ object Suggest {
         else None
       val allowedValues: Option[Suggestion] = exactVals.collect {
         case vals if vals.nonEmpty && vals.size <= maxAllowedValues &&
-            vals.forall(v => !v.contains(",")) =>
+            vals.forall(listSafe) =>
           Suggestion(name, RuleType.AllowedValues, None, None, None,
             Some(vals.mkString(",")), s"${vals.size} distinct values observed")
       }

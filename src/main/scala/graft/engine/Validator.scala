@@ -900,18 +900,23 @@ class Validator(
   private def executeDiff(
       df: DataFrame, rule: ValidationRule, ms: () => Double): ValidationResult = {
     val (refDf, keys, compare) = diffSpec(df, rule)
-    val row = Checks.tableDiff(df, refDf, keys, compare)
-      .agg(count(lit(1)), sum(when(Checks.diffViolationCond, 1L).otherwise(0L))).head()
+    // opt-in column attribution (`attribute_columns: true`): the
+    // per-column digests ride the SAME per-key aggregations and the
+    // changed-per-column counters the SAME final aggregate — attribution
+    // costs zero extra passes over the data
+    val attribute = rule.paramBool("attribute_columns") && compare.nonEmpty
+    val joined = Checks.tableDiff(df, refDf, keys, compare, perColumn = attribute)
+    val aggs = Seq(count(lit(1)),
+      sum(when(Checks.diffViolationCond, 1L).otherwise(0L))) ++
+      (if (attribute) compare.map(c =>
+        sum(when(Checks.colChangedCond(c), 1L).otherwise(0L))) else Nil)
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(0)
     val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
-    // opt-in column attribution (`attribute_columns: true`): name WHICH
-    // compare columns changed, over how many both-side keys, in the
-    // result metadata — one extra diff-shaped job, paid only when keys
-    // actually differ and there are columns to attribute to
     val attribution: Map[String, String] =
-      if (rule.paramBool("attribute_columns") && failed > 0 && compare.nonEmpty) {
-        val stats = Checks.diffColumnStats(df, refDf, keys, compare)
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+      if (attribute && failed > 0) {
+        val stats = compare.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(2 + i)) 0L else row.getLong(2 + i)) }
         Map("changed_columns" -> stats.sortBy(_._1)
           .map { case (c, n) => s"$c=$n" }.mkString(";"))
       } else Map.empty
@@ -1628,9 +1633,15 @@ class Validator(
     * ABSOLUTE — reconciliation, diff, row_count, cardinality, schema —
     * still see the full table: a 30% slice reconciles against nothing,
     * diffs as mass deletion, and under-counts distincts, so sampling them
-    * would manufacture failures. At 10^12 turns this is the hourly tier:
-    * rate-quality rules on the slice for 1/permille the cost, the full
-    * pass nightly. */
+    * would manufacture failures. Group-unit families (uniqueness,
+    * sequence, monotonic, functional_dependency) are sampled only when
+    * the sample key is one of their own key columns (intact groups —
+    * see [[Validator.sampleExemptRule]]); otherwise they too run full.
+    * Partition verdicts from sampled rules carry no marker of their own
+    * (PartitionVerdict has no metadata slot) — consumers identify them by
+    * rule_name via the rule's global result, which does. At 10^12 turns
+    * this is the hourly tier: rate-quality rules on the slice for
+    * 1/permille the cost, the full pass nightly. */
   def validateTable(df: DataFrame, tableName: String): ValidationSummary = {
     val rules = config.enabledRules(tableName)
     val tcfg = config.tables.find(_.name == tableName)
@@ -1648,7 +1659,7 @@ class Validator(
       case Some((key, permille)) =>
         val t0 = System.nanoTime()
         def ms = (System.nanoTime() - t0) / 1e6
-        val (absolute, sampled) = rules.partition(r => Validator.sampleExempt(r.ruleType))
+        val (absolute, sampled) = rules.partition(r => Validator.sampleExemptRule(r, key))
         // the two groups are independent Spark job sets — overlap them (the
         // absolute group often carries the expensive full-table diff/
         // reconciliation jobs). NOT on sectionPool: executeRulesPartitioned
@@ -1815,6 +1826,23 @@ object Validator {
   private[engine] val sampleExempt: Set[String] = Set(
     graft.RuleType.Reconciliation, graft.RuleType.Diff, graft.RuleType.RowCount,
     graft.RuleType.Cardinality, graft.RuleType.SchemaDrift)
+
+  /** Group-unit families stay SAMPLED only when the sample key is one of
+    * the rule's own key columns — then whole groups are kept or dropped
+    * together and the per-group verdict is an honest cluster sample. A
+    * sample keyed OUTSIDE the group key truncates groups: a duplicate
+    * pair spanning two sample keys survives with probability p² instead
+    * of p (uniqueness under-counts by ~1/p — the species problem), a
+    * partially-kept conversation fabricates sequence gaps, and an FD
+    * violation needs both conflicting rows to survive. Such rules run on
+    * the FULL table instead. */
+  private[engine] def sampleExemptRule(r: graft.ValidationRule, sampleKey: String): Boolean = {
+    val groupUnit = Set(graft.RuleType.Uniqueness, graft.RuleType.Sequence,
+      graft.RuleType.Monotonic, graft.RuleType.FunctionalDependency)
+    sampleExempt(r.ruleType) ||
+      (groupUnit.contains(r.ruleType) &&
+        !r.columns.exists(_.equalsIgnoreCase(sampleKey)))
+  }
 
   /** Wilson 95% score interval of the SUCCESS rate given (failed, total) —
     * the sampled tier's "how tight is this estimate" annotation. Preferred

@@ -111,6 +111,11 @@ final case class TableConfig(
 ) {
   require(samplePermille >= 0 && samplePermille <= 1000,
     s"sample_permille must be in [0, 1000], got $samplePermille")
+  // fail loud, not inert: a rate without a key samples nothing and would
+  // silently validate at full cost (the paramBool/partition_buckets
+  // convention — misconfiguration raises at parse)
+  require(samplePermille == 1000 || sampleBy.isDefined,
+    "sample_permille without sample_by is inert — set sample_by or remove it")
 }
 
 final case class EngineConfig(

@@ -75,6 +75,11 @@ object StreamValidator {
           // "batch-10" would sort before "batch-2" unpadded. Same batch →
           // same name, so the replay-overwrite property is unchanged.
           val stateRunId = f"batch-$batchId%012d"
+          // upgrade hygiene: a pre-padding state for the SAME batch (the
+          // legacy unpadded name) would double-count after a replay across
+          // the upgrade boundary — retire it before this batch re-profiles
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+            s"$dir/$tableName/state_batch-$batchId.bin"))
           val res = graft.engine.Profiler.profileRun(
             batch, s"$dir/$tableName", stateRunId)
           java.nio.file.Files.writeString(

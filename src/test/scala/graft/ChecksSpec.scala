@@ -310,6 +310,19 @@ class ChecksSpec extends SparkSpec {
     none.head.getLong(1) shouldBe 0L
     none.head.getLong(2) shouldBe 0L
 
+    // schema evolution: a lossless widening (INT → BIGINT) must not read
+    // as change — digests hash the tightest COMMON type of each side
+    val narrow = Seq(("k", 1)).toDF("id", "v")
+    val wide = Seq(("k", 1L)).toDF("id", "v")
+    Checks.tableDiff(wide, narrow, Seq("id"), Seq("v"))
+      .filter(Checks.diffViolationCond).count() shouldBe 0L
+    // a column pair with NO common type is a loud error, never a
+    // silently-wrong all-changed comparison
+    intercept[IllegalArgumentException] {
+      Checks.tableDiff(Seq(("k", "x")).toDF("id", "v"),
+        Seq(("k", 1)).toDF("id", "v"), Seq("id"), Seq("v"))
+    }
+
     // PER-COLUMN MULTISET semantics, pinned: a cross-column value swap
     // preserves every column's multiset — attributable to NO column here,
     // while tableDiff's row-level digest still classifies the key changed

@@ -175,6 +175,12 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       ConfigLoader.fromYamlString(sy.replace("300", "most"), env = Map.empty)
     }
+    // a rate without a key is inert — fail loud at parse, not silently
+    // validate at full cost
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(
+        "tables:\n  - name: t\n    sample_permille: 300\n", env = Map.empty)
+    }
   }
 
   test("invalid severity rejected (config.py:44-49)") {

@@ -58,6 +58,10 @@ class SuggestSpec extends SparkSpec {
 
     val commas = Seq("a,b", "c").toDF("v")
     byKey(Suggest.suggest(commas)).get(("v", RuleType.AllowedValues)) shouldBe None
+    // the validator's comma-list parser TRIMS entries: a value with outer
+    // whitespace would round-trip different and fail its own rule
+    val padded = Seq("a ", "b").toDF("v")
+    byKey(Suggest.suggest(padded)).get(("v", RuleType.AllowedValues)) shouldBe None
 
     val wide = (1 to 100).map(i => s"v$i").toDF("v")
     byKey(Suggest.suggest(wide)).get(("v", RuleType.AllowedValues)) shouldBe None

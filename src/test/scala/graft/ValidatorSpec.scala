@@ -936,7 +936,13 @@ class ValidatorSpec extends SparkSpec {
           parameters = Map("min" -> "0", "max" -> "10")),
         // min_rows = the FULL size: passes only if row_count saw the whole table
         ValidationRule("size", RuleType.RowCount, Seq(),
-          parameters = Map("min_rows" -> "100"))),
+          parameters = Map("min_rows" -> "100")),
+        // group-unit family whose key CONTAINS the sample key: stays
+        // sampled (whole groups survive — an honest cluster sample)
+        ValidationRule("uid_uniq", RuleType.Uniqueness, Seq("uid", "v")),
+        // group-unit family keyed OUTSIDE the sample key: a duplicate
+        // pair spanning two uids survives at p² — runs FULL instead
+        ValidationRule("v_uniq", RuleType.Uniqueness, Seq("v"))),
       sampleBy = Some("uid"), samplePermille = 400)))
     val v = new Validator(spark, cfg)
     val byName = v.validateTable(df, "t").results.map(r => r.rule_name -> r).toMap
@@ -960,6 +966,12 @@ class ValidatorSpec extends SparkSpec {
     byName("size").passed shouldBe true
     byName("size").metadata("row_count") shouldBe "100"
     byName("size").metadata.get("sampled_by") shouldBe None
+    // uniqueness keyed on the sample key: SAMPLED (verdict over the slice)
+    byName("uid_uniq").total_count shouldBe expTotal
+    byName("uid_uniq").metadata("sampled_by") shouldBe "uid"
+    // uniqueness keyed outside the sample key: FULL (species problem)
+    byName("v_uniq").total_count shouldBe 100L
+    byName("v_uniq").metadata.get("sampled_by") shouldBe None
     // whole key groups are kept or dropped together
     sampled.groupBy("uid").count().filter(col("count") =!= 2).count() shouldBe 0L
 

@@ -231,46 +231,80 @@ object Checks {
       dependent: Seq[String]): DataFrame =
     fdGroups(df, keys, dependent).filter(fdViolationCond)
 
+  /** The LOSSLESS common type of two column types, for the diff's
+    * cross-side canonicalization. Deliberately NOT Spark's
+    * `findTightestCommonType`: that lattice admits integral→floating
+    * coercions (LONG+FLOAT → FLOAT) under which genuinely different
+    * values (16777217L vs 16777216.0f) cast equal and a changed key would
+    * SILENTLY classify 'equal' — a false negative, the worst failure mode
+    * a validation diff has. Admitted here: the integral widening chain,
+    * FLOAT → DOUBLE, and decimal/integral → a DECIMAL wide enough for
+    * both (None when that exceeds DECIMAL(38)). Anything else — including
+    * every integral/floating mix — is NOT comparable-by-widening. */
+  private[graft] def losslessCommon(a: DataType, b: DataType): Option[DataType] = {
+    def intRank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(3); case LongType => Some(4); case _ => None
+    }
+    // an integral type as the exact decimal that holds it (Long needs 19)
+    def asDecimal(dt: DataType): Option[DecimalType] = dt match {
+      case ByteType => Some(DecimalType(3, 0)); case ShortType => Some(DecimalType(5, 0))
+      case IntegerType => Some(DecimalType(10, 0)); case LongType => Some(DecimalType(19, 0))
+      case d: DecimalType => Some(d); case _ => None
+    }
+    if (a == b) Some(a)
+    else (intRank(a), intRank(b)) match {
+      case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
+      case _ => (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+        case _ => (asDecimal(a), asDecimal(b)) match {
+          case (Some(da), Some(db)) =>
+            val scale = math.max(da.scale, db.scale)
+            val p = math.max(da.precision - da.scale, db.precision - db.scale) + scale
+            if (p <= DecimalType.MAX_PRECISION) Some(DecimalType(p, scale)) else None
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** The canonical (column, type) list for a diff's key/compare columns:
+    * each column's [[losslessCommon]] type across the two sides, so a
+    * snapshot written before a lossless widening (INT → BIGINT,
+    * FLOAT → DOUBLE, decimal growth) still digests equal values equally —
+    * without this, xxhash64 hashes each side's native representation and
+    * every shared key classifies 'changed'. A column pair with no
+    * LOSSLESS common type is a configuration error, never a
+    * silently-wrong comparison in either direction. */
+  private def canonicalTypes(left: DataFrame, right: DataFrame,
+      cols: Seq[String], what: String): Seq[(String, DataType)] = cols.map { c =>
+    def typeOf(d: DataFrame) = d.schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(s"no $what column '$c'"))
+      .dataType
+    val (lt, rt) = (typeOf(left), typeOf(right))
+    c -> losslessCommon(lt, rt).getOrElse(throw new IllegalArgumentException(
+      s"diff $what column '$c': no lossless common type for " +
+        s"${lt.simpleString} vs ${rt.simpleString}"))
+  }
+
   /** Per-key content summary for the keyed table diff: one row per key
     * with the key's row count and an order-independent content digest —
-    * the SUM of per-row `xxhash64` over the compare columns. Sum (not XOR)
-    * so duplicate content rows cannot cancel across the two sides
-    * ({a,a,b} vs {b,c,c} XOR to the same value; their sums differ), and
-    * the sum runs in DECIMAL(38,0) so ANSI mode cannot overflow-raise on
-    * full-range 64-bit hash values. (count, digest) equality is multiset
-    * equality of the key's compare-column tuples up to 64-bit hash
-    * collision (~2⁻⁶⁴ per compared key — the standard content-digest
-    * trade every keyed diff tool makes).
+    * the SUM of per-row `xxhash64` over the compare columns (each cast to
+    * its cross-side canonical type). Sum (not XOR) so duplicate content
+    * rows cannot cancel across the two sides ({a,a,b} vs {b,c,c} XOR to
+    * the same value; their sums differ), and the sum runs in
+    * DECIMAL(38,0) so ANSI mode cannot overflow-raise on full-range
+    * 64-bit hash values. (count, digest) equality is multiset equality of
+    * the key's compare-column tuples up to 64-bit hash collision (~2⁻⁶⁴
+    * per compared key — the standard content-digest trade every keyed
+    * diff tool makes).
     *
     * This is THE 100 TB shape: one map-side-combined groupBy per side, and
     * the shuffle carries (key, count, 16-byte digest) per DISTINCT key —
     * never rows, never the compared payload columns. Under a key-bucketed
     * at-rest layout the aggregation plans no exchange at all. */
-  /** The canonical (column, type) list for a diff's compare columns: the
-    * TIGHTEST COMMON TYPE of each column across the two sides, so a
-    * snapshot written before a lossless widening (INT → BIGINT,
-    * FLOAT → DOUBLE) still digests equal values equally — without this,
-    * xxhash64 hashes each side's native representation and every shared
-    * key classifies 'changed'. A column pair with NO common type is a
-    * configuration error, never a silently-wrong comparison. */
-  private def canonicalCompare(left: DataFrame, right: DataFrame,
-      compare: Seq[String]): Seq[(String, DataType)] = compare.map { c =>
-    def typeOf(d: DataFrame) = d.schema.fields
-      .find(_.name.equalsIgnoreCase(c))
-      .getOrElse(throw new IllegalArgumentException(s"no compare column '$c'"))
-      .dataType
-    val (lt, rt) = (typeOf(left), typeOf(right))
-    val common =
-      if (lt == rt) lt
-      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-        .findTightestCommonType(lt, rt)
-        .getOrElse(throw new IllegalArgumentException(
-          s"diff compare column '$c': incompatible types " +
-            s"${lt.simpleString} vs ${rt.simpleString}"))
-    c -> common
-  }
-
-  def keyContentSummary(df: DataFrame, keys: Seq[String],
+  def keyContentSummary(df: DataFrame, keys: Seq[(String, DataType)],
       compare: Seq[(String, DataType)],
       cntName: String, digestName: String,
       perColumnPrefix: Option[String] = None): DataFrame = {
@@ -291,7 +325,10 @@ object Checks {
     val colDigests = perColumnPrefix.toSeq.flatMap(p => compare.map(c =>
       sum(xxhash64(canon(c).isNull.cast("int"), canon(c)).cast(DecimalType(38, 0)))
         .as(s"$p${c._1}")))
-    df.groupBy(keys.map(col): _*)
+    // keys cast to their cross-side canonical type too — joining mismatched
+    // key types would otherwise coerce per Spark's own comparison rules
+    // (possibly collapsing or nulling keys) with no error
+    df.groupBy(keys.map(k => canon(k).as(k._1)): _*)
       .agg(count(lit(1)).as(cntName),
         (sum(rowHash.cast(DecimalType(38, 0))).as(digestName) +: colDigests): _*)
   }
@@ -316,11 +353,12 @@ object Checks {
     * adds no third shuffle; AQE picks the physical join at runtime. */
   def tableDiff(left: DataFrame, right: DataFrame, keys: Seq[String],
       compare: Seq[String], perColumn: Boolean = false): DataFrame = {
-    val typed = canonicalCompare(left, right, compare)
+    val keyTyped = canonicalTypes(left, right, keys, "key")
+    val typed = canonicalTypes(left, right, compare, "compare")
     val pfx = if (perColumn) Some("__hcol_") else None
-    val l = keyContentSummary(left, keys, typed, "cnt_left", "__digest_l",
+    val l = keyContentSummary(left, keyTyped, typed, "cnt_left", "__digest_l",
       pfx.map(_ + "l_"))
-    val r = keyContentSummary(right, keys, typed, "cnt_right", "__digest_r",
+    val r = keyContentSummary(right, keyTyped, typed, "cnt_right", "__digest_r",
       pfx.map(_ + "r_"))
     l.join(r, keys, "full_outer")
       .withColumn("status",

@@ -75,11 +75,14 @@ object StreamValidator {
           // "batch-10" would sort before "batch-2" unpadded. Same batch →
           // same name, so the replay-overwrite property is unchanged.
           val stateRunId = f"batch-$batchId%012d"
-          // upgrade hygiene: a pre-padding state for the SAME batch (the
-          // legacy unpadded name) would double-count after a replay across
-          // the upgrade boundary — retire it before this batch re-profiles
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
-            s"$dir/$tableName/state_batch-$batchId.bin"))
+          // upgrade hygiene: MIGRATE any legacy unpadded state names to the
+          // padded scheme (rename preserves their data in the lifetime
+          // profile) so filename order = recency holds for the WHOLE
+          // directory, not just post-upgrade batches; if the padded name
+          // already exists the legacy file is the older duplicate of a
+          // replayed batch — retire it instead (a replay across the
+          // upgrade boundary must not double-count)
+          migrateLegacyStates(s"$dir/$tableName")
           val res = graft.engine.Profiler.profileRun(
             batch, s"$dir/$tableName", stateRunId)
           java.nio.file.Files.writeString(
@@ -93,5 +96,31 @@ object StreamValidator {
         ()
       }
       .start()
+  }
+
+  /** Rename legacy UNPADDED batch-state files (`state_batch-7.bin`) to the
+    * zero-padded scheme so filename order equals batch recency across the
+    * whole profile directory — the tie-break `Profiler.lifetimeState`'s
+    * lineage anchor relies on when mtimes were flattened by a copy. A
+    * legacy file whose padded name already exists is the OLDER duplicate
+    * of a batch replayed across the upgrade boundary: deleted, never
+    * merged twice. */
+  private[graft] def migrateLegacyStates(tableDir: String): Unit = {
+    val p = java.nio.file.Paths.get(tableDir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val legacy = "state_batch-(\\d{1,11})\\.bin".r
+    val s = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.foreach { f =>
+        f.getFileName.toString match {
+          case legacy(digits) =>
+            val target = f.resolveSibling(f"state_batch-${digits.toLong}%012d.bin")
+            if (java.nio.file.Files.exists(target)) java.nio.file.Files.delete(f)
+            else java.nio.file.Files.move(f, target)
+          case _ => ()
+        }
+      }
+    } finally s.close()
   }
 }

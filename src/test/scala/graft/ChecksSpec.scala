@@ -310,11 +310,14 @@ class ChecksSpec extends SparkSpec {
     none.head.getLong(1) shouldBe 0L
     none.head.getLong(2) shouldBe 0L
 
-    // schema evolution: a lossless widening (INT → BIGINT) must not read
-    // as change — digests hash the tightest COMMON type of each side
+    // schema evolution: a LOSSLESS widening (INT → BIGINT, FLOAT → DOUBLE)
+    // must not read as change — digests hash the lossless common type
     val narrow = Seq(("k", 1)).toDF("id", "v")
     val wide = Seq(("k", 1L)).toDF("id", "v")
     Checks.tableDiff(wide, narrow, Seq("id"), Seq("v"))
+      .filter(Checks.diffViolationCond).count() shouldBe 0L
+    Checks.tableDiff(Seq(("k", 1.5d)).toDF("id", "v"),
+      Seq(("k", 1.5f)).toDF("id", "v"), Seq("id"), Seq("v"))
       .filter(Checks.diffViolationCond).count() shouldBe 0L
     // a column pair with NO common type is a loud error, never a
     // silently-wrong all-changed comparison
@@ -322,6 +325,23 @@ class ChecksSpec extends SparkSpec {
       Checks.tableDiff(Seq(("k", "x")).toDF("id", "v"),
         Seq(("k", 1)).toDF("id", "v"), Seq("id"), Seq("v"))
     }
+    // integral vs floating is NOT lossless (16777217L casts equal to
+    // 16777216.0f under Spark's own tightest-common-type) — rejected
+    // loudly rather than risking a silent false 'equal'
+    intercept[IllegalArgumentException] {
+      Checks.tableDiff(Seq(("k", 16777217L)).toDF("id", "v"),
+        Seq(("k", 16777216.0f)).toDF("id", "v"), Seq("id"), Seq("v"))
+    }
+    // KEY columns get the same contract: a type mismatch on the join key
+    // must not silently coerce (string '007' vs int 7 would collapse)
+    intercept[IllegalArgumentException] {
+      Checks.tableDiff(Seq(("7", 1.0)).toDF("id", "v"),
+        Seq((7, 1.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+    }
+    // a widened key (INT → BIGINT) still joins: canonicalized both sides
+    Checks.tableDiff(Seq((7L, 1.0)).toDF("id", "v"),
+      Seq((7, 1.0)).toDF("id", "v"), Seq("id"), Seq("v"))
+      .filter(Checks.diffViolationCond).count() shouldBe 0L
 
     // PER-COLUMN MULTISET semantics, pinned: a cross-column value swap
     // preserves every column's multiset — attributable to NO column here,

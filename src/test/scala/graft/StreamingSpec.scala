@@ -233,6 +233,28 @@ class StreamingSpec extends SparkSpec {
     byBatch(1) shouldBe ((3L, 3L))
   }
 
+  test("legacy unpadded batch states migrate to the padded scheme, replay duplicates retired") {
+    val dir = Files.createTempDirectory("legacy_states").toString
+    def touch(n: String, body: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$n"), body)
+    touch("state_batch-3.bin", "legacy3") // pre-upgrade, no padded twin → renamed
+    touch("state_batch-7.bin", "legacy7") // pre-upgrade duplicate of a replayed batch
+    touch("state_batch-000000000007.bin", "padded7") // the replay's own state
+    touch("profile.json", "{}") // untouched bystander
+    StreamValidator.migrateLegacyStates(dir)
+    val names = new java.io.File(dir).list().toSet
+    names shouldBe Set("state_batch-000000000003.bin",
+      "state_batch-000000000007.bin", "profile.json")
+    // the renamed file carries the legacy data; the replay duplicate was
+    // RETIRED, not allowed to overwrite the newer padded state
+    Files.readString(java.nio.file.Paths.get(s"$dir/state_batch-000000000003.bin")) shouldBe "legacy3"
+    Files.readString(java.nio.file.Paths.get(s"$dir/state_batch-000000000007.bin")) shouldBe "padded7"
+    // idempotent, and a missing directory is a no-op
+    StreamValidator.migrateLegacyStates(dir)
+    new java.io.File(dir).list().toSet shouldBe names
+    StreamValidator.migrateLegacyStates(s"$dir/nope")
+  }
+
   test("referential rules resolve ref tables through the streaming tableResolver") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

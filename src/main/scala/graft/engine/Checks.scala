@@ -239,8 +239,11 @@ object Checks {
     * SILENTLY classify 'equal' — a false negative, the worst failure mode
     * a validation diff has. Admitted here: the integral widening chain,
     * FLOAT → DOUBLE, and decimal/integral → a DECIMAL wide enough for
-    * both (None when that exceeds DECIMAL(38)). Anything else — including
-    * every integral/floating mix — is NOT comparable-by-widening. */
+    * both (None when that exceeds DECIMAL(38)), plus the provably-exact
+    * integral→floating embeddings (BYTE/SHORT fit FLOAT's 24-bit
+    * mantissa; BYTE/SHORT/INT fit DOUBLE's 53) and NullType→anything
+    * (null casts to null). INT/LONG vs FLOAT and LONG vs DOUBLE are NOT
+    * comparable-by-widening. */
   private[graft] def losslessCommon(a: DataType, b: DataType): Option[DataType] = {
     def intRank(dt: DataType): Option[Int] = dt match {
       case ByteType => Some(1); case ShortType => Some(2)
@@ -252,17 +255,29 @@ object Checks {
       case IntegerType => Some(DecimalType(10, 0)); case LongType => Some(DecimalType(19, 0))
       case d: DecimalType => Some(d); case _ => None
     }
+    // does every value of the integral type embed exactly in the float type?
+    def fitsFloating(rank: Int, fl: DataType): Boolean = fl match {
+      case FloatType  => rank <= 2 // 2^15 < 2^24
+      case DoubleType => rank <= 3 // 2^31 < 2^53
+      case _          => false
+    }
     if (a == b) Some(a)
-    else (intRank(a), intRank(b)) match {
-      case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
-      case _ => (a, b) match {
-        case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
-        case _ => (asDecimal(a), asDecimal(b)) match {
-          case (Some(da), Some(db)) =>
-            val scale = math.max(da.scale, db.scale)
-            val p = math.max(da.precision - da.scale, db.precision - db.scale) + scale
-            if (p <= DecimalType.MAX_PRECISION) Some(DecimalType(p, scale)) else None
-          case _ => None
+    else (a, b) match {
+      case (NullType, t) => Some(t)
+      case (t, NullType) => Some(t)
+      case _ => (intRank(a), intRank(b)) match {
+        case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
+        case (Some(ra), None) if fitsFloating(ra, b) => Some(b)
+        case (None, Some(rb)) if fitsFloating(rb, a) => Some(a)
+        case _ => (a, b) match {
+          case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+          case _ => (asDecimal(a), asDecimal(b)) match {
+            case (Some(da), Some(db)) =>
+              val scale = math.max(da.scale, db.scale)
+              val p = math.max(da.precision - da.scale, db.precision - db.scale) + scale
+              if (p <= DecimalType.MAX_PRECISION) Some(DecimalType(p, scale)) else None
+            case _ => None
+          }
         }
       }
     }

@@ -415,15 +415,24 @@ object Profiler {
     * profileRun's anchor-on-the-current-run semantics; states from older
     * schemas are skipped exactly as profileRun skips them. None when the
     * directory holds no states. */
+  /** A filename made order-robust for the recency tie-break: every digit
+    * run left-padded to 19 (a Long's width), so `state_batch-2.bin` and
+    * `state_batch-000000000010.bin` compare NUMERICALLY regardless of
+    * which writer generation named them — the reader-side guard for
+    * directories written before the writers padded/time-prefixed their
+    * run ids, which no rename migration may ever have touched. */
+  private def recencyKey(name: String): String =
+    "\\d+".r.replaceAllIn(name, m => ("0" * (19 - m.matched.length)) + m.matched)
+
   def lifetimeState(dir: String): Option[ProfileState] = {
     val files = stateFiles(dir)
     if (files.isEmpty) return None
     val states = files.map(f => f -> readState(f))
-    // mtime primary, filename tie-break. On filesystems or copies that
-    // flatten mtimes the tie-break is only meaningful when run ids sort by
-    // recency — which the CLI guarantees by time-prefixing its run ids.
+    // mtime primary; digit-normalized filename tie-break (covers copies
+    // that flattened mtimes AND legacy unpadded names in one move)
     val (_, ref) = states.maxBy { case (f, _) =>
-      (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis, f)
+      (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)).toMillis,
+        recencyKey(f))
     }
     Some(states.map(_._2)
       .filter(s => s.columns == ref.columns && s.typeNames == ref.typeNames)

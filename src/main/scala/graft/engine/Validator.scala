@@ -944,7 +944,13 @@ class Validator(
       val (refDf, keys, compare) = diffSpec(df, rule)
       val joined = Checks.tableDiff(df, refDf, keys, compare)
       val stats = joined.withColumn("__part", Checks.partGroupCol(joined, p))
-      Right(groupUnitVerdicts(rule, stats, Checks.diffViolationCond, partTotals))
+      // NO partTotals fill for diff: the joined key frame covers every
+      // partition with data by construction (no row filtering precedes
+      // it), and the fill's labels come from the NATIVE-typed source df
+      // while the joined frame's keys carry the cross-side canonical type
+      // — a float/decimal key whose string form changes under the cast
+      // would yield a duplicated, spuriously-passing partition entry
+      Right(groupUnitVerdicts(rule, stats, Checks.diffViolationCond, Map.empty))
     } catch { case e: Throwable => Left(e) }
 
   /** Per-partition cardinality verdicts: one grouped distinct job (exact or

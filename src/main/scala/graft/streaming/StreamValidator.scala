@@ -59,6 +59,11 @@ object StreamValidator {
 
     val rules = config.enabledRules(tableName)
 
+    // one-time upgrade hygiene, BEFORE the stream starts (not per batch):
+    // migrate any legacy unpadded state names so filename order equals
+    // batch recency across the whole profile directory
+    profileDir.foreach(dir => migrateLegacyStates(s"$dir/$tableName"))
+
     input.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -75,14 +80,6 @@ object StreamValidator {
           // "batch-10" would sort before "batch-2" unpadded. Same batch →
           // same name, so the replay-overwrite property is unchanged.
           val stateRunId = f"batch-$batchId%012d"
-          // upgrade hygiene: MIGRATE any legacy unpadded state names to the
-          // padded scheme (rename preserves their data in the lifetime
-          // profile) so filename order = recency holds for the WHOLE
-          // directory, not just post-upgrade batches; if the padded name
-          // already exists the legacy file is the older duplicate of a
-          // replayed batch — retire it instead (a replay across the
-          // upgrade boundary must not double-count)
-          migrateLegacyStates(s"$dir/$tableName")
           val res = graft.engine.Profiler.profileRun(
             batch, s"$dir/$tableName", stateRunId)
           java.nio.file.Files.writeString(

@@ -325,7 +325,17 @@ class ChecksSpec extends SparkSpec {
       Checks.tableDiff(Seq(("k", "x")).toDF("id", "v"),
         Seq(("k", 1)).toDF("id", "v"), Seq("id"), Seq("v"))
     }
-    // integral vs floating is NOT lossless (16777217L casts equal to
+    // integral embeds EXACTLY in a wide-enough float type: INT → DOUBLE is
+    // admitted (2^31 < 2^53) …
+    Checks.tableDiff(Seq(("k", 1)).toDF("id", "v"),
+      Seq(("k", 1.0d)).toDF("id", "v"), Seq("id"), Seq("v"))
+      .filter(Checks.diffViolationCond).count() shouldBe 0L
+    // … and an all-null (void-typed) column promotes losslessly
+    Checks.tableDiff(
+      Seq("k").toDF("id").withColumn("v", org.apache.spark.sql.functions.lit(null)),
+      Seq(("k", Option.empty[Int])).toDF("id", "v"), Seq("id"), Seq("v"))
+      .filter(Checks.diffViolationCond).count() shouldBe 0L
+    // but LONG vs FLOAT is NOT lossless (16777217L casts equal to
     // 16777216.0f under Spark's own tightest-common-type) — rejected
     // loudly rather than risking a silent false 'equal'
     intercept[IllegalArgumentException] {

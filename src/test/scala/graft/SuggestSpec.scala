@@ -139,6 +139,16 @@ class SuggestSpec extends SparkSpec {
     F.setLastModifiedTime(Paths.get(s"$dir/state_aaa.bin"), FileTime.fromMillis(2000000L))
     Profiler.lifetimeState(dir).get.columns shouldBe Seq("a", "c")
     Profiler.lifetimeState(F.createTempDirectory("empty").toString) shouldBe None
+
+    // flattened mtimes + mixed name generations (legacy unpadded vs
+    // padded): the digit-normalized tie-break compares runs NUMERICALLY,
+    // so batch 150 beats legacy batch 9 even though '9' > '0' lexically
+    val dir2 = F.createTempDirectory("lineage2").toString
+    Profiler.writeState(Profiler.profileState(oldSchema), s"$dir2/state_batch-9.bin")
+    Profiler.writeState(Profiler.profileState(newSchema), s"$dir2/state_batch-000000000150.bin")
+    Seq("state_batch-9.bin", "state_batch-000000000150.bin").foreach(n =>
+      F.setLastModifiedTime(Paths.get(s"$dir2/$n"), FileTime.fromMillis(5000000L)))
+    Profiler.lifetimeState(dir2).get.columns shouldBe Seq("a", "c")
   }
 
   test("suggested rules round-trip through the YAML config surface") {

@@ -16,20 +16,23 @@ trait TableProvider {
 object Tables extends TableProvider {
 
   /** `source` forms: `/path/x.parquet`, `/path/x.csv`, `/path/x.json`,
-    * `parquet:/path`, `csv:/path`, `json:/path`, `table:name`,
+    * `/path/x.orc`, `parquet:/path`, `csv:/path`, `json:/path`,
+    * `orc:/path`, `table:name`,
     * `catalog.schema.table` (dotted, no slash — Unity-style three-part
     * names, reference `databricks_engine.py:150-215`; `spark.table`
     * resolves them against whatever catalog plugin the session carries),
     * bare `name` (catalog/temp view). A dotted relative FILE path needs an
-    * explicit `parquet:`/`csv:`/`json:` prefix to disambiguate. */
+    * explicit `parquet:`/`csv:`/`json:`/`orc:` prefix to disambiguate. */
   override def load(spark: SparkSession, source: String): DataFrame = source match {
     case s if s.startsWith("parquet:") => spark.read.parquet(s.stripPrefix("parquet:"))
     case s if s.startsWith("csv:")     => csv(spark, s.stripPrefix("csv:"))
     case s if s.startsWith("json:")    => spark.read.json(s.stripPrefix("json:"))
+    case s if s.startsWith("orc:")     => spark.read.orc(s.stripPrefix("orc:"))
     case s if s.startsWith("table:")   => spark.table(s.stripPrefix("table:"))
     case s if s.endsWith(".parquet")   => spark.read.parquet(s)
     case s if s.endsWith(".csv")       => csv(spark, s)
     case s if s.endsWith(".json")      => spark.read.json(s)
+    case s if s.endsWith(".orc")       => spark.read.orc(s)
     // dotted, no slash, no known file suffix → catalog three-part name
     // (a relative dotted FILENAME like `events.v2.parquet` keeps routing
     // to its reader via the suffix cases above; a catalog table whose last

@@ -337,6 +337,19 @@ class CliSpec extends SparkSpec {
     JobSpec.fromJson(JobSpec.toJson(spec)) shouldBe spec
   }
 
+  test("ORC sources load through the same dispatch (suffix and explicit prefix)") {
+    val dir = Files.createTempDirectory("orc")
+    val src = dir.resolve("t.orc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "cat").write.orc(src)
+    val df = graft.io.Tables.load(spark, src)
+    df.count() shouldBe 2
+    graft.io.Tables.load(spark, s"orc:$src").schema.fieldNames.toSeq shouldBe Seq("id", "cat")
+    // and the engine validates it like any other source
+    val v = new graft.engine.Validator(spark, ValidationConfig())
+    v.executeRules(df, Seq(ValidationRule("c", RuleType.Completeness, Seq("id"))), "t")
+      .results.head.passed shouldBe true
+  }
+
   test("--suggest-config authors a starter config that validates green on its source") {
     val dir = Files.createTempDirectory("suggest")
     val src = dir.resolve("t_parquet").toString

@@ -115,18 +115,30 @@ object Bench {
     // indexes) are reused inside the query and RELEASED before the next, so
     // the suite session stays clean by construction — the fresh-session
     // ladder below is now defense in depth, not the leak fix.
+    //
+    // Each query is timed TWICE: the first execution of a plan shape carries
+    // 0.5-2 s of whole-stage-codegen compilation that steady state never
+    // pays, so a one-shot number cannot distinguish compile noise from a
+    // plan regression. Both numbers ship in the JSON (`queries` = steady,
+    // `queries_first` = cold) so every cross-round per-query delta is
+    // adjudicable from the artifact alone.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.CacheScope.cached {
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch {
+          case _: Throwable =>
+            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val queryTimes =
       if (skipQueries) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        graft.operators.CacheScope.cached {
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch {
-            case _: Throwable =>
-              try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          }
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val first = timeOnce(fn)
+        val steady = timeOnce(fn)
+        (name, first, steady)
       }
 
     // --- section 2+3: transcript suite + scaling evidence -----------------
@@ -196,9 +208,16 @@ object Bench {
     }
     val bestEff = if (pairs.nonEmpty) pairs.map(_._3).max else 1.0
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // `queries` carries the STEADY number (the plan's real cost — what
+    // cross-round comparison should use); `queries_first` the cold number
+    // (steady + codegen/footer compile). first ≫ steady ⇒ compile noise,
+    // first ≈ steady (both high) ⇒ real plan cost.
+    val qs = queryTimes.map { case (k, _, st) => "\"" + k + "\":" + f"$st%.3f" }
       .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum
+    val qsFirst = queryTimes.map { case (k, fs, _) => "\"" + k + "\":" + f"$fs%.3f" }
+      .mkString("{", ",", "}")
+    val total = queryTimes.map(_._3).sum
+    val totalFirst = queryTimes.map(_._2).sum
     val levelJson = runs.map { l =>
       val rs = l.runs.map(r => f"${r.wallSec}%.2f").mkString("[", ",", "]")
       val ws = l.warmupsSec.map(v => f"$v%.2f").mkString("[", ",", "]")
@@ -214,6 +233,6 @@ object Bench {
       s"""{"turns":$nTurns,"levels":$levelJson,"pairs":$pairJson,""" +
       f""""efficiency":$bestEff%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","validated_turns_per_sec":${hi.turnsPerSec}%.1f,"scaling":$scaling%s}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","first_total_sec":$totalFirst%.2f,"queries":$qs%s,"queries_first":$qsFirst%s,"sf":"$sfDir%s","validated_turns_per_sec":${hi.turnsPerSec}%.1f,"scaling":$scaling%s}""")
   }
 }

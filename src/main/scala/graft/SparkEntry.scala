@@ -744,6 +744,28 @@ object SparkEntry {
         SELECT bucket, cnt_a / ta AS p_a, cnt_b / tb AS p_b, ABS(cnt_a / ta - cnt_b / tb) AS abs_diff
         FROM j, tot ORDER BY bucket""")),
 
+    // ---- distribution drift: Cramér's V (the familiar effect size) -------
+    // closes the "every drift method oracle-checked" loop: chi_square / ks /
+    // tvd / psi / js each carry an oracle; cramers_v was spec-only. Statistic
+    // = √(Σ contrib) — the non-associative sum stays driver-side, each row is
+    // independent double arithmetic over exact integer counts.
+    Q("q_cramers_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.cramersVContributions(
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), "event_type"),
+          Checks.categoricalHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), "event_type"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(obs_a, 0.0) AS obs_a, coalesce(obs_b, 0.0) AS obs_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(obs_a) AS ta, SUM(obs_b) AS tb, SUM(obs_a) + SUM(obs_b) AS g FROM j)
+        SELECT bucket, obs_a, obs_b,
+          ((obs_a - (obs_a + obs_b) * ta / g) * (obs_a - (obs_a + obs_b) * ta / g) / ((obs_a + obs_b) * ta / g)
+         + (obs_b - (obs_a + obs_b) * tb / g) * (obs_b - (obs_a + obs_b) * tb / g) / ((obs_a + obs_b) * tb / g)) / g AS contrib
+        FROM j, tot ORDER BY bucket""")),
+
     // ---- distribution drift: PSI (log-weighted, size-invariant) ----------
     // The one oracle query with a transcendental: LN. Verified bit-identical
     // between java.lang.Math.log (Spark codegen) and DuckDB's ln for these

@@ -27,7 +27,12 @@ final case class JobSpec(
     timeout_seconds: Long,
     max_retries: Int,
     retry_on_timeout: Boolean,
-    schedule_cron: Option[String])
+    schedule_cron: Option[String],
+    /** DLT-style expectations carried with the job: rule name → Spark-SQL
+      * keep-predicate ([[graft.engine.RulePlanner.dltExpectations]]) — a
+      * DLT migrator reads these into `@dlt.expect_or_drop`; any other
+      * scheduler can ignore them. Sorted map for deterministic JSON. */
+    dlt_expectations: Map[String, String] = Map.empty)
 
 object JobSpec {
 
@@ -59,7 +64,8 @@ object JobSpec {
       sourcesPath: Option[String] = None,
       outputPath: Option[String] = None,
       cluster: ClusterSpec = defaultBatchCluster,
-      scheduleCron: Option[String] = None): JobSpec =
+      scheduleCron: Option[String] = None,
+      dltExpectations: Map[String, String] = Map.empty): JobSpec =
     JobSpec(
       name = jobName,
       main_class = "graft.Cli",
@@ -70,7 +76,9 @@ object JobSpec {
       timeout_seconds = 3600L,
       max_retries = 2,
       retry_on_timeout = true,
-      schedule_cron = scheduleCron)
+      schedule_cron = scheduleCron,
+      dlt_expectations = scala.collection.immutable.SortedMap.empty[String, String] ++
+        dltExpectations)
 
   /** Streaming validation job (reference `create_streaming_validation_job`,
     * `databricks_utils.py:95-143`): indefinite timeout (0), 5 retries,

@@ -586,15 +586,31 @@ object Checks {
     * (kind, bucket) pair per row via a 2-element explode; one groupBy job
     * returns every histogram. Used to batch all drift rules over a table —
     * N drift rules cost one column-pruned scan instead of N. */
+  /** Driver-safety cap on collected histogram rows: histograms are
+    * O(distinct buckets) BY CONTRACT (categorical columns / fixed-width
+    * numeric bins); a drift rule mistakenly pointed at a high-cardinality
+    * raw column (ids, text) would otherwise collect millions of rows to
+    * the driver. Guarded with limit-before-collect, so the offending rule
+    * fails through its own error path instead of OOMing the process. */
+  val maxHistogramBuckets: Int = 65536
+
+  private def guardedCollect(grouped: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = grouped.limit(maxHistogramBuckets + 1).collect()
+    require(rows.length <= maxHistogramBuckets,
+      s"drift histogram produced more than $maxHistogramBuckets buckets — " +
+        "the rule is pointed at a high-cardinality column; drift compares " +
+        "DISTRIBUTIONS (categorical values or binned numerics, e.g. method: ks)")
+    rows
+  }
+
   def multiHistogram(df: DataFrame, specs: Seq[(String, Column)]): Map[String, Map[String, Long]] = {
     require(specs.nonEmpty)
     val kb = explode(array(specs.map { case (name, c) =>
       struct(lit(name).as("kind"), coalesce(c.cast("string"), lit("__NULL__")).as("bucket"))
     }: _*)).as("kb")
-    df.select(kb)
+    guardedCollect(df.select(kb)
       .groupBy(col("kb.kind"), col("kb.bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
+      .agg(count(lit(1)).as("cnt")))
       .groupBy(_.getString(0))
       .map { case (kind, rows) =>
         kind -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -614,10 +630,9 @@ object Checks {
     }: _*)).as("kb")
     // raw partition key (no per-row string cast) — stringified driver-side
     // over the O(partitions × buckets) collected rows (see rawKeyStringable)
-    df.select(partGroupCol(df, part).as("__part"), kb)
+    guardedCollect(df.select(partGroupCol(df, part).as("__part"), kb)
       .groupBy(col("__part"), col("kb.kind"), col("kb.bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect()
+      .agg(count(lit(1)).as("cnt")))
       .groupBy(_.getString(1))
       .map { case (kind, rows) =>
         kind -> rows.groupBy(r => partKeyString(r.get(0))).map { case (p, rs) =>
@@ -871,6 +886,28 @@ object Checks {
       j.select(col("bucket"), pA.as("p_a"), pB.as("p_b"),
         ((pA - pB) * log(pA / pB)).as("contrib"))
     }
+  }
+
+  /** Per-bucket Cramér's-V contributions as a DataFrame — the
+    * oracle-checkable face of [[cramersV]]: the statistic is
+    * √(Σ contrib) over rows (χ² normalized by the grand total; 2×k table so
+    * min(r−1, c−1) = 1). Each row is independent double arithmetic over
+    * exact integer counts, bit-reproducible across engines — the summation
+    * (non-associative) stays OUT of the table, matching the tvd/psi/js
+    * contract split between per-bucket face and driver-side scalar.
+    * Both-empty inputs yield the schema-only empty table, matching the
+    * scalar's 0.0 (the scalar ALSO layers the one-empty-side → 1.0
+    * empty-baseline protection, which has no per-bucket face). */
+  def cramersVContributions(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val j = chiSquareContributions(histA, histB)
+    val totals = j.agg(sum("obs_a") + sum("obs_b")).head()
+    if (totals.isNullAt(0) || totals.getDouble(0) == 0.0)
+      j.select(col("bucket"), col("obs_a"), col("obs_b"),
+        lit(0.0).as("contrib")) // j is empty: schema-only
+    else
+      j.select(col("bucket"), col("obs_a"), col("obs_b"),
+        ((col("contrib_a") + col("contrib_b")) / lit(totals.getDouble(0)))
+          .as("contrib"))
   }
 
   /** Two-sample chi-square statistic from two histograms keyed by `bucket`.

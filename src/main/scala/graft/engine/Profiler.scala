@@ -353,7 +353,8 @@ object Profiler {
     * baseline. NULLs, which the sketch never sees, are restored from the
     * state's exact null counter under the engine's "__NULL__" bucket
     * ([[Checks.multiHistogram]] parity). */
-  def columnHistogram(s: ProfileState, column: String): Map[String, Long] = {
+  def columnHistogram(s: ProfileState, column: String,
+      sessionZone: java.time.ZoneId = java.time.ZoneOffset.UTC): Map[String, Long] = {
     val i = s.columns.indexOf(column)
     require(i >= 0, s"profile state has no column '$column' (has: ${s.columns.mkString(", ")})")
     val sk = s.buf.freq(i)
@@ -363,7 +364,45 @@ object Profiler {
         "drift baseline — use ref_table")
     val items = sk.getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
       .map(r => r.getItem -> r.getEstimate).toMap
-    if (s.buf.nulls(i) > 0) items + ("__NULL__" -> s.buf.nulls(i)) else items
+    // Timestamp columns re-key to canonical epoch micros, matching the live
+    // scan's `unix_micros` drift bucket (see Validator.driftBucket): the
+    // sketch stored the JVM string form ("2024-01-15 10:30:00.0" /
+    // "2024-01-15T10:30"), the SQL cast renders differently — without a
+    // canonical spelling the same instant would count as two buckets.
+    // Read-time canonicalization (vs re-keying the sketch at profile time)
+    // keeps every persisted state readable and the profile's min/max/top
+    // faces unchanged. It is exact only under a FIXED-OFFSET zone: in a
+    // DST-observing zone two instants share one wall-clock string (the fold
+    // hour) and no reader can split them back apart — so this raises, and
+    // the rule fails through its own error path instead of mis-binning.
+    val keyed = s.types(i) match {
+      case TimestampType =>
+        // JVM java.sql.Timestamp round-trips through the DEFAULT zone
+        val z = java.util.TimeZone.getDefault.toZoneId
+        require(z.getRules.isFixedOffset,
+          s"drift baseline for timestamp column '$column' needs a fixed-offset " +
+            s"JVM zone (got $z): wall-clock strings are ambiguous in DST folds — " +
+            "run with -Duser.timezone=UTC or use ref_table")
+        items.map { case (k, v) =>
+          val inst = java.sql.Timestamp.valueOf(k).toInstant
+          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString -> v
+        }
+      case TimestampNTZType =>
+        // NTZ sketch keys are LocalDateTime ISO strings; the live cast to
+        // TIMESTAMP interprets the wall clock in the SESSION zone — parse
+        // at the same zone so both faces agree (fixed-offset required for
+        // the same fold reason as above)
+        require(sessionZone.getRules.isFixedOffset,
+          s"drift baseline for timestamp_ntz column '$column' needs a " +
+            s"fixed-offset session time zone (got $sessionZone) — " +
+            "set spark.sql.session.timeZone=UTC or use ref_table")
+        items.map { case (k, v) =>
+          val inst = java.time.LocalDateTime.parse(k).atZone(sessionZone).toInstant
+          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString -> v
+        }
+      case _ => items
+    }
+    if (s.buf.nulls(i) > 0) keyed + ("__NULL__" -> s.buf.nulls(i)) else keyed
   }
 
   /** One run of CLI-surface incremental profiling: profile `df` in ONE

@@ -243,6 +243,50 @@ object RulePlanner {
         s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
     })
 
+  /** DLT-style expectation rendering: rule name → Spark-SQL KEEP-predicate
+    * string — the surface a Databricks DLT migrator consumes
+    * (`@dlt.expect(name, predicate)`; reference `validator.py:252-262` and
+    * `databricks_utils.py:149-190` render the same mapping as placeholder
+    * prints). The predicates are the EXACT filter-mode keep-conditions
+    * ([[filterColumn]]) serialized to SQL, so `df.filter(expr(predicate))`
+    * reproduces the rule's pass set bit-for-bit (spec-pinned). Only
+    * row-level rules render — DLT expectations evaluate per row;
+    * uniqueness/drift/group families have no row predicate and are
+    * omitted (their real counterparts here are the quarantine and metrics
+    * sinks). Disabled rules are omitted like every other execution path. */
+  def dltExpectations(schema: StructType, rules: Seq[ValidationRule]): Seq[(String, String)] = {
+    def sqlOf(c: Column): String =
+      org.apache.spark.sql.graft.bridge.resolvedExpression(c).sql
+    rules.filter(_.enabled).flatMap { r =>
+      r.ruleType match {
+        // outlier's filter exists but embeds data-derived literals (the
+        // chain's moments) — not a static expectation; group/join families
+        // have no row predicate at all
+        case RuleType.Uniqueness | RuleType.Monotonic | RuleType.Outlier => None
+        // the verdict/filter faces use the native LongCastableExpr
+        // digit-check (no SQL name outside this library); the serialized
+        // surface renders the equivalent portable spelling —
+        // try_cast(CAST(c AS STRING) AS BIGINT): same accept set (both trim,
+        // sign+digits, exact 64-bit overflow; all integer targets check the
+        // 64-bit range, matching typeConformanceFailCond), and the per-row
+        // exception cost try_cast pays only matters in graft's own fused
+        // pass. Equivalence is spec-pinned (predicate ≡ filter pass set).
+        case RuleType.TypeConformance =>
+          val t = r.param("expected_type").getOrElse("bigint")
+          val conforms: Column = t.toLowerCase match {
+            case "bigint" | "long" | "int" | "integer" | "smallint" | "tinyint" =>
+              expr(s"try_cast(CAST(`${r.column}` AS STRING) AS BIGINT)").isNotNull
+            case _ => expr(s"try_cast(`${r.column}` AS $t)").isNotNull
+          }
+          val c = col(r.column)
+          val keep = if (r.paramBool("reject")) !(c.isNotNull && conforms)
+                     else !(c.isNotNull && !conforms)
+          Some(r.name -> sqlOf(keep))
+        case _ => filterColumn(schema, r).map(c => r.name -> sqlOf(c))
+      }
+    }
+  }
+
   def applyFilters(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
     val schema = df.schema
     rules.filter(_.enabled).foldLeft(df) { (acc, rule) =>

@@ -1030,15 +1030,30 @@ class Validator(
     }
   }
 
-  /** Histogram bucket expression for one drift rule. */
-  private def driftBucket(rule: ValidationRule): org.apache.spark.sql.Column =
+  /** Histogram bucket expression for one drift rule. Timestamp columns
+    * bucket by canonical epoch micros instead of their raw string cast:
+    * the SQL cast's rendering ("2024-01-15 10:30:00") and the profile
+    * sketch's JVM form ("2024-01-15 10:30:00.0") are two spellings of the
+    * same instant — epoch micros is the one spelling every face (ref_table
+    * scan, ref_state sketch via [[Profiler.columnHistogram]], current scan)
+    * agrees on. NTZ casts to TIMESTAMP first (wall clock read in the
+    * session zone — the same interpretation columnHistogram's NTZ parse
+    * uses). */
+  private def driftBucket(schema: org.apache.spark.sql.types.StructType,
+      rule: ValidationRule): org.apache.spark.sql.Column =
     rule.param("method").getOrElse("chi_square") match {
       case "ks" =>
         Checks.numericBucket(col(rule.column).cast("double"),
           rule.paramDouble("lo").getOrElse(0.0),
           rule.paramDouble("hi").getOrElse(1000.0),
           rule.param("bins").map(_.toInt).getOrElse(64))
-      case _ => col(rule.column)
+      case _ =>
+        schema.find(_.name.equalsIgnoreCase(rule.column)).map(_.dataType) match {
+          case Some(org.apache.spark.sql.types.TimestampType) |
+               Some(org.apache.spark.sql.types.TimestampNTZType) =>
+            unix_micros(col(rule.column).cast("timestamp"))
+          case _ => col(rule.column)
+        }
     }
 
   /** All drift rules in one scan per table side. With `partitionExpr`, the
@@ -1064,7 +1079,7 @@ class Validator(
     def ms = (System.nanoTime() - t0) / 1e6
     try {
       val total = totalOf(df, cachedTotal)
-      val specs = driftRules.map(r => r.name -> driftBucket(r))
+      val specs = driftRules.map(r => r.name -> driftBucket(df.schema, r))
       // ONE scan for all rules; grouped by partition when requested
       val (curHists, partHists): (Map[String, Map[String, Long]], Map[String, Map[String, Map[String, Long]]]) =
         partitionExpr match {
@@ -1103,27 +1118,36 @@ class Validator(
                       "baseline — ref_state carries a value histogram; use ref_table")
                 // the state's sketch keys values by their JVM string form,
                 // the current side by SQL cast-to-string — identical for
-                // string/integral/boolean, DIVERGENT for timestamps
-                // (trailing ".0") and NaN floats: those columns must error,
-                // not drift-compare two spellings of the same value
+                // string/integral/boolean; timestamps canonicalize BOTH
+                // faces to epoch micros (driftBucket live-side,
+                // columnHistogram sketch-side); floats stay rejected
+                // (NaN/"-0.0" spellings diverge between the faces)
                 df.schema(r.column).dataType match {
                   case org.apache.spark.sql.types.StringType
                      | org.apache.spark.sql.types.BooleanType
                      | org.apache.spark.sql.types.ByteType
                      | org.apache.spark.sql.types.ShortType
                      | org.apache.spark.sql.types.IntegerType
-                     | org.apache.spark.sql.types.LongType => ()
+                     | org.apache.spark.sql.types.LongType
+                     | org.apache.spark.sql.types.TimestampType
+                     | org.apache.spark.sql.types.TimestampNTZType => ()
                   case other => throw new IllegalArgumentException(
                     s"drift rule '${r.name}': ref_state baselines compare values " +
-                      s"by string form and support string/integral/boolean columns; " +
-                      s"'${r.column}' is ${other.simpleString} — use ref_table")
+                      s"by string form and support string/integral/boolean/timestamp " +
+                      s"columns; '${r.column}' is ${other.simpleString} — use ref_table")
                 }
-                r.name -> Profiler.columnHistogram(st, r.column)
+                r.name -> Profiler.columnHistogram(st, r.column,
+                  java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
               }.toMap
             case (Some(refTable), None) =>
               val baseline = tableResolver(refTable).getOrElse(
                 throw new IllegalArgumentException(s"unknown ref_table '$refTable'"))
-              Checks.multiHistogram(baseline, group.map(r => r.name -> driftBucket(r)))
+              // bucket by the BASELINE's own schema: each side canonicalizes
+              // its own timestamp columns; a cross-type pairing (ts vs
+              // string) surfaces as loud drift, never a silent match —
+              // type changes are the schema rule's jurisdiction
+              Checks.multiHistogram(baseline,
+                group.map(r => r.name -> driftBucket(baseline.schema, r)))
           }
           val perRule = group.map { rule =>
             val critical = rule.paramDouble("critical").getOrElse(
@@ -1780,6 +1804,16 @@ class Validator(
     * return the cleaned DataFrame. */
   def cleanTable(df: DataFrame, tableName: String): DataFrame =
     RulePlanner.applyFilters(df, config.enabledRules(tableName))
+
+  /** The table's rules rendered as DLT-style expectations (rule name →
+    * Spark-SQL keep-predicate; see [[RulePlanner.dltExpectations]]) — the
+    * migration surface for Databricks DLT pipelines: paste each entry into
+    * `@dlt.expect_or_drop(name, predicate)` and the pipeline enforces the
+    * same row-level contract this engine validates. `df` supplies the
+    * schema (completeness's NaN handling and pattern's cast depend on
+    * column types). */
+  def dltExpectations(df: DataFrame, tableName: String): Seq[(String, String)] =
+    RulePlanner.dltExpectations(df.schema, config.enabledRules(tableName))
 
   /** Full nested report, key-for-key the reference's shape
     * (`validator.py:197-228` and `_calculate_overall_stats` at 279-295):

@@ -317,6 +317,32 @@ class CliSpec extends SparkSpec {
     argv should contain inOrderElementsOf Seq("/app/graft.jar", "--config", "/cfg/validation.yaml")
   }
 
+  test("job spec carries DLT-style expectations and round-trips through JSON") {
+    import graft.deploy.JobSpec
+    import graft.engine.RulePlanner
+    // the expectations are RulePlanner's real renderings, not hand-written
+    // strings — the spec is the migration artifact a DLT pipeline reads
+    val df = Seq((Some(1L), "a"), (None, "b")).toDF("id", "cat")
+    val exps = RulePlanner.dltExpectations(df.schema, Seq(
+      ValidationRule("id_complete", RuleType.Completeness, Seq("id")),
+      ValidationRule("cat_allowed", RuleType.AllowedValues, Seq("cat"),
+        parameters = Map("values" -> "a,b")))).toMap
+    exps should have size 2
+    val spec = JobSpec.batch("nightly_validation", "/cfg/validation.yaml",
+      dltExpectations = exps)
+    spec.dlt_expectations shouldBe exps
+    val parsed = JobSpec.fromJson(JobSpec.toJson(spec))
+    parsed shouldBe spec
+    // predicates survive JSON round-trip byte-for-byte (they're SQL text a
+    // DLT decorator consumes verbatim)
+    parsed.dlt_expectations("id_complete") shouldBe exps("id_complete")
+    // legacy spec JSON without the field still parses (empty expectations)
+    val legacy = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.parse(JobSpec.toJson(spec))
+        .removeField { case (k, _) => k == "dlt_expectations" })
+    JobSpec.fromJson(legacy).dlt_expectations shouldBe empty
+  }
+
   test("streaming job spec: indefinite timeout, 5 retries, trigger + checkpoint as args") {
     import graft.deploy.JobSpec
     // reference create_streaming_validation_job (databricks_utils.py:95-143):

@@ -305,4 +305,59 @@ class RuleSemanticsSpec extends SparkSpec {
       parameters = Map("max_age_seconds" -> (100L * 365 * 86400).toString))
     validator.executeRules(df, Seq(wall), "t").results.head.failed_count shouldBe 0
   }
+
+  test("dlt expectations: each predicate, applied as a filter, reproduces the rule's pass set") {
+    import org.apache.spark.sql.functions.{expr, to_timestamp, concat, lit, col}
+    // one rule per renderable family, over a frame that exercises every
+    // branch (nulls, out-of-range, bad pattern, stale ts, non-member value)
+    val df = customers.withColumn("ts",
+      to_timestamp(concat(lit("2024-02-0"), (col("score") % 9 + 1).cast("string")),
+        "yyyy-MM-dd"))
+    val dltRules = Seq(
+      ValidationRule("id_complete", RuleType.Completeness, Seq("customer_id")),
+      ValidationRule("age_range", RuleType.Range, Seq("age"),
+        parameters = Map("min" -> "0", "max" -> "120")),
+      ValidationRule("email_pattern", RuleType.Pattern, Seq("email"),
+        expression = Some(emailRe)),
+      ValidationRule("status_allowed", RuleType.AllowedValues, Seq("status"),
+        parameters = Map("values" -> "active,inactive")),
+      ValidationRule("ts_fresh", RuleType.Freshness, Seq("ts"),
+        parameters = Map("max_age_seconds" -> "259200",
+          "reference_time" -> "2024-02-08T00:00:00Z")),
+      ValidationRule("score_floor", RuleType.Predicate,
+        expression = Some("score >= 60")),
+      ValidationRule("named_rows", RuleType.Custom,
+        expression = Some("name IS NOT NULL")),
+      ValidationRule("id_numeric", RuleType.TypeConformance, Seq("customer_id"),
+        parameters = Map("expected_type" -> "bigint")))
+    val exps = RulePlanner.dltExpectations(df.schema, dltRules)
+    exps.map(_._1) shouldBe dltRules.map(_.name) // every renderable rule renders, in order
+    exps.foreach { case (name, predicate) =>
+      val rule = dltRules.find(_.name == name).get
+      val viaPredicate = df.filter(expr(predicate))
+      val viaRule = RulePlanner.applyFilters(df, Seq(rule))
+      withClue(s"$name: $predicate → ") {
+        viaPredicate.exceptAll(viaRule).count() shouldBe 0
+        viaRule.exceptAll(viaPredicate).count() shouldBe 0
+      }
+    }
+    // non-row-level families render nothing: no static per-row predicate
+    // (DLT expectations evaluate row by row)
+    RulePlanner.dltExpectations(df.schema, Seq(
+      ValidationRule("u", RuleType.Uniqueness, Seq("customer_id")),
+      ValidationRule("o", RuleType.Outlier, Seq("age")),
+      ValidationRule("m", RuleType.Monotonic, Seq("customer_id"),
+        parameters = Map("order_by" -> "customer_id", "value" -> "score")),
+      ValidationRule("d", RuleType.drift, Seq("status"),
+        parameters = Map("ref_table" -> "x", "critical" -> "1")))) shouldBe empty
+    // disabled rules are omitted, like every other execution path
+    RulePlanner.dltExpectations(df.schema, Seq(
+      ValidationRule("off", RuleType.Completeness, Seq("name"),
+        enabled = false))) shouldBe empty
+    // the Validator accessor renders the table's configured rules
+    val v = new Validator(spark, ValidationConfig(tables = Seq(
+      TableConfig("customers", rules = dltRules.take(2)))))
+    v.dltExpectations(df, "customers").map(_._1) shouldBe
+      Seq("id_complete", "age_range")
+  }
 }

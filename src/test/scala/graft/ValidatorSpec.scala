@@ -73,6 +73,28 @@ class ValidatorSpec extends SparkSpec {
     r.passed shouldBe true
   }
 
+  test("drift on a high-cardinality column raises the bucket guard, not a driver OOM") {
+    // a categorical-drift rule (chi_square/tvd/psi/js buckets on the RAW
+    // column) mistakenly pointed at an id column would collect one driver
+    // row per distinct value — the guard inside Checks.multiHistogram must
+    // fail the rule through its own error path before that happens
+    val wide = spark.range(Checks.maxHistogramBuckets + 10L)
+      .selectExpr("cast(id as string) as conv_id")
+    val rule = ValidationRule("bad_drift", RuleType.drift, Seq("conv_id"),
+      parameters = Map("method" -> "tvd", "ref_table" -> "baseline", "critical" -> "0.2"))
+    val r = new Validator(spark, ValidationConfig(),
+      n => if (n == "baseline") Some(wide) else None)
+      .executeRules(wide, Seq(rule), "t").results.head
+    r.failed_count shouldBe -1L
+    r.message should include ("high-cardinality")
+    // the per-partition variant re-guards independently (partitions × buckets)
+    val byPart = intercept[IllegalArgumentException] {
+      Checks.multiHistogramByPartition(wide,
+        Seq("h" -> col("conv_id")), lit(1))
+    }
+    byPart.getMessage should include ("high-cardinality")
+  }
+
   test("drift ref_state: baseline from a persisted profile state, zero baseline scan") {
     import graft.engine.Profiler
     val dir = java.nio.file.Files.createTempDirectory("refstate").toString
@@ -95,6 +117,49 @@ class ValidatorSpec extends SparkSpec {
       Seq.fill(10)(Option.empty[String])).toDF("cat"))
     loud.passed shouldBe false
     loud.metadata("statistic").toDouble should be > 0.2
+  }
+
+  test("drift ref_state on timestamp columns: canonical epoch keys verdict-match ref_table") {
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("refstate_ts").toString
+    // sub-second precision on purpose: the JVM sketch form ("...:45.123456")
+    // and the SQL cast form must land in the SAME epoch-micros bucket
+    def frame(ds: Seq[String]) = ds.toDF("raw")
+      .select(col("raw").cast("timestamp").as("ts"))
+    val base = frame(Seq.fill(8)("2024-01-01 00:00:00") ++
+      Seq.fill(2)("2024-01-02 12:30:45.123456") :+ null)
+    val cur = frame(Seq.fill(2)("2024-01-01 00:00:00") ++
+      Seq.fill(8)("2024-01-02 12:30:45.123456") :+ null)
+    Profiler.writeState(Profiler.profileState(base), s"$dir/ts.bin")
+    def run(params: Map[String, String]) =
+      new Validator(spark, ValidationConfig(),
+        n => if (n == "baseline") Some(base) else None)
+        .executeRules(cur, Seq(ValidationRule("ts_drift", RuleType.drift, Seq("ts"),
+          parameters = params)), "t").results.head
+    val viaState = run(Map("method" -> "tvd", "ref_state" -> s"$dir/ts.bin", "critical" -> "0.2"))
+    val viaTable = run(Map("method" -> "tvd", "ref_table" -> "baseline", "critical" -> "0.2"))
+    viaState.failed_count should not be -1L
+    viaState.metadata("statistic") shouldBe viaTable.metadata("statistic")
+    viaState.passed shouldBe viaTable.passed
+    viaState.passed shouldBe false // 6/11 of the mass moved > 0.2
+    // identical distribution through the state face → exactly zero drift
+    // (the instants bucket identically despite the two spellings)
+    val quiet = new Validator(spark, ValidationConfig(), _ => None)
+      .executeRules(base, Seq(ValidationRule("ts_drift", RuleType.drift, Seq("ts"),
+        parameters = Map("method" -> "tvd", "ref_state" -> s"$dir/ts.bin",
+          "critical" -> "0.2"))), "t").results.head
+    quiet.metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
+    quiet.passed shouldBe true
+    // NTZ face: same contract through the LocalDateTime spelling
+    def ntzFrame(ds: Seq[String]) = ds.toDF("raw")
+      .select(expr("to_timestamp_ntz(raw)").as("ts"))
+    val ntzBase = ntzFrame(Seq.fill(5)("2024-01-01 00:00:00") :+ "2024-01-02 06:00:00.5")
+    Profiler.writeState(Profiler.profileState(ntzBase), s"$dir/ntz.bin")
+    val ntzQuiet = new Validator(spark, ValidationConfig(), _ => None)
+      .executeRules(ntzBase, Seq(ValidationRule("ts_drift", RuleType.drift, Seq("ts"),
+        parameters = Map("method" -> "tvd", "ref_state" -> s"$dir/ntz.bin",
+          "critical" -> "0.2"))), "t").results.head
+    ntzQuiet.metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
   }
 
   test("drift ref_state misconfigurations route to the rule's error path") {

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
   * [--metrics-dir DIR] [--profile-dir DIR] [--anomaly-gate alerts.json
   * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
-  * [--set key=value]...`.
+  * [--emit-job-spec spec.json] [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -220,6 +220,21 @@ object Cli {
           alerts
       }
 
+      // deployment emission (--emit-job-spec out.json): render THIS
+      // invocation as a vendor-neutral batch job spec carrying each
+      // filterable rule's DLT-style keep-predicate, rendered against the
+      // live table schema and keyed "<table>.<rule>" — the reference's
+      // create_validation_job + _create_dlt_expectations surfaces
+      // (databricks_utils.py:31-93, validator.py:252-262) fused into one
+      // real artifact a scheduler or DLT migrator consumes directly.
+      for (out <- opts.get("emit-job-spec")) {
+        val tables = summaries.keys.toSeq.sorted
+          .map(t => t -> Tables.load(spark, sources.getOrElse(t, t)))
+        val spec = jobSpecFor(validator, tables, configPath,
+          opts.get("sources"), opts.get("output"))
+        Files.writeString(Paths.get(out), graft.deploy.JobSpec.toJson(spec))
+      }
+
       val report = validator.report(summaries)
       val json = Json.write(report)
       opts.get("output") match {
@@ -229,6 +244,21 @@ object Cli {
       if (report.overall_stats.total_failed > 0 || anomalyAlerts.nonEmpty) sys.exit(1)
     } finally spark.stop()
   }
+
+  /** The `--emit-job-spec` artifact: this invocation as a vendor-neutral
+    * batch [[graft.deploy.JobSpec]], DLT-style expectations rendered per
+    * table against the LIVE schema and keyed `<table>.<rule>`. */
+  private[graft] def jobSpecFor(validator: Validator,
+      tables: Seq[(String, org.apache.spark.sql.DataFrame)], configPath: String,
+      sourcesPath: Option[String], outputPath: Option[String]): graft.deploy.JobSpec =
+    graft.deploy.JobSpec.batch(
+      jobName = "graft-validation",
+      configPath = configPath,
+      sourcesPath = sourcesPath,
+      outputPath = outputPath,
+      dltExpectations = tables.flatMap { case (t, df) =>
+        validator.dltExpectations(df, t).map { case (n, p) => s"$t.$n" -> p }
+      }.toMap)
 
   private[graft] def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =
     args match {

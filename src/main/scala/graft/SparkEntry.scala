@@ -1884,6 +1884,23 @@ object SparkEntry {
       None),
 
     // ---- multimodal plumbing (rows-only; codec stubbed) ------------------
+    // ---- tokenizer-accurate token counts (greedy-merge BPE) --------------
+    // the exact tier above tokenEstimate's chars/words heuristic: a real
+    // merge vocabulary (embedded default here; production loads the model's
+    // merges via Bpe.Vocab.fromFile). The oracle runs the SAME algorithm as
+    // nested SQL replace() calls generated from the SAME vocab
+    // (Bpe.oracleSqlExpr) — integer ops only, engine-portable by
+    // construction. Plugs into tokenBudgetSample/weightedTokenMix as the
+    // token column (CurationSpec pins that composition).
+    Q("q_bpe_tokens_docs",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.bpe_token_count(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(${graft.functions.Bpe.oracleSqlExpr("text",
+          graft.functions.Bpe.Vocab.default)} AS BIGINT) AS bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
     Q("q_media_features",
       (s, _) => {
         import s.implicits._
@@ -1891,7 +1908,36 @@ object SparkEntry {
           .select(col("media_id"), col("kind"), col("decode_ok"), size(col("feature")).as("feature_dim"))
           .orderBy("media_id")
       },
-      None)
+      None),
+
+    // ---- multimodal: REAL audio decode (RIFF/WAVE PCM, pure JVM) ---------
+    // one media row per documents id: a deterministic s16 waveform is
+    // ENCODED into a real WAV container, then DECODED back by WavCodec on
+    // the executors; every feature is exact integer arithmetic the oracle
+    // re-derives from the same waveform formula — a header-parse or
+    // sample-endianness bug breaks the match. (Absolute byte layout is
+    // additionally pinned by MultimodalSpec's golden-bytes test.)
+    Q("q_wav_features",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (100L + id % 201L).toInt
+            (id, Multimodal.WavCodec.encode(
+              Multimodal.syntheticWavSamples(id, n), 8000, 1))
+          }.toDF("media_id", "bytes")
+        Multimodal.extractAudioFeatures(media, "media_id", "bytes")
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH n AS (SELECT doc_id, CAST(100 + doc_id % 201 AS BIGINT) AS n FROM documents),
+        s AS (SELECT doc_id, n, ((i * 2654435761 + doc_id * 40503) % 65536) - 32768 AS smp
+              FROM n, generate_series(CAST(0 AS BIGINT), CAST(300 AS BIGINT)) AS t(i) WHERE i < n)
+        SELECT doc_id AS media_id, true AS decode_ok, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+          n AS n_frames, n * 1000 // 8000 AS duration_ms,
+          CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+          CAST(SUM(smp * smp) AS BIGINT) AS sum_squares,
+          CAST(SUM(smp) AS BIGINT) AS checksum
+        FROM s GROUP BY doc_id, n ORDER BY media_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,16 +27,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // JSON string escape: backslash, quote, ALL control chars (<0x20) — a
+    // tab or CR in builder-authored SQL would otherwise make the driver's
+    // json.load fail and silently zero the round's correctness — and every
+    // non-ASCII char (the BPE oracle embeds private-use merge symbols as
+    // SQL literals; \u-escaping keeps the file ASCII however it is read).
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

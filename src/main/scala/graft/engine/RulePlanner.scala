@@ -243,46 +243,77 @@ object RulePlanner {
         s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
     })
 
-  /** DLT-style expectation rendering: rule name → Spark-SQL KEEP-predicate
+  /** DLT-style expectation rendering: rule name → SQL KEEP-predicate
     * string — the surface a Databricks DLT migrator consumes
     * (`@dlt.expect(name, predicate)`; reference `validator.py:252-262` and
     * `databricks_utils.py:149-190` render the same mapping as placeholder
-    * prints). The predicates are the EXACT filter-mode keep-conditions
-    * ([[filterColumn]]) serialized to SQL, so `df.filter(expr(predicate))`
-    * reproduces the rule's pass set bit-for-bit (spec-pinned). Only
-    * row-level rules render — DLT expectations evaluate per row;
-    * uniqueness/drift/group families have no row predicate and are
-    * omitted (their real counterparts here are the quarantine and metrics
-    * sinks). Disabled rules are omitted like every other execution path. */
+    * prints). Predicates are rendered as PLAIN portable SQL by hand (the
+    * Column DSL's `.sql` round-trip produces function-call spellings like
+    * `` `!`(isNull(c)) `` that only Spark parses back); each rendering is
+    * spec-pinned to reproduce the corresponding filter-mode keep-condition
+    * ([[filterColumn]]) bit-for-bit: `df.filter(expr(predicate))` equals
+    * the rule's filter pass set. Only row-level rules render — DLT
+    * expectations evaluate per row; uniqueness/drift/group families have
+    * no row predicate and are omitted (their real counterparts here are
+    * the quarantine and metrics sinks); outlier's filter embeds
+    * data-derived moments — not a static expectation. Disabled rules are
+    * omitted like every other execution path. */
   def dltExpectations(schema: StructType, rules: Seq[ValidationRule]): Seq[(String, String)] = {
-    def sqlOf(c: Column): String =
-      org.apache.spark.sql.graft.bridge.resolvedExpression(c).sql
+    def q(name: String): String = s"`${name.replace("`", "``")}`"
+    def strLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     rules.filter(_.enabled).flatMap { r =>
       r.ruleType match {
-        // outlier's filter exists but embeds data-derived literals (the
-        // chain's moments) — not a static expectation; group/join families
-        // have no row predicate at all
-        case RuleType.Uniqueness | RuleType.Monotonic | RuleType.Outlier => None
+        case RuleType.Completeness =>
+          val c = q(r.column)
+          Some(r.name -> (if (fieldType(schema, r.column).exists(isFloating))
+            s"($c IS NOT NULL AND NOT isnan($c))" else s"($c IS NOT NULL)"))
+        case RuleType.Range =>
+          val c = q(r.column)
+          val lo = r.paramDouble("min").orElse(r.paramDouble("min_value"))
+          val hi = r.paramDouble("max").orElse(r.paramDouble("max_value"))
+          (lo, hi) match {
+            case (Some(a), Some(b)) => Some(r.name -> s"($c >= $a AND $c <= $b)")
+            case (Some(a), None)    => Some(r.name -> s"($c >= $a)")
+            case (None, Some(b))    => Some(r.name -> s"($c <= $b)")
+            case _ => throw new IllegalArgumentException(
+              s"range rule '${r.name}' needs min and/or max parameters")
+          }
+        case RuleType.Pattern =>
+          val p = r.expression.orElse(r.param("pattern")).getOrElse(
+            throw new IllegalArgumentException(s"pattern rule '${r.name}' needs a regex"))
+          Some(r.name -> s"(${q(r.column)} RLIKE ${strLit(p)})")
+        case RuleType.AllowedValues =>
+          val vs = allowedValueSet(r).map(strLit).mkString(", ")
+          Some(r.name -> s"(CAST(${q(r.column)} AS STRING) IN ($vs))")
+        case RuleType.Freshness =>
+          Some(r.name -> (s"(unix_micros(CAST(${q(r.column)} AS TIMESTAMP)) " +
+            s">= ${freshnessCutoffMicros(r)})"))
         // the verdict/filter faces use the native LongCastableExpr
         // digit-check (no SQL name outside this library); the serialized
         // surface renders the equivalent portable spelling —
-        // try_cast(CAST(c AS STRING) AS BIGINT): same accept set (both trim,
-        // sign+digits, exact 64-bit overflow; all integer targets check the
-        // 64-bit range, matching typeConformanceFailCond), and the per-row
-        // exception cost try_cast pays only matters in graft's own fused
-        // pass. Equivalence is spec-pinned (predicate ≡ filter pass set).
+        // try_cast(CAST(c AS STRING) AS BIGINT): same accept set (both
+        // trim, sign+digits, exact 64-bit overflow; all integer targets
+        // check the 64-bit range, matching typeConformanceFailCond) — the
+        // per-row exception cost try_cast pays only matters in graft's own
+        // fused pass. NULLs are kept (completeness owns them).
         case RuleType.TypeConformance =>
+          val c = q(r.column)
           val t = r.param("expected_type").getOrElse("bigint")
-          val conforms: Column = t.toLowerCase match {
+          val cast = t.toLowerCase match {
             case "bigint" | "long" | "int" | "integer" | "smallint" | "tinyint" =>
-              expr(s"try_cast(CAST(`${r.column}` AS STRING) AS BIGINT)").isNotNull
-            case _ => expr(s"try_cast(`${r.column}` AS $t)").isNotNull
+              s"try_cast(CAST($c AS STRING) AS BIGINT)"
+            case _ => s"try_cast($c AS $t)"
           }
-          val c = col(r.column)
-          val keep = if (r.paramBool("reject")) !(c.isNotNull && conforms)
-                     else !(c.isNotNull && !conforms)
-          Some(r.name -> sqlOf(keep))
-        case _ => filterColumn(schema, r).map(c => r.name -> sqlOf(c))
+          Some(r.name -> (if (r.paramBool("reject"))
+            s"($c IS NULL OR $cast IS NULL)"
+          else s"($c IS NULL OR $cast IS NOT NULL)"))
+        // compliance keep = predicate TRUE, null-rejecting (Deequ satisfies)
+        case RuleType.Predicate =>
+          Some(r.name -> s"(COALESCE((${r.expression.getOrElse(
+            throw new IllegalArgumentException(
+              s"predicate rule '${r.name}' needs expression"))}), false))")
+        case RuleType.Custom => r.expression.map(e => r.name -> s"($e)")
+        case _ => None // uniqueness/monotonic/outlier/group families
       }
     }
   }

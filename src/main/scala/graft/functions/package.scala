@@ -76,6 +76,13 @@ package object functions {
   def nearest_cells(v: Column, centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     toColumn(NearestCellsExpr(toExpr(v), centroids, nprobe))
 
+  /** Exact greedy-merge BPE token count (see [[Bpe]]); the default merge
+    * vocabulary unless one is given (load model vocabs via
+    * [[Bpe.Vocab.fromFile]] and pass `v.mergeSurfaces`). */
+  def bpe_token_count(text: Column,
+      merges: Seq[(String, String)] = Bpe.Vocab.default.mergeSurfaces): Column =
+    toColumn(BpeCountExpr(toExpr(text), merges))
+
   /** Symmetric int8 quantization: array<float|double> → struct<scale, q>. */
   def quantize_vec(v: Column): Column = toColumn(QuantizeExpr(toExpr(v)))
 

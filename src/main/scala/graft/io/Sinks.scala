@@ -15,4 +15,21 @@ object Sinks {
     df.observe(obs, count(lit(1)).as("rows")).write.mode("append").parquet(path)
     obs.get("rows").asInstanceOf[Long]
   }
+
+  /** Append-equivalent for foreachBatch sinks, but REPLAY-IDEMPOTENT: the
+    * rows land in partition `ingest_batch=<batchId>` under dynamic
+    * partition overwrite, so a replayed micro-batch REPLACES its own
+    * partition (same deterministic content) instead of appending a
+    * duplicate copy. Returns this write's observed row count (no second
+    * scan). Partition-pruned reads by batch come free. */
+  def observedBatchOverwrite(df: DataFrame, path: String, batchId: Long): Long = {
+    val obs = Observation()
+    df.withColumn("ingest_batch", lit(batchId))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
 }

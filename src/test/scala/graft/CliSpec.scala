@@ -341,6 +341,17 @@ class CliSpec extends SparkSpec {
       org.json4s.jackson.JsonMethods.parse(JobSpec.toJson(spec))
         .removeField { case (k, _) => k == "dlt_expectations" })
     JobSpec.fromJson(legacy).dlt_expectations shouldBe empty
+    // the CLI's --emit-job-spec assembly: configured rules rendered per
+    // table against the live schema, keyed <table>.<rule>; non-row-level
+    // rules (uniqueness) excluded
+    val cfg = ValidationConfig(tables = Seq(TableConfig("t", rules = Seq(
+      ValidationRule("id_complete", RuleType.Completeness, Seq("id")),
+      ValidationRule("id_unique", RuleType.Uniqueness, Seq("id"))))))
+    val cliSpec = Cli.jobSpecFor(new graft.engine.Validator(spark, cfg),
+      Seq("t" -> df), "/cfg/v.yaml", Some("/cfg/s.yaml"), None)
+    cliSpec.dlt_expectations.keySet shouldBe Set("t.id_complete")
+    df.filter(org.apache.spark.sql.functions.expr(
+      cliSpec.dlt_expectations("t.id_complete"))).count() shouldBe 1
   }
 
   test("streaming job spec: indefinite timeout, 5 retries, trigger + checkpoint as args") {

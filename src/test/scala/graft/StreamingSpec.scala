@@ -331,6 +331,68 @@ class StreamingSpec extends SparkSpec {
     reports.map(_.nearDupPairs).sum.toInt shouldBe pairs.size
   }
 
+  test("streaming ingest replay: no duplicate pairs, no double-appended signatures") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamIngest
+    import spark.implicits._
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "completely unrelated seed content about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("replay_index").toString
+    Dedup.writeSignatureIndex(
+      Dedup.buildSignatureIndex(corpus, "doc_id", "text", 3, 64, 16), dir, buckets = 4)
+    val pairsDir = Files.createTempDirectory("replay_pairs").toString + "/pairs"
+
+    val batch = Seq(
+      (301L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (302L, "a genuinely novel document describing tide tables and lunar cycles"))
+      .toDF("doc_id", "text")
+    def counts() = (
+      spark.read.parquet(s"$dir/bands").count(),
+      spark.read.parquet(s"$dir/docs").count(),
+      spark.read.parquet(pairsDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    def run() = StreamIngest.ingestBatch(batch, 0L, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+      pairsSink = Some(pairsDir))
+
+    val first = run()
+    first.map(_.docs) shouldBe Some(2L)
+    val committed = counts()
+    committed._3 should contain ((301L, 1L))
+
+    // replay AFTER full commit (crash between commit and the streaming
+    // checkpoint write): every side effect — index append, pairs write,
+    // metrics callback — must be skipped
+    run() shouldBe None
+    counts() shouldBe committed
+
+    // replay of a CRASHED attempt (intent written, append landed, commit
+    // marker never made it): recovery deletes exactly the crashed
+    // attempt's files and the re-run appends once — never twice
+    val commitMarker = java.nio.file.Paths.get(dir, "_ingest_ledger", f"${0L}%020d.commit")
+    java.nio.file.Files.delete(commitMarker)
+    val rerun = run()
+    rerun.map(_.docs) shouldBe Some(2L)
+    rerun.map(_.nearDupPairs) shouldBe first.map(_.nearDupPairs)
+    counts() shouldBe committed
+    java.nio.file.Files.exists(commitMarker) shouldBe true
+
+    // the committed index state is semantically intact: a later batch
+    // still finds its near-dup among the absorbed (non-duplicated) docs
+    val batch2 = Seq(
+      (401L, "a genuinely novel document describing tide tables and lunar phases"))
+      .toDF("doc_id", "text")
+    val r2 = StreamIngest.ingestBatch(batch2, 1L, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+      pairsSink = Some(pairsDir))
+    r2.map(_.nearDupPairs) shouldBe Some(1L)
+    spark.read.parquet(pairsDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet should contain ((401L, 302L))
+  }
+
   test("curation/text expressions run unchanged inside Structured Streaming") {
     // the native expressions are deterministic per-row → streaming-safe;
     // a live ingest can chunk + enrich before it ever lands at rest

@@ -354,6 +354,39 @@ class CliSpec extends SparkSpec {
       cliSpec.dlt_expectations("t.id_complete"))).count() shouldBe 1
   }
 
+  test("deployment examples: specs, launch scripts, and guide render from the live JobSpec values") {
+    import graft.deploy.{DeployDocs, JobSpec}
+    val dir = Files.createTempDirectory("deploydocs").toString
+    val written = DeployDocs.saveConfigurationExamples(dir, "/cfg/v.yaml", "/app/graft.jar")
+    written.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted shouldBe Seq(
+      "DEPLOYMENT.md", "batch_job_spec.json", "spark_submit_batch.sh",
+      "spark_submit_streaming.sh", "streaming_job_spec.json")
+    // the JSONs parse back into real specs with the reference knobs
+    val batch = JobSpec.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "batch_job_spec.json")))
+    batch.timeout_seconds shouldBe 3600L
+    batch.main_class shouldBe "graft.Cli"
+    val streaming = JobSpec.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "streaming_job_spec.json")))
+    streaming.timeout_seconds shouldBe 0L
+    streaming.max_retries shouldBe 5
+    // the launch script IS the spec's rendered argv (no hand-written drift)
+    val script = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "spark_submit_batch.sh"))
+    script should include ("--class graft.Cli")
+    script should include ("/app/graft.jar")
+    JobSpec.sparkSubmitCommand(batch, "/app/graft.jar").foreach { a =>
+      script should include (a)
+    }
+    // the guide quotes the real knob values, not prose constants
+    val guide = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "DEPLOYMENT.md"))
+    guide should include (s"timeout ${batch.timeout_seconds} s")
+    guide should include (batch.schedule_cron.get)
+    guide should include ("spark.sql.adaptive.enabled=true")
+    guide should include ("--emit-job-spec")
+  }
+
   test("streaming job spec: indefinite timeout, 5 retries, trigger + checkpoint as args") {
     import graft.deploy.JobSpec
     // reference create_streaming_validation_job (databricks_utils.py:95-143):

@@ -405,6 +405,54 @@ object Profiler {
     if (s.buf.nulls(i) > 0) keyed + ("__NULL__" -> s.buf.nulls(i)) else keyed
   }
 
+  /** Binned-numeric baseline histogram of one profiled NUMERIC column,
+    * derived from the state's KLL quantile sketch — the `ks`-drift face of
+    * incremental profiling: numeric drift vs yesterday at ZERO baseline
+    * scan (the categorical face is [[columnHistogram]]). Buckets mirror
+    * [[Checks.numericBucket]] exactly — fixed width over [lo, hi), both
+    * tails clamped into the edge buckets — keyed by bucket index. Counts
+    * are recovered from CUMULATIVE sketch ranks at bucket upper boundaries
+    * (rank EXCLUSIVE = P(X < boundary), matching the bucket's half-open
+    * interval; per-bucket rounding cannot accumulate because only the
+    * cumulative is rounded), so the CDF a consumer rebuilds by cumsum IS
+    * the sketch's CDF to ±1 count. APPROXIMATE by construction: ranks
+    * carry the sketch's normalized error ([[kllRankError]], ~1.65% at the
+    * default k=200) — callers must gate on statistics coarser than that
+    * bound (the Validator enforces critical > 2× the error). Raises on
+    * non-numeric / empty-sketch columns. */
+  def columnCdfHistogram(s: ProfileState, column: String,
+      lo: Double, hi: Double, bins: Int): Map[String, Long] = {
+    require(bins > 0 && hi > lo, s"bad bucket spec: [$lo, $hi) in $bins bins")
+    val kll = kllOf(s, column)
+    val n = kll.getN
+    val width = (hi - lo) / bins
+    var prev = 0L
+    (0 until bins).flatMap { b =>
+      val cum =
+        if (b == bins - 1) n // tail clamp: everything ≥ hi is the last bucket
+        else math.min(n, math.round(kll.getRank(lo + (b + 1) * width,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.EXCLUSIVE) * n))
+      val c = math.max(cum - prev, 0L)
+      prev = math.max(cum, prev)
+      if (c > 0) Some(b.toString -> c) else None
+    }.toMap
+  }
+
+  /** Two-sided normalized rank error of the state's quantile sketch for
+    * `column` — the accuracy bound of [[columnCdfHistogram]] baselines. */
+  def kllRankError(s: ProfileState, column: String): Double =
+    kllOf(s, column).getNormalizedRankError(false)
+
+  private def kllOf(s: ProfileState, column: String): KllDoublesSketch = {
+    val i = s.columns.indexOf(column)
+    require(i >= 0, s"profile state has no column '$column' (has: ${s.columns.mkString(", ")})")
+    val kll = s.buf.kll(i)
+    require(kll != null && !kll.isEmpty,
+      s"profile state has no numeric quantile sketch for '$column' — " +
+        "ks ref_state baselines need a numeric column that held data")
+    kll
+  }
+
   /** One run of CLI-surface incremental profiling: profile `df` in ONE
     * pass, persist the state under `dir/state_<runId>.bin`, then merge
     * every compatible persisted state (this run's included) into the

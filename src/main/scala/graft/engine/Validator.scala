@@ -1112,32 +1112,51 @@ class Validator(
             case (None, Some(path)) =>
               val st = Profiler.readState(path)
               group.map { r =>
-                if (r.param("method").getOrElse("chi_square") == "ks")
-                  throw new IllegalArgumentException(
-                    s"drift rule '${r.name}': method ks needs a binned numeric " +
-                      "baseline — ref_state carries a value histogram; use ref_table")
-                // the state's sketch keys values by their JVM string form,
-                // the current side by SQL cast-to-string — identical for
-                // string/integral/boolean; timestamps canonicalize BOTH
-                // faces to epoch micros (driftBucket live-side,
-                // columnHistogram sketch-side); floats stay rejected
-                // (NaN/"-0.0" spellings diverge between the faces)
-                df.schema(r.column).dataType match {
-                  case org.apache.spark.sql.types.StringType
-                     | org.apache.spark.sql.types.BooleanType
-                     | org.apache.spark.sql.types.ByteType
-                     | org.apache.spark.sql.types.ShortType
-                     | org.apache.spark.sql.types.IntegerType
-                     | org.apache.spark.sql.types.LongType
-                     | org.apache.spark.sql.types.TimestampType
-                     | org.apache.spark.sql.types.TimestampNTZType => ()
-                  case other => throw new IllegalArgumentException(
-                    s"drift rule '${r.name}': ref_state baselines compare values " +
-                      s"by string form and support string/integral/boolean/timestamp " +
-                      s"columns; '${r.column}' is ${other.simpleString} — use ref_table")
+                if (r.param("method").getOrElse("chi_square") == "ks") {
+                  // numeric incremental drift: the baseline CDF comes from
+                  // the state's mergeable KLL quantile sketch, binned to
+                  // the SAME bucket grid the current scan uses — drift vs
+                  // yesterday's numbers at zero baseline scan. The sketch
+                  // is approximate (normalized rank error, ~1.65% at
+                  // default k), so the gate must be coarser than the
+                  // baseline's own error: critical ≤ 2×error is rejected —
+                  // an approximate baseline must never decide a verdict
+                  // finer than it can see.
+                  val err = Profiler.kllRankError(st, r.column)
+                  val crit = r.paramDouble("critical").getOrElse(
+                    throw new IllegalArgumentException(
+                      s"drift rule '${r.name}' needs critical"))
+                  require(crit > 2 * err, f"drift rule '${r.name}': ks critical " +
+                    f"$crit%s is within the persisted sketch's rank error " +
+                    f"(±$err%.4f) — raise critical above ${2 * err}%.4f or use ref_table")
+                  r.name -> Profiler.columnCdfHistogram(st, r.column,
+                    r.paramDouble("lo").getOrElse(0.0),
+                    r.paramDouble("hi").getOrElse(1000.0),
+                    r.param("bins").map(_.toInt).getOrElse(64))
+                } else {
+                  // the state's sketch keys values by their JVM string form,
+                  // the current side by SQL cast-to-string — identical for
+                  // string/integral/boolean; timestamps canonicalize BOTH
+                  // faces to epoch micros (driftBucket live-side,
+                  // columnHistogram sketch-side); floats stay rejected
+                  // (NaN/"-0.0" spellings diverge between the faces)
+                  df.schema(r.column).dataType match {
+                    case org.apache.spark.sql.types.StringType
+                       | org.apache.spark.sql.types.BooleanType
+                       | org.apache.spark.sql.types.ByteType
+                       | org.apache.spark.sql.types.ShortType
+                       | org.apache.spark.sql.types.IntegerType
+                       | org.apache.spark.sql.types.LongType
+                       | org.apache.spark.sql.types.TimestampType
+                       | org.apache.spark.sql.types.TimestampNTZType => ()
+                    case other => throw new IllegalArgumentException(
+                      s"drift rule '${r.name}': ref_state baselines compare values " +
+                        s"by string form and support string/integral/boolean/timestamp " +
+                        s"columns; '${r.column}' is ${other.simpleString} — use ref_table")
+                  }
+                  r.name -> Profiler.columnHistogram(st, r.column,
+                    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
                 }
-                r.name -> Profiler.columnHistogram(st, r.column,
-                  java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
               }.toMap
             case (Some(refTable), None) =>
               val baseline = tableResolver(refTable).getOrElse(

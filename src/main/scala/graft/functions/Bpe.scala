@@ -118,6 +118,78 @@ object Bpe {
       "o" -> "u", "l" -> "e", "o" -> "f", "er" -> "s"))
   }
 
+  /** Learn a merge vocabulary FROM a corpus — Sennrich-style BPE training
+    * (repeatedly merge the most frequent adjacent symbol pair) over the
+    * corpus's WORD-FREQUENCY table. The 100 TB shape: ONE distributed scan
+    * (whitespace split → word counts → `TakeOrderedAndProject` top
+    * `maxWords` by frequency — never a full collect), then merge learning
+    * runs driver-side over that bounded dict, where each iteration is
+    * O(distinct words · word length) instead of a corpus scan. The top-K
+    * cap is the documented approximation: tail words contribute
+    * negligible pair mass at web scale. Deterministic: exact counts,
+    * (count desc, pair asc) tie-break, `maxWordLength` guards a pathological
+    * unbroken-text "word". Output is in learned order by construction, so
+    * [[Vocab.fromMerges]] validates it like any loaded vocabulary. */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 100000, maxWordLength: Int = 64,
+      minPairCount: Long = 2L): Vocab = {
+    import org.apache.spark.sql.functions._
+    require(nMerges >= 1 && nMerges <= MaxMerges, s"nMerges must be in [1, $MaxMerges]")
+    val wf: Array[(Array[String], Long)] = docs
+      .select(explode(split(regexp_replace(col(textCol), "[-]", ""),
+        "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, maxWordLength))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val producedSurfaces = scala.collection.mutable.HashSet.empty[String]
+    var words = wf
+    var done = words.isEmpty
+    while (!done && merges.size < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+          i += 1
+        }
+      }
+      // best pair by (count desc, pair asc); pairs whose merged surface
+      // collides with an earlier output are skipped (fromMerges would
+      // reject the duplicate — e.g. (a,bc) after (ab,c) both yield "abc")
+      val candidates = counts.iterator
+        .filter { case ((l, r), c) => c >= minPairCount &&
+          !producedSurfaces.contains(l + r) }
+      if (candidates.isEmpty) done = true
+      else {
+        val ((l, r), _) = candidates.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((l, r))
+        producedSurfaces += (l + r)
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = new Array[String](syms.length)
+            var w = 0; var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out(w) = l + r; i += 2
+              } else { out(w) = syms(i); i += 1 }
+              w += 1
+            }
+            (java.util.Arrays.copyOf(out, w), c)
+          }
+        }
+      }
+    }
+    require(merges.nonEmpty,
+      "BPE training found no mergeable pair — corpus too small or too diverse " +
+        s"(minPairCount=$minPairCount)")
+    Vocab.fromMerges(merges.toSeq)
+  }
+
   /** The merge pass: strip pre-existing PUA chars, apply each merge as a
     * greedy left-to-right non-overlapping 2-char → 1-char rewrite (the
     * exact semantics of SQL `replace`), in vocabulary order. */
@@ -160,6 +232,22 @@ object Bpe {
     n
   }
 
+  /** The token SURFACES of `text` under `v`, in order, whitespace dropped —
+    * the inspection/debugging face of [[countTokens]] (which never
+    * materializes the array). PUA symbols decode back to their merge's
+    * surface; concatenating the result reproduces the input minus
+    * whitespace and stripped PUA chars. */
+  def tokenize(text: String, v: Vocab): Seq[String] = {
+    val surfaces: Int => String = {
+      val arr = v.mergeSurfaces.map { case (l, r) => l + r }
+      k => arr(k)
+    }
+    mergePass(text, v).iterator.filterNot(isWs).map { c =>
+      if (c >= PuaBase && c < PuaBase + v.size) surfaces(c - PuaBase)
+      else c.toString
+    }.toSeq
+  }
+
   /** The SAME computation as portable SQL over a text column — nested
     * `replace` calls in merge order between the two strip/count regexes.
     * This is both the DuckDB oracle face and what a non-Spark engine would
@@ -187,6 +275,24 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     Bpe.countTokens(input.asInstanceOf[UTF8String].toString, vocab)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The token surfaces as an array<string> column — the inspection face
+  * ([[Bpe.tokenize]]); prefer [[BpeCountExpr]] for budgeting, which never
+  * materializes the array. */
+case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val vocab = Bpe.Vocab.fromMerges(merges)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Bpe.tokenize(input.asInstanceOf[UTF8String].toString, vocab)
+        .map(UTF8String.fromString).toArray[Any])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

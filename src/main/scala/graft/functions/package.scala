@@ -83,6 +83,12 @@ package object functions {
       merges: Seq[(String, String)] = Bpe.Vocab.default.mergeSurfaces): Column =
     toColumn(BpeCountExpr(toExpr(text), merges))
 
+  /** The BPE token surfaces (array<string>) — inspection face of
+    * [[bpe_token_count]]. */
+  def bpe_tokens(text: Column,
+      merges: Seq[(String, String)] = Bpe.Vocab.default.mergeSurfaces): Column =
+    toColumn(BpeTokensExpr(toExpr(text), merges))
+
   /** Symmetric int8 quantization: array<float|double> → struct<scale, q>. */
   def quantize_vec(v: Column): Column = toColumn(QuantizeExpr(toExpr(v)))
 

@@ -106,6 +106,54 @@ class BpeSpec extends SparkSpec {
     sql should startWith ("length(regexp_replace(")
   }
 
+  test("tokenize: surfaces decode back, concatenation reproduces non-ws input") {
+    val v = Bpe.Vocab.default
+    Bpe.tokenize("the thin", v) shouldBe Seq("the", "th", "in")
+    Bpe.tokenize("running", v) shouldBe Seq("r", "u", "n", "n", "ing")
+    val texts = Seq("the quick brown fox", "standards and tokens", "zzz qqq")
+    texts.foreach { t =>
+      val toks = Bpe.tokenize(t, v)
+      toks.mkString shouldBe t.replaceAll("[ \t\n\r\f]", "")
+      toks.size shouldBe Bpe.countTokens(t, v) // the two faces agree
+    }
+    // the array expression matches the driver-side function
+    val df = Seq("the thin").toDF("text")
+    df.select(graft.functions.bpe_tokens(col("text"))).head().getSeq[String](0) shouldBe
+      Seq("the", "th", "in")
+  }
+
+  test("train: learned-from-corpus vocab is well-formed, frequency-greedy, deterministic") {
+    // a corpus where the most frequent pair is unambiguous: 'ab' dominates
+    val docs = (0 until 60).map { i =>
+      (i.toLong, if (i % 3 == 0) "abab abba cd" else "abc abd xy")
+    }.toDF("doc_id", "text")
+    val v = Bpe.train(docs, "text", nMerges = 4)
+    // first merge is the most frequent pair (a,b); fromMerges already
+    // validated learned order + uniqueness on construction
+    v.mergeSurfaces.head shouldBe ("a" -> "b")
+    v.size should be <= 4
+    // learned vocab compresses its own corpus at least as well as chars
+    val texts = docs.collect().map(_.getString(1))
+    texts.foreach { t =>
+      Bpe.countTokens(t, v) should be <= t.count(c => !" \t\n\r\f".contains(c))
+    }
+    // deterministic across partitionings (exact counts + ordered tie-break)
+    val v2 = Bpe.train(docs.repartition(7), "text", nMerges = 4)
+    v2.mergeSurfaces shouldBe v.mergeSurfaces
+    // trained vocab feeds the counting expression directly
+    val counted = docs.select(
+      graft.functions.bpe_token_count(col("text"), v.mergeSurfaces).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val heuristic = docs.select(
+      graft.functions.bpe_token_count(col("text")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    counted should be < heuristic // corpus-fit merges beat the generic vocab here
+    // no mergeable pair → loud error, never an empty vocabulary
+    intercept[IllegalArgumentException] {
+      Bpe.train(Seq((1L, "a b c d e f g")).toDF("id", "text"), "text", 4)
+    }.getMessage should include ("no mergeable pair")
+  }
+
   test("exact counter plugs into tokenBudgetSample and weightedTokenMix") {
     import graft.operators.Curation
     val docs = (0 until 200).map { i =>

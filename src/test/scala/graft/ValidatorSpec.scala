@@ -119,6 +119,42 @@ class ValidatorSpec extends SparkSpec {
     loud.metadata("statistic").toDouble should be > 0.2
   }
 
+  test("drift ref_state ks: numeric baseline from the persisted KLL sketch, zero baseline scan") {
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("refstate_ks").toString
+    val base = spark.range(1000).selectExpr("cast(id as double) as v")
+    Profiler.writeState(Profiler.profileState(base), s"$dir/v.bin")
+    def run(current: org.apache.spark.sql.DataFrame, critical: String = "0.1") =
+      new Validator(spark, ValidationConfig(), _ => None)
+        .executeRules(current, Seq(ValidationRule("v_drift", RuleType.drift, Seq("v"),
+          parameters = Map("method" -> "ks", "ref_state" -> s"$dir/v.bin",
+            "critical" -> critical, "lo" -> "0", "hi" -> "1000", "bins" -> "50"))), "t")
+        .results.head
+    // identical data through the sketch face: D within the sketch's rank
+    // error + one bucket of binning slack
+    val quiet = run(base)
+    quiet.failed_count should not be -1L
+    quiet.passed shouldBe true
+    quiet.metadata("statistic").toDouble should be < 0.05
+    // a 30% location shift must clear the 0.1 gate decisively
+    val loud = run(base.selectExpr("v + 300 as v"))
+    loud.passed shouldBe false
+    loud.metadata("statistic").toDouble should be > 0.25
+    // and the zero-scan verdict agrees with the full ref_table scan within
+    // the sketch tolerance (same rule, baseline re-scanned)
+    def viaTable(current: org.apache.spark.sql.DataFrame) =
+      new Validator(spark, ValidationConfig(),
+        n => if (n == "baseline") Some(base) else None)
+        .executeRules(current, Seq(ValidationRule("v_drift", RuleType.drift, Seq("v"),
+          parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+            "critical" -> "0.1", "lo" -> "0", "hi" -> "1000", "bins" -> "50"))), "t")
+        .results.head
+    val drifted = base.selectExpr("v + 120 as v")
+    val (s1, s2) = (run(drifted).metadata("statistic").toDouble,
+      viaTable(drifted).metadata("statistic").toDouble)
+    math.abs(s1 - s2) should be < 0.04 // ≤ 2× the k=200 rank error
+  }
+
   test("drift ref_state on timestamp columns: canonical epoch keys verdict-match ref_table") {
     import graft.engine.Profiler
     val dir = java.nio.file.Files.createTempDirectory("refstate_ts").toString
@@ -171,18 +207,29 @@ class ValidatorSpec extends SparkSpec {
         .executeRules(cur, Seq(ValidationRule("d", RuleType.drift, Seq("cat"),
           parameters = params)), "t").results.head
     Profiler.writeState(Profiler.profileState(cur), s"$dir/ok.bin")
-    // ks needs a binned numeric baseline — a value-histogram state can't
-    // serve it (numeric column, so the current-side scan itself is legal
-    // and the explicit ref_state rejection is what fires)
     val num = Seq(1.0, 2.0).toDF("v")
     Profiler.writeState(Profiler.profileState(num), s"$dir/num.bin")
+    // ks against a state whose column was NOT numeric (no quantile sketch):
+    // the current-side scan is legal (live column is numeric) but the
+    // baseline cannot exist — error, never a fabricated baseline
+    val strState = Seq("a", "b").toDF("v")
+    Profiler.writeState(Profiler.profileState(strState), s"$dir/str.bin")
     val ks = new Validator(spark, ValidationConfig(), _ => None)
       .executeRules(num, Seq(ValidationRule("d", RuleType.drift, Seq("v"),
-        parameters = Map("method" -> "ks", "ref_state" -> s"$dir/num.bin",
+        parameters = Map("method" -> "ks", "ref_state" -> s"$dir/str.bin",
           "critical" -> "0.3", "lo" -> "0", "hi" -> "10", "bins" -> "4"))), "t")
       .results.head
     ks.failed_count shouldBe -1L
-    ks.message should include ("ks")
+    ks.message should include ("quantile sketch")
+    // ks with a critical inside the sketch's own rank error: an approximate
+    // baseline must never decide a verdict finer than it can see
+    val fine = new Validator(spark, ValidationConfig(), _ => None)
+      .executeRules(num, Seq(ValidationRule("d", RuleType.drift, Seq("v"),
+        parameters = Map("method" -> "ks", "ref_state" -> s"$dir/num.bin",
+          "critical" -> "0.01", "lo" -> "0", "hi" -> "10", "bins" -> "4"))), "t")
+      .results.head
+    fine.failed_count shouldBe -1L
+    fine.message should include ("rank error")
     // non-categorical column type: JVM vs SQL string forms diverge for
     // timestamps/floats, so a double column errors instead of comparing
     // two spellings of the same value

@@ -11,7 +11,7 @@ import java.nio.file.{Files, Paths}
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
   * [--metrics-dir DIR] [--profile-dir DIR] [--anomaly-gate alerts.json
   * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
-  * [--emit-job-spec spec.json] [--set key=value]...`.
+  * [--emit-job-spec spec.json] [--tags hourly,critical] [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -116,8 +116,15 @@ object Cli {
       sys.error("--config is required"))
 
     // config FIRST: engine connection_params/options become session confs,
-    // exactly like the reference's connect (`pyspark_engine.py:34-42`)
-    val config = ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts))
+    // exactly like the reference's connect (`pyspark_engine.py:34-42`).
+    // --tags a,b restricts the run to rules carrying any of those tags
+    // (the scheduled-subset face — hourly vs nightly tiers from ONE
+    // config); tables left with no rules are dropped, their scans unpaid.
+    val config = opts.get("tags").map { t =>
+      val tags = t.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts))
+        .selectTags(tags)
+    }.getOrElse(ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts)))
     val spark = newSession("graft-validator",
       config.engine.connectionParams ++ config.engine.options)
 
@@ -311,6 +318,7 @@ object Json {
       "run_id" -> runId,
       "runs_merged" -> res.runsMerged,
       "incompatible_states_skipped" -> res.incompatibleSkipped,
+      "unreadable_states_skipped" -> res.unreadableSkipped,
       "columns" -> res.profiles.map(p => Map(
         "column" -> p.column,
         "data_type" -> p.dataType,

@@ -97,6 +97,7 @@ object ConfigLoader {
     m.put("severity", r.severity)
     if (!r.enabled) m.put("enabled", java.lang.Boolean.FALSE)
     if (r.parameters.nonEmpty) m.put("parameters", toJavaMap(r.parameters))
+    if (r.tags.nonEmpty) m.put("tags", toJavaList(r.tags))
     m
   }
 
@@ -173,7 +174,12 @@ object ConfigLoader {
       threshold = m.get("threshold").map(_.toString.toDouble),
       severity = str(m, "severity").getOrElse(Severity.Error),
       enabled = bool(m, "enabled", dflt = true),
-      parameters = params)
+      parameters = params,
+      tags = m.get("tags") match {
+        case Some(l: List[Any] @unchecked) => l.map(_.toString)
+        case Some(s) => s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None => Nil
+      })
   }
 
   private def rules(m: Map[String, Any], key: String): Seq[ValidationRule] =

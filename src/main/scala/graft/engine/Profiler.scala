@@ -470,14 +470,27 @@ object Profiler {
     val st = profileState(df, columns)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     writeState(st, s"$dir/state_$runId.bin")
-    val states = stateFiles(dir).map(readState)
+    // unreadable files (corrupt write, a state from an incompatible binary
+    // generation) are SKIPPED AND COUNTED, never silently absorbed and
+    // never fatal: this run just persisted its own valid state, so the
+    // lifetime profile must keep advancing — the count in profile.json is
+    // the alert that history needs attention
+    val (states, unreadable) = stateFiles(dir)
+      .foldLeft((Vector.empty[ProfileState], 0)) { case ((acc, bad), f) =>
+        scala.util.Try(readState(f)) match {
+          case scala.util.Success(s) => (acc :+ s, bad)
+          case scala.util.Failure(_) => (acc, bad + 1)
+        }
+      }
     val (compat, skipped) = states.partition(o =>
       o.columns == st.columns && o.typeNames == st.typeNames)
-    ProfileRunResult(finishState(compat.reduce(mergeStates)), compat.size, skipped.size)
+    ProfileRunResult(finishState(compat.reduce(mergeStates)), compat.size,
+      skipped.size, unreadable)
   }
 
   final case class ProfileRunResult(
-      profiles: Seq[ColumnProfile], runsMerged: Int, incompatibleSkipped: Int)
+      profiles: Seq[ColumnProfile], runsMerged: Int, incompatibleSkipped: Int,
+      unreadableSkipped: Int = 0)
 
   /** The persisted state files of a profile directory, in sorted filename
     * order — ONE definition of the walk for the writer ([[profileRun]])
@@ -512,9 +525,11 @@ object Profiler {
     "\\d+".r.replaceAllIn(name, m => ("0" * (19 - m.matched.length)) + m.matched)
 
   def lifetimeState(dir: String): Option[ProfileState] = {
-    val files = stateFiles(dir)
-    if (files.isEmpty) return None
-    val states = files.map(f => f -> readState(f))
+    // unreadable files skipped like profileRun (reader-side resilience —
+    // zero-scan authoring must not die on one corrupt historical file)
+    val states = stateFiles(dir).flatMap(f =>
+      scala.util.Try(f -> readState(f)).toOption)
+    if (states.isEmpty) return None
     // mtime primary; digit-normalized filename tie-break (covers copies
     // that flattened mtimes AND legacy unpadded names in one move)
     val (_, ref) = states.maxBy { case (f, _) =>

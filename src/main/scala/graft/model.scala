@@ -65,7 +65,11 @@ final case class ValidationRule(
     threshold: Option[Double] = None,
     severity: String = Severity.Error,
     enabled: Boolean = true,
-    parameters: Map[String, String] = Map.empty
+    parameters: Map[String, String] = Map.empty,
+    /** Selection labels for scheduled subsets (dbt `tag:` / GE suite
+      * convention): `--tags hourly` runs only rules carrying `hourly`.
+      * Orthogonal to `enabled` (a kill switch, not a schedule). */
+    tags: Seq[String] = Nil
 ) {
   require(threshold.forall(t => t >= 0.0 && t <= 1.0),
     s"Threshold must be between 0.0 and 1.0, got $threshold")
@@ -153,6 +157,24 @@ final case class ValidationConfig(
     val tableRules = tableConfig(tableName).map(_.rules).getOrElse(Nil)
     (globalRules ++ tableRules).filter(_.enabled)
   }
+  /** The config restricted to rules carrying ANY of `tags` — the
+    * scheduled-subset face (`--tags hourly` at the CLI): an hourly tier
+    * runs the cheap fused rules, the nightly run everything. Untagged
+    * rules are NOT selected (the dbt `tag:` convention — selection picks
+    * tagged work; the unfiltered config remains the run-everything face).
+    * Tables left with no rules are dropped entirely, so their scans are
+    * never paid; everything else (sampling, partitioning, engine, state)
+    * carries over unchanged. Empty `tags` is a misconfiguration, not
+    * "select nothing silently". */
+  def selectTags(tags: Set[String]): ValidationConfig = {
+    require(tags.nonEmpty, "tag selection needs at least one tag")
+    def pick(rs: Seq[ValidationRule]) = rs.filter(_.tags.exists(tags))
+    copy(
+      globalRules = pick(globalRules),
+      tables = tables.map(t => t.copy(rules = pick(t.rules)))
+        .filter(t => t.rules.nonEmpty || pick(globalRules).nonEmpty))
+  }
+
   /** `require_sql_rules` check (reference `config.py:182-193`). */
   def validateSqlRules(): Unit =
     if (requireSqlRules) {

@@ -288,9 +288,19 @@ class CliSpec extends SparkSpec {
     val parsed = JsonMethods.parse(Json.writeProfile("events", "run2", r2))
     (parsed \ "runs_merged").extract[Int] shouldBe 2
     (parsed \ "incompatible_states_skipped").extract[Int] shouldBe 0
+    (parsed \ "unreadable_states_skipped").extract[Int] shouldBe 0
     val cols = (parsed \ "columns").extract[List[JObject]]
     cols.map(co => (co \ "column").extract[String]) shouldBe List("id", "s", "d")
     (cols.head \ "total_count").extract[Long] shouldBe 5
+    // a CORRUPT historical state file is skipped and counted — the run
+    // keeps advancing (it just persisted its own valid state), and
+    // lifetimeState's zero-scan reader survives it too
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/state_run0corrupt.bin"),
+      Array[Byte](1, 2, 3, 4))
+    val r4 = Profiler.profileRun(c, dir, "run4")
+    r4.unreadableSkipped shouldBe 1
+    r4.runsMerged shouldBe 2 // run3 + run4 (the c lineage)
+    Profiler.lifetimeState(dir) should not be empty
   }
 
   test("batch job spec carries the reference's knobs and round-trips through JSON") {

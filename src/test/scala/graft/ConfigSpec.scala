@@ -110,6 +110,43 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     ConfigLoader.fromYamlString(ConfigLoader.toYamlString(full), env = Map.empty) shouldBe full
   }
 
+  test("rule tags: parse, round-trip, and selectTags scheduled-subset semantics") {
+    val c = ConfigLoader.fromYamlString(
+      """tables:
+        |  - name: t1
+        |    rules:
+        |      - { name: fast, rule_type: completeness, column: id, tags: [hourly, critical] }
+        |      - { name: slow, rule_type: uniqueness, column: id, tags: [nightly] }
+        |      - { name: untagged, rule_type: row_count, parameters: { min_rows: "1" } }
+        |  - name: t2
+        |    rules:
+        |      - { name: deep, rule_type: uniqueness, column: k, tags: [nightly] }
+        |global_rules:
+        |  - { name: g_fast, rule_type: completeness, column: id, tags: [hourly] }
+        |""".stripMargin, env = Map.empty)
+    c.tables.head.rules.head.tags shouldBe Seq("hourly", "critical")
+    // round-trip identity includes tags
+    ConfigLoader.fromYamlString(ConfigLoader.toYamlString(c), env = Map.empty) shouldBe c
+    // hourly tier: tagged rules only; t2 (no hourly rules, but the hourly
+    // GLOBAL rule applies to it) is kept
+    val hourly = c.selectTags(Set("hourly"))
+    hourly.globalRules.map(_.name) shouldBe Seq("g_fast")
+    hourly.tables.map(_.name) shouldBe Seq("t1", "t2")
+    hourly.tables.head.rules.map(_.name) shouldBe Seq("fast")
+    // nightly tier: no matching global rule → t1/t2 keep only their own
+    val nightly = c.selectTags(Set("nightly"))
+    nightly.globalRules shouldBe empty
+    nightly.tables.map(t => t.name -> t.rules.map(_.name)) shouldBe
+      Seq("t1" -> Seq("slow"), "t2" -> Seq("deep"))
+    // a tag nothing carries → no tables at all (run validates nothing,
+    // loads nothing); empty selection is a config error, never silent
+    c.selectTags(Set("weekly")).tables shouldBe empty
+    intercept[IllegalArgumentException] { c.selectTags(Set.empty) }
+    // untagged rules run only in the unfiltered config
+    c.enabledRules("t1").map(_.name) should contain ("untagged")
+    hourly.enabledRules("t1").map(_.name) should not contain "untagged"
+  }
+
   test("require_sql_rules rejects enabled rules without expression (config.py:182-193)") {
     val c = ConfigLoader.fromYamlString(yaml, env = Map.empty)
       .copy(requireSqlRules = true)

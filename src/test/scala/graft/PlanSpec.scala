@@ -159,4 +159,29 @@ class PlanSpec extends SparkSpec {
     planOf(li) should include("PushedFilters")
     planOf(li) should include("GreaterThanOrEqual(l_shipdate")
   }
+
+  test("BPE token counting: one pruned scan, zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counted = docs.select(col("doc_id"),
+      graft.functions.bpe_token_count(col("text")).as("n"))
+    val plan = planOf(counted)
+    plan should not include "Exchange" // pure per-row projection
+    val scan = counted.queryExecution.executedPlan.collectLeaves().head.toString
+    val readSchema = scan.substring(scan.indexOf("ReadSchema:"))
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang" // pruned to the referenced columns
+    readSchema should not include "source"
+  }
+
+  test("audio feature extraction: per-row decode, no shuffle in the plan") {
+    import spark.implicits._
+    val media = spark.range(20).map { id =>
+      (id, graft.operators.Multimodal.WavCodec.encode(
+        graft.operators.Multimodal.syntheticWavSamples(id, 64), 8000, 1))
+    }.toDF("media_id", "bytes")
+    val feats = graft.operators.Multimodal
+      .extractAudioFeatures(media, "media_id", "bytes").toDF()
+    planOf(feats) should not include "Exchange" // embarrassingly parallel
+  }
 }

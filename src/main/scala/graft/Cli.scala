@@ -68,13 +68,23 @@ object Cli {
 
   /** Zero-scan variant: rules authored from each table's lifetime profile
     * state (as written by `--profile-dir`) — the config that validates
-    * everything the profiles have seen, produced without reading a row. */
+    * everything the profiles have seen, produced without reading a row.
+    * The lifetime state is ALSO persisted as the table's drift baseline
+    * (`suggested_baseline.bin`, outside the `state_*.bin` lineage pattern
+    * so it never merges into itself), and the authored config carries
+    * drift rules pointed at it — the profile is both the rule author and
+    * the baseline, so the output config monitors distribution drift
+    * against everything ever profiled, still without reading a row. */
   private[graft] def writeSuggestedConfigFromProfiles(profileDir: String,
       tables: Seq[String], sources: Map[String, String], out: String): ValidationConfig = {
     val cfg = ValidationConfig(tables = tables.map { n =>
       val st = graft.engine.Profiler.lifetimeState(s"$profileDir/$n").getOrElse(
         sys.error(s"--from-profile: no profile states under $profileDir/$n"))
-      TableConfig(n, graft.engine.Suggest.fromState(st).map(_.rule("suggested")),
+      val baseline = s"$profileDir/$n/suggested_baseline.bin"
+      graft.engine.Profiler.writeState(st, baseline)
+      TableConfig(n,
+        graft.engine.Suggest.fromState(st, refStatePath = Some(baseline))
+          .map(_.rule("suggested")),
         source = sources.get(n))
     })
     ConfigLoader.saveYamlFile(cfg, out)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * --stream-source <dir-or-table> --checkpoint-location <dir>
   * [--trigger-interval 60] [--table t] [--validated-sink dir]
   * [--metrics-dir dir] [--profile-dir dir] [--source-format parquet]
-  * [--await-seconds n]`.
+  * [--tags hourly,critical] [--await-seconds n]`.
   *
   * Mirrors the parameter surface of the reference's generated streaming job
   * (`/root/reference/src/data_validator/databricks_utils.py:125-135`:
@@ -28,7 +28,13 @@ object StreamCli {
     val checkpoint = req("checkpoint-location")
     val triggerSec = opts.get("trigger-interval").map(_.toLong).getOrElse(60L)
 
-    val config = ConfigLoader.fromYamlFile(configPath)
+    // --tags a,b: the same scheduled-subset selection the batch CLI offers
+    // (a lightweight always-on stream can carry the hourly tier while the
+    // nightly batch runs everything, from ONE config)
+    val config = opts.get("tags").map { t =>
+      ConfigLoader.fromYamlFile(configPath)
+        .selectTags(t.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    }.getOrElse(ConfigLoader.fromYamlFile(configPath))
     val builder = SparkSession.builder().appName("graft-stream-validator")
       .config("spark.sql.adaptive.enabled", "true")
     (config.engine.connectionParams ++ config.engine.options).foreach {

@@ -52,7 +52,10 @@ object Suggest {
       minValue: Option[Double],
       maxValue: Option[Double],
       allowed: Option[String],
-      reason: String) {
+      reason: String,
+      /** fully-formed parameters for families whose knobs don't fit the
+        * flat bound fields (drift: method/ref_state/critical/bins) */
+      extraParams: Map[String, String] = Map.empty) {
 
     def rule(prefix: String): ValidationRule = {
       val params: Map[String, String] = ruleType match {
@@ -60,7 +63,7 @@ object Suggest {
           Map("min" -> minValue.get.toString, "max" -> maxValue.get.toString)
         case RuleType.AllowedValues => Map("values" -> allowed.get)
         case RuleType.TypeConformance => Map("expected_type" -> "bigint")
-        case _ => Map.empty
+        case _ => extraParams
       }
       ValidationRule(s"${prefix}_${column}_$ruleType", ruleType, Seq(column),
         threshold = threshold, parameters = params)
@@ -242,9 +245,19 @@ object Suggest {
     *     approximate one
     *   - uniqueness is never emitted (the state carries HLL distinct only,
     *     and a ±1.6% estimate cannot certify "every row distinct")
+    *   - with `refStatePath` (the persisted path of THIS state), DRIFT
+    *     monitoring rules — the profile is not just the rule author but
+    *     the baseline: categorical columns with an exact value sketch get
+    *     `method: tvd, ref_state: <path>, critical: 0.2`; numeric columns
+    *     with a quantile sketch get `method: ks` over the observed
+    *     [min, max] in 64 bins with `critical: 0.1` (comfortably above the
+    *     2× rank-error floor the Validator enforces). Integral columns
+    *     prefer the exact categorical face and fall back to ks when the
+    *     value sketch purged. Self-consistency holds by construction:
+    *     the state compared against its own data reads ~zero drift.
     */
   def fromState(s: Profiler.ProfileState, maxNullRate: Double = 0.05,
-      maxAllowedValues: Int = 10): Seq[Suggestion] = {
+      maxAllowedValues: Int = 10, refStatePath: Option[String] = None): Seq[Suggestion] = {
     import org.apache.datasketches.frequencies.ErrorType
     require(maxAllowedValues >= 1, "maxAllowedValues must be >= 1")
     val types = s.typeNames.map(DataType.fromDDL)
@@ -290,7 +303,30 @@ object Suggest {
           Suggestion(name, RuleType.TypeConformance, None, None, None, None,
             "all non-null values parse as bigint")
       }
-      Seq(completeness, range, allowedValues, typeConformance).flatten
+      val drift: Option[Suggestion] = refStatePath.flatMap { path =>
+        val categoricalExact = (dt match {
+          case StringType | BooleanType | ByteType | ShortType |
+              IntegerType | LongType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }) && nonNull > 0 && b.freq(i).getMaximumError == 0
+        lazy val numericSketch = dt.isInstanceOf[NumericType] &&
+          b.kll(i) != null && !b.kll(i).isEmpty &&
+          b.minV(i) != null && b.maxV(i).toDouble > b.minV(i).toDouble
+        if (categoricalExact)
+          Some(Suggestion(name, RuleType.drift, None, None, None, None,
+            "categorical distribution baseline from the lifetime profile",
+            extraParams = Map("method" -> "tvd", "ref_state" -> path,
+              "critical" -> "0.2")))
+        else if (numericSketch)
+          Some(Suggestion(name, RuleType.drift, None,
+            Some(b.minV(i).toDouble), Some(b.maxV(i).toDouble), None,
+            "numeric distribution baseline from the lifetime profile (KLL CDF)",
+            extraParams = Map("method" -> "ks", "ref_state" -> path,
+              "critical" -> "0.1", "lo" -> b.minV(i), "hi" -> b.maxV(i),
+              "bins" -> "64")))
+        else None
+      }
+      Seq(completeness, range, allowedValues, typeConformance, drift).flatten
     }
   }
 

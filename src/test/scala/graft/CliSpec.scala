@@ -476,7 +476,15 @@ class CliSpec extends SparkSpec {
     byName((RuleType.Range, "id")).parameters("min") shouldBe "1.0"
     byName((RuleType.Range, "id")).parameters("max") shouldBe "4.0"
     byName((RuleType.AllowedValues, "cat")).parameters("values") shouldBe "a,b,c"
-    // and the authored config validates green on the full union
+    // drift monitoring is authored too — the lifetime state was persisted
+    // as the baseline and the rules point at it
+    val catDrift = byName((RuleType.drift, "cat"))
+    catDrift.parameters("method") shouldBe "tvd"
+    catDrift.parameters("ref_state") shouldBe s"$dir/t/suggested_baseline.bin"
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/t/suggested_baseline.bin")) shouldBe true
+    // and the authored config (incl. drift vs the persisted baseline)
+    // validates green on the full union of the profiled slices
     val v = new graft.engine.Validator(spark, loaded)
     v.executeRules(slice1.union(slice2), rules, "t")
       .results.filterNot(_.passed) shouldBe empty

@@ -124,6 +124,43 @@ class SuggestSpec extends SparkSpec {
     sw.get(("v", RuleType.Completeness)) shouldBe defined
   }
 
+  test("fromState with a baseline path authors drift monitoring rules (the profile IS the baseline)") {
+    import graft.engine.{Profiler, Validator}
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "cat", "score")
+    val dir = java.nio.file.Files.createTempDirectory("suggest_drift")
+    val path = dir.resolve("baseline.bin").toString
+    Profiler.writeState(Profiler.profileState(df), path)
+    val s = byKey(Suggest.fromState(Profiler.readState(path), refStatePath = Some(path)))
+    // categorical face: exact value sketch → tvd vs the state itself
+    val catDrift = s(("cat", RuleType.drift))
+    catDrift.extraParams("method") shouldBe "tvd"
+    catDrift.extraParams("ref_state") shouldBe path
+    // integral with an exact sketch prefers the categorical face
+    s(("id", RuleType.drift)).extraParams("method") shouldBe "tvd"
+    // floating column: value spellings diverge → ks over the KLL CDF
+    val scoreDrift = s(("score", RuleType.drift))
+    scoreDrift.extraParams("method") shouldBe "ks"
+    scoreDrift.extraParams("lo").toDouble shouldBe 1.5
+    scoreDrift.extraParams("hi").toDouble shouldBe 3.5
+    // a purged integral sketch falls back to ks
+    val wideNum = spark.range(200000).selectExpr("id AS n")
+    val p2 = dir.resolve("wide.bin").toString
+    Profiler.writeState(Profiler.profileState(wideNum), p2)
+    byKey(Suggest.fromState(Profiler.readState(p2), refStatePath = Some(p2)))(
+      ("n", RuleType.drift)).extraParams("method") shouldBe "ks"
+    // self-consistency: every authored rule (incl. drift vs the state's
+    // own data) passes on the source
+    val rules = Suggest.fromState(Profiler.readState(path),
+      refStatePath = Some(path)).map(_.rule("state"))
+    rules.map(_.ruleType) should contain (RuleType.drift)
+    new Validator(spark, ValidationConfig())
+      .executeRules(df, rules, "t").results.filterNot(_.passed) shouldBe empty
+    // no path → no drift rules (unchanged zero-scan surface)
+    Suggest.fromState(Profiler.readState(path)).map(_.ruleType) should
+      not contain RuleType.drift
+  }
+
   test("lifetimeState anchors the lineage on the newest state by mtime, not filename order") {
     import graft.engine.Profiler
     import java.nio.file.{Files => F, Paths}

@@ -248,7 +248,7 @@ object Cli {
         val tables = summaries.keys.toSeq.sorted
           .map(t => t -> Tables.load(spark, sources.getOrElse(t, t)))
         val spec = jobSpecFor(validator, tables, configPath,
-          opts.get("sources"), opts.get("output"))
+          opts.get("sources"), opts.get("output"), opts.get("tags"))
         Files.writeString(Paths.get(out), graft.deploy.JobSpec.toJson(spec))
       }
 
@@ -264,11 +264,15 @@ object Cli {
 
   /** The `--emit-job-spec` artifact: this invocation as a vendor-neutral
     * batch [[graft.deploy.JobSpec]], DLT-style expectations rendered per
-    * table against the LIVE schema and keyed `<table>.<rule>`. */
+    * table against the LIVE schema and keyed `<table>.<rule>`. A `--tags`
+    * selection is part of the invocation and rides the spec's argv — the
+    * scheduled job must re-run the SAME tier the expectations were
+    * rendered from, not the full config. */
   private[graft] def jobSpecFor(validator: Validator,
       tables: Seq[(String, org.apache.spark.sql.DataFrame)], configPath: String,
-      sourcesPath: Option[String], outputPath: Option[String]): graft.deploy.JobSpec =
-    graft.deploy.JobSpec.batch(
+      sourcesPath: Option[String], outputPath: Option[String],
+      tags: Option[String] = None): graft.deploy.JobSpec = {
+    val spec = graft.deploy.JobSpec.batch(
       jobName = "graft-validation",
       configPath = configPath,
       sourcesPath = sourcesPath,
@@ -276,6 +280,9 @@ object Cli {
       dltExpectations = tables.flatMap { case (t, df) =>
         validator.dltExpectations(df, t).map { case (n, p) => s"$t.$n" -> p }
       }.toMap)
+    tags.map(t => spec.copy(arguments = spec.arguments ++ Seq("--tags", t)))
+      .getOrElse(spec)
+  }
 
   private[graft] def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =
     args match {

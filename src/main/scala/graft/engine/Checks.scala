@@ -586,20 +586,40 @@ object Checks {
     * (kind, bucket) pair per row via a 2-element explode; one groupBy job
     * returns every histogram. Used to batch all drift rules over a table —
     * N drift rules cost one column-pruned scan instead of N. */
-  /** Driver-safety cap on collected histogram rows: histograms are
-    * O(distinct buckets) BY CONTRACT (categorical columns / fixed-width
-    * numeric bins); a drift rule mistakenly pointed at a high-cardinality
-    * raw column (ids, text) would otherwise collect millions of rows to
-    * the driver. Guarded with limit-before-collect, so the offending rule
-    * fails through its own error path instead of OOMing the process. */
+  /** Driver-safety caps on collected histogram rows. Two distinct limits,
+    * because two distinct things can go wrong:
+    *  - [[maxHistogramBuckets]] bounds ONE rule's DISTINCT bucket count —
+    *    histograms are O(buckets) BY CONTRACT (categorical values /
+    *    fixed-width numeric bins); a drift rule mistakenly pointed at a
+    *    high-cardinality raw column (ids, text) violates it and must fail
+    *    through ITS OWN error path, named in the message. Checked per
+    *    kind, so a batch of healthy rules sharing the scan is never
+    *    failed by volume it didn't cause.
+    *  - [[maxHistogramRows]] bounds the TOTAL collected volume (rules ×
+    *    partitions × buckets — all of which can be individually legal):
+    *    the absolute process-safety net via limit-before-collect, far
+    *    above any sane configuration (4M rows ≈ a few hundred MB
+    *    transiently, never an OOM). */
   val maxHistogramBuckets: Int = 65536
+  val maxHistogramRows: Int = 4 * 1000 * 1000
 
-  private def guardedCollect(grouped: DataFrame): Array[org.apache.spark.sql.Row] = {
-    val rows = grouped.limit(maxHistogramBuckets + 1).collect()
-    require(rows.length <= maxHistogramBuckets,
-      s"drift histogram produced more than $maxHistogramBuckets buckets — " +
-        "the rule is pointed at a high-cardinality column; drift compares " +
-        "DISTRIBUTIONS (categorical values or binned numerics, e.g. method: ks)")
+  /** Collect a (…, kind, bucket, cnt) grouped histogram frame under both
+    * guards; `kindOrdinal`/`bucketOrdinal` locate the columns. */
+  private def guardedCollect(grouped: DataFrame, kindOrdinal: Int,
+      bucketOrdinal: Int): Array[org.apache.spark.sql.Row] = {
+    val rows = grouped.limit(maxHistogramRows + 1).collect()
+    require(rows.length <= maxHistogramRows,
+      s"drift histograms collected more than $maxHistogramRows rows in one " +
+        "batch (rules × partitions × buckets) — reduce the partition bucket " +
+        "count or split the drift rules across tables")
+    rows.groupBy(_.getString(kindOrdinal)).foreach { case (kind, rs) =>
+      val buckets = rs.iterator.map(_.getString(bucketOrdinal)).toSet.size
+      require(buckets <= maxHistogramBuckets,
+        s"drift histogram for rule '$kind' produced more than " +
+          s"$maxHistogramBuckets buckets — the rule is pointed at a " +
+          "high-cardinality column; drift compares DISTRIBUTIONS " +
+          "(categorical values or binned numerics, e.g. method: ks)")
+    }
     rows
   }
 
@@ -610,7 +630,7 @@ object Checks {
     }: _*)).as("kb")
     guardedCollect(df.select(kb)
       .groupBy(col("kb.kind"), col("kb.bucket"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt")), kindOrdinal = 0, bucketOrdinal = 1)
       .groupBy(_.getString(0))
       .map { case (kind, rows) =>
         kind -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -632,7 +652,7 @@ object Checks {
     // over the O(partitions × buckets) collected rows (see rawKeyStringable)
     guardedCollect(df.select(partGroupCol(df, part).as("__part"), kb)
       .groupBy(col("__part"), col("kb.kind"), col("kb.bucket"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt")), kindOrdinal = 1, bucketOrdinal = 2)
       .groupBy(_.getString(1))
       .map { case (kind, rows) =>
         kind -> rows.groupBy(r => partKeyString(r.get(0))).map { case (p, rs) =>

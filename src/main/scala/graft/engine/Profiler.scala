@@ -104,7 +104,15 @@ object Profiler {
 
   /** Mutable aggregation buffer. Sketches are live heap objects during
     * accumulation; Java serialization (only at exchange) writes the compact
-    * sketch byte images. */
+    * sketch byte images.
+    *
+    * The explicit UID marks the VALUE-KEYING GENERATION, not the field
+    * layout: bumping it makes states persisted by older keying (e.g.
+    * wall-clock timestamp spellings instead of epoch micros) unreadable —
+    * they fall into the skipped-and-counted unreadable path rather than
+    * silently merging two spellings of the same value. Bump it whenever
+    * [[canonicalValueString]] or [[orderedNumeric]] changes. */
+  @SerialVersionUID(5L)
   final class ProfileBuf(val n: Int, val lgK: Int, val numeric: Array[Boolean])
       extends Serializable {
     var total: Long = 0L
@@ -170,6 +178,35 @@ object Profiler {
   private def ltVal(a: String, b: String, numeric: Boolean): Boolean =
     if (numeric) a.toDouble < b.toDouble else a < b
 
+  /** Columns whose string forms order NUMERICALLY in min/max tracking:
+    * numerics, plus TIMESTAMP (keyed as epoch micros — see
+    * [[canonicalValueString]]; epoch strings don't order lexicographically).
+    * NTZ keys stay LocalDateTime ISO strings, which DO order
+    * lexicographically. ONE definition for every aggregator and the
+    * driver-side merge, so the generations cannot disagree. */
+  private[engine] def orderedNumeric(dt: DataType): Boolean =
+    dt.isInstanceOf[NumericType] || dt == TimestampType
+
+  /** The typed path's canonical string form of one non-null value —
+    * the identity the sketches key on and min/max track. TIMESTAMP values
+    * canonicalize to epoch MICROS: `java.sql.Timestamp.toString` renders
+    * the executor's wall clock, so two executors (or a later reader) in
+    * different zones would spell ONE instant two ways — the epoch form is
+    * zone-free by construction and matches the live drift scan's
+    * `unix_micros` bucket exactly. (NTZ values arrive as LocalDateTime,
+    * whose ISO string is already zone-free.) Older states carrying the
+    * wall-clock spellings are unreadable by this generation
+    * (@SerialVersionUID bump) and fall into the skipped-and-counted path
+    * instead of silently blending two spellings of the same instant. */
+  private def canonicalValueString(v: Any): String = v match {
+    case ts: java.sql.Timestamp =>
+      val inst = ts.toInstant
+      (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+    case inst: java.time.Instant => // spark.sql.datetime.java8API.enabled
+      (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+    case other => String.valueOf(other)
+  }
+
   private[engine] def reduceInto(b: ProfileBuf, row: Row, types: Seq[DataType],
       numeric: Array[Boolean], floating: Array[Boolean]): ProfileBuf = {
     val n = numeric.length
@@ -183,7 +220,7 @@ object Profiler {
       if (isNull) b.nulls(i) += 1
       else {
         b.conforming(i) += 1
-        val s = String.valueOf(row.get(i))
+        val s = canonicalValueString(row.get(i))
         if (b.minV(i) == null || ltVal(s, b.minV(i), numeric(i))) b.minV(i) = s
         if (b.maxV(i) == null || ltVal(b.maxV(i), s, numeric(i))) b.maxV(i) = s
         b.sketches(i).update(s)
@@ -247,7 +284,7 @@ object Profiler {
   ) extends Aggregator[Row, ProfileBuf, Seq[ColumnProfile]] {
 
     private val n = columns.length
-    private val numeric: Array[Boolean] = types.map(_.isInstanceOf[NumericType]).toArray
+    private val numeric: Array[Boolean] = types.map(orderedNumeric).toArray
     private val floating: Array[Boolean] = types.map(isFloating).toArray
 
     override def zero: ProfileBuf = new ProfileBuf(n, lgK, numeric)
@@ -309,7 +346,7 @@ object Profiler {
   def mergeStates(a: ProfileState, b: ProfileState): ProfileState = {
     require(a.columns == b.columns && a.typeNames == b.typeNames,
       s"profile states disagree: ${a.columns.zip(a.typeNames)} vs ${b.columns.zip(b.typeNames)}")
-    val numeric = a.types.map(_.isInstanceOf[NumericType]).toArray
+    val numeric = a.types.map(orderedNumeric).toArray
     ProfileState(a.columns, a.typeNames, mergeInto(copyBuf(a.buf), b.buf, a.buf.lgK, numeric))
   }
 
@@ -324,7 +361,7 @@ object Profiler {
   /** Finish a (possibly merged) state into per-column profiles. */
   def finishState(s: ProfileState): Seq[ColumnProfile] = {
     val types = s.types
-    finishBuf(s.buf, s.columns, types, types.map(_.isInstanceOf[NumericType]).toArray)
+    finishBuf(s.buf, s.columns, types, types.map(orderedNumeric).toArray)
   }
 
   /** Persist a profile state (driver-side, KB-scale: counts + compact
@@ -364,34 +401,26 @@ object Profiler {
         "drift baseline — use ref_table")
     val items = sk.getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
       .map(r => r.getItem -> r.getEstimate).toMap
-    // Timestamp columns re-key to canonical epoch micros, matching the live
-    // scan's `unix_micros` drift bucket (see Validator.driftBucket): the
-    // sketch stored the JVM string form ("2024-01-15 10:30:00.0" /
-    // "2024-01-15T10:30"), the SQL cast renders differently — without a
-    // canonical spelling the same instant would count as two buckets.
-    // Read-time canonicalization (vs re-keying the sketch at profile time)
-    // keeps every persisted state readable and the profile's min/max/top
-    // faces unchanged. It is exact only under a FIXED-OFFSET zone: in a
-    // DST-observing zone two instants share one wall-clock string (the fold
-    // hour) and no reader can split them back apart — so this raises, and
-    // the rule fails through its own error path instead of mis-binning.
+    // Timestamp keys are already canonical epoch micros — keyed at SKETCH
+    // time ([[canonicalValueString]]), zone-free by construction, matching
+    // the live scan's `unix_micros` drift bucket (Validator.driftBucket)
+    // exactly. Validate the form rather than trusting it: a wall-clock
+    // spelling here means a state written by an older keying generation
+    // slipped past the UID gate — raise, never mis-bin.
+    // NTZ sketch keys are LocalDateTime ISO strings (zone-free wall clock);
+    // the live cast to TIMESTAMP interprets that wall clock in the SESSION
+    // zone — parse at the same zone so both faces agree. Fixed-offset
+    // required: in a DST fold two instants share one wall-clock string and
+    // no reader can split them back apart.
     val keyed = s.types(i) match {
       case TimestampType =>
-        // JVM java.sql.Timestamp round-trips through the DEFAULT zone
-        val z = java.util.TimeZone.getDefault.toZoneId
-        require(z.getRules.isFixedOffset,
-          s"drift baseline for timestamp column '$column' needs a fixed-offset " +
-            s"JVM zone (got $z): wall-clock strings are ambiguous in DST folds — " +
-            "run with -Duser.timezone=UTC or use ref_table")
-        items.map { case (k, v) =>
-          val inst = java.sql.Timestamp.valueOf(k).toInstant
-          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString -> v
+        items.foreach { case (k, _) =>
+          require(k.nonEmpty && k.drop(if (k.startsWith("-")) 1 else 0).forall(_.isDigit),
+            s"drift baseline for timestamp column '$column' holds non-epoch " +
+              s"key '$k' — the state predates epoch keying; rebuild the baseline")
         }
+        items
       case TimestampNTZType =>
-        // NTZ sketch keys are LocalDateTime ISO strings; the live cast to
-        // TIMESTAMP interprets the wall clock in the SESSION zone — parse
-        // at the same zone so both faces agree (fixed-offset required for
-        // the same fold reason as above)
         require(sessionZone.getRules.isFixedOffset,
           s"drift baseline for timestamp_ntz column '$column' needs a " +
             s"fixed-offset session time zone (got $sessionZone) — " +
@@ -548,7 +577,7 @@ object Profiler {
       types: Seq[DataType],
       lgK: Int = DefaultLgK
   ) extends Aggregator[Row, ProfileBuf, ProfileBuf] {
-    private val numeric: Array[Boolean] = types.map(_.isInstanceOf[NumericType]).toArray
+    private val numeric: Array[Boolean] = types.map(orderedNumeric).toArray
     private val floating: Array[Boolean] = types.map(isFloating).toArray
     override def zero: ProfileBuf = new ProfileBuf(columns.length, lgK, numeric)
     override def reduce(b: ProfileBuf, row: Row): ProfileBuf =

@@ -285,9 +285,16 @@ object RulePlanner {
         case RuleType.AllowedValues =>
           val vs = allowedValueSet(r).map(strLit).mkString(", ")
           Some(r.name -> s"(CAST(${q(r.column)} AS STRING) IN ($vs))")
-        case RuleType.Freshness =>
+        // only a PINNED reference_time renders: the wall-clock mode's
+        // cutoff is resolved per run, and baking render-time "now" into a
+        // static predicate would silently stop enforcing recency as time
+        // passes — a wall-clock freshness rule has no static expectation
+        // (keep it on the engine's scheduled runs, like outlier's
+        // data-derived moments)
+        case RuleType.Freshness if r.param("reference_time").isDefined =>
           Some(r.name -> (s"(unix_micros(CAST(${q(r.column)} AS TIMESTAMP)) " +
             s">= ${freshnessCutoffMicros(r)})"))
+        case RuleType.Freshness => None
         // the verdict/filter faces use the native LongCastableExpr
         // digit-check (no SQL name outside this library); the serialized
         // surface renders the equivalent portable spelling —

@@ -304,9 +304,14 @@ object Suggest {
             "all non-null values parse as bigint")
       }
       val drift: Option[Suggestion] = refStatePath.flatMap { path =>
+        // NTZ stays out of the authoring whitelist: its baseline decode
+        // requires a fixed-offset session zone at VALIDATION time, which
+        // the author cannot know — an authored rule must never be a trap
+        // that errors on its own source under a stock DST-zone JVM.
+        // (TimestampType is zone-free: epoch-keyed at sketch time.)
         val categoricalExact = (dt match {
           case StringType | BooleanType | ByteType | ShortType |
-              IntegerType | LongType | TimestampType | TimestampNTZType => true
+              IntegerType | LongType | TimestampType => true
           case _ => false
         }) && nonNull > 0 && b.freq(i).getMaximumError == 0
         lazy val numericSketch = dt.isInstanceOf[NumericType] &&

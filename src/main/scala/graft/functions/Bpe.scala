@@ -136,7 +136,7 @@ object Bpe {
     import org.apache.spark.sql.functions._
     require(nMerges >= 1 && nMerges <= MaxMerges, s"nMerges must be in [1, $MaxMerges]")
     val wf: Array[(Array[String], Long)] = docs
-      .select(explode(split(regexp_replace(col(textCol), "[-]", ""),
+      .select(explode(split(regexp_replace(col(textCol), "[\\x{E000}-\\x{E0FF}]", ""),
         "\\s+")).as("w"))
       .filter(length(col("w")).between(1, maxWordLength))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -224,11 +224,20 @@ object Bpe {
   }
 
   /** Exact token count of `text` under vocabulary `v`: non-whitespace
-    * symbols after the merge pass. */
+    * symbols after the merge pass. Symbols are CODE POINTS, not UTF-16
+    * units — a surrogate pair (emoji, CJK extensions) is ONE unmerged
+    * symbol, matching the SQL oracle's `length()` codepoint semantics;
+    * merges themselves only ever involve BMP chars (vocab tokens are
+    * single JVM chars or earlier outputs by validation), so supplementary
+    * chars pass through the merge pass untouched and are counted once. */
   def countTokens(text: String, v: Vocab): Int = {
     val merged = mergePass(text, v)
     var n = 0; var i = 0
-    while (i < merged.length) { if (!isWs(merged.charAt(i))) n += 1; i += 1 }
+    while (i < merged.length) {
+      val c = merged.charAt(i)
+      if (!isWs(c) && !Character.isLowSurrogate(c)) n += 1
+      i += 1
+    }
     n
   }
 
@@ -242,10 +251,20 @@ object Bpe {
       val arr = v.mergeSurfaces.map { case (l, r) => l + r }
       k => arr(k)
     }
-    mergePass(text, v).iterator.filterNot(isWs).map { c =>
-      if (c >= PuaBase && c < PuaBase + v.size) surfaces(c - PuaBase)
-      else c.toString
-    }.toSeq
+    val merged = mergePass(text, v)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < merged.length) {
+      val c = merged.charAt(i)
+      if (isWs(c)) i += 1
+      else if (c >= PuaBase && c < PuaBase + v.size) { out += surfaces(c - PuaBase); i += 1 }
+      else if (Character.isHighSurrogate(c) && i + 1 < merged.length &&
+        Character.isLowSurrogate(merged.charAt(i + 1))) {
+        // one supplementary code point = one token (never split the pair)
+        out += merged.substring(i, i + 2); i += 2
+      } else { out += c.toString; i += 1 }
+    }
+    out.toSeq
   }
 
   /** The SAME computation as portable SQL over a text column — nested

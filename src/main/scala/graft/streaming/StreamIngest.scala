@@ -1,11 +1,10 @@
 package graft.streaming
 
 import graft.operators.{CacheScope, Dedup}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Streaming near-duplicate INGEST: each micro-batch of documents is
   * checked for near-dups BOTH against the ON-DISK signature index
@@ -43,6 +42,11 @@ import scala.jdk.CollectionConverters._
   *    then re-runs the batch cleanly. Signatures are never double-appended
   *    whatever the crash point.
   *
+  * All ledger I/O goes through the Hadoop FileSystem resolved FROM the
+  * index path, so the guarantee holds wherever the index lives (HDFS,
+  * object stores, local disk) — java.nio would silently reduce an
+  * `s3://` index back to at-least-once.
+  *
   * The ledger assumes the index directory has ONE writer (this query);
   * concurrent batch-side appends to the same index during streaming would
   * be reclassified as crash debris. That is the same single-writer contract
@@ -57,56 +61,67 @@ object StreamIngest {
 
   // ---------------------------------------------------------- replay ledger
 
-  private def ledgerDir(indexDir: String): Path = {
-    val p = Paths.get(indexDir, "_ingest_ledger")
-    Files.createDirectories(p)
-    p
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   // zero-padded so filename order = batch order (the profile-state
   // writers' convention)
   private def pad(batchId: Long): String = f"$batchId%020d"
 
-  private def intentPath(indexDir: String, batchId: Long): Path =
-    ledgerDir(indexDir).resolve(s"${pad(batchId)}.intent")
-  private def commitPath(indexDir: String, batchId: Long): Path =
-    ledgerDir(indexDir).resolve(s"${pad(batchId)}.commit")
-
-  private[streaming] def isCommitted(indexDir: String, batchId: Long): Boolean =
-    Files.exists(commitPath(indexDir, batchId))
+  private def intentPath(root: HPath, batchId: Long): HPath =
+    new HPath(root, s"_ingest_ledger/${pad(batchId)}.intent")
+  private def commitPath(root: HPath, batchId: Long): HPath =
+    new HPath(root, s"_ingest_ledger/${pad(batchId)}.commit")
 
   /** Every data file currently in the index's bands/docs tables, as paths
-    * relative to `indexDir`. Underscore/dot names (Spark's _SUCCESS,
+    * relative to the index root. Underscore/dot names (Spark's _SUCCESS,
     * _temporary staging, hidden files) are not data and are excluded —
     * they must neither appear in intents nor be deleted by recovery. */
-  private def dataFiles(indexDir: String): Set[String] = {
-    val root = Paths.get(indexDir)
+  private def dataFiles(fs: FileSystem, root: HPath): Set[String] = {
+    val rootUri = fs.makeQualified(root).toUri
     Seq("bands", "docs").flatMap { sub =>
-      val dir = root.resolve(sub)
-      if (!Files.isDirectory(dir)) Nil
+      val dir = new HPath(root, sub)
+      if (!fs.exists(dir)) Nil
       else {
-        val s = Files.walk(dir)
-        try s.iterator().asScala
-          .filter(p => Files.isRegularFile(p))
-          .map(p => root.relativize(p).toString)
-          .filterNot(rel => rel.split('/').exists(seg =>
-            seg.startsWith("_") || seg.startsWith(".")))
-          .toList
-        finally s.close()
+        val it = fs.listFiles(dir, true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile) {
+            val rel = rootUri.relativize(f.getPath.toUri).getPath
+            if (!rel.split('/').exists(seg =>
+              seg.startsWith("_") || seg.startsWith("."))) out += rel
+          }
+        }
+        out
       }
     }.toSet
+  }
+
+  private def writeLines(fs: FileSystem, p: HPath, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLines(fs: FileSystem, p: HPath): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
 
   /** If `batchId` left an intent without a commit (crash mid-append),
     * delete every index data file the crashed attempt added, restoring the
     * pre-append state so the re-run appends exactly once. */
-  private def recoverCrashedAppend(indexDir: String, batchId: Long): Unit = {
-    val intent = intentPath(indexDir, batchId)
-    if (Files.exists(intent) && !isCommitted(indexDir, batchId)) {
-      val before = Files.readAllLines(intent).asScala.toSet
-      val root = Paths.get(indexDir)
-      (dataFiles(indexDir) -- before).foreach(rel =>
-        Files.deleteIfExists(root.resolve(rel)))
+  private def recoverCrashedAppend(fs: FileSystem, root: HPath, batchId: Long): Unit = {
+    val intent = intentPath(root, batchId)
+    if (fs.exists(intent) && !fs.exists(commitPath(root, batchId))) {
+      val before = readLines(fs, intent).filter(_.nonEmpty).toSet
+      (dataFiles(fs, root) -- before).foreach(rel =>
+        fs.delete(new HPath(root, rel), false))
     }
   }
 
@@ -129,8 +144,9 @@ object StreamIngest {
       minJaccard: Double = 0.5,
       charGrams: Boolean = false,
       pairsSink: Option[String] = None): Option[IngestBatch] = {
-    if (isCommitted(indexDir, batchId)) return None
-    recoverCrashedAppend(indexDir, batchId)
+    val (fs, root) = fsOf(batch.sparkSession, indexDir)
+    if (fs.exists(commitPath(root, batchId))) return None
+    recoverCrashedAppend(fs, root, batchId)
     CacheScope.cached {
       // the batch's shingles+signatures are built ONCE and explicitly
       // feed detect-vs-index, detect-within-batch, AND absorb; the doc
@@ -149,10 +165,9 @@ object StreamIngest {
           case Some(sink) => graft.io.Sinks.observedBatchOverwrite(pairs, sink, batchId)
           case None       => pairs.count()
         }
-        Files.write(intentPath(indexDir, batchId),
-          dataFiles(indexDir).toSeq.sorted.asJava)
+        writeLines(fs, intentPath(root, batchId), dataFiles(fs, root).toSeq.sorted)
         Dedup.appendIndexFrame(fresh, indexDir)
-        Files.createFile(commitPath(indexDir, batchId))
+        fs.create(commitPath(root, batchId), true).close()
         Some(IngestBatch(batchId, n, pairCount))
       }
     }

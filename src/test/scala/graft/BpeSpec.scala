@@ -15,6 +15,10 @@ class BpeSpec extends SparkSpec {
     Bpe.countTokens("abab", v) shouldBe 2 // [ab][ab]; c never follows
     Bpe.countTokens("", v) shouldBe 0
     Bpe.countTokens("  \n\t", v) shouldBe 0
+    // symbols are CODE POINTS: a surrogate-pair emoji counts once (the SQL
+    // oracle's length() counts codepoints), and tokenize never splits it
+    Bpe.countTokens("ab 😀 ab", v) shouldBe 3
+    Bpe.tokenize("ab 😀", v) shouldBe Seq("ab", "😀")
     // pre-existing PUA chars are stripped, never counted or merged
     Bpe.countTokens("ab", v) shouldBe 1 // strips to "ab" → one token
   }

@@ -341,6 +341,12 @@ class RuleSemanticsSpec extends SparkSpec {
         viaRule.exceptAll(viaPredicate).count() shouldBe 0
       }
     }
+    // a WALL-CLOCK freshness rule (no reference_time) has no static
+    // predicate: baking render-time "now" into the artifact would silently
+    // stop enforcing recency as time passes — it must not render
+    RulePlanner.dltExpectations(df.schema, Seq(
+      ValidationRule("wall_fresh", RuleType.Freshness, Seq("ts"),
+        parameters = Map("max_age_seconds" -> "3600")))) shouldBe empty
     // non-row-level families render nothing: no static per-row predicate
     // (DLT expectations evaluate row by row)
     RulePlanner.dltExpectations(df.schema, Seq(

@@ -186,6 +186,19 @@ class ValidatorSpec extends SparkSpec {
           "critical" -> "0.2"))), "t").results.head
     quiet.metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
     quiet.passed shouldBe true
+    // zone independence: a state PROFILED under a different JVM default
+    // zone yields the identical verdict — the sketch keys are epoch micros
+    // from the instant itself, never a wall-clock rendering
+    val prevTz = java.util.TimeZone.getDefault
+    val altState = try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Kolkata"))
+      Profiler.profileState(base)
+    } finally java.util.TimeZone.setDefault(prevTz)
+    Profiler.writeState(altState, s"$dir/ts_alt.bin")
+    val viaAlt = run(Map("method" -> "tvd", "ref_state" -> s"$dir/ts_alt.bin",
+      "critical" -> "0.2"))
+    viaAlt.metadata("statistic") shouldBe viaState.metadata("statistic")
+
     // NTZ face: same contract through the LocalDateTime spelling
     def ntzFrame(ds: Seq[String]) = ds.toDF("raw")
       .select(expr("to_timestamp_ntz(raw)").as("ts"))

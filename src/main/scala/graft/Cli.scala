@@ -247,8 +247,16 @@ object Cli {
       for (out <- opts.get("emit-job-spec")) {
         val tables = summaries.keys.toSeq.sorted
           .map(t => t -> Tables.load(spark, sources.getOrElse(t, t)))
+        // every run-shaping flag rides the emitted argv — the scheduled
+        // job must reproduce THIS invocation (its tier, its table subset,
+        // its overrides), because the expectations were rendered from it
+        val shapingArgs =
+          opts.get("table").toSeq.flatMap(t => Seq("--table", t)) ++
+          opts.get("tags").toSeq.flatMap(t => Seq("--tags", t)) ++
+          opts.get("set").toSeq.flatMap(_.split("\u0000"))
+            .flatMap(kv => Seq("--set", kv))
         val spec = jobSpecFor(validator, tables, configPath,
-          opts.get("sources"), opts.get("output"), opts.get("tags"))
+          opts.get("sources"), opts.get("output"), shapingArgs)
         Files.writeString(Paths.get(out), graft.deploy.JobSpec.toJson(spec))
       }
 
@@ -264,14 +272,15 @@ object Cli {
 
   /** The `--emit-job-spec` artifact: this invocation as a vendor-neutral
     * batch [[graft.deploy.JobSpec]], DLT-style expectations rendered per
-    * table against the LIVE schema and keyed `<table>.<rule>`. A `--tags`
-    * selection is part of the invocation and rides the spec's argv — the
-    * scheduled job must re-run the SAME tier the expectations were
+    * table against the LIVE schema and keyed `<table>.<rule>`.
+    * `shapingArgs` are the run-shaping flags of the invocation
+    * (`--tags`/`--table`/`--set`), appended verbatim to the argv — the
+    * scheduled job must re-run the SAME selection the expectations were
     * rendered from, not the full config. */
   private[graft] def jobSpecFor(validator: Validator,
       tables: Seq[(String, org.apache.spark.sql.DataFrame)], configPath: String,
       sourcesPath: Option[String], outputPath: Option[String],
-      tags: Option[String] = None): graft.deploy.JobSpec = {
+      shapingArgs: Seq[String] = Nil): graft.deploy.JobSpec = {
     val spec = graft.deploy.JobSpec.batch(
       jobName = "graft-validation",
       configPath = configPath,
@@ -280,8 +289,8 @@ object Cli {
       dltExpectations = tables.flatMap { case (t, df) =>
         validator.dltExpectations(df, t).map { case (n, p) => s"$t.$n" -> p }
       }.toMap)
-    tags.map(t => spec.copy(arguments = spec.arguments ++ Seq("--tags", t)))
-      .getOrElse(spec)
+    if (shapingArgs.isEmpty) spec
+    else spec.copy(arguments = spec.arguments ++ shapingArgs)
   }
 
   private[graft] def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =

@@ -601,10 +601,25 @@ object Checks {
     *    above any sane configuration (4M rows ≈ a few hundred MB
     *    transiently, never an OOM). */
   val maxHistogramBuckets: Int = 65536
-  val maxHistogramRows: Int = 4 * 1000 * 1000
+  val maxHistogramRows: Int = 1 * 1000 * 1000
+
+  /** Thrown when ONE rule's histogram exceeds [[maxHistogramBuckets]] —
+    * typed (with the offending rule's name) so the drift batch can fail
+    * THAT rule and re-run the healthy rest, instead of failing the whole
+    * co-batched scan. */
+  final case class HistogramBucketOverflow(kind: String) extends
+    IllegalArgumentException(
+      s"drift histogram for rule '$kind' produced more than " +
+        s"$maxHistogramBuckets buckets — the rule is pointed at a " +
+        "high-cardinality column; drift compares DISTRIBUTIONS " +
+        "(categorical values or binned numerics, e.g. method: ks)")
 
   /** Collect a (…, kind, bucket, cnt) grouped histogram frame under both
-    * guards; `kindOrdinal`/`bucketOrdinal` locate the columns. */
+    * guards; `kindOrdinal`/`bucketOrdinal` locate the columns. The 1M-row
+    * limit-before-collect is the absolute process-safety net (rules ×
+    * partitions × buckets, each individually legal — ~150-250 MB of Rows
+    * transiently at worst, bounded whatever the misconfiguration); the
+    * per-kind distinct-bucket cap then names the offending rule. */
   private def guardedCollect(grouped: DataFrame, kindOrdinal: Int,
       bucketOrdinal: Int): Array[org.apache.spark.sql.Row] = {
     val rows = grouped.limit(maxHistogramRows + 1).collect()
@@ -614,11 +629,7 @@ object Checks {
         "count or split the drift rules across tables")
     rows.groupBy(_.getString(kindOrdinal)).foreach { case (kind, rs) =>
       val buckets = rs.iterator.map(_.getString(bucketOrdinal)).toSet.size
-      require(buckets <= maxHistogramBuckets,
-        s"drift histogram for rule '$kind' produced more than " +
-          s"$maxHistogramBuckets buckets — the rule is pointed at a " +
-          "high-cardinality column; drift compares DISTRIBUTIONS " +
-          "(categorical values or binned numerics, e.g. method: ks)")
+      if (buckets > maxHistogramBuckets) throw HistogramBucketOverflow(kind)
     }
     rows
   }

@@ -227,7 +227,18 @@ object Profiler {
         b.freq(i).update(s)
         if (numeric(i)) row.get(i) match {
           case v: Number => b.kll(i).update(v.doubleValue())
-          case _         => ()
+          // timestamps feed the quantile sketch as epoch SECONDS computed
+          // exactly like Spark's cast(ts AS double) (micros / 1e6), so a
+          // ks drift rule's numericBucket grid on the live scan and the
+          // sketch-derived baseline CDF measure the same axis
+          case ts: java.sql.Timestamp =>
+            val inst = ts.toInstant
+            b.kll(i).update(
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toDouble / 1e6)
+          case inst: java.time.Instant =>
+            b.kll(i).update(
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toDouble / 1e6)
+          case _ => ()
         }
       }
       i += 1
@@ -255,6 +266,23 @@ object Profiler {
     a
   }
 
+  /** Epoch-micros → the UTC wall-clock string Spark's own
+    * cast-to-string produces under a UTC session ("yyyy-MM-dd HH:mm:ss"
+    * with trailing-zero-trimmed fraction) — the human face of the typed
+    * path's internal epoch keying, used only when FINISHING a profile
+    * (the drift faces keep the raw epoch keys). */
+  private def epochMicrosToUtcString(s: String): String = {
+    val micros = s.toLong
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+    val ldt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val micro = ldt.getNano / 1000
+    if (micro == 0) base
+    else base + "." + f"$micro%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
   private[engine] def finishBuf(b: ProfileBuf, columns: Seq[String],
       types: Seq[DataType], numeric: Array[Boolean]): Seq[ColumnProfile] =
     columns.indices.map { i =>
@@ -262,13 +290,19 @@ object Profiler {
         if (numeric(i) && !b.kll(i).isEmpty)
           QuantileRanks.map { case (nm, r) => nm -> b.kll(i).getQuantile(r) }.toMap
         else Map.empty[String, Double]
+      // the finished profile is the HUMAN face: timestamp extrema and
+      // heavy hitters render as UTC wall-clock strings (matching the
+      // builtin path's cast under a UTC session), while the buffer/state
+      // keeps the zone-free epoch keys the drift faces compare on
+      val render: String => String =
+        if (types(i) == TimestampType) epochMicrosToUtcString else identity
       // NO_FALSE_POSITIVES: every reported item is a genuine frequent
       // value (its lower-bound count exceeds the sketch's error band)
       val top = b.freq(i).getFrequentItems(ErrorType.NO_FALSE_POSITIVES)
-        .take(TopItems).map(r => r.getItem -> r.getEstimate).toSeq
+        .take(TopItems).map(r => render(r.getItem) -> r.getEstimate).toSeq
       ColumnProfile(columns(i), types(i).simpleString, b.total, b.nulls(i),
         if (b.total == 0) 0.0 else b.nulls(i).toDouble / b.total,
-        Option(b.minV(i)), Option(b.maxV(i)),
+        Option(b.minV(i)).map(render), Option(b.maxV(i)).map(render),
         math.round(b.sketches(i).getEstimate),
         b.conforming(i),
         quantiles,

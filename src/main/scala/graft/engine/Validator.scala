@@ -1079,20 +1079,39 @@ class Validator(
     def ms = (System.nanoTime() - t0) / 1e6
     try {
       val total = totalOf(df, cachedTotal)
-      val specs = driftRules.map(r => r.name -> driftBucket(df.schema, r))
-      // ONE scan for all rules; grouped by partition when requested
-      val (curHists, partHists): (Map[String, Map[String, Long]], Map[String, Map[String, Map[String, Long]]]) =
-        partitionExpr match {
-          case Some(p) =>
-            val byPart = Checks.multiHistogramByPartition(df, specs, p)
-            val global = byPart.map { case (kind, parts) =>
-              kind -> parts.values.foldLeft(Map.empty[String, Long]) { (acc, h) =>
-                h.foldLeft(acc) { case (a, (b, c)) => a + (b -> (a.getOrElse(b, 0L) + c)) }
+      // ONE scan for all rules; grouped by partition when requested.
+      // Per-rule blast-radius isolation: a rule whose histogram overflows
+      // the bucket cap (typed, NAMED by Checks.HistogramBucketOverflow)
+      // fails individually and the healthy rest re-run without it — the
+      // retry costs one extra scan per offender, on the error path only
+      // (the outlier batch's excluded-column pattern).
+      var active = driftRules
+      var overflowFailures = Map.empty[String, ValidationResult]
+      var scanned: Option[(Map[String, Map[String, Long]], Map[String, Map[String, Map[String, Long]]])] = None
+      while (scanned.isEmpty && active.nonEmpty) {
+        val specs = active.map(r => r.name -> driftBucket(df.schema, r))
+        try {
+          scanned = Some(partitionExpr match {
+            case Some(p) =>
+              val byPart = Checks.multiHistogramByPartition(df, specs, p)
+              val global = byPart.map { case (kind, parts) =>
+                kind -> parts.values.foldLeft(Map.empty[String, Long]) { (acc, h) =>
+                  h.foldLeft(acc) { case (a, (b, c)) => a + (b -> (a.getOrElse(b, 0L) + c)) }
+                }
               }
-            }
-            (global, byPart)
-          case None => (Checks.multiHistogram(df, specs), Map.empty)
+              (global, byPart)
+            case None => (Checks.multiHistogram(df, specs), Map.empty)
+          })
+        } catch {
+          case e: Checks.HistogramBucketOverflow if active.exists(_.name == e.kind) =>
+            val offender = active.find(_.name == e.kind).get
+            overflowFailures += e.kind -> ValidationResult.failure(offender, e, ms)
+            active = active.filterNot(_.name == e.kind)
         }
+      }
+      if (active.isEmpty) return (overflowFailures, Nil)
+      val driftRulesActive = active
+      val (curHists, partHists) = scanned.get
       // baseline per group: a ref_table is scanned ONCE for all its rules;
       // a ref_state (persisted Profiler state) is read driver-side — ZERO
       // baseline scan, the incremental-profiling face of drift: compare
@@ -1101,7 +1120,7 @@ class Validator(
       // histograms (Profiler.columnHistogram raises on a purged sketch),
       // so the binned-numeric ks method is rejected — its current side
       // buckets by bin index, which a value histogram can never match.
-      val outcomes = driftRules.groupBy(r => (r.param("ref_table"), r.param("ref_state")))
+      val outcomes = driftRulesActive.groupBy(r => (r.param("ref_table"), r.param("ref_state")))
           .toSeq.map { case ((refOpt, stateOpt), group) =>
         try {
           val baseHists: Map[String, Map[String, Long]] = (refOpt, stateOpt) match {
@@ -1231,7 +1250,7 @@ class Validator(
             (group.map(r => r.name -> ValidationResult.failure(r, e, ms)), Nil)
         }
       }
-      (outcomes.flatMap(_._1).toMap, outcomes.flatMap(_._2))
+      (overflowFailures ++ outcomes.flatMap(_._1).toMap, outcomes.flatMap(_._2))
     } catch {
       case e: Throwable =>
         (driftRules.map(r => r.name -> ValidationResult.failure(r, e, ms)).toMap, Nil)

@@ -75,6 +75,13 @@ object Bpe {
               "never bridge word boundaries")
           require(!surface.exists(isPua),
             s"merge $k: token contains reserved private-use characters")
+          // a lone UTF-16 surrogate half is not a character: merging one
+          // would orphan its partner (count/tokenize disagree) and the
+          // half cannot even be encoded into the UTF-8 SQL oracle —
+          // supplementary-plane symbols simply don't participate in merges
+          require(!surface.exists(Character.isSurrogate),
+            s"merge $k: token contains a UTF-16 surrogate — supplementary " +
+              "code points cannot participate in merges")
           if (surface.length == 1) surface.charAt(0)
           else surfaceToSym.getOrElse(surface, throw new IllegalArgumentException(
             s"merge $k: '$surface' is neither a single character nor the " +
@@ -143,7 +150,19 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      // split by CODE POINT, not UTF-16 unit: a surrogate pair stays one
+      // symbol, so training can never learn a half-surrogate merge
+      .map { r =>
+        val w = r.getString(0)
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          syms += w.substring(i, i + n)
+          i += n
+        }
+        (syms.toArray, r.getLong(1))
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val producedSurfaces = scala.collection.mutable.HashSet.empty[String]
     var words = wf
@@ -159,10 +178,14 @@ object Bpe {
       }
       // best pair by (count desc, pair asc); pairs whose merged surface
       // collides with an earlier output are skipped (fromMerges would
-      // reject the duplicate — e.g. (a,bc) after (ab,c) both yield "abc")
+      // reject the duplicate — e.g. (a,bc) after (ab,c) both yield "abc"),
+      // as are pairs involving a supplementary code point (a 2-unit symbol
+      // has no single-char spelling; fromMerges would reject it)
+      def mergeable(sym: String): Boolean =
+        sym.length == 1 || producedSurfaces.contains(sym)
       val candidates = counts.iterator
         .filter { case ((l, r), c) => c >= minPairCount &&
-          !producedSurfaces.contains(l + r) }
+          mergeable(l) && mergeable(r) && !producedSurfaces.contains(l + r) }
       if (candidates.isEmpty) done = true
       else {
         val ((l, r), _) = candidates.minBy { case ((a, b), c) => (-c, a, b) }

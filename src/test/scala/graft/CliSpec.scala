@@ -362,11 +362,14 @@ class CliSpec extends SparkSpec {
     cliSpec.dlt_expectations.keySet shouldBe Set("t.id_complete")
     df.filter(org.apache.spark.sql.functions.expr(
       cliSpec.dlt_expectations("t.id_complete"))).count() shouldBe 1
-    // a --tags selection is PART of the invocation: the emitted job must
-    // re-run the same tier its expectations were rendered from
+    // the run-shaping flags are PART of the invocation: the emitted job
+    // must re-run the same tier/subset its expectations were rendered from
     val tagged = Cli.jobSpecFor(new graft.engine.Validator(spark, cfg),
-      Seq("t" -> df), "/cfg/v.yaml", None, None, tags = Some("hourly"))
+      Seq("t" -> df), "/cfg/v.yaml", None, None,
+      shapingArgs = Seq("--table", "t", "--tags", "hourly", "--set", "engine__type=spark"))
     tagged.arguments should contain inOrderElementsOf Seq("--tags", "hourly")
+    tagged.arguments should contain inOrderElementsOf Seq("--table", "t")
+    tagged.arguments should contain inOrderElementsOf Seq("--set", "engine__type=spark")
   }
 
   test("deployment examples: specs, launch scripts, and guide render from the live JobSpec values") {

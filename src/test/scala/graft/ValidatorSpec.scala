@@ -87,6 +87,20 @@ class ValidatorSpec extends SparkSpec {
       .executeRules(wide, Seq(rule), "t").results.head
     r.failed_count shouldBe -1L
     r.message should include ("high-cardinality")
+    // blast radius is ONE rule: a healthy drift rule co-batched in the
+    // same scan still gets its verdict (the offender is excluded and the
+    // rest re-run — never "the whole batch errored")
+    val mixed = wide.withColumn("cat", (col("conv_id").cast("long") % 3).cast("string"))
+    val healthy = ValidationRule("ok_drift", RuleType.drift, Seq("cat"),
+      parameters = Map("method" -> "tvd", "ref_table" -> "baseline", "critical" -> "0.2"))
+    val both = new Validator(spark, ValidationConfig(),
+      n => if (n == "baseline") Some(mixed) else None)
+      .executeRules(mixed, Seq(rule, healthy), "t").results
+      .map(x => x.rule_name -> x).toMap
+    both("bad_drift").failed_count shouldBe -1L
+    both("bad_drift").message should include ("bad_drift")
+    both("ok_drift").failed_count shouldBe 0L
+    both("ok_drift").passed shouldBe true
     // the per-partition variant re-guards independently (partitions × buckets)
     val byPart = intercept[IllegalArgumentException] {
       Checks.multiHistogramByPartition(wide,

@@ -335,6 +335,91 @@ object Dedup {
       .saveAsTable(s"graft_sig_docs_$suffix")
   }
 
+  /** Rewrite an appended-to signature index back to ONE file per bucket —
+    * the maintenance half of the incremental-ingest lifecycle (seed →
+    * detect → absorb → COMPACT): every [[appendIndexFrame]] lands one file
+    * per bucket, so after thousands of micro-batches each bucket holds
+    * thousands of small files and the candidate join pays a per-file open
+    * cost the bucketing was supposed to avoid. Compaction reads each
+    * bucketed table, rewrites it (same bucket spec — content-identical by
+    * construction) into a staging directory beside the live one, then
+    * swaps directories via Hadoop FS rename and refreshes the catalog
+    * tables. Same single-writer contract as the ingest ledger: never
+    * compact while an ingest query is mid-batch — enforced by refusing
+    * when the newest ledger intent lacks its commit marker (a crashed
+    * batch's recovery diffs against a PRE-compaction file listing and
+    * would classify every compacted file as debris).
+    * Returns (dataFilesBefore, dataFilesAfter). */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val suffix = suffixOf(dir)
+    val buckets = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/buckets")).trim.toInt
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // single-writer guard: a pending (uncommitted) ingest intent means a
+    // crashed batch may still be replayed — its recovery must see the
+    // pre-crash files, not a compacted directory
+    val ledger = new HPath(root, "_ingest_ledger")
+    if (fs.exists(ledger)) {
+      val names = fs.listStatus(ledger).map(_.getPath.getName).toSeq.sorted
+      val intents = names.filter(_.endsWith(".intent")).map(_.stripSuffix(".intent"))
+      intents.lastOption.foreach(last => require(names.contains(s"$last.commit"),
+        s"ingest batch $last has an intent but no commit — a crashed ingest " +
+          "is pending replay; run (or clean) it before compacting"))
+    }
+    def countFiles(sub: String): Int = {
+      val p = new HPath(root, sub)
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")) n += 1
+        }
+        n
+      }
+    }
+    val before = countFiles("bands") + countFiles("docs")
+    openSignatureIndex(spark, dir) // ensure the catalog tables exist for the post-swap refresh
+    // read the FILES, not the catalog tables: a bucketed-table scan's
+    // claimed output partitioning can elide the repartition while its
+    // actual task layout spans generations — the plain file scan gives the
+    // same aligned one-file-per-bucket write as writeSignatureIndex
+    val bands = spark.read.parquet(s"$dir/bands")
+    val docs = spark.read.parquet(s"$dir/docs")
+    def rewrite(df: DataFrame, key: String, sub: String): Unit = {
+      val tmpTable = s"graft_sig_compact_${suffix}_$sub"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      // materialize into the staging dir while READING the live one (two
+      // distinct paths — never a self-overwrite)
+      df.repartition(buckets, col(key))
+        .write.bucketBy(buckets, key)
+        .option("path", s"$dir/${sub}_compacting").mode("overwrite")
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // external: files remain
+    }
+    rewrite(bands, "band_hash", "bands")
+    rewrite(docs, "id", "docs")
+    Seq("bands", "docs").foreach { sub =>
+      val live = new HPath(root, sub)
+      val staged = new HPath(root, s"${sub}_compacting")
+      val retired = new HPath(root, s"${sub}_retired")
+      fs.delete(retired, true)
+      require(fs.rename(live, retired), s"compaction: cannot retire $live")
+      require(fs.rename(staged, live), s"compaction: cannot swap in $staged")
+      fs.delete(retired, true)
+    }
+    // the external tables point at the swapped paths — drop any cached
+    // file listings
+    spark.catalog.refreshTable(s"graft_sig_bands_$suffix")
+    spark.catalog.refreshTable(s"graft_sig_docs_$suffix")
+    (before, countFiles("bands") + countFiles("docs"))
+  }
+
   /** Stable name suffix for per-directory/per-input artifacts (catalog
     * tables, temp dirs): two must not collide within a session, and the
     * name must be deterministic across runs (String.hashCode is

@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     hits2.map(_._2) should contain(101L) // the appended doc is now indexed
     hits2.map(_._2) should contain(1L)   // the original corpus still is
+
+    // lifecycle's maintenance half: more appends → one file per bucket per
+    // append; compaction rewrites back to one file per bucket, preserving
+    // content AND the exchange-free join, atomically (directory swap)
+    Dedup.appendToSignatureIndex(
+      Seq((301L, "yet another batch about storage engines and databases tonight"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val (filesBefore, filesAfter) = Dedup.compactSignatureIndex(spark, dir)
+    filesBefore should be > filesAfter
+    filesAfter should be <= 8 // ≤ one file per bucket × 2 tables (empty buckets write none)
+    val afterCompact = Dedup.minHashLshPairsAgainstStoredIndex(later, "doc_id", "text", dir,
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+    afterCompact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe hits2
+    afterCompact.queryExecution.executedPlan.toString should
+      not include "Exchange hashpartitioning(band_hash"
   }
 
   test("connected components merge transitive near-dup chains; singletons keep themselves") {

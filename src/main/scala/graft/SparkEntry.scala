@@ -1614,6 +1614,23 @@ object SparkEntry {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
         ORDER BY doc_id""")),
 
+    // ---- curation: deterministic shard export (training handoff) ---------
+    // the manifest is recomputed from the EXPORTED parquet, so the oracle
+    // checks the actual at-rest output: membership (md5 % n, engine-stable),
+    // per-shard counts AND an id checksum per shard
+    Q("q_shard_docs",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+          graft.operators.Dedup.stableSuffix(d)
+        graft.operators.Curation.exportShards(t(s, d, "documents"), "doc_id", 8, dir)
+        s.read.parquet(dir).groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("docs"), sum("doc_id").as("id_sum"))
+          .orderBy("shard")
+      },
+      Some("""SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard,
+        CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents GROUP BY 1 ORDER BY shard""")),
+
     // ---- curation: stratified deterministic sample (rebalance the lang
     // mix: keep 4/16 of the dominant en, all of zh, 8/16 of the rest) ------
     Q("q_stratified_sample_docs",

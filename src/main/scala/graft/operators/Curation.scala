@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -256,6 +256,34 @@ object Curation {
     df.filter(
       conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long") % 1000L
         < permille)
+  }
+
+  /** Deterministic shard assignment in [0, nShards): the first 8 md5 hex
+    * chars of the key, mod n — the same engine/run/partitioning-stable
+    * hash family as [[hashSamplePermille]], so shard membership is
+    * reproducible by ANY engine (the export manifest can be re-derived in
+    * SQL) and stable across re-exports. A pure per-row expression. */
+  def shardAssignment(keyCol: String, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % nShards
+  }
+
+  /** Export the corpus as `nShards` deterministic shards under `outDir`
+    * (`shard=k` partitions) — the training-data handoff: each trainer
+    * reads its own shard with partition pruning, membership never moves
+    * between exports (hash-assigned, not round-robin — appending documents
+    * later leaves every existing document's shard unchanged), and one
+    * output file per shard (each shuffle task owns exactly the shard it
+    * writes). Returns the per-shard (shard, docs) manifest — integer
+    * facts any engine re-derives from the same md5 formula. */
+  def exportShards(df: DataFrame, keyCol: String, nShards: Int,
+      outDir: String): DataFrame = {
+    val sharded = df.withColumn("shard", shardAssignment(keyCol, nShards))
+    sharded
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    sharded.groupBy("shard").agg(count(lit(1)).as("docs")).orderBy("shard")
   }
 
   /** Ids of corpus documents sharing at least one word n-gram with a

@@ -299,4 +299,36 @@ class CurationSpec extends SparkSpec {
       .filter(col("n") > 1 && col("t") > 2048L).count()
     over shouldBe 0
   }
+
+  test("shard export: hash-stable membership, complete partition layout, one file per shard") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    val manifest = Curation.exportShards(docs, "doc_id", 8, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    manifest.values.sum shouldBe 400L
+    // the exported layout holds every row exactly once, in its hash shard
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 400L
+    back.filter(col("shard") =!=
+      Curation.shardAssignment("doc_id", 8)).count() shouldBe 0L
+    // membership is STABLE under later appends: re-exporting a superset
+    // keeps every original document in its original shard (hash-assigned,
+    // not round-robin)
+    val more = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString + "/out"
+    Curation.exportShards(more, "doc_id", 8, dir2)
+    val a = spark.read.parquet(dir).select("doc_id", "shard")
+    val b = spark.read.parquet(dir2).select("doc_id", "shard")
+    a.join(b, "doc_id").filter(a("shard") =!= b("shard")).count() shouldBe 0L
+    // one data file per shard directory (each shuffle task owns its shard)
+    new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard=")).foreach { d =>
+      d.listFiles.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) shouldBe 1
+    }
+    // a single-shard read prunes at the source (partition filter, no scan
+    // of the other shards)
+    val one = spark.read.parquet(dir).filter(col("shard") === 3)
+    one.queryExecution.executedPlan.toString should include ("PartitionFilters")
+  }
 }

@@ -130,11 +130,8 @@ object Cli {
     // --tags a,b restricts the run to rules carrying any of those tags
     // (the scheduled-subset face — hourly vs nightly tiers from ONE
     // config); tables left with no rules are dropped, their scans unpaid.
-    val config = opts.get("tags").map { t =>
-      val tags = t.split(",").map(_.trim).filter(_.nonEmpty).toSet
-      ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts))
-        .selectTags(tags)
-    }.getOrElse(ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts)))
+    val loaded = ConfigLoader.fromYamlFile(configPath, overrides = setOverrides(opts))
+    val config = opts.get("tags").map(loaded.selectTags).getOrElse(loaded)
     val spark = newSession("graft-validator",
       config.engine.connectionParams ++ config.engine.options)
 

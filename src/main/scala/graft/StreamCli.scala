@@ -31,10 +31,8 @@ object StreamCli {
     // --tags a,b: the same scheduled-subset selection the batch CLI offers
     // (a lightweight always-on stream can carry the hourly tier while the
     // nightly batch runs everything, from ONE config)
-    val config = opts.get("tags").map { t =>
-      ConfigLoader.fromYamlFile(configPath)
-        .selectTags(t.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    }.getOrElse(ConfigLoader.fromYamlFile(configPath))
+    val loaded = ConfigLoader.fromYamlFile(configPath)
+    val config = opts.get("tags").map(loaded.selectTags).getOrElse(loaded)
     val builder = SparkSession.builder().appName("graft-stream-validator")
       .config("spark.sql.adaptive.enabled", "true")
     (config.engine.connectionParams ++ config.engine.options).foreach {

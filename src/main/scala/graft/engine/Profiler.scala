@@ -198,12 +198,13 @@ object Profiler {
     * wall-clock spellings are unreadable by this generation
     * (@SerialVersionUID bump) and fall into the skipped-and-counted path
     * instead of silently blending two spellings of the same instant. */
+  private def epochMicros(inst: java.time.Instant): Long =
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+
   private def canonicalValueString(v: Any): String = v match {
-    case ts: java.sql.Timestamp =>
-      val inst = ts.toInstant
-      (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+    case ts: java.sql.Timestamp => epochMicros(ts.toInstant).toString
     case inst: java.time.Instant => // spark.sql.datetime.java8API.enabled
-      (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString
+      epochMicros(inst).toString
     case other => String.valueOf(other)
   }
 
@@ -232,12 +233,9 @@ object Profiler {
           // ks drift rule's numericBucket grid on the live scan and the
           // sketch-derived baseline CDF measure the same axis
           case ts: java.sql.Timestamp =>
-            val inst = ts.toInstant
-            b.kll(i).update(
-              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toDouble / 1e6)
+            b.kll(i).update(epochMicros(ts.toInstant).toDouble / 1e6)
           case inst: java.time.Instant =>
-            b.kll(i).update(
-              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toDouble / 1e6)
+            b.kll(i).update(epochMicros(inst).toDouble / 1e6)
           case _ => ()
         }
       }
@@ -460,8 +458,8 @@ object Profiler {
             s"fixed-offset session time zone (got $sessionZone) — " +
             "set spark.sql.session.timeZone=UTC or use ref_table")
         items.map { case (k, v) =>
-          val inst = java.time.LocalDateTime.parse(k).atZone(sessionZone).toInstant
-          (inst.getEpochSecond * 1000000L + inst.getNano / 1000L).toString -> v
+          epochMicros(java.time.LocalDateTime.parse(k)
+            .atZone(sessionZone).toInstant).toString -> v
         }
       case _ => items
     }

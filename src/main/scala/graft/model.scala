@@ -175,6 +175,11 @@ final case class ValidationConfig(
         .filter(t => t.rules.nonEmpty || pick(globalRules).nonEmpty))
   }
 
+  /** [[selectTags]] from the CLI flag's comma-separated form — ONE parse
+    * shared by both CLIs. */
+  def selectTags(csv: String): ValidationConfig =
+    selectTags(csv.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** `require_sql_rules` check (reference `config.py:182-193`). */
   def validateSqlRules(): Unit =
     if (requireSqlRules) {

@@ -141,7 +141,10 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     // a tag nothing carries → no tables at all (run validates nothing,
     // loads nothing); empty selection is a config error, never silent
     c.selectTags(Set("weekly")).tables shouldBe empty
-    intercept[IllegalArgumentException] { c.selectTags(Set.empty) }
+    intercept[IllegalArgumentException] { c.selectTags(Set.empty[String]) }
+    intercept[IllegalArgumentException] { c.selectTags(" , ") } // csv form, all blank
+    // the csv overload both CLIs share selects identically
+    c.selectTags("hourly").tables.head.rules.map(_.name) shouldBe Seq("fast")
     // untagged rules run only in the unfiltered config
     c.enabledRules("t1").map(_.name) should contain ("untagged")
     hourly.enabledRules("t1").map(_.name) should not contain "untagged"

@@ -1955,6 +1955,107 @@ object SparkEntry {
           CAST(SUM(smp * smp) AS BIGINT) AS sum_squares,
           CAST(SUM(smp) AS BIGINT) AS checksum
         FROM s GROUP BY doc_id, n ORDER BY media_id"""))
+      ,
+
+    // ---- multimodal: REAL image decode (BMP 24-bit BI_RGB, pure JVM) -----
+    // one raster per documents id (widths 4-8 exercise 4-byte row padding),
+    // ENCODED into a real BMP container, DECODED back by BmpCodec on the
+    // executors; the checksum weights each pixel by raster position, so a
+    // bottom-up/top-down row-order bug breaks the match even though plain
+    // channel sums would cancel out. The oracle recomputes every feature
+    // from the same pixel formula in SQL.
+    Q("q_bmp_features",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val img = Multimodal.syntheticImage(id, (4 + id % 5).toInt, (3 + id % 4).toInt)
+            (id, Multimodal.BmpCodec.encode(img))
+          }.toDF("media_id", "bytes")
+        Multimodal.extractImageFeatures(media, "media_id", "bytes")
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                CAST(3 + doc_id % 4 AS INT) AS h FROM documents),
+        p AS (SELECT doc_id, w, h, x, y,
+                (x*7 + y*13 + doc_id*31) % 256 AS r,
+                (x*7 + y*13 + doc_id*31 + 97) % 256 AS g,
+                (x*7 + y*13 + doc_id*31 + 194) % 256 AS b
+              FROM d, generate_series(0, 7) AS gx(x), generate_series(0, 5) AS gy(y)
+              WHERE x < w AND y < h)
+        SELECT doc_id AS media_id, true AS decode_ok, w AS width, h AS height,
+          CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM p GROUP BY doc_id, w, h ORDER BY media_id""")),
+
+    // the full byte cycle: decode container → exact nearest-neighbor
+    // resample (target pixel (x,y) = source (⌊x·sw/tw⌋, ⌊y·sh/th⌋)) →
+    // RE-ENCODE → decode again → features. The oracle re-derives the
+    // resampled raster through the same floor-division mapping, so a
+    // one-pixel rounding difference anywhere in the cycle fails the hash.
+    Q("q_bmp_resize",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val img = Multimodal.syntheticImage(id, (4 + id % 5).toInt, (3 + id % 4).toInt)
+            val resized = Multimodal.resizeNearest(
+              Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(img)).get, 3, 2)
+            (id, Multimodal.BmpCodec.encode(resized))
+          }.toDF("media_id", "bytes")
+        Multimodal.extractImageFeatures(media, "media_id", "bytes")
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                CAST(3 + doc_id % 4 AS INT) AS h FROM documents),
+        p AS (SELECT doc_id, x, y, (x*w) // 3 AS sx, (y*h) // 2 AS sy
+              FROM d, generate_series(0, 2) AS gx(x), generate_series(0, 1) AS gy(y)),
+        q AS (SELECT doc_id, x, y,
+                (sx*7 + sy*13 + doc_id*31) % 256 AS r,
+                (sx*7 + sy*13 + doc_id*31 + 97) % 256 AS g,
+                (sx*7 + sy*13 + doc_id*31 + 194) % 256 AS b
+              FROM p)
+        SELECT doc_id AS media_id, true AS decode_ok, 3 AS width, 2 AS height,
+          CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((y*3 + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM q GROUP BY doc_id ORDER BY media_id""")),
+
+    // ---- multimodal: REAL video decode (RIFF AVI, 'DIB ' frames) ---------
+    // one AVI per documents id (2-6 frames at 25 fps), decoded by AviCodec
+    // on the executors; sampleVideoFrames takes every 80 ms → frame step 2
+    // (indices 0, 2, 4 where present) and reduces each DECODED frame to the
+    // same exact integer features as the image path. The oracle replays the
+    // sampling arithmetic and the per-frame pixel formula in SQL.
+    Q("q_avi_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            (id, Multimodal.syntheticAvi(id, (3 + id % 4).toInt, (2 + id % 3).toInt,
+              (2 + id % 5).toInt, microSecPerFrame = 40000L))
+          }.toDF("media_id", "bytes")
+        Multimodal.sampleVideoFrames(media, "media_id", "bytes",
+          everyMs = 80L, maxFrames = 8)
+          .toDF().orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w,
+                CAST(2 + doc_id % 3 AS INT) AS h, 2 + doc_id % 5 AS nf FROM documents),
+        f AS (SELECT doc_id, w, h, i FROM d,
+                generate_series(0, 4, 2) AS gi(i) WHERE i < nf),
+        p AS (SELECT doc_id, w, h, i, x, y,
+                (x*7 + y*13 + doc_id*31 + i*19) % 256 AS r,
+                (x*7 + y*13 + doc_id*31 + i*19 + 97) % 256 AS g,
+                (x*7 + y*13 + doc_id*31 + i*19 + 194) % 256 AS b
+              FROM f, generate_series(0, 5) AS gx(x), generate_series(0, 3) AS gy(y)
+              WHERE x < w AND y < h)
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          CAST(i * 40 AS BIGINT) AS frame_ts_ms, w AS width, h AS height,
+          CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM p GROUP BY doc_id, i, w, h ORDER BY media_id, frame_idx"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed batch-wise per partition.
   *
   * The Spark-side machinery — schema, partitioning, batch iteration shape,
-  * deterministic synthetic media generator — is real and tested. The AUDIO
-  * branch decodes REAL bytes end-to-end: [[WavCodec]] is a pure-JVM
-  * RIFF/WAVE PCM parser behind the pluggable [[AudioCodec]] seam, and
-  * [[extractAudioFeatures]] runs it distributed (oracle-checked —
-  * `q_wav_features` re-derives every feature in SQL). The image/video
-  * codec step remains STUBBED (this container has no image libraries):
-  * [[decodeStub]] produces a deterministic fake decode from the content
-  * hash, clearly marked. Swap `decodeStub` for a real JNI/ffmpeg/ImageIO
-  * call (or, PySpark-side, an `mapInPandas` batch UDF with the identical
-  * row contract) — exactly as WavCodec swaps in for audio — and nothing
-  * else changes.
+  * deterministic synthetic media generator — is real and tested, and ALL
+  * THREE modalities now decode REAL bytes end-to-end behind pluggable
+  * codec seams, one public container format each, pure-JVM stdlib only:
+  *   - audio: [[WavCodec]] (RIFF/WAVE PCM-16, proper chunk walk) behind
+  *     [[AudioCodec]]; `q_wav_features` re-derives every feature in SQL;
+  *   - image: [[BmpCodec]] (BMP 24-bit BI_RGB, bottom-up/top-down +
+  *     row padding) behind [[ImageCodec]], plus exact nearest-neighbor
+  *     [[resizeNearest]]; `q_bmp_features` / `q_bmp_resize` oracles;
+  *   - video: [[AviCodec]] (RIFF AVI, uncompressed 'DIB ' frames, rec
+  *     groups) behind [[VideoCodec]] with real [[sampleVideoFrames]];
+  *     `q_avi_frames` oracle.
+  * Compressed codecs (PNG/JPEG/Opus/H.264) swap in at the same seams —
+  * a JNI/ffmpeg/ImageIO decode replaces ONE function and nothing else
+  * changes; [[decodeStub]] remains the documented placeholder for those
+  * branches only.
   */
 object Multimodal {
 
@@ -221,6 +225,412 @@ object Multimodal {
         case _       => MediaRow(id, kind, bytes, 320 + rng.nextInt(1600), 240 + rng.nextInt(840), 1000L + rng.nextInt(120000), "h264")
       }
     }
+  }
+
+  // ------------------------------------------------------------ image codec
+
+  /** Decoded raster — codec-neutral: `pixels` is row-major TOP-DOWN packed
+    * 0xRRGGBB (one Int per pixel), regardless of the container's row order.
+    * Every downstream consumer (features, resize, re-encode) sees one
+    * canonical orientation; the codec owns the flip. */
+  final case class DecodedImage(width: Int, height: Int, pixels: Array[Int]) {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != ${width}x$height")
+    def apply(x: Int, y: Int): Int = pixels(y * width + x)
+  }
+
+  /** The image half of the codec seam — same contract as [[AudioCodec]]:
+    * None for unparseable bytes (corrupt media is data, not a job error). */
+  trait ImageCodec extends Serializable {
+    def name: String
+    def decode(bytes: Array[Byte]): Option[DecodedImage]
+  }
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** Decode a 24-bit uncompressed DIB pixel array (the payload shared by BMP
+    * files and AVI 'DIB ' video frames): rows padded to 4-byte boundaries,
+    * stored bottom-up when `height > 0`, top-down when `height < 0`
+    * (both signs are in the BITMAPINFOHEADER spec). Returns canonical
+    * top-down packed pixels, or None if `bytes` can't hold the raster. */
+  private[operators] def decodeDib24(
+      bytes: Array[Byte], off: Int, width: Int, height: Int): Option[DecodedImage] = {
+    if (width <= 0 || height == 0 || height == Int.MinValue) return None
+    val h = math.abs(height)
+    val bottomUp = height > 0
+    val stride = ((width * 3 + 3) / 4) * 4
+    // guard the full multiply in Long: a hostile header must not overflow
+    if (stride.toLong * h + off > bytes.length || width.toLong * h > Int.MaxValue / 2)
+      return None
+    val px = new Array[Int](width * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      var x = 0
+      var o = off + srcRow * stride
+      val rowBase = y * width
+      while (x < width) {
+        // DIB byte order is B, G, R
+        px(rowBase + x) = ((bytes(o + 2) & 0xFF) << 16) |
+          ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, h, px))
+  }
+
+  /** Encode canonical top-down pixels as a bottom-up padded 24-bit DIB
+    * raster (no headers — BMP and AVI wrap it differently). */
+  private[operators] def encodeDib24(img: DecodedImage): Array[Byte] = {
+    val stride = ((img.width * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * img.height) // padding bytes stay 0
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      var o = (img.height - 1 - y) * stride
+      while (x < img.width) {
+        val p = img(x, y)
+        out(o) = (p & 0xFF).toByte            // B
+        out(o + 1) = ((p >> 8) & 0xFF).toByte // G
+        out(o + 2) = ((p >> 16) & 0xFF).toByte // R
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Pure-JVM (stdlib-only) Windows BMP codec: BITMAPFILEHEADER (14 bytes)
+    * + BITMAPINFOHEADER (40 bytes), 24-bit BI_RGB only — the honest
+    * envelope, mirroring [[WavCodec]]'s PCM-16-only stance. Handles both
+    * bottom-up and top-down rasters and 4-byte row padding; anything else
+    * (palettes, RLE, 32-bit, V4/V5 headers) returns None. */
+  object BmpCodec extends ImageCodec {
+    val name = "bmp"
+
+    def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 54) return None
+      if (bytes(0) != 'B' || bytes(1) != 'M') return None
+      val pixelOff = i32le(bytes, 10)
+      val dibSize = i32le(bytes, 14)
+      if (dibSize != 40) return None // BITMAPINFOHEADER only
+      val width = i32le(bytes, 18)
+      val height = i32le(bytes, 22)
+      val planes = u16le(bytes, 26)
+      val bpp = u16le(bytes, 28)
+      val compression = i32le(bytes, 30)
+      if (planes != 1 || bpp != 24 || compression != 0) return None
+      if (pixelOff < 54 || pixelOff > bytes.length) return None
+      decodeDib24(bytes, pixelOff, width, height)
+    }
+
+    /** Canonical-form encoder: 54-byte header, bottom-up raster. */
+    def encode(img: DecodedImage): Array[Byte] = {
+      val dib = encodeDib24(img)
+      val out = new Array[Byte](54 + dib.length)
+      def put16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def put32(o: Int, v: Int): Unit = {
+        var i = 0
+        while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 }
+      }
+      out(0) = 'B'; out(1) = 'M'
+      put32(2, 54 + dib.length) // file size
+      put32(10, 54) // pixel data offset
+      put32(14, 40) // BITMAPINFOHEADER
+      put32(18, img.width); put32(22, img.height) // positive = bottom-up
+      put16(26, 1); put16(28, 24) // planes, bpp
+      put32(34, dib.length) // biSizeImage
+      System.arraycopy(dib, 0, out, 54, dib.length)
+      out
+    }
+  }
+
+  /** Deterministic synthetic raster: pixel (x, y) of frame `frame` of media
+    * `id` has channels r/g/b = (x·7 + y·13 + id·31 + frame·19 + c·97) mod 256
+    * for c = 0/1/2 — pure integer arithmetic any engine reproduces exactly
+    * (the q_bmp_features / q_avi_frames oracles recompute it in SQL). */
+  def syntheticImage(id: Long, width: Int, height: Int, frame: Int = 0): DecodedImage = {
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val base = x.toLong * 7 + y.toLong * 13 + id * 31 + frame.toLong * 19
+        val r = (((base % 256) + 256) % 256).toInt
+        val g = ((((base + 97) % 256) + 256) % 256).toInt
+        val b = ((((base + 194) % 256) + 256) % 256).toInt
+        px(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(width, height, px)
+  }
+
+  /** Nearest-neighbor resample — the one resize kernel whose output a SQL
+    * oracle can re-derive exactly: target pixel (x, y) is source pixel
+    * (⌊x·sw/tw⌋, ⌊y·sh/th⌋), all integer floor division. */
+  def resizeNearest(img: DecodedImage, targetW: Int, targetH: Int): DecodedImage = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val px = new Array[Int](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * img.height / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * img.width / targetW).toInt
+        px(y * targetW + x) = img(sx, sy)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(targetW, targetH, px)
+  }
+
+  /** Integer image features — exact arithmetic over decoded pixels so a SQL
+    * oracle re-derives them bit-for-bit. `checksum` weights each pixel by
+    * its 1-based raster position, so a row-order bug (bottom-up read as
+    * top-down) breaks the match even though plain channel sums would
+    * cancel out. Failed decodes carry −1 sentinels. */
+  final case class ImageFeature(
+      media_id: Long, decode_ok: Boolean, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  private def imageFeature(id: Long, d: DecodedImage): ImageFeature = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var cs = 0L
+    var i = 0
+    while (i < d.pixels.length) {
+      val p = d.pixels(i)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sr += r; sg += g; sb += b
+      cs += (i + 1).toLong * (r + g + b)
+      i += 1
+    }
+    ImageFeature(id, decode_ok = true, d.width, d.height, sr, sg, sb, cs)
+  }
+
+  /** Distributed image feature extraction over a binary column: pure
+    * per-row decode + reduce, no shuffle, constant memory per row. */
+  def extractImageFeatures(media: DataFrame, idCol: String, bytesCol: String,
+      codec: ImageCodec = BmpCodec): Dataset[ImageFeature] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        codec.decode(bytes) match {
+          case Some(d) => imageFeature(id, d)
+          case None => ImageFeature(id, decode_ok = false, -1, -1, -1L, -1L, -1L, -1L)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ video codec
+
+  /** Decoded video — frames are canonical top-down rasters sharing one
+    * geometry; `microSecPerFrame` carries the container's frame clock. */
+  final case class DecodedVideo(
+      width: Int, height: Int, microSecPerFrame: Long, frames: Vector[DecodedImage]) {
+    def frameTsMs(idx: Int): Long = idx.toLong * microSecPerFrame / 1000L
+  }
+
+  trait VideoCodec extends Serializable {
+    def name: String
+    def decode(bytes: Array[Byte]): Option[DecodedVideo]
+  }
+
+  /** Pure-JVM AVI codec for uncompressed 24-bit 'DIB ' video — RIFF 'AVI '
+    * with the standard LIST hdrl (avih + strl{strh,strf}) and LIST movi
+    * carrying one '00db' chunk per frame of raw bottom-up DIB raster. The
+    * same chunk-walk discipline as [[WavCodec]] (unknown chunks skipped,
+    * word alignment honored); anything not single-stream uncompressed
+    * 24-bit video returns None. Real-world compressed AVI/MP4 swaps in at
+    * this seam exactly as ffmpeg would for WavCodec. */
+  object AviCodec extends VideoCodec {
+    val name = "avi"
+
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+    def decode(bytes: Array[Byte]): Option[DecodedVideo] = {
+      if (bytes == null || bytes.length < 24) return None
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+      var microSecPerFrame = -1L
+      var width = -1; var height = -1
+      var fmtOk = false // strf says 24-bit BI_RGB
+      val frameOffsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
+      // walk one LIST/RIFF body [from, to); LISTs recurse
+      def walk(from: Int, to: Int): Boolean = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = tag(bytes, o)
+          val size = u32(bytes, o + 4)
+          val body = o + 8
+          if (size < 0 || body + size > to) return false
+          id match {
+            case "LIST" =>
+              if (size < 4) return false
+              val listType = tag(bytes, body)
+              if (listType == "movi") {
+                // frame chunks live in movi, possibly grouped in LIST 'rec '
+                def scanMovi(from: Int, to: Int): Boolean = {
+                  var m = from
+                  while (m + 8 <= to) {
+                    val cid = tag(bytes, m)
+                    val csize = u32(bytes, m + 4)
+                    if (csize < 0 || m + 8 + csize > to) return false
+                    if (cid == "00db" || cid == "00dc")
+                      frameOffsets += ((m + 8, csize.toInt))
+                    else if (cid == "LIST" && csize >= 4 &&
+                      tag(bytes, m + 8) == "rec ") {
+                      if (!scanMovi(m + 12, m + 8 + csize.toInt)) return false
+                    }
+                    m += 8 + csize.toInt + (csize.toInt & 1)
+                  }
+                  true
+                }
+                if (!scanMovi(body + 4, body + size.toInt)) return false
+              } else if (!walk(body + 4, body + size.toInt)) return false
+            case "avih" =>
+              if (size < 56) return false
+              microSecPerFrame = u32(bytes, body)
+              width = u32(bytes, body + 32).toInt
+              height = u32(bytes, body + 36).toInt
+            case "strf" =>
+              // BITMAPINFOHEADER of the video stream: demand 24-bit BI_RGB
+              if (size >= 40 && u32(bytes, body) == 40L &&
+                u16le(bytes, body + 12) == 1 && // biPlanes
+                u16le(bytes, body + 14) == 24 && // biBitCount
+                u32(bytes, body + 16) == 0L) fmtOk = true
+            case _ => () // strh, idx1, JUNK, ...: skip
+          }
+          o = body + size.toInt + (size.toInt & 1)
+        }
+        true
+      }
+
+      if (!walk(12, bytes.length)) return None
+      if (microSecPerFrame <= 0 || width <= 0 || height == 0 || !fmtOk) return None
+      val frames = frameOffsets.toVector.map { case (off, len) =>
+        val stride = ((width * 3 + 3) / 4) * 4
+        if (len < stride * math.abs(height)) return None
+        decodeDib24(bytes, off, width, height) match {
+          case Some(img) => img
+          case None => return None
+        }
+      }
+      if (frames.isEmpty) None
+      else Some(DecodedVideo(width, math.abs(height), microSecPerFrame, frames))
+    }
+
+    /** Canonical-form encoder: hdrl(avih + strl{strh,strf}) + movi of
+      * '00db' DIB frames. All frames must share one geometry. */
+    def encode(frames: Seq[DecodedImage], microSecPerFrame: Long): Array[Byte] = {
+      require(frames.nonEmpty, "no frames")
+      require(microSecPerFrame > 0, s"bad frame clock $microSecPerFrame")
+      val w = frames.head.width; val h = frames.head.height
+      require(frames.forall(f => f.width == w && f.height == h),
+        "frames must share one geometry")
+      val dibs = frames.map(encodeDib24)
+      val frameBytes = dibs.head.length
+
+      val bb = new java.io.ByteArrayOutputStream()
+      def putTag(s: String): Unit = bb.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def put16(v: Int): Unit = { bb.write(v & 0xFF); bb.write((v >> 8) & 0xFF) }
+      def put32(v: Long): Unit = {
+        var i = 0
+        while (i < 4) { bb.write(((v >> (8 * i)) & 0xFF).toInt); i += 1 }
+      }
+
+      // sizes from the inside out
+      val strfSize = 40
+      val strhSize = 56
+      val avihSize = 56
+      val strlSize = 4 + 8 + strhSize + 8 + strfSize
+      val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
+      val moviSize = 4 + dibs.map(d => 8 + d.length + (d.length & 1)).sum
+      val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+
+      putTag("RIFF"); put32(riffSize.toLong); putTag("AVI ")
+      putTag("LIST"); put32(hdrlSize.toLong); putTag("hdrl")
+      putTag("avih"); put32(avihSize.toLong)
+      put32(microSecPerFrame) // dwMicroSecPerFrame
+      put32(0L); put32(0L); put32(0L) // maxBytesPerSec, padding, flags
+      put32(frames.length.toLong) // dwTotalFrames
+      put32(0L); put32(1L) // initialFrames, streams
+      put32(frameBytes.toLong) // suggestedBufferSize
+      put32(w.toLong); put32(h.toLong)
+      put32(0L); put32(0L); put32(0L); put32(0L) // reserved
+      putTag("LIST"); put32(strlSize.toLong); putTag("strl")
+      putTag("strh"); put32(strhSize.toLong)
+      putTag("vids"); putTag("DIB ")
+      put32(0L); put16(0); put16(0); put32(0L) // flags, priority, language, initialFrames
+      put32(microSecPerFrame); put32(1000000L) // dwScale/dwRate: rate/scale = fps
+      put32(0L); put32(frames.length.toLong) // start, length
+      put32(frameBytes.toLong); put32(0L); put32(0L) // bufferSize, quality, sampleSize
+      put16(0); put16(0); put16(w); put16(h) // rcFrame
+      putTag("strf"); put32(strfSize.toLong)
+      put32(40L); put32(w.toLong); put32(h.toLong) // biSize, w, h (bottom-up)
+      put16(1); put16(24); put32(0L) // planes, bpp, BI_RGB
+      put32(frameBytes.toLong); put32(0L); put32(0L); put32(0L); put32(0L)
+      putTag("LIST"); put32(moviSize.toLong); putTag("movi")
+      dibs.foreach { d =>
+        putTag("00db"); put32(d.length.toLong); bb.write(d)
+        if ((d.length & 1) == 1) bb.write(0) // word alignment
+      }
+      bb.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic AVI: `nFrames` frames of [[syntheticImage]]
+    * (frame index feeds the pixel formula) at the given frame clock. */
+  def syntheticAvi(id: Long, width: Int, height: Int, nFrames: Int,
+      microSecPerFrame: Long = 40000L): Array[Byte] =
+    AviCodec.encode(
+      (0 until nFrames).map(f => syntheticImage(id, width, height, f)),
+      microSecPerFrame)
+
+  /** One sampled, decoded video frame with its integer features — the
+    * video analogue of [[ImageFeature]], oracle-derivable end to end. */
+  final case class VideoFrameFeature(
+      media_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** REAL frame sampling over a binary video column: decode the container,
+    * take every ⌈everyMs / frameMs⌉-th frame (never fewer than one in
+    * `everyMs`, capped at `maxFrames`), and reduce each decoded frame to
+    * exact integer features. Pure per-row work — no shuffle; the container
+    * bytes never leave the task. Undecodable rows emit nothing (corrupt
+    * media is data, not a job error — count them upstream via
+    * [[extractImageFeatures]]-style decode_ok flags if needed). */
+  def sampleVideoFrames(media: DataFrame, idCol: String, bytesCol: String,
+      everyMs: Long = 1000L, maxFrames: Int = 32,
+      codec: VideoCodec = AviCodec): Dataset[VideoFrameFeature] = {
+    require(everyMs > 0 && maxFrames > 0, s"bad sampling: every $everyMs ms, max $maxFrames")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        codec.decode(bytes) match {
+          case Some(v) =>
+            val frameMs = math.max(v.microSecPerFrame / 1000L, 1L)
+            val step = math.max((everyMs + frameMs - 1) / frameMs, 1L).toInt
+            Iterator.range(0, v.frames.length, step).take(maxFrames).map { i =>
+              val f = imageFeature(id, v.frames(i))
+              VideoFrameFeature(id, i, v.frameTsMs(i), f.width, f.height,
+                f.sum_r, f.sum_g, f.sum_b, f.checksum)
+            }
+          case None => Iterator.empty
+        }
+      }
   }
 
   /** ??? STUB — stands in for the real codec. Deterministic fake "decode":

@@ -126,6 +126,189 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // little-endian 32-bit patch, shared by the container-surgery tests below
+  private def put32(b: Array[Byte], o: Int, v: Int): Unit =
+    (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xFF).toByte)
+
+  test("BmpCodec golden bytes: absolute header + bottom-up padded raster") {
+    import Multimodal.{BmpCodec, DecodedImage}
+    // 2x2, pixels top-down: (0,0)=112233 (1,0)=445566 (0,1)=778899 (1,1)=AABBCC
+    val img = DecodedImage(2, 2, Array(0x112233, 0x445566, 0x778899, 0xAABBCC))
+    val enc = BmpCodec.encode(img)
+    // hand-pinned from the BMP spec: 14-byte file header + 40-byte
+    // BITMAPINFOHEADER, then the raster BOTTOM-UP in B,G,R order with each
+    // row padded to 4 bytes — this catches the row-flip and channel-order
+    // bugs a pure round-trip would cancel out
+    val expected: Array[Int] = Array(
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header (size 54+16)
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, // dib, w=2, h=2 (bottom-up)
+      1, 0, 24, 0, 0, 0, 0, 0, 16, 0, 0, 0, // planes, bpp, BI_RGB, sizeImage
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, // ppm + palette fields
+      0x99, 0x88, 0x77, 0xCC, 0xBB, 0xAA, 0, 0, // raster row y=1 first + pad
+      0x33, 0x22, 0x11, 0x66, 0x55, 0x44, 0, 0) // raster row y=0 + pad
+    enc.map(_ & 0xFF).toSeq shouldBe expected.toSeq
+    BmpCodec.decode(enc).get.pixels.toSeq shouldBe img.pixels.toSeq
+
+    // top-down variant (negative biHeight) decodes to the same canonical
+    // orientation: same header with h=-2, raster rows in image order
+    val td = enc.clone()
+    put32(td, 22, -2)
+    System.arraycopy(enc, 62, td, 54, 8) // image row 0 first
+    System.arraycopy(enc, 54, td, 62, 8)
+    val tdImg = BmpCodec.decode(td).get
+    (tdImg.width, tdImg.height) shouldBe ((2, 2))
+    tdImg.pixels.toSeq shouldBe img.pixels.toSeq
+  }
+
+  test("BmpCodec round-trips every width mod 4 and rejects corrupt bytes") {
+    import Multimodal.{BmpCodec, DecodedImage}
+    val rng = new scala.util.Random(7)
+    for (w <- 1 to 6; h <- 1 to 4) {
+      val img = DecodedImage(w, h, Array.fill(w * h)(rng.nextInt(0x1000000)))
+      val back = BmpCodec.decode(BmpCodec.encode(img)).get
+      (back.width, back.height) shouldBe ((w, h))
+      back.pixels.toSeq shouldBe img.pixels.toSeq
+    }
+    BmpCodec.decode(null) shouldBe None
+    BmpCodec.decode(Array.empty[Byte]) shouldBe None
+    BmpCodec.decode("not a bitmap at all, but long enough to pass the length gate....".getBytes) shouldBe None
+    val good = BmpCodec.encode(Multimodal.syntheticImage(5L, 4, 3))
+    BmpCodec.decode(good.take(good.length - 1)) shouldBe None // raster overruns
+    val bpp32 = good.clone(); bpp32(28) = 32 // not 24-bit
+    BmpCodec.decode(bpp32) shouldBe None
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    BmpCodec.decode(rle) shouldBe None
+    val hostile = good.clone(); put32(hostile, 18, Int.MaxValue / 2) // width bomb
+    BmpCodec.decode(hostile) shouldBe None
+  }
+
+  test("resizeNearest: exact floor-division mapping, identity at same size") {
+    import Multimodal.{resizeNearest, syntheticImage}
+    val img = syntheticImage(11L, 7, 5)
+    val same = resizeNearest(img, 7, 5)
+    same.pixels.toSeq shouldBe img.pixels.toSeq
+    for ((tw, th) <- Seq((3, 2), (14, 10), (1, 1), (5, 7))) {
+      val r = resizeNearest(img, tw, th)
+      (r.width, r.height) shouldBe ((tw, th))
+      for (y <- 0 until th; x <- 0 until tw)
+        r(x, y) shouldBe img((x.toLong * 7 / tw).toInt, (y.toLong * 5 / th).toInt)
+    }
+  }
+
+  test("extractImageFeatures: distributed decode, position-weighted checksum, corrupt rows flagged") {
+    import spark.implicits._
+    import Multimodal.BmpCodec
+    val media = spark.range(40).map { id =>
+      val bytes =
+        if (id % 10 == 7) Array[Byte](9, 9, 9)
+        else BmpCodec.encode(Multimodal.syntheticImage(id, (2 + id % 5).toInt, (1 + id % 4).toInt))
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+    val feats = Multimodal.extractImageFeatures(media.repartition(7), "media_id", "bytes")
+      .collect().sortBy(_.media_id)
+    feats.length shouldBe 40
+    feats.filter(_.media_id % 10 == 7).foreach { f =>
+      f.decode_ok shouldBe false; f.width shouldBe -1
+    }
+    feats.filter(_.media_id % 10 != 7).foreach { f =>
+      val img = Multimodal.syntheticImage(f.media_id, (2 + f.media_id % 5).toInt, (1 + f.media_id % 4).toInt)
+      (f.width, f.height) shouldBe ((img.width, img.height))
+      val chans = img.pixels.map(p => ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+      f.sum_r shouldBe chans.map(_._1.toLong).sum
+      f.sum_g shouldBe chans.map(_._2.toLong).sum
+      f.sum_b shouldBe chans.map(_._3.toLong).sum
+      f.checksum shouldBe chans.zipWithIndex.map { case ((r, g, b), i) =>
+        (i + 1).toLong * (r + g + b) }.sum
+    }
+  }
+
+  test("AviCodec: round-trip, frame clock, chunk skipping, rec groups, corrupt inputs") {
+    import Multimodal.{AviCodec, syntheticImage}
+    val frames = (0 until 4).map(f => syntheticImage(3L, 5, 3, f))
+    val enc = AviCodec.encode(frames, 40000L)
+    val dec = AviCodec.decode(enc).get
+    (dec.width, dec.height, dec.microSecPerFrame) shouldBe ((5, 3, 40000L))
+    dec.frames.length shouldBe 4
+    dec.frames.zip(frames).foreach { case (a, b) => a.pixels.toSeq shouldBe b.pixels.toSeq }
+    dec.frameTsMs(3) shouldBe 120L
+
+    // a JUNK chunk between hdrl and movi (real muxers pad this way) must
+    // be skipped; RIFF size patched for the inserted 12 bytes
+    val junkAt = 12 + 8 + 192 // after LIST hdrl (fixed layout of our encoder)
+    val junked = new Array[Byte](enc.length + 12)
+    System.arraycopy(enc, 0, junked, 0, junkAt)
+    junked(junkAt) = 'J'; junked(junkAt + 1) = 'U'; junked(junkAt + 2) = 'N'; junked(junkAt + 3) = 'K'
+    put32(junked, junkAt + 4, 4)
+    System.arraycopy(enc, junkAt, junked, junkAt + 12, enc.length - junkAt)
+    put32(junked, 4, junked.length - 8)
+    AviCodec.decode(junked).get.frames.length shouldBe 4
+
+    // frames wrapped in a LIST 'rec ' group (interleaved-AVI convention):
+    // movi body becomes one rec LIST holding all four 00db chunks
+    val moviHdr = 12 + 8 + 192 // LIST size dword at +4, 'movi' tag at +8
+    val moviSize = {
+      val b = enc; (b(moviHdr + 4) & 0xFF) | ((b(moviHdr + 5) & 0xFF) << 8) |
+        ((b(moviHdr + 6) & 0xFF) << 16) | ((b(moviHdr + 7) & 0xFF) << 24)
+    }
+    val chunksLen = moviSize - 4
+    val rec = new Array[Byte](enc.length + 12)
+    System.arraycopy(enc, 0, rec, 0, moviHdr + 12) // through 'movi' tag
+    put32(rec, moviHdr + 4, moviSize + 12) // movi grew by the rec wrapper
+    rec(moviHdr + 12) = 'L'; rec(moviHdr + 13) = 'I'; rec(moviHdr + 14) = 'S'; rec(moviHdr + 15) = 'T'
+    put32(rec, moviHdr + 16, 4 + chunksLen)
+    rec(moviHdr + 20) = 'r'; rec(moviHdr + 21) = 'e'; rec(moviHdr + 22) = 'c'; rec(moviHdr + 23) = ' '
+    System.arraycopy(enc, moviHdr + 12, rec, moviHdr + 24, chunksLen)
+    put32(rec, 4, rec.length - 8)
+    val recDec = AviCodec.decode(rec).get
+    recDec.frames.length shouldBe 4
+    recDec.frames.zip(frames).foreach { case (a, b) => a.pixels.toSeq shouldBe b.pixels.toSeq }
+
+    // corrupt inputs: None, never a throw
+    AviCodec.decode(null) shouldBe None
+    AviCodec.decode(Array.empty[Byte]) shouldBe None
+    AviCodec.decode("RIFFxxxxAVI but nothing else that a parser could use here".getBytes) shouldBe None
+    AviCodec.decode(enc.take(enc.length - 5)) shouldBe None // last frame truncated
+    val badClock = enc.clone(); put32(badClock, 12 + 8 + 4 + 8, 0) // µs/frame = 0
+    AviCodec.decode(badClock) shouldBe None
+    val compressed = enc.clone()
+    // strf biCompression at: 12+8(hdrl)+4+8+56(avih)+8+4(strl)+8+56(strh)+8(strf hdr)+16
+    put32(compressed, 12 + 8 + 4 + 8 + 56 + 8 + 4 + 8 + 56 + 8 + 16, 1)
+    AviCodec.decode(compressed) shouldBe None
+  }
+
+  test("sampleVideoFrames: real decode, step arithmetic, cap, corrupt rows emit nothing") {
+    import spark.implicits._
+    val media = spark.range(30).map { id =>
+      val bytes =
+        if (id % 9 == 4) Array[Byte](1) // corrupt container
+        else Multimodal.syntheticAvi(id, (3 + id % 4).toInt, (2 + id % 3).toInt,
+          (2 + id % 5).toInt, microSecPerFrame = 40000L)
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+    val frames = Multimodal.sampleVideoFrames(media.repartition(5), "media_id", "bytes",
+      everyMs = 80L, maxFrames = 8).collect()
+    val byId = frames.groupBy(_.media_id)
+    byId.keySet.exists(_ % 9 == 4) shouldBe false // corrupt rows: no frames
+    (0L until 30L).filter(_ % 9 != 4).foreach { id =>
+      val nf = (2 + id % 5).toInt
+      val want = (0 until nf by 2).toSeq // 80 ms / 40 ms per frame = step 2
+      val got = byId(id).sortBy(_.frame_idx)
+      got.map(_.frame_idx).toSeq shouldBe want
+      got.foreach { f =>
+        f.frame_ts_ms shouldBe f.frame_idx.toLong * 40L
+        val img = Multimodal.syntheticImage(id, (3 + id % 4).toInt, (2 + id % 3).toInt, f.frame_idx)
+        val chans = img.pixels.map(p => ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+        f.sum_r shouldBe chans.map(_._1.toLong).sum
+        f.checksum shouldBe chans.zipWithIndex.map { case ((r, g, b), i) =>
+          (i + 1).toLong * (r + g + b) }.sum
+      }
+    }
+    // the cap binds: everyMs below the frame clock degenerates to step 1
+    val dense = Multimodal.sampleVideoFrames(media.filter(col("media_id") === 3L),
+      "media_id", "bytes", everyMs = 1L, maxFrames = 2).collect()
+    dense.map(_.frame_idx).sorted.toSeq shouldBe Seq(0, 1)
+  }
+
   test("resize plan computes pushdown-friendly metadata") {
     val media = Multimodal.syntheticMedia(spark, 20L).toDF()
     val resized = Multimodal.resizePlan(media.filter(col("kind") === "image"), 256)

@@ -2055,7 +2055,38 @@ object SparkEntry {
           CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
           CAST(SUM(b) AS BIGINT) AS sum_b,
           CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
-        FROM p GROUP BY doc_id, i, w, h ORDER BY media_id, frame_idx"""))
+        FROM p GROUP BY doc_id, i, w, h ORDER BY media_id, frame_idx""")),
+
+    // ---- multimodal: REAL compressed image decode (PNG, java.util.zip) ---
+    // same raster formula as q_bmp_features but heights ≥ 5, so the
+    // encoder's y % 5 filter schedule puts ALL FIVE PNG scanline filters
+    // (None/Sub/Up/Average/Paeth) inside every file — a filter
+    // reconstruction, zlib inflate, or chunk-CRC bug anywhere in the
+    // decode breaks the hash against the pixel-formula oracle.
+    Q("q_png_features",
+      (s, d) => {
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val img = Multimodal.syntheticImage(id, (4 + id % 5).toInt, (5 + id % 4).toInt)
+            (id, Multimodal.PngCodec.encode(img))
+          }.toDF("media_id", "bytes")
+        Multimodal.extractImageFeatures(media, "media_id", "bytes", Multimodal.PngCodec)
+          .toDF().orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                CAST(5 + doc_id % 4 AS INT) AS h FROM documents),
+        p AS (SELECT doc_id, w, h, x, y,
+                (x*7 + y*13 + doc_id*31) % 256 AS r,
+                (x*7 + y*13 + doc_id*31 + 97) % 256 AS g,
+                (x*7 + y*13 + doc_id*31 + 194) % 256 AS b
+              FROM d, generate_series(0, 7) AS gx(x), generate_series(0, 7) AS gy(y)
+              WHERE x < w AND y < h)
+        SELECT doc_id AS media_id, true AS decode_ok, w AS width, h AS height,
+          CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+        FROM p GROUP BY doc_id, w, h ORDER BY media_id"""))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

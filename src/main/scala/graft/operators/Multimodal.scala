@@ -13,15 +13,19 @@ import org.apache.spark.sql.functions._
   *   - audio: [[WavCodec]] (RIFF/WAVE PCM-16, proper chunk walk) behind
   *     [[AudioCodec]]; `q_wav_features` re-derives every feature in SQL;
   *   - image: [[BmpCodec]] (BMP 24-bit BI_RGB, bottom-up/top-down +
-  *     row padding) behind [[ImageCodec]], plus exact nearest-neighbor
-  *     [[resizeNearest]]; `q_bmp_features` / `q_bmp_resize` oracles;
+  *     row padding) AND the compressed [[PngCodec]] (8-bit truecolor PNG
+  *     over `java.util.zip` — CRC-checked chunk walk, zlib inflate, all
+  *     five scanline filters) behind [[ImageCodec]], dispatched for mixed
+  *     corpora by [[SniffImageCodec]], plus exact nearest-neighbor
+  *     [[resizeNearest]]; `q_bmp_features` / `q_bmp_resize` /
+  *     `q_png_features` oracles;
   *   - video: [[AviCodec]] (RIFF AVI, uncompressed 'DIB ' frames, rec
   *     groups) behind [[VideoCodec]] with real [[sampleVideoFrames]];
   *     `q_avi_frames` oracle.
-  * Compressed codecs (PNG/JPEG/Opus/H.264) swap in at the same seams —
-  * a JNI/ffmpeg/ImageIO decode replaces ONE function and nothing else
-  * changes; [[decodeStub]] remains the documented placeholder for those
-  * branches only.
+  * [[PngCodec]] proves the compressed-codec claim in-repo; further formats
+  * (JPEG/Opus/H.264) swap in at the same seams — a JNI/ffmpeg/ImageIO
+  * decode replaces ONE function and nothing else changes; [[decodeStub]]
+  * remains the documented placeholder for those branches only.
   */
 object Multimodal {
 
@@ -349,6 +353,207 @@ object Multimodal {
       put32(34, dib.length) // biSizeImage
       System.arraycopy(dib, 0, out, 54, dib.length)
       out
+    }
+  }
+
+  /** Pure-JVM PNG codec over `java.util.zip` — the first COMPRESSED format
+    * behind the [[ImageCodec]] seam, making the "a compressed codec swaps in
+    * at the same seam" claim concrete with stdlib only. Decodes 8-bit
+    * truecolor (color type 2), non-interlaced PNGs: chunk walk with per-chunk
+    * CRC-32 verification, multi-IDAT zlib inflate, and all five scanline
+    * filters (None/Sub/Up/Average/Paeth) reversed per the PNG spec §9.
+    * Anything else (palette, alpha, 16-bit, interlaced) returns None — the
+    * same honest single-profile stance as [[WavCodec]]/[[BmpCodec]]. */
+  object PngCodec extends ImageCodec {
+    val name = "png"
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < Sig.length + 12) return None
+      var i = 0
+      while (i < Sig.length) { if (bytes(i) != Sig(i)) return None; i += 1 }
+      var width = -1; var height = -1; var seenIhdr = false; var ended = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var o = Sig.length
+      while (!ended) {
+        if (o + 12 > bytes.length) return None // ran out before IEND
+        val len = u32be(bytes, o)
+        if (len > bytes.length.toLong || o + 12 + len > bytes.length) return None
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, o + 4, 4 + len.toInt) // CRC covers type + data
+        if (crc.getValue != u32be(bytes, o + 8 + len.toInt)) return None
+        new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+          case "IHDR" =>
+            if (len != 13 || seenIhdr) return None
+            if (u32be(bytes, o + 8) > Int.MaxValue || u32be(bytes, o + 12) > Int.MaxValue)
+              return None
+            width = u32be(bytes, o + 8).toInt
+            height = u32be(bytes, o + 12).toInt
+            // bit depth 8, truecolor (2), deflate (0), filter method 0,
+            // no interlace — the supported profile
+            if (bytes(o + 16) != 8 || bytes(o + 17) != 2 || bytes(o + 18) != 0 ||
+              bytes(o + 19) != 0 || bytes(o + 20) != 0) return None
+            seenIhdr = true
+          case "IDAT" =>
+            if (!seenIhdr) return None
+            idat.write(bytes, o + 8, len.toInt)
+          case "IEND" => ended = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...): CRC-checked, skipped
+        }
+        o += 12 + len.toInt
+      }
+      if (!seenIhdr || width <= 0 || height <= 0) return None
+      if (width.toLong * height > Int.MaxValue / 4) return None
+      val stride = width * 3
+      val rawLen = height.toLong * (stride + 1)
+      if (rawLen > Int.MaxValue / 2) return None
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated
+          got += n
+        }
+        if (got < raw.length) return None
+        if (!inf.finished()) {
+          // drive the trailer: a complete stream finishes here (verifying
+          // the zlib adler32); extra data or a truncated trailer rejects
+          if (inf.inflate(new Array[Byte](1), 0, 1) != 0 || !inf.finished()) return None
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+
+      // reverse per-scanline filtering; prev/cur hold reconstructed bytes
+      val px = new Array[Int](width * height)
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < height) {
+        val rowOff = y * (stride + 1)
+        val ft = raw(rowOff) & 0xFF
+        if (ft > 4) return None
+        var x = 0
+        while (x < stride) {
+          val rawB = raw(rowOff + 1 + x) & 0xFF
+          val a = if (x >= 3) cur(x - 3) else 0 // left (bpp = 3 bytes)
+          val b = prev(x) // up (zeros above the first row, per spec)
+          val c = if (x >= 3) prev(x - 3) else 0 // upper-left
+          cur(x) = (ft: @annotation.switch) match {
+            case 0 => rawB
+            case 1 => (rawB + a) & 0xFF
+            case 2 => (rawB + b) & 0xFF
+            case 3 => (rawB + ((a + b) >> 1)) & 0xFF
+            case _ => (rawB + paeth(a, b, c)) & 0xFF
+          }
+          x += 1
+        }
+        var xx = 0
+        val base = y * width
+        while (xx < width) {
+          px(base + xx) = (cur(xx * 3) << 16) | (cur(xx * 3 + 1) << 8) | cur(xx * 3 + 2)
+          xx += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some(DecodedImage(width, height, px))
+    }
+
+    /** Canonical encoder: scanline `y` uses filter type `y % 5`, so any
+      * encode of an image ≥5 rows tall exercises ALL FIVE filters in the
+      * decoder (and in every round-trip oracle); one zlib IDAT, default
+      * compression. Deterministic for a given input. */
+    def encode(img: DecodedImage): Array[Byte] = {
+      val stride = img.width * 3
+      val raw = new Array[Byte]((stride + 1) * img.height)
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val p = img(x, y)
+          cur(x * 3) = (p >> 16) & 0xFF
+          cur(x * 3 + 1) = (p >> 8) & 0xFF
+          cur(x * 3 + 2) = p & 0xFF
+          x += 1
+        }
+        val ft = y % 5
+        val rowOff = y * (stride + 1)
+        raw(rowOff) = ft.toByte
+        var i = 0
+        while (i < stride) {
+          val a = if (i >= 3) cur(i - 3) else 0
+          val b = prev(i)
+          val c = if (i >= 3) prev(i - 3) else 0
+          val v = (ft: @annotation.switch) match {
+            case 0 => cur(i)
+            case 1 => (cur(i) - a) & 0xFF
+            case 2 => (cur(i) - b) & 0xFF
+            case 3 => (cur(i) - ((a + b) >> 1)) & 0xFF
+            case _ => (cur(i) - paeth(a, b, c)) & 0xFF
+          }
+          raw(rowOff + 1 + i) = v.toByte
+          i += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw)
+      defl.finish()
+      val zOut = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) zOut.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def chunk(ctype: String, data: Array[Byte]): Unit = {
+        val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(be32(data.length.toLong)); out.write(tb)
+        out.write(data); out.write(be32(crc.getValue))
+      }
+      out.write(Sig)
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(be32(img.width.toLong)); ihdr.write(be32(img.height.toLong))
+      ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", zOut.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+  }
+
+  /** Content-sniffing image codec: dispatch on magic bytes (BMP `BM`, PNG
+    * signature) — the entry point a real mixed-format media column needs;
+    * new formats join by adding one magic branch. */
+  object SniffImageCodec extends ImageCodec {
+    val name = "sniff"
+    def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 8) None
+      else if (bytes(0) == 'B' && bytes(1) == 'M') BmpCodec.decode(bytes)
+      else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') PngCodec.decode(bytes)
+      else None
     }
   }
 

@@ -222,6 +222,120 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // Re-encode one chunk's CRC after a test patches its bytes — lets the
+  // profile-rejection tests below fail on the PROFILE check, not the CRC.
+  private def fixPngCrc(b: Array[Byte], chunkOff: Int): Unit = {
+    val len = ((b(chunkOff) & 0xFF) << 24) | ((b(chunkOff + 1) & 0xFF) << 16) |
+      ((b(chunkOff + 2) & 0xFF) << 8) | (b(chunkOff + 3) & 0xFF)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, chunkOff + 4, 4 + len)
+    val v = crc.getValue
+    (0 until 4).foreach(i => b(chunkOff + 8 + len + i) = ((v >> (8 * (3 - i))) & 0xFF).toByte)
+  }
+
+  test("PngCodec: round-trip sweep over all five filters, cross-codec pixel agreement") {
+    import Multimodal.{BmpCodec, DecodedImage, PngCodec, syntheticImage}
+    val rng = new scala.util.Random(13)
+    // heights 1-7 cover files that use a prefix of the y%5 filter schedule
+    // AND files that contain all five filter types; random pixels make the
+    // Average/Paeth reconstructions carry real information
+    for (w <- 1 to 6; h <- 1 to 7) {
+      val img = DecodedImage(w, h, Array.fill(w * h)(rng.nextInt(0x1000000)))
+      val back = PngCodec.decode(PngCodec.encode(img)).get
+      (back.width, back.height) shouldBe ((w, h))
+      back.pixels.toSeq shouldBe img.pixels.toSeq
+    }
+    // the two image codecs agree pixel-for-pixel through their containers
+    val img = syntheticImage(9L, 7, 6)
+    PngCodec.decode(PngCodec.encode(img)).get.pixels.toSeq shouldBe
+      BmpCodec.decode(BmpCodec.encode(img)).get.pixels.toSeq
+  }
+
+  test("PngCodec vs javax.imageio: independent implementations agree both directions") {
+    import Multimodal.{DecodedImage, PngCodec, syntheticImage}
+    // ImageIO is the JDK's own PNG codec — a round-trip against it catches
+    // encoder/decoder COMPENSATING bugs (e.g. a shared wrong Paeth
+    // tie-break) that our own round-trip would cancel out
+    val img = syntheticImage(21L, 9, 8) // ≥5 rows: all five filters in our encode
+    val ours = PngCodec.encode(img)
+    val viaIio = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    viaIio.getWidth shouldBe 9
+    viaIio.getHeight shouldBe 8
+    for (y <- 0 until 8; x <- 0 until 9)
+      (viaIio.getRGB(x, y) & 0xFFFFFF) shouldBe img(x, y)
+
+    // and the reverse: a FOREIGN truecolor PNG (ImageIO's writer, its own
+    // filter choices and zlib stream) decodes through our chunk walk
+    val bi = new java.awt.image.BufferedImage(6, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val src = DecodedImage(6, 7, Array.tabulate(42)(i => (i * 9973) & 0xFFFFFF))
+    for (y <- 0 until 7; x <- 0 until 6) bi.setRGB(x, y, src(x, y))
+    val bo = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bo) shouldBe true
+    val back = PngCodec.decode(bo.toByteArray).get
+    (back.width, back.height) shouldBe ((6, 7))
+    back.pixels.toSeq shouldBe src.pixels.toSeq
+  }
+
+  test("PngCodec rejects corrupt bytes, bad CRCs, and out-of-profile files") {
+    import Multimodal.{PngCodec, syntheticImage}
+    val good = PngCodec.encode(syntheticImage(4L, 5, 6))
+    PngCodec.decode(null) shouldBe None
+    PngCodec.decode(Array.empty[Byte]) shouldBe None
+    PngCodec.decode("definitely not a portable network graphics file here".getBytes) shouldBe None
+    PngCodec.decode(good.take(good.length - 1)) shouldBe None // IEND truncated
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val flipped = good.clone(); flipped(8 + 25 + 8 + 2) = (flipped(8 + 25 + 8 + 2) ^ 0x5A).toByte
+    PngCodec.decode(flipped) shouldBe None
+    // out-of-profile IHDRs, each with a RECOMPUTED CRC so the profile
+    // check itself (not the CRC) does the rejecting
+    def withIhdr(patch: Array[Byte] => Unit): Option[_] = {
+      val b = good.clone(); patch(b); fixPngCrc(b, 8); PngCodec.decode(b)
+    }
+    withIhdr(b => b(8 + 8 + 9) = 6) shouldBe None // color type RGBA
+    withIhdr(b => b(8 + 8 + 8) = 16) shouldBe None // 16-bit depth
+    withIhdr(b => b(8 + 8 + 12) = 1) shouldBe None // Adam7 interlace
+    // truncated zlib stream behind valid chunk framing: shorten the IDAT
+    // payload and reframe (len, data, fixed CRC) — inflate must report it
+    val idatLen = ((good(8 + 25) & 0xFF) << 24) | ((good(8 + 26) & 0xFF) << 16) |
+      ((good(8 + 27) & 0xFF) << 8) | (good(8 + 28) & 0xFF)
+    val cut = 3
+    val short = new Array[Byte](good.length - cut)
+    System.arraycopy(good, 0, short, 0, 8 + 25 + 8 + idatLen - cut) // through shortened payload
+    System.arraycopy(good, 8 + 25 + 8 + idatLen, short, 8 + 25 + 8 + idatLen - cut, good.length - (8 + 25 + 8 + idatLen)) // CRC + IEND
+    val nl = idatLen - cut
+    short(8 + 25) = ((nl >> 24) & 0xFF).toByte; short(8 + 26) = ((nl >> 16) & 0xFF).toByte
+    short(8 + 27) = ((nl >> 8) & 0xFF).toByte; short(8 + 28) = (nl & 0xFF).toByte
+    fixPngCrc(short, 8 + 25)
+    PngCodec.decode(short) shouldBe None
+  }
+
+  test("SniffImageCodec dispatches a mixed BMP/PNG corpus by magic bytes") {
+    import spark.implicits._
+    import Multimodal.{BmpCodec, PngCodec, SniffImageCodec}
+    val media = spark.range(30).map { id =>
+      val img = Multimodal.syntheticImage(id, (3 + id % 5).toInt, (2 + id % 6).toInt)
+      val bytes = (id % 3) match {
+        case 0 => BmpCodec.encode(img)
+        case 1 => PngCodec.encode(img)
+        case _ => Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8) // neither magic
+      }
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+    val feats = Multimodal.extractImageFeatures(media.repartition(4), "media_id", "bytes",
+      SniffImageCodec).collect().sortBy(_.media_id)
+    feats.length shouldBe 30
+    feats.foreach { f =>
+      if (f.media_id % 3 == 2) f.decode_ok shouldBe false
+      else {
+        f.decode_ok shouldBe true
+        val img = Multimodal.syntheticImage(f.media_id, (3 + f.media_id % 5).toInt, (2 + f.media_id % 6).toInt)
+        (f.width, f.height) shouldBe ((img.width, img.height))
+        val chans = img.pixels.map(p => ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF))
+        f.checksum shouldBe chans.zipWithIndex.map { case (s, i) => (i + 1).toLong * s }.sum
+      }
+    }
+  }
+
   test("AviCodec: round-trip, frame clock, chunk skipping, rec groups, corrupt inputs") {
     import Multimodal.{AviCodec, syntheticImage}
     val frames = (0 until 4).map(f => syntheticImage(3L, 5, 3, f))

@@ -1918,14 +1918,78 @@ object SparkEntry {
           graft.functions.Bpe.Vocab.default)} AS BIGINT) AS bpe_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // ---- multimodal: unified REAL decode over a mixed-modality corpus ----
+    // one media row per documents id — kind by id % 3, every payload a REAL
+    // container (image: BMP for even ids / compressed PNG for odd, sniffed
+    // from one binary column; audio: WAV PCM-16; video: AVI 'DIB ') built
+    // from the deterministic formulas, decoded by the real codecs on the
+    // executors, and reduced to ONE unified integer feature row per medium.
+    // The oracle re-derives all three modalities' features in SQL and
+    // UNION ALLs them — the cross-modal dispatch, every container parser,
+    // and every feature reduction sit inside a single hash compare.
     Q("q_media_features",
-      (s, _) => {
+      (s, d) => {
         import s.implicits._
-        Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200L))
-          .select(col("media_id"), col("kind"), col("decode_ok"), size(col("feature")).as("feature_dim"))
-          .orderBy("media_id")
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            (id % 3) match {
+              case 0 =>
+                val img = Multimodal.syntheticImage(id, (4 + id % 5).toInt, (5 + id % 4).toInt)
+                val bytes =
+                  if (id % 2 == 0) Multimodal.BmpCodec.encode(img)
+                  else Multimodal.PngCodec.encode(img)
+                (id, "image", bytes)
+              case 1 =>
+                val n = (100L + id % 201L).toInt
+                (id, "audio", Multimodal.WavCodec.encode(
+                  Multimodal.syntheticWavSamples(id, n), 8000, 1))
+              case _ =>
+                (id, "video", Multimodal.syntheticAvi(id, (3 + id % 4).toInt,
+                  (2 + id % 3).toInt, (2 + id % 5).toInt, microSecPerFrame = 40000L))
+            }
+          }.toDF("media_id", "kind", "bytes")
+        Multimodal.extractMediaFeatures(media, "media_id", "kind", "bytes")
+          .toDF().orderBy("media_id")
       },
-      None),
+      Some("""WITH img AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+                CAST(5 + doc_id % 4 AS INT) AS h FROM documents WHERE doc_id % 3 = 0),
+        ipx AS (SELECT doc_id, w, h, x, y,
+                  (x*7 + y*13 + doc_id*31) % 256 AS r,
+                  (x*7 + y*13 + doc_id*31 + 97) % 256 AS g,
+                  (x*7 + y*13 + doc_id*31 + 194) % 256 AS b
+                FROM img, generate_series(0, 7) AS gx(x), generate_series(0, 7) AS gy(y)
+                WHERE x < w AND y < h),
+        irow AS (SELECT doc_id AS media_id, 'image' AS kind, true AS decode_ok,
+                  w AS width, h AS height, CAST(-1 AS BIGINT) AS duration_ms,
+                  CAST(w * h AS BIGINT) AS units,
+                  CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+                 FROM ipx GROUP BY doc_id, w, h),
+        aud AS (SELECT doc_id, CAST(100 + doc_id % 201 AS BIGINT) AS n
+                FROM documents WHERE doc_id % 3 = 1),
+        asmp AS (SELECT doc_id, n, ((i * 2654435761 + doc_id * 40503) % 65536) - 32768 AS smp
+                 FROM aud, generate_series(CAST(0 AS BIGINT), CAST(300 AS BIGINT)) AS t(i)
+                 WHERE i < n),
+        arow AS (SELECT doc_id AS media_id, 'audio' AS kind, true AS decode_ok,
+                  -1 AS width, -1 AS height, CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                  n AS units, CAST(SUM(smp) AS BIGINT) AS checksum
+                 FROM asmp GROUP BY doc_id, n),
+        vid AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w,
+                  CAST(2 + doc_id % 3 AS INT) AS h, 2 + doc_id % 5 AS nf
+                FROM documents WHERE doc_id % 3 = 2),
+        vpx AS (SELECT doc_id, w, h, nf, i, x, y,
+                  (x*7 + y*13 + doc_id*31 + i*19) % 256 AS r,
+                  (x*7 + y*13 + doc_id*31 + i*19 + 97) % 256 AS g,
+                  (x*7 + y*13 + doc_id*31 + i*19 + 194) % 256 AS b
+                FROM vid, generate_series(0, 6) AS gi(i),
+                  generate_series(0, 5) AS gx(x), generate_series(0, 3) AS gy(y)
+                WHERE i < nf AND x < w AND y < h),
+        vrow AS (SELECT doc_id AS media_id, 'video' AS kind, true AS decode_ok,
+                  w AS width, h AS height, CAST(nf * 40 AS BIGINT) AS duration_ms,
+                  CAST(nf AS BIGINT) AS units,
+                  CAST(SUM((y*w + x + 1) * (r + g + b)) AS BIGINT) AS checksum
+                 FROM vpx GROUP BY doc_id, w, h, nf)
+        SELECT * FROM irow UNION ALL SELECT * FROM arow UNION ALL SELECT * FROM vrow
+        ORDER BY media_id""")),
 
     // ---- multimodal: REAL audio decode (RIFF/WAVE PCM, pure JVM) ---------
     // one media row per documents id: a deterministic s16 waveform is

@@ -838,6 +838,61 @@ object Multimodal {
       }
   }
 
+  /** One unified feature row across ALL media kinds — every field exact
+    * integer arithmetic a SQL oracle re-derives: `units` is pixels for an
+    * image, PCM frames for audio, container frames for video; `checksum`
+    * is the kind's exact content digest (position-weighted pixel sum /
+    * sample sum / per-frame pixel-sum total). Inapplicable dims carry −1. */
+  final case class UnifiedMediaFeature(
+      media_id: Long, kind: String, decode_ok: Boolean,
+      width: Int, height: Int, duration_ms: Long, units: Long, checksum: Long)
+
+  /** The real-decode counterpart of the [[extractFeatures]] stub pipeline:
+    * one pass over a mixed-modality corpus, dispatching each row's bytes to
+    * the REAL codec for its `kind` column (image bytes additionally
+    * format-sniffed, so BMP and PNG coexist in one column). Pure per-row
+    * work — bytes never leave the task, no shuffle; rows whose bytes fail
+    * their codec come back `decode_ok = false` with sentinel features
+    * (corrupt media is data, not a job error). */
+  def extractMediaFeatures(media: DataFrame, idCol: String, kindCol: String,
+      bytesCol: String,
+      imageCodec: ImageCodec = SniffImageCodec,
+      audioCodec: AudioCodec = WavCodec,
+      videoCodec: VideoCodec = AviCodec): Dataset[UnifiedMediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(kindCol), col(bytesCol))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, kind, bytes) =>
+        def failed = UnifiedMediaFeature(id, kind, decode_ok = false, -1, -1, -1L, -1L, -1L)
+        kind match {
+          case "image" => imageCodec.decode(bytes) match {
+            case Some(img) =>
+              val f = imageFeature(id, img)
+              UnifiedMediaFeature(id, kind, decode_ok = true, img.width, img.height,
+                -1L, img.width.toLong * img.height, f.checksum)
+            case None => failed
+          }
+          case "audio" => audioCodec.decode(bytes) match {
+            case Some(a) =>
+              var sum = 0L; var i = 0
+              while (i < a.samples.length) { sum += a.samples(i); i += 1 }
+              UnifiedMediaFeature(id, kind, decode_ok = true, -1, -1,
+                a.durationMs, a.nFrames, sum)
+            case None => failed
+          }
+          case "video" => videoCodec.decode(bytes) match {
+            case Some(v) =>
+              var sum = 0L
+              v.frames.foreach(fr => sum += imageFeature(id, fr).checksum)
+              UnifiedMediaFeature(id, kind, decode_ok = true, v.width, v.height,
+                v.frameTsMs(v.frames.length), v.frames.length.toLong, sum)
+            case None => failed
+          }
+          case _ => failed
+        }
+      }
+  }
+
   /** ??? STUB — stands in for the real codec. Deterministic fake "decode":
     * a 16-dim feature folded from the byte content, so tests are stable and
     * the full pipeline (partitioning → batch iterate → feature column) is

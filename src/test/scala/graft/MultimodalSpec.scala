@@ -423,6 +423,58 @@ class MultimodalSpec extends SparkSpec {
     dense.map(_.frame_idx).sorted.toSeq shouldBe Seq(0, 1)
   }
 
+  test("extractMediaFeatures: unified cross-modal dispatch, real codecs, mismatches flagged") {
+    import spark.implicits._
+    import Multimodal._
+    def pixelChecksum(img: DecodedImage): Long =
+      img.pixels.zipWithIndex.map { case (p, i) =>
+        (i + 1).toLong * (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) }.sum
+    val media = spark.range(36).map { id =>
+      (id % 3) match {
+        case 0 =>
+          val img = syntheticImage(id, (4 + id % 5).toInt, (5 + id % 4).toInt)
+          // BMP and compressed PNG interleave in ONE binary column
+          (id, "image", if (id % 2 == 0) BmpCodec.encode(img) else PngCodec.encode(img))
+        case 1 =>
+          // id 7: image bytes mislabeled audio — the audio codec must refuse
+          if (id == 7L) (id, "audio", BmpCodec.encode(syntheticImage(id, 3, 3)))
+          else (id, "audio", WavCodec.encode(syntheticWavSamples(id, 50), 8000, 1))
+        case _ =>
+          if (id == 11L) (id, "video", Array[Byte](1, 2, 3)) // corrupt container
+          else (id, "video", syntheticAvi(id, 3, 2, (2 + id % 3).toInt))
+      }
+    }.toDF("media_id", "kind", "bytes")
+    val feats = extractMediaFeatures(media.repartition(5), "media_id", "kind", "bytes")
+      .collect().sortBy(_.media_id)
+    feats.length shouldBe 36
+    feats.foreach { f =>
+      if (f.media_id == 7L || f.media_id == 11L) {
+        f.decode_ok shouldBe false
+        (f.width, f.height, f.duration_ms, f.units, f.checksum) shouldBe
+          ((-1, -1, -1L, -1L, -1L))
+      } else (f.media_id % 3) match {
+        case 0 =>
+          val img = syntheticImage(f.media_id, (4 + f.media_id % 5).toInt, (5 + f.media_id % 4).toInt)
+          (f.kind, f.decode_ok) shouldBe (("image", true))
+          (f.width, f.height, f.duration_ms) shouldBe ((img.width, img.height, -1L))
+          f.units shouldBe img.width.toLong * img.height
+          f.checksum shouldBe pixelChecksum(img)
+        case 1 =>
+          (f.kind, f.decode_ok) shouldBe (("audio", true))
+          (f.width, f.height) shouldBe ((-1, -1))
+          f.duration_ms shouldBe 6L // 50 frames / 8000 Hz
+          f.units shouldBe 50L
+          f.checksum shouldBe syntheticWavSamples(f.media_id, 50).map(_.toLong).sum
+        case _ =>
+          val nf = (2 + f.media_id % 3).toInt
+          (f.kind, f.decode_ok) shouldBe (("video", true))
+          (f.width, f.height, f.duration_ms, f.units) shouldBe ((3, 2, nf * 40L, nf.toLong))
+          f.checksum shouldBe (0 until nf).map(i =>
+            pixelChecksum(syntheticImage(f.media_id, 3, 2, i))).sum
+      }
+    }
+  }
+
   test("resize plan computes pushdown-friendly metadata") {
     val media = Multimodal.syntheticMedia(spark, 20L).toDF()
     val resized = Multimodal.resizePlan(media.filter(col("kind") === "image"), 256)

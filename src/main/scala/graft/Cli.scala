@@ -11,7 +11,8 @@ import java.nio.file.{Files, Paths}
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
   * [--metrics-dir DIR] [--profile-dir DIR] [--anomaly-gate alerts.json
   * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
-  * [--emit-job-spec spec.json] [--tags hourly,critical] [--set key=value]...`.
+  * [--emit-job-spec spec.json] [--tags hourly,critical] [--incremental]
+  * [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -145,14 +146,29 @@ object Cli {
           .orElse(scala.util.Try(spark.table(name)).toOption)
 
       val validator = new Validator(spark, config, resolver, checkpoint)
+      val incremental = opts.contains("incremental")
+
+      // incremental tier (--incremental, snap: sources + --config state_file):
+      // validate only the rows committed since the checkpoint's recorded
+      // snapshot version — the batch analogue of the streaming micro-batch
+      // tier, with the same semantics: row-level families see exactly the
+      // new rows; cross-row families (uniqueness, referential, …) hold
+      // WITHIN the delta (run the full pass nightly for global guarantees).
+      // An up-to-date table is skipped entirely (zero Spark jobs); a table
+      // whose history crosses an overwrite/restore falls back to a full
+      // read (its delta is not expressible as added rows).
+      def validateOne(t: String, skipCompleted: Boolean): Option[ValidationSummary] = {
+        val src = sources.getOrElse(t, t)
+        if (incremental && src.startsWith("snap:") && !src.contains("@v"))
+          validateSnapIncremental(spark, validator, checkpoint, t, src.stripPrefix("snap:"))
+        else if (skipCompleted && checkpoint.exists(_.isCompleted(t))) None
+        else Some(validator.validateTable(Tables.load(spark, src), t))
+      }
 
       val summaries: Map[String, ValidationSummary] = opts.get("table") match {
-        case Some(t) =>
-          val df = Tables.load(spark, sources.getOrElse(t, t))
-          Map(t -> validator.validateTable(df, t))
-        case None =>
-          validator.validateAllTables(name =>
-            Tables.load(spark, sources.getOrElse(name, name)))
+        case Some(t) => validateOne(t, skipCompleted = false).map(t -> _).toMap
+        case None => config.tables
+          .flatMap(t => validateOne(t.name, skipCompleted = true).map(t.name -> _)).toMap
       }
 
       // data-cleaning mode: tables flagged filter_mode additionally write
@@ -267,6 +283,29 @@ object Cli {
     } finally spark.stop()
   }
 
+  /** One table of the incremental tier: None when the checkpoint already
+    * covers the table's current snapshot (zero Spark jobs); otherwise
+    * validates exactly the rows committed since the recorded version (full
+    * read on first sight or across an overwrite) and advances the cursor. */
+  private[graft] def validateSnapIncremental(spark: SparkSession,
+      validator: Validator, checkpoint: Option[Checkpoint],
+      t: String, dir: String): Option[ValidationSummary] = {
+    val cur = graft.io.SnapTable.currentVersion(spark, dir)
+    checkpoint.flatMap(_.recordedSnapVersion(t)) match {
+      case Some(v) if v == cur => None
+      case recorded =>
+        val df = recorded match {
+          case Some(v) =>
+            scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur)))
+              .getOrElse(graft.io.SnapTable.read(spark, dir))
+          case None => graft.io.SnapTable.read(spark, dir)
+        }
+        val summary = validator.validateTable(df, t)
+        checkpoint.foreach(_.recordSnapshot(t, s"snap-v$cur"))
+        Some(summary)
+    }
+  }
+
   /** The `--emit-job-spec` artifact: this invocation as a vendor-neutral
     * batch [[graft.deploy.JobSpec]], DLT-style expectations rendered per
     * table against the LIVE schema and keyed `<table>.<rule>`.
@@ -295,6 +334,10 @@ object Cli {
       // --set accumulates (every occurrence kept); other flags last-wins
       case "--set" :: kv :: rest =>
         parseArgs(rest, acc + ("set" -> acc.get("set").map(_ + "\u0000" + kv).getOrElse(kv)))
+      // bare flag (no value): snap: sources validate only rows newer than
+      // the checkpoint's recorded snapshot version
+      case "--incremental" :: rest =>
+        parseArgs(rest, acc + ("incremental" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
       case Nil => acc

@@ -21,6 +21,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.testTable(s, dir, name)
 
+  /** Scratch dir for a snap-table query, wiped before rebuild so reruns
+    * start from version 1 (the driver executes every query twice). */
+  private def snapScratch(s: SparkSession, sfDir: String, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" + Dedup.stableSuffix(sfDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
   private def dec(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
   // -------------------------------------------------------------- transcripts
@@ -1137,6 +1147,71 @@ object SparkEntry {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- transaction-log table format (io.SnapTable — the Iceberg-shaped
+    // stand-in): each query rebuilds a snap table from events in a scratch
+    // dir (delete + recreate → rerun-idempotent), then certifies one
+    // mechanism against the same parquet the oracle reads: time travel
+    // (per-version aggregates), incremental changes (delta rows only), and
+    // manifest pruning (readWhere ≡ filter; the file-skip proof lives in
+    // SnapTableSpec, which the oracle can't see) -------------------------
+    Q("q_snap_table_events",
+      (s, d) => {
+        val dir = snapScratch(s, d, "tbl")
+        val ev = t(s, d, "events").select("event_id", "event_type", "value")
+        graft.io.SnapTable.create(s, dir, ev.filter(col("event_id") % 10 < 8))
+        graft.io.SnapTable.append(s, dir, ev.filter(col("event_id") % 10 >= 8))
+        def agg(v: Long) = graft.io.SnapTable.read(s, dir, Some(v))
+          .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+          .select(lit(v).as("version"), col("n"), col("sum_value"))
+        agg(1L).unionByName(agg(2L)).orderBy("version")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events WHERE event_id % 10 < 8
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) FROM events
+        ORDER BY version""")),
+
+    Q("q_snap_changes_events",
+      (s, d) => {
+        val dir = snapScratch(s, d, "chg")
+        val ev = t(s, d, "events").select("event_id", "event_type", "value")
+        graft.io.SnapTable.create(s, dir, ev.filter(col("event_id") % 10 < 8))
+        graft.io.SnapTable.append(s, dir, ev.filter(col("event_id") % 10 >= 8))
+        // a checkpoint that saw v1 revalidates exactly the appended rows
+        graft.io.SnapTable.changes(s, dir, fromExclusive = 1L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_id % 10 >= 8
+        GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q_snap_prune_events",
+      (s, d) => {
+        val dir = snapScratch(s, d, "prune")
+        val ev = t(s, d, "events").select("event_id", "event_type", "value")
+        val maxId = ev.agg(max("event_id")).head().getLong(0)
+        // four disjoint id-range files → footer bounds that can prune
+        val cuts = Seq(0L, maxId / 4, maxId / 2, 3 * maxId / 4, maxId + 1)
+        graft.io.SnapTable.create(s, dir,
+          ev.filter(col("event_id") < cuts(1)).coalesce(1))
+        cuts.sliding(2).drop(1).foreach { pair =>
+          graft.io.SnapTable.append(s, dir,
+            ev.filter(col("event_id") >= pair.head && col("event_id") < pair(1)).coalesce(1))
+        }
+        graft.io.SnapTable
+          .readWhere(s, dir, "event_id", Some((maxId / 8).toString), Some((3 * maxId / 8).toString))
+          .agg(count(lit(1)).as("n"), dec(col("value")).as("sum_value"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, (SELECT MAX(event_id) AS m FROM events) mx
+        WHERE event_id >= mx.m // 8 AND event_id <= 3 * mx.m // 8""")),
 
     // ---- schema drift (contract check): a mutated view of documents vs
     // the live table — the oracle pins the exact expected diff rows, which

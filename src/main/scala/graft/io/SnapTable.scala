@@ -1,0 +1,434 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.column.statistics.{BinaryStatistics, BooleanStatistics, DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics, Statistics}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+import scala.jdk.CollectionConverters._
+
+/** Per-file, per-column footer statistics carried in the snapshot manifest.
+  * `kind` fixes the comparison domain for pruning: "long" (all parquet
+  * int32/int64, including date/timestamp logical types — bounds compare as
+  * epoch days/micros), "double" (float/double), "string" (UTF-8 binary,
+  * compared unsigned-byte-lexicographic — the same order parquet used to
+  * compute the stat and the same order Spark's string comparison uses, so
+  * pruning can never disagree with the engine filter), "bool", or "other"
+  * (no pruning). `hasMinMax=false` (e.g. an all-null chunk or a type the
+  * footer does not bound) makes the file unprunable — conservative, never
+  * incorrect. */
+final case class ColumnStat(
+    kind: String, min: String, max: String, nullCount: Long, hasMinMax: Boolean)
+
+/** One immutable data file of a snapshot: relative path under the table
+  * root plus footer-derived metadata (never re-scanned after commit). */
+final case class DataFile(
+    path: String, sizeBytes: Long, rowCount: Long, stats: Map[String, ColumnStat])
+
+/** One committed table version. `files` is the FULL file list at this
+  * version (Delta-checkpoint style — every snapshot self-describes, no
+  * manifest-list chase); `addedFiles` records this commit's delta so
+  * incremental readers ([[SnapTable.changes]]) never diff file lists. */
+final case class Snapshot(
+    version: Long,
+    parentVersion: Long,
+    operation: String, // "create" | "append" | "overwrite" | "restore"
+    schemaDdl: String,
+    files: Seq[DataFile],
+    addedFiles: Seq[String],
+    batchTag: Option[String] = None) { // idempotence key of a tagged append
+  def totalRows: Long = files.map(_.rowCount).sum
+}
+
+/** A from-scratch transaction-log table format over parquet — the working
+  * stand-in for the Iceberg table the north rule targets (the sandbox has
+  * no Iceberg jar; `Tables.TableProvider` remains the swap seam). It
+  * reproduces the *mechanics* that matter at 100 TB, not just the name:
+  *
+  *   - **Atomic snapshot commits**: a version is a single JSON manifest in
+  *     `_log/` created by write-tmp + rename; readers either see a complete
+  *     version or the previous one, never a torn file list. Version-number
+  *     collision (two writers racing) loses the rename and retries at the
+  *     next number — optimistic concurrency, same protocol as Delta on
+  *     HDFS. Data files are written to the table BEFORE the commit, so an
+  *     abandoned writer leaves only unreferenced orphans that
+  *     [[SnapTable.expire]] garbage-collects; it can never corrupt a
+  *     committed version.
+  *   - **Metadata-only statistics**: per-file min/max/nullCount come from
+  *     the parquet FOOTERS at commit time (no data re-scan), exactly where
+  *     Iceberg manifests get them.
+  *   - **Manifest-level file pruning**: [[SnapTable.readWhere]] drops whole
+  *     files whose footer range cannot satisfy a bound before Spark ever
+  *     lists them — the scan-planning half of partition pruning, and the
+  *     reason a 100 TB validation of "yesterday's events" reads GBs, not TBs.
+  *   - **Time travel + incremental reads**: any retained version is
+  *     readable ([[SnapTable.read]] `asOf`), and [[SnapTable.changes]]
+  *     returns exactly the rows added between two versions — the input an
+  *     incremental validation run wants (validate only data newer than the
+  *     checkpointed snapshot, see `state.Checkpoint`).
+  *   - **Schema evolution**: appends may add columns (same-name type
+  *     conflicts refuse the commit); every read applies the manifest schema,
+  *     so pre-evolution files surface NULL for later columns.
+  *
+  * Reference anchor: the reference validates static tables per engine
+  * (`/root/reference/src/data_validator/engines/pyspark_engine.py:52-63`)
+  * and records only a flat completed-tables state (`state.py:9-40`); the
+  * snapshot/lineage machinery here is the north-rule extension that makes
+  * those semantics hold on a table that keeps growing.
+  */
+object SnapTable {
+  private implicit val formats: Formats = DefaultFormats
+
+  private val LogDir = "_log"
+  private val DataDir = "data"
+  private val ManifestRe = """v(\d{8})\.json""".r
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, HPath) = {
+    val root = new HPath(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def manifestPath(root: HPath, version: Long): HPath =
+    new HPath(new HPath(root, LogDir), f"v$version%08d.json")
+
+  /** All committed versions, ascending. Unparseable names are ignored (the
+    * log dir holds only manifests and in-flight tmp files). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (filesystem, root) = fs(spark, dir)
+    val log = new HPath(root, LogDir)
+    if (!filesystem.exists(log)) Seq.empty
+    else filesystem.listStatus(log).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"not a snap table (no $LogDir manifests): $dir")
+    vs.last
+  }
+
+  def snapshot(spark: SparkSession, dir: String, asOf: Option[Long] = None): Snapshot = {
+    val (filesystem, root) = fs(spark, dir)
+    val v = asOf.getOrElse(currentVersion(spark, dir))
+    val p = manifestPath(root, v)
+    require(filesystem.exists(p),
+      s"version $v of $dir does not exist (expired or never committed); " +
+        s"available: ${versions(spark, dir).mkString(",")}")
+    val in = filesystem.open(p)
+    try JsonMethods.parse(in).extract[Snapshot] finally in.close()
+  }
+
+  // ------------------------------------------------------------- footer stats
+
+  /** Merge two stat values in `kind`'s comparison domain. */
+  private def cmp(kind: String, a: String, b: String): Int = kind match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "bool"   => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    // unsigned byte-lexicographic on UTF-8 — parquet's stat order AND
+    // Spark's UTF8String order, so pruning and filtering agree everywhere
+    case _ =>
+      val (ab, bb) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val d = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      ab.length - bb.length
+  }
+
+  private def statOf(s: Statistics[_]): Option[ColumnStat] = {
+    val nulls = if (s.isNumNullsSet) s.getNumNulls else 0L
+    if (!s.hasNonNullValue) return Some(ColumnStat("other", "", "", nulls, hasMinMax = false))
+    s match {
+      case i: IntStatistics     => Some(ColumnStat("long", i.getMin.toString, i.getMax.toString, nulls, hasMinMax = true))
+      case l: LongStatistics    => Some(ColumnStat("long", l.getMin.toString, l.getMax.toString, nulls, hasMinMax = true))
+      case f: FloatStatistics   => Some(ColumnStat("double", f.getMin.toString, f.getMax.toString, nulls, hasMinMax = true))
+      case d: DoubleStatistics  => Some(ColumnStat("double", d.getMin.toString, d.getMax.toString, nulls, hasMinMax = true))
+      case b: BooleanStatistics => Some(ColumnStat("bool", b.getMin.toString, b.getMax.toString, nulls, hasMinMax = true))
+      case b: BinaryStatistics =>
+        // only UTF-8 string logical type gets an ordered stat; raw binary
+        // stays unprunable (no total order a query filter would use)
+        Some(ColumnStat("string", b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8, nulls, hasMinMax = true))
+      case _ => Some(ColumnStat("other", "", "", nulls, hasMinMax = false))
+    }
+  }
+
+  private def mergeStat(a: ColumnStat, b: ColumnStat): ColumnStat = {
+    // any row group without a usable bound poisons the file's bound —
+    // conservative: the file stays unprunable, null counts still accumulate
+    if (!a.hasMinMax || !b.hasMinMax || a.kind != b.kind)
+      ColumnStat(a.kind, "", "", a.nullCount + b.nullCount, hasMinMax = false)
+    else ColumnStat(a.kind,
+      if (cmp(a.kind, a.min, b.min) <= 0) a.min else b.min,
+      if (cmp(a.kind, a.max, b.max) >= 0) a.max else b.max,
+      a.nullCount + b.nullCount, hasMinMax = true)
+  }
+
+  /** Footer scan of one parquet file: row count + per-top-level-column
+    * merged min/max/nullCount across row groups. Metadata-only — reads the
+    * footer bytes, never a data page. */
+  private[io] def footerStats(conf: Configuration, file: HPath): (Long, Map[String, ColumnStat]) = {
+    val reader = ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getRowGroups.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val merged = scala.collection.mutable.Map.empty[String, ColumnStat]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val parts = c.getPath.toArray
+        if (parts.length == 1) { // top-level leaf columns only
+          val isString = c.getPrimitiveType.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+            case _ => false
+          }
+          statOf(c.getStatistics).foreach { raw =>
+            // a BINARY column without string annotation must not carry a
+            // string-ordered bound
+            val st = if (raw.kind == "string" && !isString) raw.copy(kind = "other", min = "", max = "", hasMinMax = false) else raw
+            merged(parts(0)) = merged.get(parts(0)).map(mergeStat(_, st)).getOrElse(st)
+          }
+        }
+      }
+      (rows, merged.toMap)
+    } finally reader.close()
+  }
+
+  // ------------------------------------------------------------------ commits
+
+  private def nonce(): String = java.util.UUID.randomUUID.toString.take(12)
+
+  /** Write `df`'s rows as immutable files under `data/` and return their
+    * manifest entries. Files land before any commit references them. */
+  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame): Seq[DataFile] = {
+    val (filesystem, root) = fs(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tag = nonce()
+    val staging = new HPath(root, s"_staging/$tag")
+    df.write.parquet(staging.toString)
+    val data = new HPath(root, DataDir)
+    filesystem.mkdirs(data)
+    val parts = filesystem.listStatus(staging).toSeq
+      .filter(st => st.getPath.getName.startsWith("part-") && !st.getPath.getName.endsWith(".crc"))
+      .sortBy(_.getPath.getName)
+    val out = parts.map { st =>
+      val dest = new HPath(data, s"$tag-${st.getPath.getName}")
+      require(filesystem.rename(st.getPath, dest), s"cannot place data file $dest")
+      val (rows, stats) = footerStats(conf, dest)
+      DataFile(s"$DataDir/${dest.getName}", filesystem.getFileStatus(dest).getLen, rows, stats)
+    }
+    filesystem.delete(staging, true)
+    val stagingRoot = new HPath(root, "_staging")
+    if (filesystem.exists(stagingRoot) && filesystem.listStatus(stagingRoot).isEmpty)
+      filesystem.delete(stagingRoot, false)
+    out
+  }
+
+  /** Atomically commit the next version. Retries past version-number
+    * collisions (another writer won the rename); data files are already in
+    * place, so losing a race costs one rename, never a rewrite. */
+  private def commit(spark: SparkSession, dir: String,
+      build: Long => Snapshot, maxAttempts: Int = 20): Snapshot = {
+    val (filesystem, root) = fs(spark, dir)
+    filesystem.mkdirs(new HPath(root, LogDir))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = versions(spark, dir).lastOption.getOrElse(0L) + 1
+      val snap = build(next)
+      val tmp = new HPath(new HPath(root, LogDir), s".v$next.${nonce()}.tmp")
+      val o = filesystem.create(tmp, false)
+      try o.write(Serialization.writePretty(snap).getBytes("UTF-8")) finally o.close()
+      val dest = manifestPath(root, next)
+      if (!filesystem.exists(dest) && filesystem.rename(tmp, dest)) return snap
+      filesystem.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not commit to $dir after $maxAttempts attempts")
+  }
+
+  /** Create version 1 (or overwrite semantics if the table exists). */
+  def create(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
+    overwrite(spark, dir, df)
+
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
+    val added = writeDataFiles(spark, dir, df)
+    commit(spark, dir, v => Snapshot(v, v - 1,
+      if (v == 1) "create" else "overwrite",
+      df.schema.toDDL, added, added.map(_.path)))
+  }
+
+  /** Append `df`, evolving the schema by union-of-columns. A column that
+    * exists in both with different types refuses the commit — silent
+    * coercion is how a validation engine lies to itself. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
+    appendWith(spark, dir, df, tag = None)
+
+  private def appendWith(spark: SparkSession, dir: String, df: DataFrame,
+      tag: Option[String]): Snapshot = {
+    val prev = snapshot(spark, dir)
+    val prevSchema = StructType.fromDDL(prev.schemaDdl)
+    val byName = prevSchema.fields.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      byName.get(f.name).foreach { old =>
+        require(old.dataType == f.dataType,
+          s"append schema conflict on '${f.name}': table has ${old.dataType.sql}, append has ${f.dataType.sql}")
+      }
+    }
+    val evolved = StructType(prevSchema.fields ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+    val added = writeDataFiles(spark, dir, df)
+    commit(spark, dir, v => Snapshot(v, v - 1, "append",
+      evolved.toDDL, prev.files ++ added, added.map(_.path), batchTag = tag))
+  }
+
+  /** Idempotent tagged append — the EXACTLY-ONCE sink contract for
+    * at-least-once batch sources (Structured Streaming's foreachBatch):
+    * every attempt for the same `tag` (e.g. "batch-0000000042") after the
+    * first commit is a no-op returning None, so a replayed micro-batch can
+    * never double-append. First batch of a new table creates it. The tag
+    * scan reads retained manifests only — [[expire]] retention must
+    * therefore exceed the source's replay horizon (a tag whose manifest
+    * was expired looks new again), the same contract Delta's
+    * txnAppId/txnVersion sinks carry. Single writer per tag (a streaming
+    * query replays sequentially); concurrent DISTINCT tags are safe via
+    * the commit retry. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame, tag: String): Option[Snapshot] = {
+    require(tag.nonEmpty, "batch tag must be non-empty")
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) {
+      val added = writeDataFiles(spark, dir, df)
+      Some(commit(spark, dir, v => Snapshot(v, v - 1,
+        if (v == 1) "create" else "append", df.schema.toDDL, added, added.map(_.path),
+        batchTag = Some(tag))))
+    } else if (vs.exists(v => snapshot(spark, dir, Some(v)).batchTag.contains(tag))) None
+    else Some(appendWith(spark, dir, df, tag = Some(tag)))
+  }
+
+  /** Make `toVersion`'s file list current again as a NEW version — history
+    * only ever grows; nothing is deleted until [[expire]]. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot = {
+    val target = snapshot(spark, dir, Some(toVersion))
+    commit(spark, dir, v => Snapshot(v, v - 1, "restore",
+      target.schemaDdl, target.files, Seq.empty))
+  }
+
+  // -------------------------------------------------------------------- reads
+
+  private def readFiles(spark: SparkSession, dir: String, schemaDdl: String,
+      files: Seq[DataFile]): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** Read a committed version (default: current). The manifest schema is
+    * applied, so files written before a column existed read as NULL. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    readFiles(spark, dir, snap.schemaDdl, snap.files)
+  }
+
+  /** Rows added by commits in (fromExclusive, toInclusive] — the incremental
+    * validation input: a checkpoint that recorded version N revalidates
+    * exactly `changes(N, current)`. Overwrite/restore commits in the range
+    * refuse (their delta is not expressible as added rows). */
+  def changes(spark: SparkSession, dir: String, fromExclusive: Long,
+      toInclusive: Option[Long] = None): DataFrame = {
+    val to = toInclusive.getOrElse(currentVersion(spark, dir))
+    val snaps = ((fromExclusive + 1) to to).map(v => snapshot(spark, dir, Some(v)))
+    snaps.foreach(s => require(s.operation == "append" || s.operation == "create",
+      s"changes($fromExclusive,$to] crosses a '${s.operation}' commit at v${s.version}; " +
+        "its delta is not expressible as added rows — read that version directly instead"))
+    val latestSchema = snaps.lastOption.map(_.schemaDdl).getOrElse(snapshot(spark, dir).schemaDdl)
+    val byPath = snaps.flatMap(s => s.files.map(f => f.path -> f)).toMap
+    val addedPaths = snaps.flatMap(_.addedFiles)
+    readFiles(spark, dir, latestSchema, addedPaths.flatMap(byPath.get))
+  }
+
+  // ------------------------------------------------------------------ pruning
+
+  /** Split a version's files into (mustRead, provablyOutside) for the bound
+    * `lower <= col <= upper` (either side optional). A file survives unless
+    * its footer PROVES every row fails — missing stats, unknown columns,
+    * all-null chunks all conservatively read. */
+  def planPrune(spark: SparkSession, dir: String, column: String,
+      lower: Option[String], upper: Option[String],
+      asOf: Option[Long] = None): (Seq[DataFile], Seq[DataFile]) = {
+    val snap = snapshot(spark, dir, asOf)
+    snap.files.partition { f =>
+      f.stats.get(column) match {
+        case Some(st) if st.hasMinMax =>
+          val belowOk = lower.forall(lo => cmp(st.kind, st.max, lo) >= 0)
+          val aboveOk = upper.forall(hi => cmp(st.kind, st.min, hi) <= 0)
+          // a file of only nulls for this column has hasMinMax=false and
+          // stays readable; NULL rows inside a bounded file are handled by
+          // the residual filter, which NULL never passes
+          belowOk && aboveOk
+        case _ => true
+      }
+    }
+  }
+
+  /** Manifest-pruned range read: whole files outside [lower, upper] never
+    * reach Spark's scan planner; the residual filter still applies, so the
+    * result is EXACTLY `read(...).filter(bound)` — pruning is a cost
+    * optimization with a correctness proof, not a semantics change. */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+      lower: Option[String], upper: Option[String],
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, dir, asOf)
+    val (keep, _) = planPrune(spark, dir, column, lower, upper, asOf)
+    val kind = snap.files.flatMap(_.stats.get(column)).headOption.map(_.kind).getOrElse("string")
+    def lit(v: String): org.apache.spark.sql.Column = kind match {
+      case "long"   => org.apache.spark.sql.functions.lit(v.toLong)
+      case "double" => org.apache.spark.sql.functions.lit(v.toDouble)
+      case _        => org.apache.spark.sql.functions.lit(v)
+    }
+    val base = readFiles(spark, dir, snap.schemaDdl, keep)
+    val bounded = (lower, upper) match {
+      case (Some(lo), Some(hi)) => base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      case (Some(lo), None)     => base.filter(col(column) >= lit(lo))
+      case (None, Some(hi))     => base.filter(col(column) <= lit(hi))
+      case (None, None)         => base
+    }
+    bounded
+  }
+
+  // ---------------------------------------------------------------- lifecycle
+
+  /** Garbage-collect history: keep the last `keepLast` versions, delete
+    * older manifests and every data file no retained version references
+    * (including orphans from abandoned writers). Single-maintainer
+    * discipline, like `Dedup.compactSignatureIndex` — do not run
+    * concurrently with a writer racing commits. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val (filesystem, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(vs.length - keepLast, 0))
+    val referenced = keep.flatMap(v => snapshot(spark, dir, Some(v)).files.map(_.path)).toSet
+    var manifestsDeleted = 0
+    drop.foreach { v =>
+      if (filesystem.delete(manifestPath(root, v), false)) manifestsDeleted += 1
+    }
+    val data = new HPath(root, DataDir)
+    var filesDeleted = 0
+    if (filesystem.exists(data)) filesystem.listStatus(data).foreach { st =>
+      if (!referenced.contains(s"$DataDir/${st.getPath.getName}")) {
+        if (filesystem.delete(st.getPath, false)) filesDeleted += 1
+      }
+    }
+    (manifestsDeleted, filesDeleted)
+  }
+}

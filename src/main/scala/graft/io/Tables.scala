@@ -17,13 +17,15 @@ object Tables extends TableProvider {
 
   /** `source` forms: `/path/x.parquet`, `/path/x.csv`, `/path/x.json`,
     * `/path/x.orc`, `parquet:/path`, `csv:/path`, `json:/path`,
-    * `orc:/path`, `table:name`,
+    * `orc:/path`, `table:name`, `snap:/path` (transaction-log table,
+    * optionally `snap:/path@v7` for time travel),
     * `catalog.schema.table` (dotted, no slash — Unity-style three-part
     * names, reference `databricks_engine.py:150-215`; `spark.table`
     * resolves them against whatever catalog plugin the session carries),
     * bare `name` (catalog/temp view). A dotted relative FILE path needs an
     * explicit `parquet:`/`csv:`/`json:`/`orc:` prefix to disambiguate. */
   override def load(spark: SparkSession, source: String): DataFrame = source match {
+    case s if s.startsWith("snap:")    => snap(spark, s.stripPrefix("snap:"))
     case s if s.startsWith("parquet:") => spark.read.parquet(s.stripPrefix("parquet:"))
     case s if s.startsWith("csv:")     => csv(spark, s.stripPrefix("csv:"))
     case s if s.startsWith("json:")    => spark.read.json(s.stripPrefix("json:"))
@@ -40,6 +42,15 @@ object Tables extends TableProvider {
     case s if !s.contains("/") && s.count(_ == '.') >= 2 => spark.table(s)
     case s if s.contains("/")          => spark.read.parquet(s) // directory table
     case name                          => spark.table(name)
+  }
+
+  /** `snap:/path` reads the current version of a [[SnapTable]];
+    * `snap:/path@v7` time-travels to version 7. */
+  private def snap(spark: SparkSession, spec: String): DataFrame = {
+    val at = spec.lastIndexOf("@v")
+    if (at > 0 && spec.drop(at + 2).forall(_.isDigit) && spec.length > at + 2)
+      SnapTable.read(spark, spec.take(at), Some(spec.drop(at + 2).toLong))
+    else SnapTable.read(spark, spec)
   }
 
   private def csv(spark: SparkSession, path: String): DataFrame =

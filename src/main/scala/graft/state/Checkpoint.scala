@@ -88,6 +88,21 @@ class Checkpoint(path: String) {
     save()
   }
 
+  /** Record the table snapshot a run validated up to (without touching
+    * partition lineage) — the cursor the incremental tier resumes from:
+    * a later run validates only `SnapTable.changes(recorded, current)`. */
+  def recordSnapshot(table: String, snapshotId: String): Unit = synchronized {
+    val prev = tables.getOrElse(table, TableState("pending"))
+    tables += table -> prev.copy(snapshotId = snapshotId)
+    save()
+  }
+
+  /** The snap-table version recorded for `table`, if one was ("snap-v<N>"). */
+  def recordedSnapVersion(table: String): Option[Long] =
+    tables.get(table).map(_.snapshotId)
+      .filter(s => s.startsWith("snap-v") && s.drop(6).nonEmpty && s.drop(6).forall(_.isDigit))
+      .map(_.drop(6).toLong)
+
   def completedTables: Set[String] = tables.filter(_._2.status == "completed").keySet
   def tableState(table: String): Option[TableState] = tables.get(table)
 

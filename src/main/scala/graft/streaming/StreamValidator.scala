@@ -22,7 +22,11 @@ object StreamValidator {
   /** Wire a streaming DataFrame through per-batch validation.
     *
     * @param input          streaming DataFrame (`spark.readStream...`)
-    * @param validatedSink  path for clean (filter-passing) rows; None = skip
+    * @param validatedSink  path for clean (filter-passing) rows; None = skip.
+    *                       A `snap:DIR` value appends to a [[graft.io.SnapTable]]
+    *                       with the batch id as idempotence tag — EXACTLY-ONCE
+    *                       under foreachBatch replays, and the validated table
+    *                       becomes time-travelable/incrementally readable
     * @param checkpointDir  Structured Streaming checkpoint location
     * @param triggerMs      processing-time trigger (reference default 60 s)
     * @param onResult       callback per micro-batch (metrics/alerting hook)
@@ -87,8 +91,14 @@ object StreamValidator {
             graft.Json.writeProfile(tableName, s"batch-$batchId", res))
         }
         validatedSink.foreach { sink =>
-          RulePlanner.applyFilters(batch, rules)
-            .write.mode("append").parquet(sink)
+          val clean = RulePlanner.applyFilters(batch, rules)
+          // snap: sinks get EXACTLY-ONCE delivery — the batch-tagged commit
+          // makes a foreachBatch replay a no-op (plain parquet append stays
+          // at-least-once: Spark's own documented foreachBatch contract)
+          if (sink.startsWith("snap:"))
+            graft.io.SnapTable.appendBatch(spark, sink.stripPrefix("snap:"),
+              clean, f"batch-$batchId%012d")
+          else clean.write.mode("append").parquet(sink)
         }
         ()
       }

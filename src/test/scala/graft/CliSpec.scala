@@ -497,4 +497,49 @@ class CliSpec extends SparkSpec {
     v.executeRules(slice1.union(slice2), rules, "t")
       .results.filterNot(_.passed) shouldBe empty
   }
+
+  test("--incremental on a snap: source validates only newly committed rows, skips when current") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cli-incr").toString
+    val tbl = s"$dir/events_snap"
+    val ckpt = s"$dir/state.json"
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"), when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("v"))
+    graft.io.SnapTable.create(spark, tbl, rows(0, 500))
+
+    val config = graft.config.ConfigLoader.fromYamlString(
+      s"""tables:
+         |  - name: ev
+         |    rules:
+         |      - { name: v_complete, rule_type: completeness, column: v, threshold: 0.5 }
+         |state_file: $ckpt
+         |""".stripMargin, env = Map.empty)
+    val checkpoint = Some(new graft.state.Checkpoint(ckpt))
+    val validator = new graft.engine.Validator(spark, config, checkpoint = checkpoint)
+
+    // first sight: full read, cursor recorded at v1
+    val first = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
+    first.get.results.head.total_count shouldBe 500L
+    checkpoint.get.recordedSnapVersion("ev") shouldBe Some(1L)
+
+    // nothing new: zero work, summary absent (even though table is completed)
+    graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl) shouldBe None
+
+    // growth: exactly the appended rows are revalidated; cursor advances
+    graft.io.SnapTable.append(spark, tbl, rows(500, 800))
+    val delta = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
+    delta.get.results.head.total_count shouldBe 300L
+    checkpoint.get.recordedSnapVersion("ev") shouldBe Some(2L)
+
+    // an overwrite in the range degrades to a full read of the new truth
+    graft.io.SnapTable.overwrite(spark, tbl, rows(0, 100))
+    val after = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
+    after.get.results.head.total_count shouldBe 100L
+    checkpoint.get.recordedSnapVersion("ev") shouldBe Some(3L)
+
+    // the flag parses bare (no value operand)
+    val opts = graft.Cli.parseArgs(List("--config", "c.yaml", "--incremental", "--output", "r.json"))
+    opts("incremental") shouldBe "true"
+    opts("output") shouldBe "r.json"
+  }
 }

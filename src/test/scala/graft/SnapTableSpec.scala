@@ -1,0 +1,232 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.{SnapTable, Tables}
+
+/** Transaction-log table format: atomic versioned commits, footer-stat
+  * manifests, time travel, incremental changes, manifest-level pruning,
+  * schema evolution, expiry. Every property is checked against the
+  * equivalent full-scan answer — the manifest is an index, never a second
+  * source of truth. */
+class SnapTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"snaptbl-$tag").toString
+
+  private def rows(lo: Int, hi: Int): DataFrame =
+    spark.range(lo, hi).select(
+      col("id"),
+      (col("id") * 3 % 100).as("score"),
+      concat(lit("user-"), format_string("%04d", col("id"))).as("name"))
+
+  test("create + read round-trips rows and schema") {
+    val dir = freshDir("create")
+    val snap = SnapTable.create(spark, dir, rows(0, 1000))
+    snap.version shouldBe 1L
+    snap.operation shouldBe "create"
+    val back = SnapTable.read(spark, dir)
+    back.schema.fieldNames.toSeq shouldBe Seq("id", "score", "name")
+    back.count() shouldBe 1000L
+    back.agg(sum("id")).as[Long].head() shouldBe (0L until 1000L).sum
+  }
+
+  test("append grows the current version; time travel reads history unchanged") {
+    val dir = freshDir("append")
+    SnapTable.create(spark, dir, rows(0, 500))
+    val v2 = SnapTable.append(spark, dir, rows(500, 800))
+    v2.version shouldBe 2L
+    v2.totalRows shouldBe 800L
+    SnapTable.read(spark, dir).count() shouldBe 800L
+    SnapTable.read(spark, dir, asOf = Some(1L)).count() shouldBe 500L
+    // a third append must not disturb either older version
+    SnapTable.append(spark, dir, rows(800, 1000))
+    SnapTable.read(spark, dir, asOf = Some(1L)).count() shouldBe 500L
+    SnapTable.read(spark, dir, asOf = Some(2L)).count() shouldBe 800L
+    SnapTable.read(spark, dir).count() shouldBe 1000L
+  }
+
+  test("changes(from, to] returns exactly the appended rows") {
+    val dir = freshDir("changes")
+    SnapTable.create(spark, dir, rows(0, 500))
+    SnapTable.append(spark, dir, rows(500, 800))
+    SnapTable.append(spark, dir, rows(800, 1000))
+    val delta = SnapTable.changes(spark, dir, fromExclusive = 1L)
+    delta.count() shouldBe 500L
+    delta.agg(min("id"), max("id")).as[(Long, Long)].head() shouldBe ((500L, 999L))
+    val mid = SnapTable.changes(spark, dir, fromExclusive = 1L, toInclusive = Some(2L))
+    mid.agg(min("id"), max("id")).as[(Long, Long)].head() shouldBe ((500L, 799L))
+    // empty range is an empty frame with the table schema
+    val none = SnapTable.changes(spark, dir, fromExclusive = 3L)
+    none.count() shouldBe 0L
+    none.schema.fieldNames should contain("score")
+  }
+
+  test("changes across an overwrite refuses — its delta is not added rows") {
+    val dir = freshDir("chg-ovr")
+    SnapTable.create(spark, dir, rows(0, 100))
+    SnapTable.overwrite(spark, dir, rows(0, 50))
+    val e = intercept[IllegalArgumentException] {
+      SnapTable.changes(spark, dir, fromExclusive = 1L)
+    }
+    e.getMessage should include("overwrite")
+  }
+
+  test("overwrite replaces content; restore makes an old version current as NEW history") {
+    val dir = freshDir("restore")
+    SnapTable.create(spark, dir, rows(0, 300))
+    SnapTable.overwrite(spark, dir, rows(1000, 1100))
+    SnapTable.read(spark, dir).count() shouldBe 100L
+    val r = SnapTable.restore(spark, dir, toVersion = 1L)
+    r.version shouldBe 3L
+    SnapTable.read(spark, dir).count() shouldBe 300L
+    // restore copied references; the overwritten version is still readable
+    SnapTable.read(spark, dir, asOf = Some(2L)).count() shouldBe 100L
+  }
+
+  test("commit survives a version-number collision by retrying at the next number") {
+    val dir = freshDir("race")
+    SnapTable.create(spark, dir, rows(0, 10))
+    // simulate a racing writer that already claimed v2
+    val log = new java.io.File(dir, "_log")
+    val stolen = new java.io.File(log, "v00000002.json")
+    val v1 = new java.io.File(log, "v00000001.json")
+    Files.copy(v1.toPath, stolen.toPath)
+    val snap = SnapTable.append(spark, dir, rows(10, 20))
+    snap.version shouldBe 3L
+    SnapTable.read(spark, dir).count() shouldBe 20L
+  }
+
+  test("schema evolution: new columns read as NULL for old files; type conflict refuses") {
+    val dir = freshDir("evolve")
+    SnapTable.create(spark, dir, rows(0, 100))
+    val extra = rows(100, 200).withColumn("lang", lit("en"))
+    SnapTable.append(spark, dir, extra)
+    val cur = SnapTable.read(spark, dir)
+    cur.schema.fieldNames should contain("lang")
+    cur.filter(col("lang").isNull).count() shouldBe 100L
+    cur.filter(col("lang") === "en").count() shouldBe 100L
+    val bad = rows(200, 210).withColumn("score", lit("not-a-number"))
+      .select("id", "score", "name")
+    val e = intercept[IllegalArgumentException] { SnapTable.append(spark, dir, bad) }
+    e.getMessage should include("schema conflict")
+  }
+
+  test("footer stats carry exact min/max/nullCount per file") {
+    val dir = freshDir("stats")
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id").cast("double") / 7.0).as("ratio"),
+      concat(lit("k"), format_string("%05d", col("id"))).as("key"))
+      .coalesce(1)
+    val snap = SnapTable.create(spark, dir, df)
+    snap.files should have size 1
+    val st = snap.files.head.stats
+    st("id").kind shouldBe "long"
+    st("id").min shouldBe "0"
+    st("id").max shouldBe "999"
+    st("ratio").kind shouldBe "double"
+    st("ratio").nullCount shouldBe 100L
+    st("ratio").max.toDouble shouldBe (999.0 / 7.0) +- 1e-9
+    st("key").kind shouldBe "string"
+    st("key").min shouldBe "k00000"
+    st("key").max shouldBe "k00999"
+  }
+
+  test("manifest pruning: readWhere ≡ read+filter, and files are actually skipped") {
+    val dir = freshDir("prune")
+    // each append is one tight id-range file → disjoint footer bounds
+    SnapTable.create(spark, dir, rows(0, 250).coalesce(1))
+    SnapTable.append(spark, dir, rows(250, 500).coalesce(1))
+    SnapTable.append(spark, dir, rows(500, 750).coalesce(1))
+    SnapTable.append(spark, dir, rows(750, 1000).coalesce(1))
+    val (keep, pruned) = SnapTable.planPrune(spark, dir, "id", Some("300"), Some("520"))
+    keep should have size 2
+    pruned should have size 2
+    val fast = SnapTable.readWhere(spark, dir, "id", Some("300"), Some("520"))
+    val slow = SnapTable.read(spark, dir).filter(col("id") >= 300 && col("id") <= 520)
+    fast.count() shouldBe slow.count()
+    fast.agg(sum("id")).as[Long].head() shouldBe slow.agg(sum("id")).as[Long].head()
+    // string-domain pruning agrees with Spark's UTF8 binary order too
+    val (k2, p2) = SnapTable.planPrune(spark, dir, "name", Some("user-0600"), None)
+    (k2.size + p2.size) shouldBe 4
+    p2.size should be >= 2
+    val fs = SnapTable.readWhere(spark, dir, "name", Some("user-0600"), None)
+    fs.count() shouldBe SnapTable.read(spark, dir).filter(col("name") >= "user-0600").count()
+  }
+
+  test("pruning never drops a file it cannot bound (missing column, all-null chunk)") {
+    val dir = freshDir("prune-safe")
+    SnapTable.create(spark, dir, rows(0, 100).coalesce(1))
+    // second file has no 'extra' values at all → evolution: col missing in file
+    SnapTable.append(spark, dir,
+      rows(100, 200).withColumn("extra", col("id") * 2).coalesce(1))
+    val (keep, pruned) = SnapTable.planPrune(spark, dir, "extra", Some("1000"), None)
+    // file 2 bounds extra ∈ [200, 398] → provably out; file 1 has no stat → must read
+    pruned should have size 1
+    keep should have size 1
+    val got = SnapTable.readWhere(spark, dir, "extra", Some("250"), None)
+    got.count() shouldBe SnapTable.read(spark, dir).filter(col("extra") >= 250).count()
+  }
+
+  test("expire keeps the last K versions, deletes unreferenced data files, keeps current readable") {
+    val dir = freshDir("expire")
+    SnapTable.create(spark, dir, rows(0, 100).coalesce(1))
+    SnapTable.overwrite(spark, dir, rows(100, 300).coalesce(1)) // v1's file now unreferenced by v2+
+    SnapTable.append(spark, dir, rows(300, 400).coalesce(1))
+    val (manifests, dataFiles) = SnapTable.expire(spark, dir, keepLast = 2)
+    manifests shouldBe 1
+    dataFiles shouldBe 1 // v1's orphaned file
+    SnapTable.versions(spark, dir) shouldBe Seq(2L, 3L)
+    SnapTable.read(spark, dir).count() shouldBe 300L
+    SnapTable.read(spark, dir, asOf = Some(2L)).count() shouldBe 200L
+    val e = intercept[IllegalArgumentException] { SnapTable.read(spark, dir, asOf = Some(1L)) }
+    e.getMessage should include("expired or never committed")
+  }
+
+  test("Tables.load dispatches snap: and snap:@vN") {
+    val dir = freshDir("dispatch")
+    SnapTable.create(spark, dir, rows(0, 50))
+    SnapTable.append(spark, dir, rows(50, 80))
+    Tables.load(spark, s"snap:$dir").count() shouldBe 80L
+    Tables.load(spark, s"snap:$dir@v1").count() shouldBe 50L
+  }
+
+  test("appendBatch: tagged appends are exactly-once — a replayed tag is a no-op") {
+    val dir = freshDir("batch")
+    // first batch creates the table
+    SnapTable.appendBatch(spark, dir, rows(0, 100), "batch-000000000000").get.operation shouldBe "create"
+    // replay of batch 0: no-op, no new version, no duplicate rows
+    SnapTable.appendBatch(spark, dir, rows(0, 100), "batch-000000000000") shouldBe None
+    SnapTable.currentVersion(spark, dir) shouldBe 1L
+    SnapTable.read(spark, dir).count() shouldBe 100L
+    // next batch appends; its replay is also a no-op
+    SnapTable.appendBatch(spark, dir, rows(100, 250), "batch-000000000001").get.version shouldBe 2L
+    SnapTable.appendBatch(spark, dir, rows(100, 250), "batch-000000000001") shouldBe None
+    SnapTable.read(spark, dir).count() shouldBe 250L
+    // an untagged manifest (manual append) never collides with a tag
+    SnapTable.append(spark, dir, rows(250, 300))
+    SnapTable.appendBatch(spark, dir, rows(300, 310), "batch-000000000002").get.version shouldBe 4L
+    SnapTable.read(spark, dir).count() shouldBe 310L
+  }
+
+  test("checkpoint + changes = incremental validation: only new rows revalidated") {
+    val dir = freshDir("incr")
+    val ckptPath = Files.createTempDirectory("snap-ckpt").resolve("state.json").toString
+    SnapTable.create(spark, dir, rows(0, 600))
+    // first run validates everything and records the snapshot version
+    val ckpt = new graft.state.Checkpoint(ckptPath)
+    val v1 = SnapTable.currentVersion(spark, dir)
+    ckpt.markPartition("t", "all", s"snap-v$v1", SnapTable.read(spark, dir).count())
+    // table grows; a resumed run reads only the delta
+    SnapTable.append(spark, dir, rows(600, 1000))
+    val recorded = ckpt.tableState("t").get.snapshotId.stripPrefix("snap-v").toLong
+    val delta = SnapTable.changes(spark, dir, fromExclusive = recorded)
+    delta.count() shouldBe 400L
+    delta.agg(min("id")).as[Long].head() shouldBe 600L
+  }
+}

@@ -868,6 +868,26 @@ object SparkEntry {
         SELECT bucket, cnt_a, cnt_b, CAST(cum_a AS DOUBLE) / ta AS cdf_a, CAST(cum_b AS DOUBLE) / tb AS cdf_b
         FROM c, tot ORDER BY bucket""")),
 
+    // ---- earth-mover's drift (emd): per-bucket CDF gap × persistence —
+    // emdStat ≡ Σ gap·span / (max−min), tied to this table in ChecksSpec --
+    Q("q_emd_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Checks.emdGapTable(
+          Checks.numericHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 0), col("value"), 0.0, 500.0, 50),
+          Checks.numericHistogram(ev.filter(pmod(col("user_id"), lit(2)) === 1), col("value"), 0.0, 500.0, 50))
+          .orderBy("bucket")
+      },
+      Some("""WITH ha AS (SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        c AS (SELECT bucket, cnt_a, cnt_b, SUM(cnt_a) OVER (ORDER BY bucket) AS cum_a, SUM(cnt_b) OVER (ORDER BY bucket) AS cum_b, lead(bucket) OVER (ORDER BY bucket) AS nxt FROM j),
+        tot AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta, CAST(SUM(cnt_b) AS DOUBLE) AS tb FROM j)
+        SELECT CAST(bucket AS BIGINT) AS bucket, cnt_a, cnt_b,
+          ABS(CAST(cum_a AS DOUBLE) / ta - CAST(cum_b AS DOUBLE) / tb) AS gap,
+          CAST(COALESCE(nxt - bucket, 0) AS BIGINT) AS span
+        FROM c, tot ORDER BY bucket""")),
+
     // ---- sessionization (window + lag) -----------------------------------
     Q("q_sessions_events",
       (s, d) => {

@@ -739,6 +739,44 @@ object Checks {
     d
   }
 
+  /** Earth mover's (1-Wasserstein) distance over the SAME integer-bucket
+    * face as [[ksStat]], normalized by the observed bucket span → [0, 1]:
+    * the AVERAGE CDF gap across the span, where ks is the WORST single
+    * gap. The difference is DISTANCE WEIGHTING — emd is the work to
+    * transport mass: the same 10% of rows moved one bucket over vs. across
+    * the whole range reads identically in ks (both gap 0.1 somewhere) but
+    * 49× apart in emd. So emd discounts local wobble (a pinched quantile
+    * barely registers) and fires on genuine long-range displacement (mean
+    * shift, tail migration). Size-invariant like ks; empty interior
+    * buckets count in the span (a gap persisting across them keeps
+    * paying — the mass still has to travel). */
+  def emdStat(a: Map[String, Long], b: Map[String, Long]): Double = {
+    def numeric(m: Map[String, Long]): Map[Int, Long] =
+      m.flatMap { case (k, v) => k.toIntOption.map(_ -> v) }
+    val na = numeric(a)
+    val nb = numeric(b)
+    val totA = na.values.sum.toDouble
+    val totB = nb.values.sum.toDouble
+    if (totA == 0 && a.values.sum > 0)
+      throw new IllegalArgumentException(
+        "emd drift: baseline histogram has rows but no numeric buckets — is the column numeric?")
+    if (totB == 0 && b.values.sum > 0)
+      throw new IllegalArgumentException(
+        "emd drift: current histogram has rows but no numeric buckets — is the column numeric?")
+    if (totA == 0 || totB == 0) return 0.0
+    val buckets = na.keySet ++ nb.keySet
+    val lo = buckets.min
+    val hi = buckets.max
+    if (lo == hi) return 0.0
+    var cumA = 0L; var cumB = 0L; var s = 0.0
+    (lo until hi).foreach { k =>
+      cumA += na.getOrElse(k, 0L)
+      cumB += nb.getOrElse(k, 0L)
+      s += math.abs(cumA / totA - cumB / totB)
+    }
+    s / (hi - lo)
+  }
+
   /** Cramér's V from the two-histogram contingency: √(χ²/grand) for a
     * 2×k table (min(r−1, c−1) = 1). An effect size in [0,1] like TVD, but
     * it DILUTES when one sample dwarfs the other (χ² saturates at the
@@ -1035,6 +1073,37 @@ object Checks {
         StructField("cnt_b", LongType, nullable = false),
         StructField("cdf_a", DoubleType, nullable = false),
         StructField("cdf_b", DoubleType, nullable = false))))
+  }
+
+  /** Oracle-checkable face of [[emdStat]]: per observed bucket, the CDF
+    * gap after that bucket and the number of unit steps it persists
+    * (distance to the next observed bucket; 0 for the last, where both
+    * CDFs are 1). `emdStat ≡ Σ gap·span / (max−min)` — tied together in
+    * ChecksSpec; the table itself is what a SQL oracle re-derives
+    * bit-for-bit (integer cumsums divided by totals, LEAD for the span).
+    * Buckets must be integral — emd needs a metric on the bucket axis. */
+  def emdGapTable(histA: DataFrame, histB: DataFrame): DataFrame = {
+    val spark = histA.sparkSession
+    val cdf = ksCdfTable(histA, histB).collect()
+    def long(v: Any): Long = v match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long    => l
+      case other => throw new IllegalArgumentException(
+        s"emd buckets must be integral, got ${String.valueOf(other)}")
+    }
+    val out = cdf.zipWithIndex.map { case (r, i) =>
+      val span = if (i == cdf.length - 1) 0L else long(cdf(i + 1).get(0)) - long(r.get(0))
+      org.apache.spark.sql.Row(long(r.get(0)), r.getLong(1), r.getLong(2),
+        math.abs(r.getDouble(3) - r.getDouble(4)), span)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("bucket", LongType, nullable = false),
+        StructField("cnt_a", LongType, nullable = false),
+        StructField("cnt_b", LongType, nullable = false),
+        StructField("gap", DoubleType, nullable = false),
+        StructField("span", LongType, nullable = false))))
   }
 
   // --------------------------------------------------------- schema drift

@@ -1042,7 +1042,7 @@ class Validator(
   private def driftBucket(schema: org.apache.spark.sql.types.StructType,
       rule: ValidationRule): org.apache.spark.sql.Column =
     rule.param("method").getOrElse("chi_square") match {
-      case "ks" =>
+      case "ks" | "emd" =>
         Checks.numericBucket(col(rule.column).cast("double"),
           rule.paramDouble("lo").getOrElse(0.0),
           rule.paramDouble("hi").getOrElse(1000.0),
@@ -1131,7 +1131,7 @@ class Validator(
             case (None, Some(path)) =>
               val st = Profiler.readState(path)
               group.map { r =>
-                if (r.param("method").getOrElse("chi_square") == "ks") {
+                if (Set("ks", "emd")(r.param("method").getOrElse("chi_square"))) {
                   // numeric incremental drift: the baseline CDF comes from
                   // the state's mergeable KLL quantile sketch, binned to
                   // the SAME bucket grid the current scan uses — drift vs
@@ -1145,7 +1145,7 @@ class Validator(
                   val crit = r.paramDouble("critical").getOrElse(
                     throw new IllegalArgumentException(
                       s"drift rule '${r.name}' needs critical"))
-                  require(crit > 2 * err, f"drift rule '${r.name}': ks critical " +
+                  require(crit > 2 * err, f"drift rule '${r.name}': cdf-drift critical " +
                     f"$crit%s is within the persisted sketch's rank error " +
                     f"(±$err%.4f) — raise critical above ${2 * err}%.4f or use ref_table")
                   r.name -> Profiler.columnCdfHistogram(st, r.column,
@@ -1227,6 +1227,13 @@ class Validator(
               case "js" =>
                 (Checks.jensenShannon(ha, hb), Map.empty[String, String])
               case "ks"  => (Checks.ksStat(ha, hb), Map.empty[String, String])
+              // earth mover's: the INTEGRAL of the CDF gap where ks is its
+              // MAXIMUM — transport-distance-weighted, so the same mass
+              // moved across the range outweighs the same mass wobbling
+              // one bucket over (identical in ks); normalized by the
+              // observed span → critical in [0,1]. Same numeric-bucket
+              // face and ref_state KLL path as ks.
+              case "emd" => (Checks.emdStat(ha, hb), Map.empty[String, String])
               case other => throw new IllegalArgumentException(s"unknown drift method: $other")
             }
             val (stat, detail) = statOf(curHists.getOrElse(rule.name, Map.empty))

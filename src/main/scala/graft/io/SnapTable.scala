@@ -257,6 +257,19 @@ object SnapTable {
     throw new IllegalStateException(s"could not commit to $dir after $maxAttempts attempts")
   }
 
+  /** Range-cluster `df` on `column` so each written file covers a TIGHT,
+    * near-disjoint slice of the column's domain — the layout that makes
+    * [[readWhere]]'s footer pruning actually fire (an unclustered write
+    * gives every file min≈global-min / max≈global-max, and pruning can
+    * never drop anything). The 1-D analogue of Delta's OPTIMIZE ZORDER:
+    * `repartitionByRange` samples split points, `sortWithinPartitions`
+    * tightens row-group stats inside each file. */
+  def clustered(df: DataFrame, column: String, files: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(files > 0, s"bad file count $files")
+    df.repartitionByRange(files, col(column)).sortWithinPartitions(column)
+  }
+
   /** Create version 1 (or overwrite semantics if the table exists). */
   def create(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
     overwrite(spark, dir, df)

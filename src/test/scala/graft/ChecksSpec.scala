@@ -65,6 +65,47 @@ class ChecksSpec extends SparkSpec {
     stat.isNaN shouldBe false
   }
 
+  test("EMD statistic: hand computation, bounds, shift-vs-pinch contrast with KS") {
+    // A: 0→50, 1→50 (cdf .5, 1); B: 0→10, 1→90 (cdf .1, 1)
+    // span 0→1: one step, gap |.5−.1| = .4 → emd = .4/1
+    Checks.emdStat(Map("0" -> 50L, "1" -> 50L), Map("0" -> 10L, "1" -> 90L)) shouldBe 0.4 +- 1e-12
+    // identical → 0; fully displaced across the span → 1
+    Checks.emdStat(Map("0" -> 10L, "3" -> 5L), Map("0" -> 10L, "3" -> 5L)) shouldBe 0.0
+    Checks.emdStat(Map("0" -> 10L), Map("10" -> 10L)) shouldBe 1.0 +- 1e-12
+    // empty interior buckets keep paying: 10/11 of the mass transported
+    // 2 of 5 steps (shared endpoint at 5) → (10/11)·(2/5) = 4/11
+    Checks.emdStat(Map("0" -> 10L, "5" -> 1L), Map("2" -> 10L, "5" -> 1L)) shouldBe (4.0 / 11) +- 1e-12
+    // distance weighting — ks cannot tell near from far transport, emd can:
+    // 10% of mass moved one bucket vs across the whole range (endpoints
+    // shared so both pairs span 49 steps)
+    val a = Map("0" -> 99L, "49" -> 1L)
+    val near = Map("0" -> 89L, "1" -> 10L, "49" -> 1L)
+    val far = Map("0" -> 89L, "49" -> 11L)
+    Checks.ksStat(a, near) shouldBe 0.1 +- 1e-12
+    Checks.ksStat(a, far) shouldBe 0.1 +- 1e-12 // identical in ks
+    Checks.emdStat(a, near) shouldBe (0.1 / 49) +- 1e-12 // one step of 49
+    Checks.emdStat(a, far) shouldBe 0.1 +- 1e-12 // full-haul transport
+    Checks.emdStat(a, far) / Checks.emdStat(a, near) shouldBe 49.0 +- 1e-9
+    // misconfiguration (non-numeric buckets) raises, never silently passes
+    val e = intercept[IllegalArgumentException] {
+      Checks.emdStat(Map("cat" -> 5L), Map("0" -> 5L))
+    }
+    e.getMessage should include("numeric")
+  }
+
+  test("emdGapTable ties to emdStat: Σ gap·span / (max−min)") {
+    val a = Seq((0, 30L), (3, 10L), (9, 60L)).toDF("bucket", "cnt")
+    val b = Seq((1, 20L), (3, 50L), (7, 30L)).toDF("bucket", "cnt")
+    val rows = Checks.emdGapTable(a, b).collect()
+    val span = rows.map(_.getLong(4)).sum
+    span shouldBe 9L // max 9 − min 0, partitioned among observed buckets
+    val derived = rows.map(r => r.getDouble(3) * r.getLong(4)).sum / span
+    val direct = Checks.emdStat(
+      a.collect().map(r => r.getInt(0).toString -> r.getLong(1)).toMap,
+      b.collect().map(r => r.getInt(0).toString -> r.getLong(1)).toMap)
+    derived shouldBe direct +- 1e-12
+  }
+
   test("KS statistic matches hand computation") {
     // A: bucket 0: 50, bucket 1: 50 → cdf .5, 1.0
     // B: bucket 0: 10, bucket 1: 90 → cdf .1, 1.0 → D = .4

@@ -159,6 +159,25 @@ class SnapTableSpec extends SparkSpec {
     fs.count() shouldBe SnapTable.read(spark, dir).filter(col("name") >= "user-0600").count()
   }
 
+  test("clustered write makes pruning fire; unclustered write provably cannot prune") {
+    val data = rows(0, 4000).orderBy(rand(7)) // arrival order ≠ key order
+    // unclustered: every file spans ~the whole id domain → nothing prunable
+    val flat = freshDir("flat")
+    SnapTable.create(spark, flat, data.repartition(8))
+    val (_, prunedFlat) = SnapTable.planPrune(spark, flat, "id", Some("100"), Some("200"))
+    prunedFlat shouldBe empty
+    // clustered: tight near-disjoint per-file ranges → most files pruned
+    val clus = freshDir("clus")
+    SnapTable.create(spark, clus, SnapTable.clustered(data, "id", files = 8))
+    val snap = SnapTable.snapshot(spark, clus)
+    snap.files.size should be >= 6 // range partitioner may merge tiny ends
+    val (keep, pruned) = SnapTable.planPrune(spark, clus, "id", Some("100"), Some("200"))
+    pruned.size should be >= snap.files.size - 2
+    // and the pruned read is still exactly the filter
+    SnapTable.readWhere(spark, clus, "id", Some("100"), Some("200")).count() shouldBe 101L
+    keep.map(_.rowCount).sum should be < 4000L
+  }
+
   test("pruning never drops a file it cannot bound (missing column, all-null chunk)") {
     val dir = freshDir("prune-safe")
     SnapTable.create(spark, dir, rows(0, 100).coalesce(1))

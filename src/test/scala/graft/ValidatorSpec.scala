@@ -169,6 +169,41 @@ class ValidatorSpec extends SparkSpec {
     math.abs(s1 - s2) should be < 0.04 // ≤ 2× the k=200 rank error
   }
 
+  test("drift method emd: ref_table and ref_state paths, location shift fires, local wobble doesn't") {
+    import graft.engine.Profiler
+    val dir = java.nio.file.Files.createTempDirectory("refstate_emd").toString
+    val base = spark.range(1000).selectExpr("cast(id as double) as v")
+    Profiler.writeState(Profiler.profileState(base), s"$dir/v.bin")
+    def run(current: org.apache.spark.sql.DataFrame, baseParams: Map[String, String]) =
+      new Validator(spark, ValidationConfig(),
+        n => if (n == "baseline") Some(base) else None)
+        .executeRules(current, Seq(ValidationRule("v_drift", RuleType.drift, Seq("v"),
+          parameters = baseParams ++ Map("method" -> "emd",
+            "critical" -> "0.1", "lo" -> "0", "hi" -> "1000", "bins" -> "50"))), "t")
+        .results.head
+    val viaTable = Map("ref_table" -> "baseline")
+    val viaState = Map("ref_state" -> s"$dir/v.bin")
+    // identical data: quiet on both baselines
+    run(base, viaTable).metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
+    run(base, viaState).passed shouldBe true
+    // a 30% location shift fires decisively: the CDF gap ramps up to 0.3
+    // over the vacated low buckets then holds — averaged over the 49-step
+    // span (top bucket clamps the overflow) that is exactly 12.6/49 ≈ 0.257
+    val shifted = base.selectExpr("v + 300 as v")
+    val loudT = run(shifted, viaTable)
+    loudT.passed shouldBe false
+    loudT.metadata("statistic").toDouble shouldBe (12.6 / 49) +- 0.01
+    run(shifted, viaState).passed shouldBe false
+    // local wobble (values jittered within a bucket's width) stays quiet
+    // in emd even though mass crosses bucket edges
+    val wobble = base.selectExpr("v + 7 as v")
+    run(wobble, viaTable).metadata("statistic").toDouble should be < 0.02
+    // zero-scan and full-scan statistics agree within sketch tolerance
+    val drifted = base.selectExpr("v + 120 as v")
+    math.abs(run(drifted, viaState).metadata("statistic").toDouble -
+      run(drifted, viaTable).metadata("statistic").toDouble) should be < 0.04
+  }
+
   test("drift ref_state on timestamp columns: canonical epoch keys verdict-match ref_table") {
     import graft.engine.Profiler
     val dir = java.nio.file.Files.createTempDirectory("refstate_ts").toString

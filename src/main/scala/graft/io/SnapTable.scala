@@ -41,7 +41,10 @@ final case class Snapshot(
     schemaDdl: String,
     files: Seq[DataFile],
     addedFiles: Seq[String],
-    batchTag: Option[String] = None) { // idempotence key of a tagged append
+    // high-water mark of committed batch sequence numbers (Delta's
+    // txnVersion contract): carried forward by EVERY commit, so replay
+    // detection reads ONE manifest regardless of history depth or expiry
+    batchSeq: Option[Long] = None) {
   def totalRows: Long = files.map(_.rowCount).sum
 }
 
@@ -275,20 +278,24 @@ object SnapTable {
     overwrite(spark, dir, df)
 
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
+    // the batch watermark survives an overwrite — replacing CONTENT must
+    // not resurrect a replayed micro-batch's right to append
+    val mark = versions(spark, dir).lastOption
+      .flatMap(v => snapshot(spark, dir, Some(v)).batchSeq)
     val added = writeDataFiles(spark, dir, df)
     commit(spark, dir, v => Snapshot(v, v - 1,
       if (v == 1) "create" else "overwrite",
-      df.schema.toDDL, added, added.map(_.path)))
+      df.schema.toDDL, added, added.map(_.path), batchSeq = mark))
   }
 
   /** Append `df`, evolving the schema by union-of-columns. A column that
     * exists in both with different types refuses the commit — silent
     * coercion is how a validation engine lies to itself. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Snapshot =
-    appendWith(spark, dir, df, tag = None)
+    appendWith(spark, dir, df, seq = None)
 
   private def appendWith(spark: SparkSession, dir: String, df: DataFrame,
-      tag: Option[String]): Snapshot = {
+      seq: Option[Long]): Snapshot = {
     val prev = snapshot(spark, dir)
     val prevSchema = StructType.fromDDL(prev.schemaDdl)
     val byName = prevSchema.fields.map(f => f.name -> f).toMap
@@ -301,38 +308,42 @@ object SnapTable {
     val evolved = StructType(prevSchema.fields ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
     val added = writeDataFiles(spark, dir, df)
     commit(spark, dir, v => Snapshot(v, v - 1, "append",
-      evolved.toDDL, prev.files ++ added, added.map(_.path), batchTag = tag))
+      evolved.toDDL, prev.files ++ added, added.map(_.path),
+      batchSeq = (prev.batchSeq.toSeq ++ seq).maxOption))
   }
 
-  /** Idempotent tagged append — the EXACTLY-ONCE sink contract for
-    * at-least-once batch sources (Structured Streaming's foreachBatch):
-    * every attempt for the same `tag` (e.g. "batch-0000000042") after the
-    * first commit is a no-op returning None, so a replayed micro-batch can
-    * never double-append. First batch of a new table creates it. The tag
-    * scan reads retained manifests only — [[expire]] retention must
-    * therefore exceed the source's replay horizon (a tag whose manifest
-    * was expired looks new again), the same contract Delta's
-    * txnAppId/txnVersion sinks carry. Single writer per tag (a streaming
-    * query replays sequentially); concurrent DISTINCT tags are safe via
-    * the commit retry. */
-  def appendBatch(spark: SparkSession, dir: String, df: DataFrame, tag: String): Option[Snapshot] = {
-    require(tag.nonEmpty, "batch tag must be non-empty")
+  /** Idempotent sequenced append — the EXACTLY-ONCE sink contract for
+    * at-least-once batch sources (Structured Streaming's foreachBatch,
+    * whose batch ids are monotonic per query): an attempt with
+    * `batchSeq <= ` the table's committed high-water mark is a no-op
+    * returning None, so a replayed micro-batch can never double-append.
+    * First batch of a new table creates it. The watermark rides every
+    * manifest (Delta's txnVersion contract), so the replay check reads ONE
+    * manifest — O(1) at any history depth, and [[expire]] cannot forget
+    * it. One sequenced writer per table (a second streaming query's
+    * interleaved batch ids would collide on the shared watermark — give
+    * each query its own table); untagged [[append]]/[[overwrite]] commits
+    * interleave freely, they carry the watermark forward. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame, batchSeq: Long): Option[Snapshot] = {
     val vs = versions(spark, dir)
     if (vs.isEmpty) {
       val added = writeDataFiles(spark, dir, df)
       Some(commit(spark, dir, v => Snapshot(v, v - 1,
         if (v == 1) "create" else "append", df.schema.toDDL, added, added.map(_.path),
-        batchTag = Some(tag))))
-    } else if (vs.exists(v => snapshot(spark, dir, Some(v)).batchTag.contains(tag))) None
-    else Some(appendWith(spark, dir, df, tag = Some(tag)))
+        batchSeq = Some(batchSeq))))
+    } else if (snapshot(spark, dir).batchSeq.exists(batchSeq <= _)) None
+    else Some(appendWith(spark, dir, df, seq = Some(batchSeq)))
   }
 
   /** Make `toVersion`'s file list current again as a NEW version — history
     * only ever grows; nothing is deleted until [[expire]]. */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot = {
     val target = snapshot(spark, dir, Some(toVersion))
+    // watermark from the LATEST snapshot, not the restore target — time
+    // only moves forward for replay detection
+    val mark = snapshot(spark, dir).batchSeq
     commit(spark, dir, v => Snapshot(v, v - 1, "restore",
-      target.schemaDdl, target.files, Seq.empty))
+      target.schemaDdl, target.files, Seq.empty, batchSeq = mark))
   }
 
   // -------------------------------------------------------------------- reads

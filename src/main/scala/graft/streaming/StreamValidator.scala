@@ -97,7 +97,7 @@ object StreamValidator {
           // at-least-once: Spark's own documented foreachBatch contract)
           if (sink.startsWith("snap:"))
             graft.io.SnapTable.appendBatch(spark, sink.stripPrefix("snap:"),
-              clean, f"batch-$batchId%012d")
+              clean, batchSeq = batchId)
           else clean.write.mode("append").parquet(sink)
         }
         ()

@@ -215,22 +215,28 @@ class SnapTableSpec extends SparkSpec {
     Tables.load(spark, s"snap:$dir@v1").count() shouldBe 50L
   }
 
-  test("appendBatch: tagged appends are exactly-once — a replayed tag is a no-op") {
+  test("appendBatch: sequenced appends are exactly-once — a replayed batch is a no-op") {
     val dir = freshDir("batch")
     // first batch creates the table
-    SnapTable.appendBatch(spark, dir, rows(0, 100), "batch-000000000000").get.operation shouldBe "create"
+    SnapTable.appendBatch(spark, dir, rows(0, 100), batchSeq = 0L).get.operation shouldBe "create"
     // replay of batch 0: no-op, no new version, no duplicate rows
-    SnapTable.appendBatch(spark, dir, rows(0, 100), "batch-000000000000") shouldBe None
+    SnapTable.appendBatch(spark, dir, rows(0, 100), batchSeq = 0L) shouldBe None
     SnapTable.currentVersion(spark, dir) shouldBe 1L
     SnapTable.read(spark, dir).count() shouldBe 100L
     // next batch appends; its replay is also a no-op
-    SnapTable.appendBatch(spark, dir, rows(100, 250), "batch-000000000001").get.version shouldBe 2L
-    SnapTable.appendBatch(spark, dir, rows(100, 250), "batch-000000000001") shouldBe None
+    SnapTable.appendBatch(spark, dir, rows(100, 250), batchSeq = 1L).get.version shouldBe 2L
+    SnapTable.appendBatch(spark, dir, rows(100, 250), batchSeq = 1L) shouldBe None
     SnapTable.read(spark, dir).count() shouldBe 250L
-    // an untagged manifest (manual append) never collides with a tag
+    // manual commits interleave freely AND carry the watermark forward:
+    // batch 1 replayed after an untagged append + an overwrite still no-ops
     SnapTable.append(spark, dir, rows(250, 300))
-    SnapTable.appendBatch(spark, dir, rows(300, 310), "batch-000000000002").get.version shouldBe 4L
-    SnapTable.read(spark, dir).count() shouldBe 310L
+    SnapTable.appendBatch(spark, dir, rows(100, 250), batchSeq = 1L) shouldBe None
+    SnapTable.overwrite(spark, dir, rows(0, 50))
+    SnapTable.appendBatch(spark, dir, rows(100, 250), batchSeq = 1L) shouldBe None
+    SnapTable.read(spark, dir).count() shouldBe 50L
+    // the next real batch proceeds past the watermark
+    SnapTable.appendBatch(spark, dir, rows(300, 310), batchSeq = 2L).get.batchSeq shouldBe Some(2L)
+    SnapTable.read(spark, dir).count() shouldBe 60L
   }
 
   test("checkpoint + changes = incremental validation: only new rows revalidated") {

@@ -77,15 +77,15 @@ class StreamingSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
 
-    // clean rows landed exactly once, each micro-batch one tagged version
+    // clean rows landed exactly once, each micro-batch one sequenced version
     val snaps = graft.io.SnapTable.versions(spark, tbl)
       .map(v => graft.io.SnapTable.snapshot(spark, tbl, Some(v)))
-    snaps.map(_.batchTag.get) shouldBe Seq("batch-000000000000", "batch-000000000001")
+    snaps.map(_.batchSeq.get) shouldBe Seq(0L, 1L)
     graft.io.SnapTable.read(spark, tbl).as[(String, String)].collect().sorted shouldBe
       Array(("a", "x"), ("c", "y"), ("d", "z"))
     // a replayed micro-batch (at-least-once delivery) cannot double-append
     graft.io.SnapTable.appendBatch(spark, tbl,
-      Seq(("a", "x"), ("c", "y")).toDF("id", "payload"), "batch-000000000000") shouldBe None
+      Seq(("a", "x"), ("c", "y")).toDF("id", "payload"), batchSeq = 0L) shouldBe None
     graft.io.SnapTable.read(spark, tbl).count() shouldBe 3L
     // the validated table is time-travelable: batch 1's view had 2 rows
     graft.io.SnapTable.read(spark, tbl, asOf = Some(1L)).count() shouldBe 2L

@@ -106,9 +106,10 @@ object Cli {
   }
 
   /** ONE session recipe for every CLI mode (AQE + skew-join on, master
-    * fallback for standalone runs) — the suggestion scans must not run
-    * under a differently-tuned session than validation of the same data. */
-  private def newSession(appName: String,
+    * fallback for standalone runs) — the suggestion scans and the
+    * [[SnapCli]] ingest-side maintenance must not run under a
+    * differently-tuned session than validation of the same data. */
+  private[graft] def newSession(appName: String,
       extraConfs: Map[String, String] = Map.empty): SparkSession = {
     val builder = SparkSession.builder()
       .appName(appName)
@@ -157,6 +158,9 @@ object Cli {
       // An up-to-date table is skipped entirely (zero Spark jobs); a table
       // whose history crosses an overwrite/restore falls back to a full
       // read (its delta is not expressible as added rows).
+      // the skip-completed arm mirrors Validator.validateAllTables (the
+      // library face, contract-pinned in CheckpointSpec) with the
+      // incremental hook threaded in front — keep the two in step
       def validateOne(t: String, skipCompleted: Boolean): Option[ValidationSummary] = {
         val src = sources.getOrElse(t, t)
         if (incremental && src.startsWith("snap:") && !src.contains("@v"))
@@ -285,23 +289,29 @@ object Cli {
 
   /** One table of the incremental tier: None when the checkpoint already
     * covers the table's current snapshot (zero Spark jobs); otherwise
-    * validates exactly the rows committed since the recorded version (full
-    * read on first sight or across an overwrite) and advances the cursor. */
+    * validates exactly the rows committed since the recorded version and
+    * advances the cursor. Falls back to a FULL read whenever the recorded
+    * cursor cannot prove it describes this table's lineage: first sight,
+    * lineage-id mismatch (the snap dir was wiped and recreated — its
+    * version counter restarting must not let a stale cursor skip or
+    * empty-validate the new data), a cursor ahead of the table, or an
+    * overwrite/restore inside the range. */
   private[graft] def validateSnapIncremental(spark: SparkSession,
       validator: Validator, checkpoint: Option[Checkpoint],
       t: String, dir: String): Option[ValidationSummary] = {
-    val cur = graft.io.SnapTable.currentVersion(spark, dir)
-    checkpoint.flatMap(_.recordedSnapVersion(t)) match {
-      case Some(v) if v == cur => None
+    val snap = graft.io.SnapTable.snapshot(spark, dir)
+    val cur = snap.version
+    checkpoint.flatMap(_.recordedSnapCursor(t)) match {
+      case Some((recId, v)) if recId == snap.tableId && v == cur => None
       case recorded =>
         val df = recorded match {
-          case Some(v) =>
+          case Some((recId, v)) if recId == snap.tableId && v < cur =>
             scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur)))
               .getOrElse(graft.io.SnapTable.read(spark, dir))
-          case None => graft.io.SnapTable.read(spark, dir)
+          case _ => graft.io.SnapTable.read(spark, dir)
         }
         val summary = validator.validateTable(df, t)
-        checkpoint.foreach(_.recordSnapshot(t, s"snap-v$cur"))
+        checkpoint.foreach(_.recordSnapshot(t, Checkpoint.snapCursor(snap.tableId, cur)))
         Some(summary)
     }
   }

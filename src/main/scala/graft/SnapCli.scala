@@ -28,13 +28,9 @@ object SnapCli {
       case _ => sys.error("usage: SnapCli <create|append|overwrite|restore|expire|describe> --table DIR ...")
     }
     val dir = opts.getOrElse("table", sys.error("--table DIR is required"))
-    val spark = SparkSession.builder()
-      .appName(s"graft-snap-$cmd")
-      .config("spark.sql.adaptive.enabled", "true")
-      .master(sys.props.get("spark.master")
-        .orElse(sys.env.get("MASTER"))
-        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
-      .getOrCreate()
+    // the validation CLI's session recipe, verbatim — the ingest side must
+    // not run under a differently-tuned session than validation reads
+    val spark = Cli.newSession(s"graft-snap-$cmd")
     spark.sparkContext.setLogLevel("WARN")
     try {
       def from = Tables.load(spark,

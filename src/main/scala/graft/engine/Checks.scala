@@ -715,21 +715,31 @@ object Checks {
     * is pointed at a non-numeric column (every value bucketed to __NULL__ /
     * a string) — that's a misconfiguration, not a pass, and raises so the
     * rule surfaces through the error path instead of silently passing. */
-  def ksStat(a: Map[String, Long], b: Map[String, Long]): Double = {
+  /** Shared numeric-CDF preamble of [[ksStat]] and [[emdStat]]: integer
+    * bucket keys, per-side totals, and the misconfiguration guards (a
+    * non-empty histogram with NO numeric buckets raises — the rule was
+    * pointed at a non-numeric column and must error, never silently pass). */
+  private def numericCdfInputs(a: Map[String, Long], b: Map[String, Long],
+      stat: String): (Map[Int, Long], Map[Int, Long], Double, Double) = {
     def numeric(m: Map[String, Long]): Map[Int, Long] =
       m.flatMap { case (k, v) => k.toIntOption.map(_ -> v) }
     val na = numeric(a)
     val nb = numeric(b)
-    val buckets = (na.keySet ++ nb.keySet).toSeq.sorted
     val totA = na.values.sum.toDouble
     val totB = nb.values.sum.toDouble
     if (totA == 0 && a.values.sum > 0)
       throw new IllegalArgumentException(
-        "ks drift: baseline histogram has rows but no numeric buckets — is the column numeric?")
+        s"$stat drift: baseline histogram has rows but no numeric buckets — is the column numeric?")
     if (totB == 0 && b.values.sum > 0)
       throw new IllegalArgumentException(
-        "ks drift: current histogram has rows but no numeric buckets — is the column numeric?")
+        s"$stat drift: current histogram has rows but no numeric buckets — is the column numeric?")
+    (na, nb, totA, totB)
+  }
+
+  def ksStat(a: Map[String, Long], b: Map[String, Long]): Double = {
+    val (na, nb, totA, totB) = numericCdfInputs(a, b, "ks")
     if (totA == 0 || totB == 0) return 0.0
+    val buckets = (na.keySet ++ nb.keySet).toSeq.sorted
     var cumA = 0L; var cumB = 0L; var d = 0.0
     buckets.foreach { k =>
       cumA += na.getOrElse(k, 0L)
@@ -751,18 +761,7 @@ object Checks {
     * buckets count in the span (a gap persisting across them keeps
     * paying — the mass still has to travel). */
   def emdStat(a: Map[String, Long], b: Map[String, Long]): Double = {
-    def numeric(m: Map[String, Long]): Map[Int, Long] =
-      m.flatMap { case (k, v) => k.toIntOption.map(_ -> v) }
-    val na = numeric(a)
-    val nb = numeric(b)
-    val totA = na.values.sum.toDouble
-    val totB = nb.values.sum.toDouble
-    if (totA == 0 && a.values.sum > 0)
-      throw new IllegalArgumentException(
-        "emd drift: baseline histogram has rows but no numeric buckets — is the column numeric?")
-    if (totB == 0 && b.values.sum > 0)
-      throw new IllegalArgumentException(
-        "emd drift: current histogram has rows but no numeric buckets — is the column numeric?")
+    val (na, nb, totA, totB) = numericCdfInputs(a, b, "emd")
     if (totA == 0 || totB == 0) return 0.0
     val buckets = na.keySet ++ nb.keySet
     val lo = buckets.min

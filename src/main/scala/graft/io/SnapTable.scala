@@ -44,7 +44,12 @@ final case class Snapshot(
     // high-water mark of committed batch sequence numbers (Delta's
     // txnVersion contract): carried forward by EVERY commit, so replay
     // detection reads ONE manifest regardless of history depth or expiry
-    batchSeq: Option[Long] = None) {
+    batchSeq: Option[Long] = None,
+    // lineage identity minted at create and carried forward by every
+    // commit: a checkpoint cursor recorded against one incarnation must
+    // not be mistaken for progress on a wiped-and-recreated table whose
+    // version counter restarted (None on legacy manifests)
+    tableId: Option[String] = None) {
   def totalRows: Long = files.map(_.rowCount).sum
 }
 
@@ -89,7 +94,10 @@ object SnapTable {
 
   private val LogDir = "_log"
   private val DataDir = "data"
-  private val ManifestRe = """v(\d{8})\.json""".r
+  // %08d pads to 8 digits but GROWS past 99,999,999 — the match must too,
+  // or the table bricks at commit 100M (versions() would go blind to new
+  // manifests and every commit would retry the same taken number)
+  private val ManifestRe = """v(\d{8,})\.json""".r
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, HPath) = {
     val root = new HPath(dir)
@@ -192,14 +200,28 @@ object SnapTable {
       for (b <- blocks; c <- b.getColumns.asScala) {
         val parts = c.getPath.toArray
         if (parts.length == 1) { // top-level leaf columns only
-          val isString = c.getPrimitiveType.getLogicalTypeAnnotation match {
-            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+          val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+          val isString = ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          // a physical-int stat whose VALUES are not in the caller's bound
+          // domain must not prune: decimals store UNSCALED ints, non-micros
+          // timestamps a different epoch unit, unsigned ints a different
+          // order — any of them silently mis-pruning is a correctness bug,
+          // so they all degrade to unprunable, never to a wrong bound
+          val unorderable = ann match {
+            case null => false
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => !i.isSigned
             case _ => false
           }
           statOf(c.getStatistics).foreach { raw =>
             // a BINARY column without string annotation must not carry a
-            // string-ordered bound
-            val st = if (raw.kind == "string" && !isString) raw.copy(kind = "other", min = "", max = "", hasMinMax = false) else raw
+            // string-ordered bound either
+            val st =
+              if (unorderable || (raw.kind == "string" && !isString))
+                raw.copy(kind = "other", min = "", max = "", hasMinMax = false)
+              else raw
             merged(parts(0)) = merged.get(parts(0)).map(mergeStat(_, st)).getOrElse(st)
           }
         }
@@ -210,7 +232,10 @@ object SnapTable {
 
   // ------------------------------------------------------------------ commits
 
-  private def nonce(): String = java.util.UUID.randomUUID.toString.take(12)
+  // dash-free so it embeds unambiguously in file names and the
+  // checkpoint's "snap-<id>-v<N>" cursor format
+  private def nonce(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
   /** Write `df`'s rows as immutable files under `data/` and return their
     * manifest entries. Files land before any commit references them. */
@@ -219,7 +244,18 @@ object SnapTable {
     val conf = spark.sparkContext.hadoopConfiguration
     val tag = nonce()
     val staging = new HPath(root, s"_staging/$tag")
-    df.write.parquet(staging.toString)
+    // the table format owns its file layout: timestamps go down as
+    // MICROS-unit int64 (not the session default, often legacy INT96 whose
+    // footer stats are unordered) so timestamp columns are prunable and
+    // their bound domain matches the engine's epoch-micros convention
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(staging.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None    => spark.conf.unset(tsKey)
+    }
     val data = new HPath(root, DataDir)
     filesystem.mkdirs(data)
     val parts = filesystem.listStatus(staging).toSeq
@@ -238,9 +274,12 @@ object SnapTable {
     out
   }
 
-  /** Atomically commit the next version. Retries past version-number
-    * collisions (another writer won the rename); data files are already in
-    * place, so losing a race costs one rename, never a rewrite. */
+  /** Atomically commit the next version. `build(v)` is (re)invoked per
+    * attempt so a lost race REBASES on the winner's state — every builder
+    * reads its parent via `snapshot(dir, Some(v−1))` fresh inside the
+    * closure, never from a pre-commit capture (a stale base would silently
+    * drop the winning writer's files). Data files are already in place, so
+    * losing a race costs one manifest rebuild, never a data rewrite. */
   private def commit(spark: SparkSession, dir: String,
       build: Long => Snapshot, maxAttempts: Int = 20): Snapshot = {
     val (filesystem, root) = fs(spark, dir)
@@ -260,6 +299,11 @@ object SnapTable {
     throw new IllegalStateException(s"could not commit to $dir after $maxAttempts attempts")
   }
 
+  /** Parent snapshot of a would-be version `v`, fresh from disk (None only
+    * for the very first commit) — the rebase read every builder uses. */
+  private def parentOf(spark: SparkSession, dir: String, v: Long): Option[Snapshot] =
+    if (v == 1) None else Some(snapshot(spark, dir, Some(v - 1)))
+
   /** Range-cluster `df` on `column` so each written file covers a TIGHT,
     * near-disjoint slice of the column's domain — the layout that makes
     * [[readWhere]]'s footer pruning actually fire (an unclustered write
@@ -278,14 +322,19 @@ object SnapTable {
     overwrite(spark, dir, df)
 
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
-    // the batch watermark survives an overwrite — replacing CONTENT must
-    // not resurrect a replayed micro-batch's right to append
-    val mark = versions(spark, dir).lastOption
-      .flatMap(v => snapshot(spark, dir, Some(v)).batchSeq)
     val added = writeDataFiles(spark, dir, df)
-    commit(spark, dir, v => Snapshot(v, v - 1,
-      if (v == 1) "create" else "overwrite",
-      df.schema.toDDL, added, added.map(_.path), batchSeq = mark))
+    commit(spark, dir, v => {
+      val prev = parentOf(spark, dir, v)
+      Snapshot(v, v - 1,
+        if (v == 1) "create" else "overwrite",
+        df.schema.toDDL, added, added.map(_.path),
+        // the batch watermark survives an overwrite — replacing CONTENT
+        // must not resurrect a replayed micro-batch's right to append;
+        // identity is minted once at create and then only carried
+        batchSeq = prev.flatMap(_.batchSeq),
+        tableId = prev.flatMap(_.tableId)
+          .orElse(if (v == 1) Some(nonce()) else None))
+    })
   }
 
   /** Append `df`, evolving the schema by union-of-columns. A column that
@@ -296,20 +345,28 @@ object SnapTable {
 
   private def appendWith(spark: SparkSession, dir: String, df: DataFrame,
       seq: Option[Long]): Snapshot = {
-    val prev = snapshot(spark, dir)
-    val prevSchema = StructType.fromDDL(prev.schemaDdl)
-    val byName = prevSchema.fields.map(f => f.name -> f).toMap
-    df.schema.fields.foreach { f =>
-      byName.get(f.name).foreach { old =>
-        require(old.dataType == f.dataType,
-          s"append schema conflict on '${f.name}': table has ${old.dataType.sql}, append has ${f.dataType.sql}")
-      }
-    }
-    val evolved = StructType(prevSchema.fields ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+    snapshot(spark, dir) // fail fast (and loud) on a non-table before writing data
     val added = writeDataFiles(spark, dir, df)
-    commit(spark, dir, v => Snapshot(v, v - 1, "append",
-      evolved.toDDL, prev.files ++ added, added.map(_.path),
-      batchSeq = (prev.batchSeq.toSeq ++ seq).maxOption))
+    commit(spark, dir, v => {
+      // rebase per attempt: the parent (files, schema, watermark, id) is
+      // re-read fresh so a lost commit race can never drop the winner's
+      // files or regress the exactly-once watermark
+      val prev = parentOf(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"append raced a table wipe at $dir"))
+      val prevSchema = StructType.fromDDL(prev.schemaDdl)
+      val byName = prevSchema.fields.map(f => f.name -> f).toMap
+      df.schema.fields.foreach { f =>
+        byName.get(f.name).foreach { old =>
+          require(old.dataType == f.dataType,
+            s"append schema conflict on '${f.name}': table has ${old.dataType.sql}, append has ${f.dataType.sql}")
+        }
+      }
+      val evolved = StructType(prevSchema.fields ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+      Snapshot(v, v - 1, "append",
+        evolved.toDDL, prev.files ++ added, added.map(_.path),
+        batchSeq = (prev.batchSeq.toSeq ++ seq).maxOption,
+        tableId = prev.tableId)
+    })
   }
 
   /** Idempotent sequenced append — the EXACTLY-ONCE sink contract for
@@ -328,23 +385,32 @@ object SnapTable {
     val vs = versions(spark, dir)
     if (vs.isEmpty) {
       val added = writeDataFiles(spark, dir, df)
-      Some(commit(spark, dir, v => Snapshot(v, v - 1,
-        if (v == 1) "create" else "append", df.schema.toDDL, added, added.map(_.path),
-        batchSeq = Some(batchSeq))))
+      Some(commit(spark, dir, v => {
+        val prev = parentOf(spark, dir, v) // rebase if a racing writer created the table
+        Snapshot(v, v - 1,
+          if (v == 1) "create" else "append", df.schema.toDDL,
+          prev.map(_.files).getOrElse(Nil) ++ added, added.map(_.path),
+          batchSeq = Some((prev.flatMap(_.batchSeq).toSeq :+ batchSeq).max),
+          tableId = prev.flatMap(_.tableId)
+            .orElse(if (v == 1) Some(nonce()) else None))
+      }))
     } else if (snapshot(spark, dir).batchSeq.exists(batchSeq <= _)) None
     else Some(appendWith(spark, dir, df, seq = Some(batchSeq)))
   }
 
   /** Make `toVersion`'s file list current again as a NEW version — history
     * only ever grows; nothing is deleted until [[expire]]. */
-  def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot = {
-    val target = snapshot(spark, dir, Some(toVersion))
-    // watermark from the LATEST snapshot, not the restore target — time
-    // only moves forward for replay detection
-    val mark = snapshot(spark, dir).batchSeq
-    commit(spark, dir, v => Snapshot(v, v - 1, "restore",
-      target.schemaDdl, target.files, Seq.empty, batchSeq = mark))
-  }
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot =
+    commit(spark, dir, v => {
+      val target = snapshot(spark, dir, Some(toVersion))
+      // watermark and identity from the LATEST snapshot, not the restore
+      // target — time only moves forward for replay detection
+      val latest = parentOf(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"restore raced a table wipe at $dir"))
+      Snapshot(v, v - 1, "restore",
+        target.schemaDdl, target.files, Seq.empty,
+        batchSeq = latest.batchSeq, tableId = latest.tableId)
+    })
 
   // -------------------------------------------------------------------- reads
 
@@ -369,6 +435,12 @@ object SnapTable {
   def changes(spark: SparkSession, dir: String, fromExclusive: Long,
       toInclusive: Option[Long] = None): DataFrame = {
     val to = toInclusive.getOrElse(currentVersion(spark, dir))
+    // an inverted range is a stale/foreign cursor (e.g. a checkpoint from a
+    // wiped-and-recreated table) — refusing loudly beats returning an empty
+    // delta that would vacuously validate and advance the cursor
+    require(fromExclusive <= to,
+      s"changes($fromExclusive, $to]: cursor is ahead of the table — " +
+        "stale checkpoint or recreated table; do a full read instead")
     val snaps = ((fromExclusive + 1) to to).map(v => snapshot(spark, dir, Some(v)))
     snaps.foreach(s => require(s.operation == "append" || s.operation == "create",
       s"changes($fromExclusive,$to] crosses a '${s.operation}' commit at v${s.version}; " +
@@ -387,8 +459,11 @@ object SnapTable {
     * all-null chunks all conservatively read. */
   def planPrune(spark: SparkSession, dir: String, column: String,
       lower: Option[String], upper: Option[String],
-      asOf: Option[Long] = None): (Seq[DataFile], Seq[DataFile]) = {
-    val snap = snapshot(spark, dir, asOf)
+      asOf: Option[Long] = None): (Seq[DataFile], Seq[DataFile]) =
+    prunePartition(snapshot(spark, dir, asOf), column, lower, upper)
+
+  private def prunePartition(snap: Snapshot, column: String,
+      lower: Option[String], upper: Option[String]): (Seq[DataFile], Seq[DataFile]) =
     snap.files.partition { f =>
       f.stats.get(column) match {
         case Some(st) if st.hasMinMax =>
@@ -401,7 +476,6 @@ object SnapTable {
         case _ => true
       }
     }
-  }
 
   /** Manifest-pruned range read: whole files outside [lower, upper] never
     * reach Spark's scan planner; the residual filter still applies, so the
@@ -410,23 +484,37 @@ object SnapTable {
   def readWhere(spark: SparkSession, dir: String, column: String,
       lower: Option[String], upper: Option[String],
       asOf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions
+    import org.apache.spark.sql.types._
     val snap = snapshot(spark, dir, asOf)
-    val (keep, _) = planPrune(spark, dir, column, lower, upper, asOf)
-    val kind = snap.files.flatMap(_.stats.get(column)).headOption.map(_.kind).getOrElse("string")
-    def lit(v: String): org.apache.spark.sql.Column = kind match {
-      case "long"   => org.apache.spark.sql.functions.lit(v.toLong)
-      case "double" => org.apache.spark.sql.functions.lit(v.toDouble)
-      case _        => org.apache.spark.sql.functions.lit(v)
+    val (keep, _) = prunePartition(snap, column, lower, upper)
+    // the residual filter is typed from the TABLE SCHEMA, never from
+    // whichever file happened to carry a stat — a string-typed literal
+    // against a long column would coerce the comparison through double
+    // and disagree with the pruner's exact long math near 2^53
+    val field = StructType.fromDDL(snap.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(s"readWhere: unknown column '$column' in $dir"))
+    val boundCol = field.dataType match {
+      // timestamp bounds are epoch micros — the same domain the footer
+      // stats (MICROS-unit int64) and the drift machinery use
+      case TimestampType => functions.unix_micros(functions.col(column))
+      case _ => functions.col(column)
+    }
+    def lit(v: String): org.apache.spark.sql.Column = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType => functions.lit(v.toLong)
+      case FloatType | DoubleType => functions.lit(v.toDouble)
+      case StringType => functions.lit(v)
+      case other => throw new IllegalArgumentException(
+        s"readWhere bounds integral/floating/string/timestamp columns; '$column' is ${other.simpleString}")
     }
     val base = readFiles(spark, dir, snap.schemaDdl, keep)
-    val bounded = (lower, upper) match {
-      case (Some(lo), Some(hi)) => base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-      case (Some(lo), None)     => base.filter(col(column) >= lit(lo))
-      case (None, Some(hi))     => base.filter(col(column) <= lit(hi))
+    (lower, upper) match {
+      case (Some(lo), Some(hi)) => base.filter(boundCol >= lit(lo) && boundCol <= lit(hi))
+      case (Some(lo), None)     => base.filter(boundCol >= lit(lo))
+      case (None, Some(hi))     => base.filter(boundCol <= lit(hi))
       case (None, None)         => base
     }
-    bounded
   }
 
   // ---------------------------------------------------------------- lifecycle

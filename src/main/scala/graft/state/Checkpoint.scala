@@ -97,11 +97,19 @@ class Checkpoint(path: String) {
     save()
   }
 
-  /** The snap-table version recorded for `table`, if one was ("snap-v<N>"). */
+  /** The snap-table cursor recorded for `table`: (lineage id if one was
+    * recorded, version). Formats: `snap-v<N>` (legacy, no id) and
+    * `snap-<id>-v<N>`. The id is what stops a cursor from one table
+    * incarnation being read as progress on a wiped-and-recreated one. */
+  def recordedSnapCursor(table: String): Option[(Option[String], Long)] =
+    tables.get(table).map(_.snapshotId).flatMap {
+      case Checkpoint.SnapCursorRe(id, v) => Some((Option(id), v.toLong))
+      case _ => None
+    }
+
+  /** The snap-table version recorded for `table`, id-blind. */
   def recordedSnapVersion(table: String): Option[Long] =
-    tables.get(table).map(_.snapshotId)
-      .filter(s => s.startsWith("snap-v") && s.drop(6).nonEmpty && s.drop(6).forall(_.isDigit))
-      .map(_.drop(6).toLong)
+    recordedSnapCursor(table).map(_._2)
 
   def completedTables: Set[String] = tables.filter(_._2.status == "completed").keySet
   def tableState(table: String): Option[TableState] = tables.get(table)
@@ -110,6 +118,13 @@ class Checkpoint(path: String) {
 }
 
 object Checkpoint {
+  /** `snap-v<N>` or `snap-<dashfree-id>-v<N>`. */
+  private val SnapCursorRe = """snap-(?:([0-9a-f]+)-)?v(\d+)""".r
+
+  /** Render a snap cursor for [[Checkpoint.recordSnapshot]]. */
+  def snapCursor(tableId: Option[String], version: Long): String =
+    tableId.map(id => s"snap-$id-v$version").getOrElse(s"snap-v$version")
+
   /** Snapshot id of a directory of data files: order-independent hash of
     * (relative name, size, mtime) — cheap (metadata only), deterministic,
     * changes iff the file set changes. Stand-in for an Iceberg snapshot id. */

@@ -541,5 +541,15 @@ class CliSpec extends SparkSpec {
     val opts = graft.Cli.parseArgs(List("--config", "c.yaml", "--incremental", "--output", "r.json"))
     opts("incremental") shouldBe "true"
     opts("output") shouldBe "r.json"
+
+    // wipe-and-recreate: the cursor's lineage id no longer matches, so the
+    // run must FULLY validate the new incarnation (never an empty delta
+    // that vacuously passes), and the cursor re-anchors to the new id
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    rm(new java.io.File(tbl))
+    graft.io.SnapTable.create(spark, tbl, rows(0, 42))
+    val recreated = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
+    recreated.get.results.head.total_count shouldBe 42L
+    graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl) shouldBe None
   }
 }

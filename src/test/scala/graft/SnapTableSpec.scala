@@ -137,6 +137,51 @@ class SnapTableSpec extends SparkSpec {
     st("key").max shouldBe "k00999"
   }
 
+  test("footer stats: timestamps bound in epoch micros; decimals are unprunable, never wrongly bounded") {
+    val dir = freshDir("stats-logical")
+    val df = spark.range(0, 100).selectExpr(
+      "id",
+      "timestamp_micros(cast(id * 1000000 as bigint)) AS ts", // 1970-01-01 + id seconds
+      "cast(id as decimal(10,2)) / 4 AS dec")
+      .coalesce(1)
+    val snap = SnapTable.create(spark, dir, df)
+    val st = snap.files.head.stats
+    // parquet stores decimal(10,2) as UNSCALED ints — a "long" bound here
+    // would prune against the wrong domain, so it must be unprunable
+    st("dec").hasMinMax shouldBe false
+    // MICROS-unit timestamps bound soundly in epoch micros
+    st("ts").kind shouldBe "long"
+    st("ts").min shouldBe "0"
+    st("ts").max shouldBe (99L * 1000000L).toString
+    // readWhere on the timestamp column: bounds in micros, residual filter
+    // agrees with the pruner's domain
+    val got = SnapTable.readWhere(spark, dir, "ts", Some((10L * 1000000L).toString), Some((19L * 1000000L).toString))
+    got.count() shouldBe 10L
+    // decimals refuse a readWhere bound instead of guessing a domain
+    val e = intercept[IllegalArgumentException] {
+      SnapTable.readWhere(spark, dir, "dec", Some("1"), None).count()
+    }
+    e.getMessage should include("readWhere bounds")
+  }
+
+  test("tableId: minted at create, carried by every commit, changes refuses an inverted cursor") {
+    val dir = freshDir("identity")
+    val id1 = SnapTable.create(spark, dir, rows(0, 10)).tableId.get
+    SnapTable.append(spark, dir, rows(10, 20)).tableId shouldBe Some(id1)
+    SnapTable.overwrite(spark, dir, rows(0, 5)).tableId shouldBe Some(id1)
+    SnapTable.restore(spark, dir, 1L).tableId shouldBe Some(id1)
+    // wipe + recreate = a NEW lineage
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    rm(new java.io.File(dir))
+    val id2 = SnapTable.create(spark, dir, rows(0, 3)).tableId.get
+    id2 should not be id1
+    // a cursor ahead of the table refuses instead of yielding an empty delta
+    val e = intercept[IllegalArgumentException] {
+      SnapTable.changes(spark, dir, fromExclusive = 5L)
+    }
+    e.getMessage should include("recreated")
+  }
+
   test("manifest pruning: readWhere ≡ read+filter, and files are actually skipped") {
     val dir = freshDir("prune")
     // each append is one tight id-range file → disjoint footer bounds

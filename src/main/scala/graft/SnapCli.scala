@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.SnapCli app.jar append    --table DIR --from SOURCE
   * spark-submit --class graft.SnapCli app.jar overwrite --table DIR --from SOURCE
   * spark-submit --class graft.SnapCli app.jar restore   --table DIR --to-version N
+  * spark-submit --class graft.SnapCli app.jar compact   --table DIR --files N [--cluster-by COL]
   * spark-submit --class graft.SnapCli app.jar expire    --table DIR --keep N
   * spark-submit --class graft.SnapCli app.jar describe  --table DIR
   * }}}
@@ -41,6 +42,9 @@ object SnapCli {
         case "overwrite" => report(SnapTable.overwrite(spark, dir, from))
         case "restore"   => report(SnapTable.restore(spark, dir,
           opts.getOrElse("to-version", sys.error("restore requires --to-version N")).toLong))
+        case "compact"   => report(SnapTable.compact(spark, dir,
+          targetFiles = opts.getOrElse("files", sys.error("compact requires --files N")).toInt,
+          clusterBy = opts.get("cluster-by")))
         case "expire" =>
           val (m, f) = SnapTable.expire(spark, dir,
             opts.getOrElse("keep", sys.error("expire requires --keep N")).toInt)

@@ -261,12 +261,20 @@ object SnapTable {
     val parts = filesystem.listStatus(staging).toSeq
       .filter(st => st.getPath.getName.startsWith("part-") && !st.getPath.getName.endsWith(".crc"))
       .sortBy(_.getPath.getName)
-    val out = parts.map { st =>
+    // place + footer-read files CONCURRENTLY: each is an independent
+    // metadata round-trip (rename + footer bytes), and a wide create can
+    // commit thousands of files — serializing them on the driver would
+    // make commit latency O(files) × store-RTT. Order preserved by
+    // traverse; FileSystem handles are thread-safe.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val out = Await.result(Future.traverse(parts.toList) { st => Future {
       val dest = new HPath(data, s"$tag-${st.getPath.getName}")
       require(filesystem.rename(st.getPath, dest), s"cannot place data file $dest")
       val (rows, stats) = footerStats(conf, dest)
       DataFile(s"$DataDir/${dest.getName}", filesystem.getFileStatus(dest).getLen, rows, stats)
-    }
+    }}, Duration.Inf)
     filesystem.delete(staging, true)
     val stagingRoot = new HPath(root, "_staging")
     if (filesystem.exists(stagingRoot) && filesystem.listStatus(stagingRoot).isEmpty)
@@ -398,6 +406,44 @@ object SnapTable {
     else Some(appendWith(spark, dir, df, seq = Some(batchSeq)))
   }
 
+  /** Rewrite the CURRENT version's content into `targetFiles` files —
+    * range-clustered on `clusterBy` when given — and commit it as a new
+    * "compact" version (Delta's OPTIMIZE [ZORDER]): the maintenance half
+    * of the [[appendBatch]] ingest loop, which at one file per micro-batch
+    * degrades every read after thousands of batches. Content-identical by
+    * construction (same rows, new layout), watermark and lineage carried,
+    * prior versions still time-travelable until [[expire]] reclaims them.
+    * Old data files are NOT deleted here — readers of older versions
+    * still reference them; [[expire]] is the reclaim step. Like the
+    * builders above, the commit rebases on retry, but a concurrent APPEND
+    * between the read and the commit would be silently dropped from the
+    * compacted file list — so this is a single-maintainer operation, same
+    * discipline as `Dedup.compactSignatureIndex`. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int,
+      clusterBy: Option[String] = None): Snapshot = {
+    require(targetFiles > 0, s"bad target file count $targetFiles")
+    val before = snapshot(spark, dir)
+    val current = readFiles(spark, dir, before.schemaDdl, before.files)
+    val reshaped = clusterBy match {
+      case Some(c) => clustered(current, c, targetFiles)
+      case None    => current.coalesce(targetFiles)
+    }
+    val added = writeDataFiles(spark, dir, reshaped)
+    // verify from the rewritten FOOTERS before committing anything — a
+    // mismatch must abandon orphan files (expire reclaims them), never
+    // commit a version that lost rows
+    val rewrittenRows = added.map(_.rowCount).sum
+    require(rewrittenRows == before.totalRows,
+      s"compaction row-count mismatch at $dir: ${before.totalRows} → $rewrittenRows — not committed")
+    commit(spark, dir, v => {
+      val prev = parentOf(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"compact raced a table wipe at $dir"))
+      Snapshot(v, v - 1, "compact",
+        prev.schemaDdl, added, added.map(_.path),
+        batchSeq = prev.batchSeq, tableId = prev.tableId)
+    })
+  }
+
   /** Make `toVersion`'s file list current again as a NEW version — history
     * only ever grows; nothing is deleted until [[expire]]. */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot =
@@ -442,12 +488,17 @@ object SnapTable {
       s"changes($fromExclusive, $to]: cursor is ahead of the table — " +
         "stale checkpoint or recreated table; do a full read instead")
     val snaps = ((fromExclusive + 1) to to).map(v => snapshot(spark, dir, Some(v)))
-    snaps.foreach(s => require(s.operation == "append" || s.operation == "create",
+    // "compact" versions are content-IDENTICAL rewrites — their added
+    // files duplicate rows the cursor already covered (or that later
+    // append versions in this range cover), so they contribute no delta
+    snaps.foreach(s => require(
+      s.operation == "append" || s.operation == "create" || s.operation == "compact",
       s"changes($fromExclusive,$to] crosses a '${s.operation}' commit at v${s.version}; " +
         "its delta is not expressible as added rows — read that version directly instead"))
+    val deltas = snaps.filterNot(_.operation == "compact")
     val latestSchema = snaps.lastOption.map(_.schemaDdl).getOrElse(snapshot(spark, dir).schemaDdl)
-    val byPath = snaps.flatMap(s => s.files.map(f => f.path -> f)).toMap
-    val addedPaths = snaps.flatMap(_.addedFiles)
+    val byPath = deltas.flatMap(s => s.files.map(f => f.path -> f)).toMap
+    val addedPaths = deltas.flatMap(_.addedFiles)
     readFiles(spark, dir, latestSchema, addedPaths.flatMap(byPath.get))
   }
 

@@ -284,6 +284,37 @@ class SnapTableSpec extends SparkSpec {
     SnapTable.read(spark, dir).count() shouldBe 60L
   }
 
+  test("compact: content-identical rewrite, watermark/lineage kept, changes skips it, expire reclaims") {
+    val dir = freshDir("compact")
+    // ingest shape: one file per micro-batch
+    SnapTable.appendBatch(spark, dir, rows(0, 250).coalesce(1), batchSeq = 0L)
+    (1 to 7).foreach(i => SnapTable.appendBatch(spark, dir,
+      rows(i * 250, (i + 1) * 250).coalesce(1), batchSeq = i.toLong))
+    val before = SnapTable.snapshot(spark, dir)
+    before.files.size shouldBe 8
+    val compacted = SnapTable.compact(spark, dir, targetFiles = 2, clusterBy = Some("id"))
+    compacted.operation shouldBe "compact"
+    compacted.files.size should be <= 2
+    compacted.totalRows shouldBe 2000L
+    compacted.batchSeq shouldBe Some(7L) // replay protection survives maintenance
+    compacted.tableId shouldBe before.tableId
+    // content identical, clustered layout prunes
+    SnapTable.read(spark, dir).agg(sum("id")).as[Long].head() shouldBe (0L until 2000L).sum
+    val (_, pruned) = SnapTable.planPrune(spark, dir, "id", Some("0"), Some("100"))
+    pruned should not be empty
+    // a replayed batch after compaction is still a no-op
+    SnapTable.appendBatch(spark, dir, rows(0, 250), batchSeq = 3L) shouldBe None
+    // incremental readers cross the compact version as a zero-delta
+    SnapTable.appendBatch(spark, dir, rows(2000, 2100).coalesce(1), batchSeq = 8L)
+    val delta = SnapTable.changes(spark, dir, fromExclusive = before.version)
+    delta.count() shouldBe 100L
+    delta.agg(min("id")).as[Long].head() shouldBe 2000L
+    // expire reclaims the 8 pre-compaction files once their versions age out
+    val (_, reclaimed) = SnapTable.expire(spark, dir, keepLast = 2)
+    reclaimed shouldBe 8
+    SnapTable.read(spark, dir).count() shouldBe 2100L
+  }
+
   test("checkpoint + changes = incremental validation: only new rows revalidated") {
     val dir = freshDir("incr")
     val ckptPath = Files.createTempDirectory("snap-ckpt").resolve("state.json").toString

@@ -546,16 +546,16 @@ object SnapTable {
     val field = StructType.fromDDL(snap.schemaDdl).fields
       .find(_.name.equalsIgnoreCase(column)).getOrElse(
         throw new IllegalArgumentException(s"readWhere: unknown column '$column' in $dir"))
-    val boundCol = field.dataType match {
-      // timestamp bounds are epoch micros — the same domain the footer
-      // stats (MICROS-unit int64) and the drift machinery use
-      case TimestampType => functions.unix_micros(functions.col(column))
-      case _ => functions.col(column)
-    }
+    val boundCol = functions.col(column)
     def lit(v: String): org.apache.spark.sql.Column = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | TimestampType => functions.lit(v.toLong)
+      case ByteType | ShortType | IntegerType | LongType => functions.lit(v.toLong)
       case FloatType | DoubleType => functions.lit(v.toDouble)
       case StringType => functions.lit(v)
+      // timestamp bounds are epoch micros — the footer stats' own domain;
+      // lifting the LITERAL to a timestamp (not the column to a long)
+      // keeps the residual predicate pushdown-eligible, so row groups
+      // inside kept files prune too
+      case TimestampType => functions.timestamp_micros(functions.lit(v.toLong))
       case other => throw new IllegalArgumentException(
         s"readWhere bounds integral/floating/string/timestamp columns; '$column' is ${other.simpleString}")
     }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.SnapCli app.jar overwrite --table DIR --from SOURCE
   * spark-submit --class graft.SnapCli app.jar restore   --table DIR --to-version N
   * spark-submit --class graft.SnapCli app.jar compact   --table DIR --files N [--cluster-by COL]
+  * spark-submit --class graft.SnapCli app.jar delete    --table DIR --column C (--keys a,b | --lower X [--upper Y])
   * spark-submit --class graft.SnapCli app.jar expire    --table DIR --keep N
   * spark-submit --class graft.SnapCli app.jar describe  --table DIR
   * }}}
@@ -42,6 +43,17 @@ object SnapCli {
         case "overwrite" => report(SnapTable.overwrite(spark, dir, from))
         case "restore"   => report(SnapTable.restore(spark, dir,
           opts.getOrElse("to-version", sys.error("restore requires --to-version N")).toLong))
+        case "delete" =>
+          val column = opts.getOrElse("column", sys.error("delete requires --column"))
+          val out = opts.get("keys") match {
+            case Some(ks) => SnapTable.deleteKeys(spark, dir, column, ks.split(",").toSeq)
+            case None => SnapTable.deleteWhere(spark, dir, column,
+              opts.get("lower"), opts.get("upper"))
+          }
+          out match {
+            case Some(s) => report(s)
+            case None => println("""{"deleted": 0, "note": "no file could contain a match"}""")
+          }
         case "compact"   => report(SnapTable.compact(spark, dir,
           targetFiles = opts.getOrElse("files", sys.error("compact requires --files N")).toInt,
           clusterBy = opts.get("cluster-by")))

@@ -444,6 +444,92 @@ object SnapTable {
     })
   }
 
+  /** Copy-on-write row-level delete with FILE-GRANULAR rewrite — the
+    * takedown/redaction primitive a training-data table owes its sources:
+    * the manifest's footer stats split the current files into (may contain
+    * matches, provably cannot), only the former are read and rewritten
+    * without the matching rows, and the untouched files carry over BY
+    * REFERENCE (no bytes moved — deleting one day from a time-clustered
+    * table rewrites a handful of files, not the corpus). Rows with NULL in
+    * `column` never match a bound and are always kept. Commits as a
+    * "delete" version: watermark and lineage carried, prior versions still
+    * time-travelable until [[expire]] (true physical removal of the old
+    * bytes = delete + expire — document THAT as the takedown SLA), and
+    * incremental [[changes]] readers refuse to cross it (a delete is not
+    * expressible as added rows). Returns None when no file could contain a
+    * match (zero work, no new version). Single-maintainer like [[compact]]. */
+  def deleteWhere(spark: SparkSession, dir: String, column: String,
+      lower: Option[String], upper: Option[String]): Option[Snapshot] = {
+    require(lower.nonEmpty || upper.nonEmpty, "deleteWhere needs at least one bound")
+    val before = snapshot(spark, dir)
+    val (touched, untouched) = prunePartition(before, column, lower, upper)
+    if (touched.isEmpty) return None
+    // the DELETE predicate is the bound; the KEEP predicate is its
+    // null-safe complement (NULL never matches a bound → kept)
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val pred = boundPredicate(before, column, lower, upper)
+    val kept = readFiles(spark, dir, before.schemaDdl, touched)
+      .filter(coalesce(not(pred), lit(true)))
+    Some(commitDelete(spark, dir, untouched, kept))
+  }
+
+  /** Shared tail of the delete family: rewrite the kept rows, commit the
+    * carried-over + rewritten file list as a "delete" version. */
+  private def commitDelete(spark: SparkSession, dir: String,
+      untouched: Seq[DataFile], kept: DataFrame): Snapshot = {
+    val added = if (kept.isEmpty) Nil else writeDataFiles(spark, dir, kept)
+    commit(spark, dir, v => {
+      val prev = parentOf(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"delete raced a table wipe at $dir"))
+      Snapshot(v, v - 1, "delete",
+        prev.schemaDdl, untouched ++ added, added.map(_.path),
+        batchSeq = prev.batchSeq, tableId = prev.tableId)
+    })
+  }
+
+  /** Key-set takedown: delete every row whose `column` value is one of
+    * `keys` (document ids named in a removal request). File granularity
+    * like [[deleteWhere]]: a file is rewritten only if some key falls
+    * inside its footer range — on an id-clustered table a thousand-id
+    * takedown rewrites the few files that can hold them. NULL keys never
+    * match; rows with NULL in `column` are kept. Driver does
+    * O(files × keys) range tests — fine for takedown-sized sets, guarded
+    * at 100k keys (larger sets: join-based rewrite, not a manifest op). */
+  def deleteKeys(spark: SparkSession, dir: String, column: String,
+      keys: Seq[String]): Option[Snapshot] = {
+    require(keys.nonEmpty, "deleteKeys needs at least one key")
+    require(keys.size <= 100000,
+      s"deleteKeys holds ${keys.size} keys on the driver — beyond 100k use a join-based rewrite")
+    val before = snapshot(spark, dir)
+    val (touched, untouched) = before.files.partition { f =>
+      f.stats.get(column) match {
+        case Some(st) if st.hasMinMax =>
+          keys.exists(k => cmp(st.kind, k, st.min) >= 0 && cmp(st.kind, k, st.max) <= 0)
+        case _ => true
+      }
+    }
+    if (touched.isEmpty) return None
+    import org.apache.spark.sql.functions.{coalesce, lit, not, col}
+    import org.apache.spark.sql.types._
+    val field = schemaField(before, column)
+    val rawKeys: Seq[Any] = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => keys.map(_.toLong)
+      case FloatType | DoubleType => keys.map(_.toDouble)
+      case StringType => keys
+      case TimestampType => keys.map { k => // epoch micros, the stats' domain
+        val us = k.toLong
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      }
+      case other => throw new IllegalArgumentException(
+        s"deleteKeys supports integral/floating/string/timestamp columns; '$column' is ${other.simpleString}")
+    }
+    val inSet = col(column).isin(rawKeys: _*)
+    val kept = readFiles(spark, dir, before.schemaDdl, touched)
+      .filter(coalesce(not(inSet), lit(true)))
+    Some(commitDelete(spark, dir, untouched, kept))
+  }
+
   /** Make `toVersion`'s file list current again as a NEW version — history
     * only ever grows; nothing is deleted until [[expire]]. */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot =
@@ -532,40 +618,56 @@ object SnapTable {
     * reach Spark's scan planner; the residual filter still applies, so the
     * result is EXACTLY `read(...).filter(bound)` — pruning is a cost
     * optimization with a correctness proof, not a semantics change. */
-  def readWhere(spark: SparkSession, dir: String, column: String,
-      lower: Option[String], upper: Option[String],
-      asOf: Option[Long] = None): DataFrame = {
+  /** The typed residual predicate for `lower <= col <= upper` — typed from
+    * the TABLE SCHEMA, never from whichever file happened to carry a stat:
+    * a string-typed literal against a long column would coerce the
+    * comparison through double and disagree with the pruner's exact long
+    * math near 2^53. Timestamp bounds are epoch micros (the footer stats'
+    * own domain); lifting the LITERAL to a timestamp (not the column to a
+    * long) keeps the predicate pushdown-eligible, so row groups inside
+    * kept files prune too. */
+  private def boundPredicate(snap: Snapshot, column: String,
+      lower: Option[String], upper: Option[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions
     import org.apache.spark.sql.types._
-    val snap = snapshot(spark, dir, asOf)
-    val (keep, _) = prunePartition(snap, column, lower, upper)
-    // the residual filter is typed from the TABLE SCHEMA, never from
-    // whichever file happened to carry a stat — a string-typed literal
-    // against a long column would coerce the comparison through double
-    // and disagree with the pruner's exact long math near 2^53
-    val field = StructType.fromDDL(snap.schemaDdl).fields
-      .find(_.name.equalsIgnoreCase(column)).getOrElse(
-        throw new IllegalArgumentException(s"readWhere: unknown column '$column' in $dir"))
+    val field = schemaField(snap, column)
     val boundCol = functions.col(column)
-    def lit(v: String): org.apache.spark.sql.Column = field.dataType match {
+    def lit(v: String) = typedLit(field, v)
+    (lower, upper) match {
+      case (Some(lo), Some(hi)) => boundCol >= lit(lo) && boundCol <= lit(hi)
+      case (Some(lo), None)     => boundCol >= lit(lo)
+      case (None, Some(hi))     => boundCol <= lit(hi)
+      case (None, None)         => functions.lit(true)
+    }
+  }
+
+  private def schemaField(snap: Snapshot, column: String): org.apache.spark.sql.types.StructField =
+    StructType.fromDDL(snap.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column '$column' in the table schema"))
+
+  private def typedLit(field: org.apache.spark.sql.types.StructField,
+      v: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions
+    import org.apache.spark.sql.types._
+    field.dataType match {
       case ByteType | ShortType | IntegerType | LongType => functions.lit(v.toLong)
       case FloatType | DoubleType => functions.lit(v.toDouble)
       case StringType => functions.lit(v)
-      // timestamp bounds are epoch micros — the footer stats' own domain;
-      // lifting the LITERAL to a timestamp (not the column to a long)
-      // keeps the residual predicate pushdown-eligible, so row groups
-      // inside kept files prune too
       case TimestampType => functions.timestamp_micros(functions.lit(v.toLong))
       case other => throw new IllegalArgumentException(
-        s"readWhere bounds integral/floating/string/timestamp columns; '$column' is ${other.simpleString}")
+        s"bounds support integral/floating/string/timestamp columns; '${field.name}' is ${other.simpleString}")
     }
+  }
+
+  def readWhere(spark: SparkSession, dir: String, column: String,
+      lower: Option[String], upper: Option[String],
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, dir, asOf)
+    val (keep, _) = prunePartition(snap, column, lower, upper)
     val base = readFiles(spark, dir, snap.schemaDdl, keep)
-    (lower, upper) match {
-      case (Some(lo), Some(hi)) => base.filter(boundCol >= lit(lo) && boundCol <= lit(hi))
-      case (Some(lo), None)     => base.filter(boundCol >= lit(lo))
-      case (None, Some(hi))     => base.filter(boundCol <= lit(hi))
-      case (None, None)         => base
-    }
+    if (lower.isEmpty && upper.isEmpty) base
+    else base.filter(boundPredicate(snap, column, lower, upper))
   }
 
   // ---------------------------------------------------------------- lifecycle

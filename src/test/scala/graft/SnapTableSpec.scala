@@ -161,7 +161,7 @@ class SnapTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SnapTable.readWhere(spark, dir, "dec", Some("1"), None).count()
     }
-    e.getMessage should include("readWhere bounds")
+    e.getMessage should include("bounds support")
   }
 
   test("tableId: minted at create, carried by every commit, changes refuses an inverted cursor") {
@@ -313,6 +313,41 @@ class SnapTableSpec extends SparkSpec {
     val (_, reclaimed) = SnapTable.expire(spark, dir, keepLast = 2)
     reclaimed shouldBe 8
     SnapTable.read(spark, dir).count() shouldBe 2100L
+  }
+
+  test("deleteWhere/deleteKeys: copy-on-write takedown, file-granular, NULLs kept, history intact") {
+    val dir = freshDir("takedown")
+    // id-clustered layout: 4 tight files over ids 0..999
+    SnapTable.create(spark, dir, SnapTable.clustered(
+      rows(0, 1000).withColumn("score",
+        when(col("id") === 7, lit(null)).otherwise(col("score"))), "id", 4))
+    val before = SnapTable.snapshot(spark, dir)
+    // range delete: ids 100..199 live in one file — others carry by reference
+    val afterRange = SnapTable.deleteWhere(spark, dir, "id", Some("100"), Some("199")).get
+    afterRange.operation shouldBe "delete"
+    afterRange.totalRows shouldBe 900L
+    val carried = afterRange.files.map(_.path).toSet intersect before.files.map(_.path).toSet
+    carried.size should be >= 2 // untouched files: same bytes, same paths
+    SnapTable.read(spark, dir).filter(col("id").between(100, 199)).count() shouldBe 0L
+    // NULL rows in the bound column never match and are kept
+    SnapTable.deleteWhere(spark, dir, "score", Some("0"), Some("2")).get
+    SnapTable.read(spark, dir).filter(col("id") === 7).count() shouldBe 1L
+    // key-set takedown: only files whose range can hold a key are rewritten
+    val beforeKeys = SnapTable.snapshot(spark, dir)
+    val afterKeys = SnapTable.deleteKeys(spark, dir, "name",
+      Seq("user-0900", "user-0901", "user-0444")).get
+    SnapTable.read(spark, dir).filter(col("name").isin("user-0900", "user-0901", "user-0444"))
+      .count() shouldBe 0L
+    (afterKeys.files.map(_.path).toSet intersect beforeKeys.files.map(_.path).toSet) should not be empty
+    // keys provably outside every file: no-op, no new version
+    val v = SnapTable.currentVersion(spark, dir)
+    SnapTable.deleteKeys(spark, dir, "name", Seq("zzzz-none")) shouldBe None
+    SnapTable.currentVersion(spark, dir) shouldBe v
+    // pre-delete versions stay time-travelable until expire (the takedown
+    // SLA is delete + expire)
+    SnapTable.read(spark, dir, asOf = Some(1L)).count() shouldBe 1000L
+    // incremental readers refuse to cross a delete silently
+    intercept[IllegalArgumentException] { SnapTable.changes(spark, dir, fromExclusive = 1L) }
   }
 
   test("checkpoint + changes = incremental validation: only new rows revalidated") {

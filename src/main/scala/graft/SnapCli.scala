@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.SnapCli app.jar restore   --table DIR --to-version N
   * spark-submit --class graft.SnapCli app.jar compact   --table DIR --files N [--cluster-by COL]
   * spark-submit --class graft.SnapCli app.jar delete    --table DIR --column C (--keys a,b | --lower X [--upper Y])
+  * spark-submit --class graft.SnapCli app.jar merge     --table DIR --from SOURCE --key COL
   * spark-submit --class graft.SnapCli app.jar expire    --table DIR --keep N
   * spark-submit --class graft.SnapCli app.jar describe  --table DIR
   * }}}
@@ -41,6 +42,8 @@ object SnapCli {
         case "create"    => report(SnapTable.create(spark, dir, from))
         case "append"    => report(SnapTable.append(spark, dir, from))
         case "overwrite" => report(SnapTable.overwrite(spark, dir, from))
+        case "merge"     => report(SnapTable.merge(spark, dir, from,
+          opts.getOrElse("key", sys.error("merge requires --key COL"))))
         case "restore"   => report(SnapTable.restore(spark, dir,
           opts.getOrElse("to-version", sys.error("restore requires --to-version N")).toLong))
         case "delete" =>

@@ -530,6 +530,68 @@ object SnapTable {
     Some(commitDelete(spark, dir, untouched, kept))
   }
 
+  /** Copy-on-write keyed upsert (MERGE): every row of `updates` replaces
+    * the table's rows with the same `keyColumn` value; keys the table has
+    * never seen append. The correction/relabel primitive of a training-data
+    * table (fix a batch of mislabeled documents in place). File-granular
+    * like the deletes: only files whose footer range intersects the update
+    * keys rewrite; everything else carries over by reference. The distinct
+    * update keys ride the driver (≤100k — corrections-sized; a larger
+    * reshape is an [[overwrite]]). Update rows with a NULL key are
+    * rejected (they can never match and would silently append). Multiset
+    * semantics: duplicate keys inside `updates` all land — dedup upstream
+    * if last-writer-wins is wanted. Integral and string keys (the id
+    * types). Single-maintainer like [[compact]]. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyColumn: String): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.types._
+    val before = snapshot(spark, dir)
+    val tableSchema = StructType.fromDDL(before.schemaDdl)
+    require(updates.schema.fields.map(f => (f.name, f.dataType.sql)).sorted.sameElements(
+      tableSchema.fields.map(f => (f.name, f.dataType.sql)).sorted),
+      s"merge updates schema must match the table's: " +
+        s"table ${tableSchema.toDDL}, updates ${updates.schema.toDDL}")
+    val keyField = schemaField(before, keyColumn)
+    require(updates.filter(col(keyColumn).isNull).isEmpty,
+      s"merge: updates carry NULL '$keyColumn' keys — they can never match a row")
+    val keyRows = updates.select(keyColumn).distinct().limit(100001).collect()
+    require(keyRows.length <= 100000,
+      "merge holds the distinct update keys on the driver — beyond 100k use overwrite")
+    // canonical string form in the footer-stat comparison domain
+    val keyStrings: Seq[String] = keyField.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        keyRows.map(r => String.valueOf(r.get(0))).toSeq
+      case StringType => keyRows.map(_.getString(0)).toSeq
+      case other => throw new IllegalArgumentException(
+        s"merge keys on integral/string columns; '$keyColumn' is ${other.simpleString}")
+    }
+    val (touched, untouched) = before.files.partition { f =>
+      f.stats.get(keyColumn) match {
+        case Some(st) if st.hasMinMax =>
+          keyStrings.exists(k => cmp(st.kind, k, st.min) >= 0 && cmp(st.kind, k, st.max) <= 0)
+        case _ => true
+      }
+    }
+    val rawKeys: Seq[Any] = keyField.dataType match {
+      case StringType => keyStrings
+      case _ => keyStrings.map(_.toLong)
+    }
+    val survivors = readFiles(spark, dir, before.schemaDdl, touched)
+      .filter(coalesce(not(col(keyColumn).isin(rawKeys: _*)), lit(true)))
+    // one write, one commit: survivors + updates land together; column
+    // order normalized to the table schema
+    val incoming = updates.select(tableSchema.fieldNames.map(col): _*)
+    val added = writeDataFiles(spark, dir, survivors.unionByName(incoming))
+    commit(spark, dir, v => {
+      val prev = parentOf(spark, dir, v).getOrElse(
+        throw new IllegalStateException(s"merge raced a table wipe at $dir"))
+      Snapshot(v, v - 1, "merge",
+        prev.schemaDdl, untouched ++ added, added.map(_.path),
+        batchSeq = prev.batchSeq, tableId = prev.tableId)
+    })
+  }
+
   /** Make `toVersion`'s file list current again as a NEW version — history
     * only ever grows; nothing is deleted until [[expire]]. */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Snapshot =

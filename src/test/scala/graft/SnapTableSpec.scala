@@ -350,6 +350,35 @@ class SnapTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapTable.changes(spark, dir, fromExclusive = 1L) }
   }
 
+  test("merge: keyed copy-on-write upsert — replaces matches, appends new keys, file-granular") {
+    val dir = freshDir("merge")
+    SnapTable.create(spark, dir, SnapTable.clustered(rows(0, 1000), "id", 4))
+    val before = SnapTable.snapshot(spark, dir)
+    // corrections for two ids in one file's range + one brand-new id
+    val updates = rows(0, 1).union(rows(150, 151)).union(rows(5000, 5001))
+      .withColumn("name", concat(lit("fixed-"), col("id")))
+    val merged = SnapTable.merge(spark, dir, updates, "id")
+    merged.operation shouldBe "merge"
+    merged.totalRows shouldBe 1001L // 1000 − 2 replaced + 3 incoming
+    val cur = SnapTable.read(spark, dir)
+    cur.filter(col("id").isin(0, 150, 5000)).select("name").as[String].collect().sorted shouldBe
+      Array("fixed-0", "fixed-150", "fixed-5000")
+    cur.filter(col("id") === 151).select("name").as[String].head() shouldBe "user-0151"
+    // files outside every update key's range carried by reference
+    (merged.files.map(_.path).toSet intersect before.files.map(_.path).toSet) should not be empty
+    // schema mismatch and NULL keys refuse
+    intercept[IllegalArgumentException] {
+      SnapTable.merge(spark, dir, updates.drop("score"), "id")
+    }.getMessage should include("schema")
+    intercept[IllegalArgumentException] {
+      SnapTable.merge(spark, dir,
+        updates.withColumn("id", when(col("id") === 0, lit(null)).otherwise(col("id"))), "id")
+    }.getMessage should include("NULL")
+    // history intact; incremental readers refuse to cross a merge
+    SnapTable.read(spark, dir, asOf = Some(1L)).count() shouldBe 1000L
+    intercept[IllegalArgumentException] { SnapTable.changes(spark, dir, fromExclusive = 1L) }
+  }
+
   test("checkpoint + changes = incremental validation: only new rows revalidated") {
     val dir = freshDir("incr")
     val ckptPath = Files.createTempDirectory("snap-ckpt").resolve("state.json").toString

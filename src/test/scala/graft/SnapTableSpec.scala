@@ -252,6 +252,50 @@ class SnapTableSpec extends SparkSpec {
     e.getMessage should include("expired or never committed")
   }
 
+  test("concurrent appends: every racing writer's files survive via commit rebase") {
+    val dir = freshDir("race-many")
+    SnapTable.create(spark, dir, rows(0, 10))
+    // 6 writers race distinct appends; version-number collisions force
+    // rebase-retries — a stale-base commit would drop a winner's files
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val writers = (0 until 6).map { i => Future {
+      SnapTable.append(spark, dir, rows(100 + i * 50, 100 + (i + 1) * 50))
+    }}
+    Await.result(Future.sequence(writers), Duration.Inf)
+    SnapTable.versions(spark, dir) shouldBe (1L to 7L)
+    val cur = SnapTable.read(spark, dir)
+    cur.count() shouldBe (10 + 6 * 50).toLong
+    // every writer's id range is present — nothing was silently dropped
+    (0 until 6).foreach { i =>
+      cur.filter(col("id") === (100 + i * 50)).count() shouldBe 1L
+    }
+  }
+
+  test("drift against your own history: ref_table = snap:@v1 through the source map") {
+    import graft.engine.Validator
+    val dir = freshDir("histdrift")
+    // v1: uniform categories; v2 appends a skewed batch
+    val v1 = spark.range(0, 900).select(
+      col("id"), (col("id") % 3).cast("string").as("cat"))
+    SnapTable.create(spark, dir, v1)
+    SnapTable.append(spark, dir, spark.range(900, 1800).select(
+      col("id"), lit("0").as("cat"))) // all mass onto one category
+    val rule = ValidationRule("cat_drift", RuleType.drift, Seq("cat"),
+      parameters = Map("method" -> "tvd", "ref_table" -> "yesterday", "critical" -> "0.2"))
+    def run(refSource: String) =
+      new Validator(spark, ValidationConfig(),
+        n => if (n == "yesterday") Some(Tables.load(spark, refSource)) else None)
+        .executeRules(Tables.load(spark, s"snap:$dir"), Seq(rule), "t").results.head
+    // current-vs-v1: the appended skew fires the gate
+    val drifted = run(s"snap:$dir@v1")
+    drifted.passed shouldBe false
+    drifted.metadata("statistic").toDouble should be > 0.3
+    // current-vs-current: quiet — the baseline is just another table source
+    run(s"snap:$dir").metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
+  }
+
   test("Tables.load dispatches snap: and snap:@vN") {
     val dir = freshDir("dispatch")
     SnapTable.create(spark, dir, rows(0, 50))

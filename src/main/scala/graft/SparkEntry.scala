@@ -1233,6 +1233,58 @@ object SparkEntry {
         FROM events, (SELECT MAX(event_id) AS m FROM events) mx
         WHERE event_id >= mx.m // 8 AND event_id <= 3 * mx.m // 8""")),
 
+    // zero-ANYTHING rule authoring: suggestions from the snap manifest's
+    // footer stats alone (no file read beyond one JSON); the oracle
+    // re-derives every emission decision, threshold floor, and bound from
+    // the same parquet with exact SQL aggregates
+    Q("q_snap_suggest_events",
+      (s, d) => {
+        import s.implicits._
+        val dir = snapScratch(s, d, "suggest")
+        val snap = graft.io.SnapTable.create(s, dir, t(s, d, "events"))
+        graft.engine.Suggest.fromSnapManifest(snap)
+          .map(g => (g.column, g.ruleType, g.threshold, g.minValue, g.maxValue))
+          .toDF("col_name", "rule_type", "threshold", "min_v", "max_v")
+          .orderBy("col_name", "rule_type")
+      },
+      Some("""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nn_event_id,
+          SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nn_ts,
+          SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nn_user_id,
+          SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nn_event_type,
+          SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn_value,
+          SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nn_props,
+          MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+          MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id
+          FROM events)
+        SELECT col_name, rule_type, threshold, min_v, max_v FROM (
+          SELECT 'event_id' AS col_name, 'completeness' AS rule_type,
+            CASE WHEN nn_event_id = 0 THEN NULL ELSE floor(100.0 * (n - nn_event_id) / n) / 100.0 END AS threshold,
+            CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v, n, nn_event_id AS nn FROM t
+          UNION ALL SELECT 'ts', 'completeness',
+            CASE WHEN nn_ts = 0 THEN NULL ELSE floor(100.0 * (n - nn_ts) / n) / 100.0 END,
+            NULL, NULL, n, nn_ts FROM t
+          UNION ALL SELECT 'user_id', 'completeness',
+            CASE WHEN nn_user_id = 0 THEN NULL ELSE floor(100.0 * (n - nn_user_id) / n) / 100.0 END,
+            NULL, NULL, n, nn_user_id FROM t
+          UNION ALL SELECT 'event_type', 'completeness',
+            CASE WHEN nn_event_type = 0 THEN NULL ELSE floor(100.0 * (n - nn_event_type) / n) / 100.0 END,
+            NULL, NULL, n, nn_event_type FROM t
+          UNION ALL SELECT 'value', 'completeness',
+            CASE WHEN nn_value = 0 THEN NULL ELSE floor(100.0 * (n - nn_value) / n) / 100.0 END,
+            NULL, NULL, n, nn_value FROM t
+          UNION ALL SELECT 'props', 'completeness',
+            CASE WHEN nn_props = 0 THEN NULL ELSE floor(100.0 * (n - nn_props) / n) / 100.0 END,
+            NULL, NULL, n, nn_props FROM t
+        ) WHERE CAST(nn AS DOUBLE) / n <= 0.05
+        UNION ALL
+        SELECT 'event_id', 'range', NULL,
+          CAST(min_event_id AS DOUBLE), CAST(max_event_id AS DOUBLE) FROM t
+        UNION ALL
+        SELECT 'user_id', 'range', NULL,
+          CAST(min_user_id AS DOUBLE), CAST(max_user_id AS DOUBLE) FROM t
+        ORDER BY col_name, rule_type""")),
+
     // ---- schema drift (contract check): a mutated view of documents vs
     // the live table — the oracle pins the exact expected diff rows, which
     // the operator must re-derive from the real schemas -------------------

@@ -256,6 +256,58 @@ object Suggest {
     *     value sketch purged. Self-consistency holds by construction:
     *     the state compared against its own data reads ~zero drift.
     */
+  /** Author rules from a snap table's MANIFEST alone — zero file reads
+    * beyond the one manifest JSON (the footer stats were paid at commit
+    * time): completeness per column from the summed nullCounts, range for
+    * integral columns from the merged min/max. A file without a usable
+    * bound only blocks the range suggestion when it might actually hold
+    * values (its nullCount < rowCount) — an all-null file bounds nothing.
+    * The cheapest of the three suggestion tiers (2-scan [[suggest]],
+    * zero-scan-from-profile [[fromState]], zero-ANYTHING here), and the
+    * only one that works on a table you have never read. */
+  def fromSnapManifest(snap: graft.io.Snapshot, maxNullRate: Double = 0.05): Seq[Suggestion] = {
+    val total = snap.totalRows
+    if (total == 0) return Nil
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    schema.fields.toSeq.flatMap { f =>
+      val perFile = snap.files.map(df => df.stats.get(f.name) -> df.rowCount)
+      // a column absent from EVERY file's stats (pre-evolution history)
+      // reads as all-NULL there; count those rows as nulls
+      val nulls = perFile.map {
+        case (Some(st), _) => st.nullCount
+        case (None, rows)  => rows
+      }.sum
+      val completeness: Option[Suggestion] =
+        if (nulls == 0L)
+          Some(Suggestion(f.name, RuleType.Completeness, None, None, None, None,
+            s"no NULLs in $total rows (manifest footer stats)"))
+        else if (nulls.toDouble / total <= maxNullRate) {
+          val thr = math.floor(100.0 * (total - nulls) / total) / 100.0
+          Some(Suggestion(f.name, RuleType.Completeness, Some(thr), None, None, None,
+            s"NULLs in $nulls of $total rows; threshold floored (manifest footer stats)"))
+        } else None
+      val integral = f.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val boundable = integral && perFile.forall {
+        case (Some(st), rows) => st.hasMinMax || st.nullCount == rows
+        case (None, _)        => true // all-NULL by absence: bounds nothing
+      } && perFile.exists(_._1.exists(_.hasMinMax))
+      val range: Option[Suggestion] =
+        if (!boundable) None
+        else {
+          val bounded = perFile.flatMap(_._1).filter(_.hasMinMax)
+          Some(Suggestion(f.name, RuleType.Range, None,
+            Some(bounded.map(_.min.toLong).min.toDouble),
+            Some(bounded.map(_.max.toLong).max.toDouble), None,
+            "observed numeric bounds (manifest footer stats)"))
+        }
+      completeness.toSeq ++ range
+    }
+  }
+
   def fromState(s: Profiler.ProfileState, maxNullRate: Double = 0.05,
       maxAllowedValues: Int = 10, refStatePath: Option[String] = None): Seq[Suggestion] = {
     import org.apache.datasketches.frequencies.ErrorType

@@ -199,4 +199,44 @@ class SuggestSpec extends SparkSpec {
     v.executeRules(df, back.enabledRules("t"), "t")
       .results.filterNot(_.passed) shouldBe empty
   }
+
+  test("fromSnapManifest: zero-read suggestions, evolution NULLs counted, all-null file can't block range") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("snap-suggest").toString
+    // v1: 100 rows without 'extra'; v2 appends 100 rows with it, 4 nulls
+    graft.io.SnapTable.create(spark, dir,
+      spark.range(0, 100).select(col("id"),
+        concat(lit("u"), col("id")).as("name")))
+    graft.io.SnapTable.append(spark, dir,
+      spark.range(100, 200).select(col("id"),
+        concat(lit("u"), col("id")).as("name"),
+        when(col("id") % 25 === 0, lit(null)).otherwise(col("id") * 2).as("extra")))
+    // v3: a file that is ALL-null for 'extra' — bounds nothing, blocks nothing
+    graft.io.SnapTable.append(spark, dir,
+      spark.range(200, 210).select(col("id"),
+        concat(lit("u"), col("id")).as("name"),
+        lit(null).cast("long").as("extra")))
+    val snap = graft.io.SnapTable.snapshot(spark, dir)
+    val by = Suggest.fromSnapManifest(snap, maxNullRate = 0.9)
+      .map(g => (g.column, g.ruleType) -> g).toMap
+    // id: complete + bounded
+    by(("id", RuleType.Completeness)).threshold shouldBe None
+    by(("id", RuleType.Range)).minValue shouldBe Some(0.0)
+    by(("id", RuleType.Range)).maxValue shouldBe Some(209.0)
+    // extra: evolution nulls (100) + real nulls (4) + all-null file (10) of 210
+    val extra = by(("extra", RuleType.Completeness))
+    extra.threshold shouldBe Some(math.floor(100.0 * 96 / 210) / 100.0)
+    // range from the one bounded file only — the stat-less v1 files and the
+    // all-null v3 file bound nothing and block nothing
+    by(("extra", RuleType.Range)).minValue shouldBe Some(202.0)
+    by(("extra", RuleType.Range)).maxValue shouldBe Some(398.0)
+    // string column: completeness only, never a range
+    by.get(("name", RuleType.Range)) shouldBe None
+    // the authored rules validate green on the table itself (suggestion
+    // self-consistency, the family contract)
+    val rules = Suggest.fromSnapManifest(snap, maxNullRate = 0.9).map(_.rule("m"))
+    new Validator(spark, ValidationConfig())
+      .executeRules(graft.io.SnapTable.read(spark, dir), rules, "t")
+      .results.filterNot(_.passed) shouldBe empty
+  }
 }

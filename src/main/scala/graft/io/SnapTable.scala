@@ -37,7 +37,7 @@ final case class DataFile(
 final case class Snapshot(
     version: Long,
     parentVersion: Long,
-    operation: String, // "create" | "append" | "overwrite" | "restore"
+    operation: String, // create | append | overwrite | restore | compact | delete | merge
     schemaDdl: String,
     files: Seq[DataFile],
     addedFiles: Seq[String],
@@ -159,20 +159,20 @@ object SnapTable {
       ab.length - bb.length
   }
 
-  private def statOf(s: Statistics[_]): Option[ColumnStat] = {
+  private def statOf(s: Statistics[_]): ColumnStat = {
     val nulls = if (s.isNumNullsSet) s.getNumNulls else 0L
-    if (!s.hasNonNullValue) return Some(ColumnStat("other", "", "", nulls, hasMinMax = false))
+    if (!s.hasNonNullValue) return ColumnStat("other", "", "", nulls, hasMinMax = false)
     s match {
-      case i: IntStatistics     => Some(ColumnStat("long", i.getMin.toString, i.getMax.toString, nulls, hasMinMax = true))
-      case l: LongStatistics    => Some(ColumnStat("long", l.getMin.toString, l.getMax.toString, nulls, hasMinMax = true))
-      case f: FloatStatistics   => Some(ColumnStat("double", f.getMin.toString, f.getMax.toString, nulls, hasMinMax = true))
-      case d: DoubleStatistics  => Some(ColumnStat("double", d.getMin.toString, d.getMax.toString, nulls, hasMinMax = true))
-      case b: BooleanStatistics => Some(ColumnStat("bool", b.getMin.toString, b.getMax.toString, nulls, hasMinMax = true))
+      case i: IntStatistics     => ColumnStat("long", i.getMin.toString, i.getMax.toString, nulls, hasMinMax = true)
+      case l: LongStatistics    => ColumnStat("long", l.getMin.toString, l.getMax.toString, nulls, hasMinMax = true)
+      case f: FloatStatistics   => ColumnStat("double", f.getMin.toString, f.getMax.toString, nulls, hasMinMax = true)
+      case d: DoubleStatistics  => ColumnStat("double", d.getMin.toString, d.getMax.toString, nulls, hasMinMax = true)
+      case b: BooleanStatistics => ColumnStat("bool", b.getMin.toString, b.getMax.toString, nulls, hasMinMax = true)
       case b: BinaryStatistics =>
         // only UTF-8 string logical type gets an ordered stat; raw binary
         // stays unprunable (no total order a query filter would use)
-        Some(ColumnStat("string", b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8, nulls, hasMinMax = true))
-      case _ => Some(ColumnStat("other", "", "", nulls, hasMinMax = false))
+        ColumnStat("string", b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8, nulls, hasMinMax = true)
+      case _ => ColumnStat("other", "", "", nulls, hasMinMax = false)
     }
   }
 
@@ -215,15 +215,14 @@ object SnapTable {
             case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => !i.isSigned
             case _ => false
           }
-          statOf(c.getStatistics).foreach { raw =>
-            // a BINARY column without string annotation must not carry a
-            // string-ordered bound either
-            val st =
-              if (unorderable || (raw.kind == "string" && !isString))
-                raw.copy(kind = "other", min = "", max = "", hasMinMax = false)
-              else raw
-            merged(parts(0)) = merged.get(parts(0)).map(mergeStat(_, st)).getOrElse(st)
-          }
+          val raw = statOf(c.getStatistics)
+          // a BINARY column without string annotation must not carry a
+          // string-ordered bound either
+          val st =
+            if (unorderable || (raw.kind == "string" && !isString))
+              raw.copy(kind = "other", min = "", max = "", hasMinMax = false)
+            else raw
+          merged(parts(0)) = merged.get(parts(0)).map(mergeStat(_, st)).getOrElse(st)
         }
       }
       (rows, merged.toMap)
@@ -470,21 +469,53 @@ object SnapTable {
     val pred = boundPredicate(before, column, lower, upper)
     val kept = readFiles(spark, dir, before.schemaDdl, touched)
       .filter(coalesce(not(pred), lit(true)))
-    Some(commitDelete(spark, dir, untouched, kept))
+    Some(commitRewrite(spark, dir, "delete", untouched, kept))
   }
 
-  /** Shared tail of the delete family: rewrite the kept rows, commit the
-    * carried-over + rewritten file list as a "delete" version. */
-  private def commitDelete(spark: SparkSession, dir: String,
+  /** Shared tail of the copy-on-write family (delete/merge): rewrite the
+    * kept rows, commit carried-over + rewritten files as an `op` version
+    * with watermark and lineage carried. */
+  private def commitRewrite(spark: SparkSession, dir: String, op: String,
       untouched: Seq[DataFile], kept: DataFrame): Snapshot = {
     val added = if (kept.isEmpty) Nil else writeDataFiles(spark, dir, kept)
     commit(spark, dir, v => {
       val prev = parentOf(spark, dir, v).getOrElse(
-        throw new IllegalStateException(s"delete raced a table wipe at $dir"))
-      Snapshot(v, v - 1, "delete",
+        throw new IllegalStateException(s"$op raced a table wipe at $dir"))
+      Snapshot(v, v - 1, op,
         prev.schemaDdl, untouched ++ added, added.map(_.path),
         batchSeq = prev.batchSeq, tableId = prev.tableId)
     })
+  }
+
+  /** Files whose footer range could hold one of `keys` vs those that
+    * provably cannot — the shared file-granularity test of the keyed
+    * copy-on-write operations ([[deleteKeys]], [[merge]]). */
+  private def keyTouched(snap: Snapshot, column: String,
+      keys: Seq[String]): (Seq[DataFile], Seq[DataFile]) =
+    snap.files.partition { f =>
+      f.stats.get(column) match {
+        case Some(st) if st.hasMinMax =>
+          keys.exists(k => cmp(st.kind, k, st.min) >= 0 && cmp(st.kind, k, st.max) <= 0)
+        case _ => true
+      }
+    }
+
+  /** Key strings lifted into the raw value domain `col.isin` compares in. */
+  private def rawKeyValues(field: org.apache.spark.sql.types.StructField,
+      keys: Seq[String]): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => keys.map(_.toLong)
+      case FloatType | DoubleType => keys.map(_.toDouble)
+      case StringType => keys
+      case TimestampType => keys.map { k => // epoch micros, the stats' domain
+        val us = k.toLong
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      }
+      case other => throw new IllegalArgumentException(
+        s"key operations support integral/floating/string/timestamp columns; '${field.name}' is ${other.simpleString}")
+    }
   }
 
   /** Key-set takedown: delete every row whose `column` value is one of
@@ -501,33 +532,13 @@ object SnapTable {
     require(keys.size <= 100000,
       s"deleteKeys holds ${keys.size} keys on the driver — beyond 100k use a join-based rewrite")
     val before = snapshot(spark, dir)
-    val (touched, untouched) = before.files.partition { f =>
-      f.stats.get(column) match {
-        case Some(st) if st.hasMinMax =>
-          keys.exists(k => cmp(st.kind, k, st.min) >= 0 && cmp(st.kind, k, st.max) <= 0)
-        case _ => true
-      }
-    }
+    val (touched, untouched) = keyTouched(before, column, keys)
     if (touched.isEmpty) return None
-    import org.apache.spark.sql.functions.{coalesce, lit, not, col}
-    import org.apache.spark.sql.types._
-    val field = schemaField(before, column)
-    val rawKeys: Seq[Any] = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => keys.map(_.toLong)
-      case FloatType | DoubleType => keys.map(_.toDouble)
-      case StringType => keys
-      case TimestampType => keys.map { k => // epoch micros, the stats' domain
-        val us = k.toLong
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-      }
-      case other => throw new IllegalArgumentException(
-        s"deleteKeys supports integral/floating/string/timestamp columns; '$column' is ${other.simpleString}")
-    }
-    val inSet = col(column).isin(rawKeys: _*)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val inSet = col(column).isin(rawKeyValues(schemaField(before, column), keys): _*)
     val kept = readFiles(spark, dir, before.schemaDdl, touched)
       .filter(coalesce(not(inSet), lit(true)))
-    Some(commitDelete(spark, dir, untouched, kept))
+    Some(commitRewrite(spark, dir, "delete", untouched, kept))
   }
 
   /** Copy-on-write keyed upsert (MERGE): every row of `updates` replaces
@@ -566,30 +577,13 @@ object SnapTable {
       case other => throw new IllegalArgumentException(
         s"merge keys on integral/string columns; '$keyColumn' is ${other.simpleString}")
     }
-    val (touched, untouched) = before.files.partition { f =>
-      f.stats.get(keyColumn) match {
-        case Some(st) if st.hasMinMax =>
-          keyStrings.exists(k => cmp(st.kind, k, st.min) >= 0 && cmp(st.kind, k, st.max) <= 0)
-        case _ => true
-      }
-    }
-    val rawKeys: Seq[Any] = keyField.dataType match {
-      case StringType => keyStrings
-      case _ => keyStrings.map(_.toLong)
-    }
+    val (touched, untouched) = keyTouched(before, keyColumn, keyStrings)
     val survivors = readFiles(spark, dir, before.schemaDdl, touched)
-      .filter(coalesce(not(col(keyColumn).isin(rawKeys: _*)), lit(true)))
+      .filter(coalesce(not(col(keyColumn).isin(rawKeyValues(keyField, keyStrings): _*)), lit(true)))
     // one write, one commit: survivors + updates land together; column
     // order normalized to the table schema
-    val incoming = updates.select(tableSchema.fieldNames.map(col): _*)
-    val added = writeDataFiles(spark, dir, survivors.unionByName(incoming))
-    commit(spark, dir, v => {
-      val prev = parentOf(spark, dir, v).getOrElse(
-        throw new IllegalStateException(s"merge raced a table wipe at $dir"))
-      Snapshot(v, v - 1, "merge",
-        prev.schemaDdl, untouched ++ added, added.map(_.path),
-        batchSeq = prev.batchSeq, tableId = prev.tableId)
-    })
+    val incoming = updates.select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+    commitRewrite(spark, dir, "merge", untouched, survivors.unionByName(incoming))
   }
 
   /** Make `toVersion`'s file list current again as a NEW version — history
@@ -624,8 +618,9 @@ object SnapTable {
 
   /** Rows added by commits in (fromExclusive, toInclusive] — the incremental
     * validation input: a checkpoint that recorded version N revalidates
-    * exactly `changes(N, current)`. Overwrite/restore commits in the range
-    * refuse (their delta is not expressible as added rows). */
+    * exactly `changes(N, current)`. Overwrite/restore/delete/merge commits
+    * in the range refuse (their delta is not expressible as added rows);
+    * content-identical compact commits are skipped as zero-delta. */
   def changes(spark: SparkSession, dir: String, fromExclusive: Long,
       toInclusive: Option[Long] = None): DataFrame = {
     val to = toInclusive.getOrElse(currentVersion(spark, dir))
@@ -676,10 +671,6 @@ object SnapTable {
       }
     }
 
-  /** Manifest-pruned range read: whole files outside [lower, upper] never
-    * reach Spark's scan planner; the residual filter still applies, so the
-    * result is EXACTLY `read(...).filter(bound)` — pruning is a cost
-    * optimization with a correctness proof, not a semantics change. */
   /** The typed residual predicate for `lower <= col <= upper` — typed from
     * the TABLE SCHEMA, never from whichever file happened to carry a stat:
     * a string-typed literal against a long column would coerce the
@@ -722,6 +713,10 @@ object SnapTable {
     }
   }
 
+  /** Manifest-pruned range read: whole files outside [lower, upper] never
+    * reach Spark's scan planner; the residual filter still applies, so the
+    * result is EXACTLY `read(...).filter(bound)` — pruning is a cost
+    * optimization with a correctness proof, not a semantics change. */
   def readWhere(spark: SparkSession, dir: String, column: String,
       lower: Option[String], upper: Option[String],
       asOf: Option[Long] = None): DataFrame = {

@@ -833,6 +833,49 @@ object SparkEntry {
         CAST(SUM(CASE WHEN event_type IS NOT NULL AND CAST(event_type AS VARCHAR) NOT IN ('click','view','signup','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS not_allowed
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- row-annotation mode (DQX apply_checks convention): rows come back
+    // WITH the names of the row-level rules they fail, routed by severity —
+    // the third interpretation of a rule set beside verdicts and filters.
+    // NULL user_ids are seeded deterministically (the table has none); the
+    // oracle rebuilds the tag arrays as severity-grouped concat_ws of the
+    // same predicates, in the same rule order, NULL when clean. ------------
+    Q("q_annotate_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("user_id",
+            when(pmod(col("event_id"), lit(37)) === 0, lit(null)).otherwise(col("user_id")))
+        val rules = Seq(
+          ValidationRule("uid_present", RuleType.Completeness, Seq("user_id")),
+          ValidationRule("value_range", RuleType.Range, Seq("value"),
+            parameters = Map("min" -> "0", "max" -> "150")),
+          ValidationRule("et_allowed", RuleType.AllowedValues, Seq("event_type"),
+            parameters = Map("values" -> "click,view,signup,purchase"),
+            severity = Severity.Warning),
+          ValidationRule("big_purchase", RuleType.Predicate, Nil,
+            expression = Some("NOT (event_type = 'purchase' AND value > 120)"),
+            severity = Severity.Warning))
+        RulePlanner.annotate(ev, rules)
+          .select(col("event_id"),
+            array_join(col("_dq_errors"), ",").as("dq_errors"),
+            array_join(col("_dq_warnings"), ",").as("dq_warnings"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id,
+            CASE WHEN event_id % 37 = 0 THEN NULL ELSE user_id END AS user_id,
+            event_type, value
+          FROM events)
+        SELECT event_id,
+          nullif(concat_ws(',',
+            CASE WHEN user_id IS NULL THEN 'uid_present' END,
+            CASE WHEN NOT (value >= 0 AND value <= 150) THEN 'value_range' END), '') AS dq_errors,
+          nullif(concat_ws(',',
+            CASE WHEN event_type IS NOT NULL AND CAST(event_type AS VARCHAR)
+                   NOT IN ('click','view','signup','purchase') THEN 'et_allowed' END,
+            CASE WHEN NOT coalesce(NOT (event_type = 'purchase' AND value > 120), FALSE)
+                 THEN 'big_purchase' END), '') AS dq_warnings
+        FROM ev ORDER BY event_id""")),
+
     // ---- freshness rule (event-time staleness vs pinned instant) ---------
     Q("q_freshness_events",
       (s, d) => {
@@ -1436,6 +1479,37 @@ object SparkEntry {
               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
             '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS text
         FROM docs ORDER BY doc_id""")),
+
+    // ---- repetition cleanup: collapse runs of consecutively repeated
+    // tokens. Runs are CONSTRUCTED deterministically from the table (a
+    // doc_id%5-length stutter appended to each doc); the oracle states the
+    // identical keep rule — token i survives iff it differs from token i−1 —
+    // via DuckDB's (element, index) list_filter lambda. `removed` counts
+    // collapsed tokens so the artifact shows the rewrite did work. ---------
+    Q("q_collapse_runs_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), concat(col("text"), lit(" "),
+            expr("repeat('dup ', CAST(doc_id % 5 AS INT))"), lit("END")).as("text"))
+        docs
+          .withColumn("clean", TextAnalysis.collapseTokenRuns(col("text")))
+          .select(col("doc_id"), col("clean"),
+            (size(split(trim(col("text")), "\\s+")) -
+              size(split(col("clean"), " "))).as("removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text || ' ' || repeat('dup ', CAST(doc_id % 5 AS INT)) || 'END' AS text
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (
+          SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+          FROM docs),
+        kept AS (
+          SELECT doc_id, toks, list_filter(toks, (t, i) -> i = 1 OR t != toks[i-1]) AS k
+          FROM tok)
+        SELECT doc_id, array_to_string(k, ' ') AS clean,
+          CAST(len(toks) - len(k) AS INT) AS removed
+        FROM kept ORDER BY doc_id""")),
 
     // ---- corpus top-k n-grams (boilerplate detector) ---------------------
     Q("q_top_ngrams_docs",

@@ -325,6 +325,43 @@ object RulePlanner {
     }
   }
 
+  /** Row-annotation mode (the DQX `apply_checks` convention, the third
+    * interpretation of a rule set beside the verdict and filter faces):
+    * return the input WITH two appended columns naming the row-level rules
+    * each row fails — `_dq_errors` for severity=error rules, `_dq_warnings`
+    * for warning/info — so downstream consumers can route rows by issue
+    * instead of losing them to a filter. Clean rows carry NULL (not an
+    * empty array): NULL compresses to nothing at rest and `IS NULL` is the
+    * natural "clean" predicate. Array order = rule order, deterministic.
+    *
+    * Exactly the row-level rule set participates ([[fusible]] — the same
+    * predicates the fused verdict pass counts), so annotate/verdict/filter
+    * can never disagree about what a row violation is. Group/table families
+    * (uniqueness, drift, row_count, …) have no per-row predicate and are
+    * omitted, like [[dltExpectations]]; disabled rules are omitted like
+    * every other execution path. One fused projection — no shuffle, no
+    * extra scan, whole-stage-codegen'd — so annotation at 100 TB costs one
+    * pass regardless of rule count. */
+  def annotate(df: DataFrame, rules: Seq[ValidationRule],
+               errorsCol: String = "_dq_errors",
+               warningsCol: String = "_dq_warnings"): DataFrame = {
+    val schema = df.schema
+    Seq(errorsCol, warningsCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"annotate: input already has a column named '$c'")
+    }
+    val rowRules = rules.filter(_.enabled).filter(fusible)
+    def tagArray(rs: Seq[ValidationRule]): Column =
+      if (rs.isEmpty) lit(null).cast("array<string>")
+      else {
+        val arr = array_compact(array(
+          rs.map(r => when(failCondition(schema, r), lit(r.name))): _*))
+        when(size(arr) > 0, arr)
+      }
+    df.withColumn(errorsCol, tagArray(rowRules.filter(_.severity == Severity.Error)))
+      .withColumn(warningsCol, tagArray(rowRules.filter(_.severity != Severity.Error)))
+  }
+
   def applyFilters(df: DataFrame, rules: Seq[ValidationRule]): DataFrame = {
     val schema = df.schema
     rules.filter(_.enabled).foldLeft(df) { (acc, rule) =>

@@ -125,6 +125,26 @@ object TextAnalysis {
         lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("[IP]")),
       lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]"), lit("[PHONE]"))
 
+  /** REPETITION CLEANUP: collapse runs of consecutively repeated tokens
+    * ("batch batch batch" → "batch") — the rewrite counterpart of the
+    * Gopher-style repetition SIGNALS below (dup fractions gate whole
+    * documents; this repairs the elongation/stutter artifacts worth
+    * keeping). Whitespace-token runs only: non-adjacent repeats are
+    * legitimate prose and stay. Implemented as a pure higher-order-function
+    * expression — split, keep token i iff it differs from token i−1,
+    * rejoin — so it stays per-row, codegen-planned, shuffle-free; the
+    * DuckDB oracle states the identical keep rule via `list_filter`'s
+    * (element, index) lambda. Normalizes runs of whitespace to one space
+    * (the [[stripMarkup]] convention), trims, and preserves NULL. */
+  def collapseTokenRuns(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    // Spark lambda index i is 0-based; element_at is 1-based, so
+    // element_at(toks, i) IS the previous token at position i ≥ 1.
+    val kept = filter(toks, (t: Column, i: Column) =>
+      (i === 0) || t =!= element_at(toks, i))
+    array_join(kept, " ")
+  }
+
   // --------------------------------- repetition signals (Gopher/C4-style)
 
   /** One-pass repetition counter struct

@@ -366,4 +366,55 @@ class RuleSemanticsSpec extends SparkSpec {
     v.dltExpectations(df, "customers").map(_._1) shouldBe
       Seq("id_complete", "age_range")
   }
+
+  test("annotate: per-row tags agree with the fused verdict predicates") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = RulePlanner.annotate(customers, rules)
+    // the appended columns exist and the input schema is untouched
+    out.columns.toSeq shouldBe customers.columns.toSeq ++ Seq("_dq_errors", "_dq_warnings")
+    // per-rule agreement: the rows tagged with a rule's name are EXACTLY
+    // the rows the fused verdict pass would count as that rule's failures
+    for (r <- rules) {
+      val tagCol = if (r.severity == Severity.Error) "_dq_errors" else "_dq_warnings"
+      val tagged = out.filter(expr(s"array_contains($tagCol, '${r.name}')"))
+        .select(customers.columns.map(col): _*)
+      val failing = customers.filter(RulePlanner.failCondition(customers.schema, r))
+      withClue(s"${r.name}: ") {
+        tagged.exceptAll(failing).count() shouldBe 0
+        failing.exceptAll(tagged).count() shouldBe 0
+      }
+    }
+    // clean rows carry NULL (not an empty array), violating rows carry
+    // names in RULE ORDER; severities route to the right column
+    val byId = out.collect().map { r =>
+      val id = Option(r.getAs[Any]("customer_id")).map(_.toString).getOrElse("null")
+      id -> ((Option(r.getAs[Seq[String]]("_dq_errors")),
+              Option(r.getAs[Seq[String]]("_dq_warnings"))))
+    }.toMap
+    byId("1") shouldBe ((None, None))                                   // clean
+    byId("null") shouldBe ((Some(Seq("customer_id_completeness")), None)) // Eve
+    byId("4") shouldBe ((None, Some(Seq("name_completeness"))))          // Dave
+    byId("3") shouldBe ((None, Some(Seq("email_pattern"))))              // Carol
+    byId("9") shouldBe ((Some(Seq("age_range")), None))                  // Ivan
+    // a row failing several error rules lists them in rule order
+    import spark.implicits._
+    val multi = Seq((Option.empty[Long], "x", "bad", 999, 50, "active"))
+      .toDF("customer_id", "name", "email", "age", "score", "status")
+    val tags = RulePlanner.annotate(multi, rules).select("_dq_errors", "_dq_warnings")
+      .head()
+    tags.getAs[Seq[String]](0) shouldBe Seq("customer_id_completeness", "age_range")
+    tags.getAs[Seq[String]](1) shouldBe Seq("email_pattern")
+    // only row-level rules participate: group/table families and disabled
+    // rules add no tags (here: only the uniqueness rule → all rows clean)
+    val grp = RulePlanner.annotate(customers, Seq(
+      ValidationRule("uniq", RuleType.Uniqueness, Seq("customer_id")),
+      ValidationRule("off", RuleType.Completeness, Seq("name"), enabled = false)))
+    grp.filter(col("_dq_errors").isNotNull || col("_dq_warnings").isNotNull)
+      .count() shouldBe 0
+    // name collision with an input column must raise, never silently clobber
+    val boom = intercept[IllegalArgumentException] {
+      RulePlanner.annotate(customers.withColumnRenamed("status", "_dq_errors"), rules)
+    }
+    boom.getMessage should include ("_dq_errors")
+  }
 }

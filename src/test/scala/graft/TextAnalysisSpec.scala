@@ -283,4 +283,26 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.stripBoilerplateLines(ok, "doc_id", "text", minDocs = 3L, maxHotLines = 5)
       .collect().map(_.getString(1)).sorted shouldBe Array("", "u1", "u2")
   }
+
+  test("collapseTokenRuns collapses adjacent repeats only, normalizes whitespace, keeps NULL") {
+    val df = Seq(
+      Some("batch batch batch job"),      // run at the start
+      Some("run the the the test test"),  // two interior runs
+      Some("a b a b a"),                  // non-adjacent repeats are prose — kept
+      Some("  spaced\t\tout   words  "),  // whitespace normalized, trimmed
+      Some("solo"),
+      Some("x x"),
+      Some(""),                           // empty stays empty
+      None                                // NULL preserved
+    ).toDF("text")
+    val out = df.select(TextAnalysis.collapseTokenRuns(col("text"))).collect()
+      .map(r => Option(r.getString(0)))
+    out shouldBe Array(
+      Some("batch job"), Some("run the test"), Some("a b a b a"),
+      Some("spaced out words"), Some("solo"), Some("x"), Some(""), None)
+    // case- and punctuation-sensitive: "The the" is not a run
+    Seq("The the end. end").toDF("text")
+      .select(TextAnalysis.collapseTokenRuns(col("text"))).head().getString(0) shouldBe
+      "The the end. end"
+  }
 }

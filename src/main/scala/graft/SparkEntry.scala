@@ -658,6 +658,35 @@ object SparkEntry {
         CAST(SUM(CASE WHEN inv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(inv) AS BIGINT) AS total_inversions FROM a""")),
 
+    // ---- transition rule: per-key value-adjacency grammar (role DFA) -----
+    // grammar over l_returnflag walks per order: N may repeat or escalate
+    // to A, A may repeat or escalate to R, R only repeats; walks must
+    // start at N and end at N or R. Real violations exist at every SF
+    // (return flags follow dates, not line numbers) — the oracle re-walks
+    // the same DFA with lag/lead windows.
+    Q("q_transition_lineitem",
+      (s, d) => Checks.transitionGroups(t(s, d, "lineitem"), Seq("l_orderkey"),
+          "l_linenumber", "l_returnflag",
+          pairs = Seq("N" -> "N", "N" -> "A", "A" -> "A", "A" -> "R", "R" -> "R"),
+          first = Some(Seq("N")), last = Some(Seq("N", "R")))
+        .agg(count(lit(1)).as("total_groups"),
+          sum(when(col("bad_rows") > 0L, 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("bad_rows")).as("total_bad_rows")),
+      Some("""WITH w AS (SELECT l_orderkey,
+          CAST(l_returnflag AS VARCHAR) AS v,
+          lag(CAST(l_returnflag AS VARCHAR)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, CAST(l_returnflag AS VARCHAR)) AS prev,
+          lead(CAST(l_returnflag AS VARCHAR)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, CAST(l_returnflag AS VARCHAR)) IS NULL AS is_last
+          FROM lineitem WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL),
+        g AS (SELECT l_orderkey, SUM(CASE WHEN
+            (prev IS NOT NULL AND NOT ((prev = 'N' AND v = 'N') OR (prev = 'N' AND v = 'A')
+              OR (prev = 'A' AND v = 'A') OR (prev = 'A' AND v = 'R') OR (prev = 'R' AND v = 'R')))
+            OR (prev IS NULL AND v NOT IN ('N'))
+            OR (is_last AND v NOT IN ('N', 'R'))
+          THEN 1 ELSE 0 END) AS bad FROM w GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_groups,
+        CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        CAST(SUM(bad) AS BIGINT) AS total_bad_rows FROM g""")),
+
     // ---- referential integrity (anti-join) -------------------------------
     Q("q_referential_orphans",
       (s, d) => Checks.orphans(

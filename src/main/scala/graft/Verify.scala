@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: substring filter over query names — iterate on one
+    // query without paying the full dump (the driver always passes 2 args)
+    val Array(sfDir, outDir) = args.take(2)
+    val nameFilter = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .foreach { case (name, fn) =>
       // CacheScope.cached: build + materialize inside one scope so operator
       // scratch caches (LSH/shingle indexes) are reused within the query and
       // released before the next one

@@ -195,6 +195,77 @@ object Checks {
       .drop("__run")
   }
 
+  /** Row-level violation condition shared by the two faces of the
+    * transition family ([[transitionGroups]] / [[transitionViolations]]) —
+    * one definition so verdicts and quarantine rows can never disagree.
+    * The rule is a DFA over each key group's value walk: `first` is the
+    * start-state set (checked where the walk has no predecessor), `pairs`
+    * the allowed prev→next edges (checked on every interior step), `last`
+    * the accept-state set (checked where the walk has no successor — a
+    * single-row walk is both first and last and must satisfy both).
+    * Values compare as strings (the allowed_values convention: one
+    * spelling covers string and numeric categoricals, and the semantics
+    * are engine-reproducible). An unset `first`/`last` constrains nothing;
+    * the edge set is required — an empty grammar is a misconfiguration,
+    * not "everything fails". */
+  private def transitionViolCond(v: Column, prev: Column, isLast: Column,
+      pairs: Seq[(String, String)], first: Option[Seq[String]],
+      last: Option[Seq[String]]): Column = {
+    val edgeOk = pairs.map { case (f, t) => prev === lit(f) && v === lit(t) }
+      .reduce(_ || _)
+    val firstBad = first.map(fs => prev.isNull && !v.isin(fs: _*)).getOrElse(lit(false))
+    val lastBad = last.map(ls => isLast && !v.isin(ls: _*)).getOrElse(lit(false))
+    (prev.isNotNull && !edgeOk) || firstBad || lastBad
+  }
+
+  /** Per-key-group transition-grammar stats: for each key group, walk the
+    * value column in (orderCol, value) order and count rows that break the
+    * grammar. Returns (part?, keys..., n_rows, bad_rows) — the verdict unit
+    * is GROUPS (a conversation either satisfies its role grammar or not),
+    * rolled up by the caller. One window pass (lag + lead share the frame)
+    * partitioned by the keys — NO exchange on a key-bucketed layout, only
+    * the per-bucket sort, exactly the monotonic family's shape. NULL order
+    * or value rows are excluded (completeness owns nulls); NULL keys form
+    * their own group. The (orderCol, value) tiebreak keeps the walk
+    * deterministic under order ties, the [[walkOrder]] convention. */
+  def transitionGroups(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, pairs: Seq[(String, String)],
+      first: Option[Seq[String]] = None, last: Option[Seq[String]] = None,
+      part: Option[Column] = None): DataFrame = {
+    val v = col(valueCol).cast(StringType)
+    val w = Window.partitionBy(part.toSeq ++ keys.map(col): _*)
+      .orderBy(col(orderCol), v)
+    val prev = lag(v, 1).over(w)
+    val isLast = lead(v, 1).over(w).isNull
+    val viol = transitionViolCond(v, prev, isLast, pairs, first, last)
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(part.map(_.as("__part")).toSeq ++ keys.map(col) :+
+        when(viol, 1L).otherwise(0L).as("__viol"): _*)
+      .groupBy(part.map(_ => col("__part")).toSeq ++ keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("__viol")).as("bad_rows"))
+  }
+
+  /** The grammar-breaking ROWS (quarantine face of the transition rule):
+    * each row that violates the DFA, with the predecessor value and its
+    * position in the walk ("first" / "interior" / "last" — a single-row
+    * walk reports "first") so the report names WHICH constraint broke. */
+  def transitionViolations(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, pairs: Seq[(String, String)],
+      first: Option[Seq[String]] = None,
+      last: Option[Seq[String]] = None): DataFrame = {
+    val v = col(valueCol).cast(StringType)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol), v)
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__prev_value", lag(v, 1).over(w))
+      .withColumn("__is_last", lead(v, 1).over(w).isNull)
+      .filter(transitionViolCond(v, col("__prev_value"), col("__is_last"),
+        pairs, first, last))
+      .withColumn("__position",
+        when(col("__prev_value").isNull, "first")
+          .when(col("__is_last"), "last").otherwise("interior"))
+      .drop("__is_last")
+  }
+
   /** Per-determinant-group dependent-value counts — the shared core of the
     * functional-dependency family (Deequ's hasUniqueValueRatio cousin; the
     * GE "expect column A to determine column B" contract): for each

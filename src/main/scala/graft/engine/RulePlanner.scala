@@ -243,6 +243,38 @@ object RulePlanner {
         s"monotonic rule '${rule.name}': direction must be asc or desc, got '$other'")
     })
 
+  /** (order_by, value, edge pairs, start set, accept set) of a transition
+    * rule. `pairs` is required and spelled `from->to` comma-separated
+    * (`"user->assistant,assistant->user"`); `first` / `last` are optional
+    * comma-separated state sets. Values are trimmed, so the YAML can be
+    * spaced for readability; states containing `,` or `->` are out of
+    * scope (role/status grammars are short enum tokens — a grammar that
+    * needs escaping belongs in a custom rule). Every malformed edge
+    * raises with the offending token named: a half-parsed grammar would
+    * validate the wrong automaton. */
+  private[engine] def transitionParams(rule: ValidationRule)
+      : (String, String, Seq[(String, String)], Option[Seq[String]], Option[Seq[String]]) = {
+    def need(k: String) = rule.param(k).getOrElse(throw new IllegalArgumentException(
+      s"transition rule '${rule.name}' needs a $k parameter"))
+    def states(k: String): Option[Seq[String]] = rule.param(k).map { csv =>
+      val s = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (s.isEmpty) throw new IllegalArgumentException(
+        s"transition rule '${rule.name}': $k is set but names no states")
+      s
+    }
+    val pairs = need("pairs").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { edge =>
+        edge.split("->", -1).map(_.trim) match {
+          case Array(f, t) if f.nonEmpty && t.nonEmpty => (f, t)
+          case _ => throw new IllegalArgumentException(
+            s"transition rule '${rule.name}': edge '$edge' is not of the form from->to")
+        }
+      }
+    if (pairs.isEmpty) throw new IllegalArgumentException(
+      s"transition rule '${rule.name}': pairs names no edges")
+    (need("order_by"), need("value"), pairs, states("first"), states("last"))
+  }
+
   /** DLT-style expectation rendering: rule name → SQL KEEP-predicate
     * string — the surface a Databricks DLT migrator consumes
     * (`@dlt.expect(name, predicate)`; reference `validator.py:252-262` and

@@ -243,13 +243,15 @@ class Validator(
       case Some(p) if partTotals.nonEmpty =>
         rules.filter(r => r.ruleType == RuleType.Sequence ||
             r.ruleType == RuleType.Monotonic ||
+            r.ruleType == RuleType.Transition ||
             r.ruleType == RuleType.FunctionalDependency ||
             r.ruleType == RuleType.Diff).map { r =>
           val run = () => r.ruleType match {
-            case RuleType.Sequence  => sequencePartitionVerdicts(df, r, p, partTotals)
-            case RuleType.Monotonic => monotonicPartitionVerdicts(df, r, p, partTotals)
-            case RuleType.Diff      => diffPartitionVerdicts(df, r, p, partTotals)
-            case _                  => fdPartitionVerdicts(df, r, p, partTotals)
+            case RuleType.Sequence   => sequencePartitionVerdicts(df, r, p, partTotals)
+            case RuleType.Monotonic  => monotonicPartitionVerdicts(df, r, p, partTotals)
+            case RuleType.Transition => transitionPartitionVerdicts(df, r, p, partTotals)
+            case RuleType.Diff       => diffPartitionVerdicts(df, r, p, partTotals)
+            case _                   => fdPartitionVerdicts(df, r, p, partTotals)
           }
           val unit = if (r.ruleType == RuleType.Diff) "keys" else "groups"
           groupedRuleFuture(r, run, _.map(_.total_count).sum, Map("unit" -> unit))
@@ -989,6 +991,22 @@ class Validator(
         col("inversions") > 0L, partTotals))
     } catch { case e: Throwable => Left(e) }
 
+  /** Per-partition transition verdicts — [[Checks.transitionGroups]]
+    * additionally keyed by the partition expression; verdict unit is
+    * groups (a conversation either satisfies its role grammar or not),
+    * same partition_covers_key contract as sequence/monotonic. */
+  private def transitionPartitionVerdicts(
+      df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
+      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+    try {
+      val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+      val (orderCol, valueCol, pairs, first, last) = RulePlanner.transitionParams(rule)
+      Right(groupUnitVerdicts(rule,
+        Checks.transitionGroups(df, keys, orderCol, valueCol, pairs, first, last,
+          part = Some(Checks.partGroupCol(df, p))),
+        col("bad_rows") > 0L, partTotals))
+    } catch { case e: Throwable => Left(e) }
+
   /** Shared tail of the group-unit families (sequence, monotonic): roll a
     * per-(partition, group) stats frame up to one verdict per partition.
     * Partitions present in `partTotals` but ABSENT from the stats (every
@@ -1412,6 +1430,24 @@ class Validator(
             Map("keys" -> keys.mkString(","), "order_by" -> orderCol,
               "value" -> valueCol, "unit" -> "groups"))
 
+        case RuleType.Transition =>
+          // per-key value-adjacency grammar (the role DFA); verdict unit
+          // is GROUPS like sequence/monotonic: rate = fraction of
+          // conversations whose ordered value walk stays inside the
+          // allowed prev→next edges (and start/accept sets when given)
+          val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
+          val (orderCol, valueCol, pairs, first, last) = RulePlanner.transitionParams(rule)
+          val row = Checks.transitionGroups(df, keys, orderCol, valueCol, pairs, first, last)
+            .agg(count(lit(1)),
+              sum(when(col("bad_rows") > 0L, 1L).otherwise(0L))).head()
+          val total = row.getLong(0)
+          val failed = if (row.isNullAt(1)) 0L else row.getLong(1)
+          ValidationResult.verdict(rule, failed, total, ms,
+            Map("keys" -> keys.mkString(","), "order_by" -> orderCol,
+              "value" -> valueCol,
+              "edges" -> pairs.map { case (f, t) => s"$f->$t" }.mkString(","),
+              "unit" -> "groups"))
+
         case RuleType.FunctionalDependency =>
           // determinant → dependent consistency (the FD A→B contract);
           // verdict unit is GROUPS like sequence/monotonic: rate =
@@ -1631,6 +1667,13 @@ class Validator(
       Checks.monotonicViolations(df,
         if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
         orderCol, valueCol, strict, desc)
+    case RuleType.Transition =>
+      // row-level violation rows: each row breaking the grammar, with its
+      // predecessor value and walk position ("first"/"interior"/"last")
+      val (orderCol, valueCol, pairs, first, last) = RulePlanner.transitionParams(rule)
+      Checks.transitionViolations(df,
+        if (rule.columns.nonEmpty) rule.columns else Seq(rule.column),
+        orderCol, valueCol, pairs, first, last)
     case RuleType.FunctionalDependency =>
       // group-level violation rows: each determinant value mapping to more
       // than one dependent tuple, with its distinct-tuple count
@@ -1709,7 +1752,7 @@ class Validator(
     * still see the full table: a 30% slice reconciles against nothing,
     * diffs as mass deletion, and under-counts distincts, so sampling them
     * would manufacture failures. Group-unit families (uniqueness,
-    * sequence, monotonic, functional_dependency) are sampled only when
+    * sequence, monotonic, transition, functional_dependency) are sampled only when
     * the sample key is one of their own key columns (intact groups —
     * see [[Validator.sampleExemptRule]]); otherwise they too run full.
     * Partition verdicts from sampled rules carry no marker of their own
@@ -1923,7 +1966,8 @@ object Validator {
     * the FULL table instead. */
   private[engine] def sampleExemptRule(r: graft.ValidationRule, sampleKey: String): Boolean = {
     val groupUnit = Set(graft.RuleType.Uniqueness, graft.RuleType.Sequence,
-      graft.RuleType.Monotonic, graft.RuleType.FunctionalDependency)
+      graft.RuleType.Monotonic, graft.RuleType.Transition,
+      graft.RuleType.FunctionalDependency)
     sampleExempt(r.ruleType) ||
       (groupUnit.contains(r.ruleType) &&
         !r.columns.exists(_.equalsIgnoreCase(sampleKey)))

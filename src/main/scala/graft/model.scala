@@ -35,6 +35,7 @@ object RuleType {
   val Freshness = "freshness" // event-time staleness vs a reference instant
   val Sequence = "sequence" // per-key dense index integrity (gapless turn_idx per conv_id)
   val Monotonic = "monotonic" // per-key ordering integrity (ts never regresses along turn_idx)
+  val Transition = "transition" // per-key value-adjacency grammar (role DFA: allowed prev→next pairs, start/end sets)
   val Predicate = "predicate" // declarative row compliance: SQL predicate, fused into the single pass
   val RowCount = "row_count" // table/partition size within [min_rows, max_rows]
   val Cardinality = "cardinality" // distinct count of a column within [min_distinct, max_distinct]

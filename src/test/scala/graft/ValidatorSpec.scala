@@ -745,6 +745,73 @@ class ValidatorSpec extends SparkSpec {
         "strict" -> "True"))), "t").results.head.failed_count shouldBe -1
   }
 
+  test("transition rule: edge grammar, start/accept sets, NULLs, partition verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, abs => sabs, xxhash64}
+    val df = Seq(
+      ("a", Some(0), Some("user")), ("a", Some(1), Some("assistant")),
+      ("a", Some(2), Some("user")), ("a", Some(3), Some("assistant")), // legal walk
+      ("b", Some(0), Some("user")), ("b", Some(1), Some("user")),      // user→user: illegal edge
+      ("c", Some(0), Some("assistant")), ("c", Some(1), Some("user")), // starts wrong AND ends wrong
+      ("d", Some(0), Some("user")), ("d", Some(1), None),
+      ("d", Some(2), Some("assistant")),                               // NULL value excluded: user→assistant clean
+      ("e", Some(0), Some("user"))                                     // single row: first AND last
+    ).toDF("conv_id", "turn_idx", "role")
+    val v = new Validator(spark, ValidationConfig())
+    val edges = "user->assistant, assistant->user"
+    // edges only: just b fails (user→user); c's assistant→user step IS an
+    // allowed edge — without start/accept sets its walk is legal
+    val rule = ValidationRule("trans", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role", "pairs" -> edges))
+    val r1 = v.executeRules(df, Seq(rule), "t").results.head
+    r1.total_count shouldBe 5 // unit = groups
+    r1.failed_count shouldBe 1 // only b
+    r1.metadata("unit") shouldBe "groups"
+    // start set user: c now fails (starts at assistant)
+    val withFirst = ValidationRule("transf", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> edges, "first" -> "user"))
+    v.executeRules(df, Seq(withFirst), "t").results.head.failed_count shouldBe 2
+    // accept set assistant: c (ends user) and e (single row, ends user) fail too
+    val withLast = ValidationRule("transl", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> edges, "first" -> "user", "last" -> "assistant"))
+    v.executeRules(df, Seq(withLast), "t").results.head.failed_count shouldBe 3
+    // violation rows name the position and predecessor
+    val viols = v.violations(df, withLast).orderBy("conv_id", "turn_idx").collect()
+    // __position is the row's place in its walk (b's bad edge lands on
+    // b's final row → "last"), not which constraint broke — the broken
+    // constraint is readable from (__prev_value, __position) together
+    viols.map(r => (r.getString(0), r.getAs[String]("__position"))).toSeq shouldBe
+      Seq(("b", "last"), ("c", "first"), ("c", "last"), ("e", "first"))
+    viols.find(_.getString(0) == "b").get.getAs[String]("__prev_value") shouldBe "user"
+    // e is a single-row walk: it reports "first" but ALSO violates the
+    // accept set — the row face dedups to one row per violating row, and
+    // e's sole row appears once (position reports the first broken check)
+    // per-partition verdicts: partition derives from the key → roll-up
+    // equals the global and partition_covers_key promotes it
+    val covered = ValidationRule("transp", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> edges, "first" -> "user", "last" -> "assistant",
+        "partition_covers_key" -> "true"))
+    val (summary, verdicts) = v.executeRulesPartitioned(df, Seq(covered), "t",
+      Some(pmod(sabs(xxhash64(col("conv_id"))), org.apache.spark.sql.functions.lit(4))))
+    val tv = verdicts.filter(_.rule_name == "transp")
+    tv.map(_.failed_count).sum shouldBe 3
+    tv.map(_.total_count).sum shouldBe 5
+    summary.results.head.failed_count shouldBe 3
+    summary.results.head.total_count shouldBe 5
+    // malformed grammar surfaces as the rule's error result, never a verdict
+    v.executeRules(df, Seq(ValidationRule("nopairs", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role"))), "t")
+      .results.head.failed_count shouldBe -1
+    v.executeRules(df, Seq(ValidationRule("badedge", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> "user=>assistant"))), "t").results.head.failed_count shouldBe -1
+    v.executeRules(df, Seq(ValidationRule("emptyfirst", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> edges, "first" -> " , "))), "t").results.head.failed_count shouldBe -1
+  }
+
   test("row_count and cardinality rules: binary verdicts, NULL distinct, approx, partitions") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("a", Some("x")), ("a", Some("y")), ("a", None), ("b", Some("x")))

@@ -85,6 +85,17 @@ object SparkEntry {
       parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
         "partition_covers_key" -> "true"),
       threshold = Some(0.9), severity = Severity.Warning),
+    // role DFA: turns alternate user ↔ {assistant,tool,system}, every
+    // conversation opens with a user turn — one window pass sharing the
+    // conv_id partitioning (violations: numeric-string roles break edges,
+    // a NULL first role shifts the walk start, duplicated keys make
+    // same-role self-edges)
+    ValidationRule("role_grammar", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> ("user->assistant,user->tool,user->system," +
+          "assistant->user,tool->user,system->user"),
+        "first" -> "user", "partition_covers_key" -> "true"),
+      threshold = Some(0.5), severity = Severity.Warning),
     // declarative compliance, fused: tool turns must name their tool
     ValidationRule("tool_turns_have_tool", RuleType.Predicate, Seq(),
       expression = Some("role != 'tool' OR tool IS NOT NULL"),
@@ -687,6 +698,25 @@ object SparkEntry {
         CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(bad) AS BIGINT) AS total_bad_rows FROM g""")),
 
+    // ---- transition-grammar mining: the observed DFA facts ---------------
+    // (prev→next) adjacency supports plus walk start/end states — the frame
+    // Suggest.transitionGrammar authors rules from (one window pass, facts
+    // aggregated by struct key so the shuffle carries O(states²) groups)
+    Q("q_transition_facts_lineitem",
+      (s, d) => Checks.transitionFacts(t(s, d, "lineitem"), Seq("l_orderkey"),
+        "l_linenumber", "l_returnflag"),
+      Some("""WITH w AS (SELECT l_orderkey, CAST(l_returnflag AS VARCHAR) AS v,
+          lag(CAST(l_returnflag AS VARCHAR)) OVER win AS prev,
+          lead(CAST(l_returnflag AS VARCHAR)) OVER win IS NULL AS is_last
+          FROM lineitem WHERE l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL
+          WINDOW win AS (PARTITION BY l_orderkey ORDER BY l_linenumber, CAST(l_returnflag AS VARCHAR)))
+        SELECT 'edge' AS kind, prev AS from_value, v AS to_value,
+          CAST(COUNT(*) AS BIGINT) AS support FROM w WHERE prev IS NOT NULL GROUP BY 2, 3
+        UNION ALL SELECT 'first', CAST(NULL AS VARCHAR), v, CAST(COUNT(*) AS BIGINT)
+          FROM w WHERE prev IS NULL GROUP BY 3
+        UNION ALL SELECT 'last', CAST(NULL AS VARCHAR), v, CAST(COUNT(*) AS BIGINT)
+          FROM w WHERE is_last GROUP BY 3""")),
+
     // ---- referential integrity (anti-join) -------------------------------
     Q("q_referential_orphans",
       (s, d) => Checks.orphans(
@@ -760,6 +790,35 @@ object SparkEntry {
       },
       Some("""WITH ha AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_a FROM events WHERE user_id % 2 = 0 GROUP BY 1),
         hb AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__NULL__') AS bucket, CAST(COUNT(*) AS DOUBLE) AS obs_b FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+        j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(obs_a, 0.0) AS obs_a, coalesce(obs_b, 0.0) AS obs_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+        tot AS (SELECT SUM(obs_a) AS ta, SUM(obs_b) AS tb, SUM(obs_a) + SUM(obs_b) AS g FROM j)
+        SELECT bucket, obs_a, obs_b,
+          (obs_a - (obs_a + obs_b) * ta / g) * (obs_a - (obs_a + obs_b) * ta / g) / ((obs_a + obs_b) * ta / g) AS contrib_a,
+          (obs_b - (obs_a + obs_b) * tb / g) * (obs_b - (obs_a + obs_b) * tb / g) / ((obs_a + obs_b) * tb / g) AS contrib_b
+        FROM j, tot ORDER BY bucket""")),
+
+    // ---- distribution drift: bounded-categorical tier --------------------
+    // the `values` projection over a HIGH-cardinality column (props: one
+    // bucket per distinct JSON string raw): the named members keep their
+    // buckets, everything else folds into __other__, NULL keeps its own —
+    // histogram space O(values) at ANY cardinality, the tier that keeps
+    // chi-square drift viable over unbounded label spaces
+    Q("q_drift_bounded_events",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val vals = Seq("""{"k": 0}""", """{"k": 1}""", """{"k": 2}""")
+        def h(f: DataFrame) = Checks.categoricalHistogram(
+          f.select(Checks.boundedCategory(col("props"), vals).as("b")), "b")
+        Checks.chiSquareContributions(
+          h(ev.filter(pmod(col("user_id"), lit(2)) === 0)),
+          h(ev.filter(pmod(col("user_id"), lit(2)) === 1)))
+          .orderBy("bucket")
+      },
+      Some("""WITH pb AS (SELECT user_id, CASE WHEN props IS NULL THEN '__NULL__'
+          WHEN props IN ('{"k": 0}', '{"k": 1}', '{"k": 2}') THEN props
+          ELSE '__other__' END AS bucket FROM events),
+        ha AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS obs_a FROM pb WHERE user_id % 2 = 0 GROUP BY 1),
+        hb AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS obs_b FROM pb WHERE user_id % 2 = 1 GROUP BY 1),
         j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket, coalesce(obs_a, 0.0) AS obs_a, coalesce(obs_b, 0.0) AS obs_b FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
         tot AS (SELECT SUM(obs_a) AS ta, SUM(obs_b) AS tb, SUM(obs_a) + SUM(obs_b) AS g FROM j)
         SELECT bucket, obs_a, obs_b,
@@ -2095,6 +2154,7 @@ object SparkEntry {
         val rules = transcriptRules ++ Seq(
           ValidationRule("role_drift", RuleType.drift, Seq("role"),
             parameters = Map("method" -> "chi_square", "ref_table" -> "baseline",
+              "values" -> "user,assistant,system,tool", // bounded-categorical tier
               "critical" -> "10000"), severity = Severity.Warning),
           ValidationRule("text_len_drift", RuleType.drift, Seq("text_len"),
             parameters = Map("method" -> "ks", "ref_table" -> "baseline",

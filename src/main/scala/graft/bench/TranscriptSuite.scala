@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * type-conformance), composite-key uniqueness on (conv_id, turn_idx),
   * dense turn_idx sequence and monotone ts per conversation, referential
   * integrity of
-  * conv_id against the conversation index (broadcast anti-join), chi-square
+  * conv_id against the conversation index (broadcast anti-join), the
+  * role-transition grammar per conversation, chi-square
   * drift on role and KS drift on text-length vs a drifted snapshot, and
   * per-partition verdicts over conv_id buckets.
   */
@@ -50,6 +51,18 @@ object TranscriptSuite {
       parameters = Map("order_by" -> "turn_idx", "value" -> "ts",
         "partition_covers_key" -> "true"),
       threshold = Some(0.9), severity = Severity.Warning),
+    // role DFA: turns alternate user ↔ {assistant,tool,system} and every
+    // conversation opens with a user turn. One more window pass with the
+    // SAME conv_id partitioning as ts_monotonic — no exchange on the
+    // bucketed layout; violations come from the injected numeric-string
+    // roles, NULL-role first turns, and duplicated keys (a dup row makes a
+    // same-role self-edge the grammar doesn't allow)
+    ValidationRule("role_grammar", RuleType.Transition, Seq("conv_id"),
+      parameters = Map("order_by" -> "turn_idx", "value" -> "role",
+        "pairs" -> ("user->assistant,user->tool,user->system," +
+          "assistant->user,tool->user,system->user"),
+        "first" -> "user", "partition_covers_key" -> "true"),
+      threshold = Some(0.5), severity = Severity.Warning),
     // declarative compliance — one more counter in the SAME fused pass
     // (zero extra scans): tool turns must name their tool
     ValidationRule("tool_turns_have_tool", RuleType.Predicate, Seq(),
@@ -67,8 +80,14 @@ object TranscriptSuite {
     ValidationRule("conv_referential", RuleType.Referential, Seq("conv_id"),
       parameters = Map("ref_table" -> "conv_index", "broadcast" -> "false"),
       threshold = Some(0.98)),
+    // bounded-categorical tier: the injected numeric-string junk roles are
+    // an unbounded label space (~68k distinct at the 28M-turn design
+    // point — enough to trip the histogram bucket guard); naming the
+    // expected vocabulary folds them into one __other__ bucket, so the
+    // drift histogram stays 6 buckets at ANY scale
     ValidationRule("role_drift", RuleType.drift, Seq("role"),
       parameters = Map("method" -> "chi_square", "ref_table" -> "baseline",
+        "values" -> "user,assistant,system,tool",
         "critical" -> "10000"), severity = Severity.Warning),
     ValidationRule("text_len_drift", RuleType.drift, Seq("text_len"),
       parameters = Map("method" -> "ks", "ref_table" -> "baseline",

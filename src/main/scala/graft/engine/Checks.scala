@@ -266,6 +266,36 @@ object Checks {
       .drop("__is_last")
   }
 
+  /** The observed transition-grammar FACTS of a table: every (prev → next)
+    * value adjacency with its support count, plus the observed walk start
+    * ("first") and end ("last") states — the mining face the transition
+    * family's rule author ([[graft.engine.Suggest.transitionGrammar]])
+    * consumes. ONE window pass (same keys-partitioned shape as
+    * [[transitionGroups]], no exchange on a key-bucketed layout); each row
+    * then emits one-or-two tiny fact structs (its edge-or-first fact, plus
+    * a last fact when the walk ends there) which aggregate by fact key —
+    * the shuffle carries O(distinct states²) groups, never rows. NULL
+    * order/value rows are excluded exactly like the rule itself, so mined
+    * grammars describe the rows the rule will actually walk. */
+  def transitionFacts(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(StringType)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol), v)
+    def fact(kind: Column, from: Column, to: Column): Column =
+      struct(kind.as("kind"), from.as("from_value"), to.as("to_value"))
+    val nullFrom = lit(null).cast(StringType)
+    df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(v.as("__v"), lag(v, 1).over(w).as("__prev"),
+        lead(v, 1).over(w).isNull.as("__is_last"))
+      .select(explode(array_compact(array(
+        when(col("__prev").isNotNull, fact(lit("edge"), col("__prev"), col("__v")))
+          .otherwise(fact(lit("first"), nullFrom, col("__v"))),
+        when(col("__is_last"), fact(lit("last"), nullFrom, col("__v")))))).as("f"))
+      .groupBy(col("f.kind").as("kind"), col("f.from_value").as("from_value"),
+        col("f.to_value").as("to_value"))
+      .agg(count(lit(1)).as("support"))
+  }
+
   /** Per-determinant-group dependent-value counts — the shared core of the
     * functional-dependency family (Deequ's hasUniqueValueRatio cousin; the
     * GE "expect column A to determine column B" contract): for each
@@ -703,6 +733,40 @@ object Checks {
       if (buckets > maxHistogramBuckets) throw HistogramBucketOverflow(kind)
     }
     rows
+  }
+
+  /** The fold-bucket of the bounded-categorical drift projection: when a
+    * drift rule names its expected `values`, every other non-null value
+    * lands here — the histogram space stays O(values) at any column
+    * cardinality (the 100 TB answer to drift over an unbounded label
+    * space: junk labels read as other-mass drift, never a bucket-guard
+    * trip). */
+  val OtherBucket = "__other__"
+
+  /** Scan-side face of the bounded-categorical projection: member values
+    * pass through (cast-to-string, the allowed_values convention), NULL
+    * stays NULL (the histogram's own "__NULL__" bucket downstream), every
+    * other value folds into [[OtherBucket]]. */
+  def boundedCategory(c: Column, values: Seq[String]): Column = {
+    val s = c.cast(StringType)
+    when(s.isNotNull && !s.isin(values: _*), lit(OtherBucket)).otherwise(s)
+  }
+
+  /** Driver-side face of the bounded-categorical projection, for
+    * histograms that arrive as maps (sketch-derived `ref_state`
+    * baselines): fold keys outside `values` into [[OtherBucket]], keeping
+    * the engine's "__NULL__" bucket its own. Must bucket exactly like the
+    * live scan's projected expression or member/other mass would misread
+    * as drift. */
+  def projectHistogram(hist: Map[String, Long],
+      values: Option[Seq[String]]): Map[String, Long] = values match {
+    case None => hist
+    case Some(vs) =>
+      val keep = vs.toSet + "__NULL__"
+      hist.foldLeft(Map.empty[String, Long]) { case (acc, (k, c)) =>
+        val key = if (keep(k)) k else OtherBucket
+        acc + (key -> (acc.getOrElse(key, 0L) + c))
+      }
   }
 
   def multiHistogram(df: DataFrame, specs: Seq[(String, Column)]): Map[String, Map[String, Long]] = {

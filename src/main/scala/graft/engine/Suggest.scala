@@ -387,6 +387,73 @@ object Suggest {
     }
   }
 
+  /** Learn a transition rule's grammar FROM the data (the DFA-inference
+    * counterpart of [[suggest]] — nobody hand-writes a role grammar for a
+    * table they have never read): mine the observed (prev → next) value
+    * adjacencies plus walk start/end states ([[Checks.transitionFacts]],
+    * one window pass), keep the facts with `support ≥ minSupport`, and
+    * author a [[RuleType.Transition]] rule whose edges are the kept
+    * adjacencies and whose `first`/`last` sets are the kept start/end
+    * states.
+    *
+    * Self-consistency holds by construction:
+    *   - `minSupport = 1` (default): every observed fact is allowed, so
+    *     the authored rule passes with zero violating groups;
+    *   - `minSupport > 1` (treat rare adjacencies as anomalies): the rule
+    *     gains a threshold FLOORED to the observed group-pass rate under
+    *     the pruned grammar (2 decimals, completeness's convention) — one
+    *     extra window pass, paid only when pruning actually dropped a fact.
+    *
+    * Returns None — never an unusable rule — when the column is not
+    * grammar-shaped: more than `maxStates` distinct states (or more than
+    * the `maxStates²+2·maxStates` fact rows they imply — the collect is
+    * LIMIT-bounded, so a text column cannot flood the driver), a state
+    * that would not survive the CSV round trip ([[listSafe]]) or contains
+    * the `->` edge separator, or no edge meeting `minSupport` (an empty
+    * grammar is a misconfiguration, not "everything fails"). */
+  def transitionGrammar(df: DataFrame, keys: Seq[String], orderCol: String,
+      valueCol: String, maxStates: Int = 20, minSupport: Long = 1L,
+      prefix: String = "suggested"): Option[ValidationRule] = {
+    require(maxStates >= 1, "maxStates must be >= 1")
+    require(minSupport >= 1L, "minSupport must be >= 1")
+    val cap = maxStates * maxStates + 2 * maxStates
+    val rows = Checks.transitionFacts(df, keys, orderCol, valueCol)
+      .limit(cap + 1).collect()
+    if (rows.isEmpty || rows.length > cap) return None
+    final case class Fact(kind: String, from: String, to: String, support: Long)
+    val facts = rows.toSeq.map(r =>
+      Fact(r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getLong(3)))
+    val states = facts.flatMap(f => Option(f.from).toSeq :+ f.to).distinct
+    val edgeSafe = states.forall(s => listSafe(s) && !s.contains("->"))
+    if (states.size > maxStates || !edgeSafe) return None
+    val kept = facts.filter(_.support >= minSupport)
+    val pairs = kept.filter(_.kind == "edge").map(f => (f.from, f.to)).sorted
+    if (pairs.isEmpty) return None
+    val firsts = kept.filter(_.kind == "first").map(_.to).sorted
+    val lasts = kept.filter(_.kind == "last").map(_.to).sorted
+    val pruned = kept.size < facts.size
+    val threshold: Option[Double] =
+      if (!pruned) None
+      else {
+        val row = Checks.transitionGroups(df, keys, orderCol, valueCol, pairs,
+            first = Option(firsts).filter(_.nonEmpty),
+            last = Option(lasts).filter(_.nonEmpty))
+          .agg(count(lit(1)), sum(when(col("bad_rows") > 0L, 1L).otherwise(0L)))
+          .head()
+        val total = row.getLong(0)
+        val bad = if (row.isNullAt(1)) 0L else row.getLong(1)
+        Some((100L * (total - bad) / total) / 100.0)
+      }
+    val params = Map(
+      "order_by" -> orderCol, "value" -> valueCol,
+      "pairs" -> pairs.map { case (f, t) => s"$f->$t" }.mkString(",")) ++
+      (if (firsts.nonEmpty) Map("first" -> firsts.mkString(",")) else Map.empty) ++
+      (if (lasts.nonEmpty) Map("last" -> lasts.mkString(",")) else Map.empty)
+    Some(ValidationRule(s"${prefix}_${valueCol}_transition", RuleType.Transition,
+      keys, threshold = threshold, parameters = params))
+  }
+
   /** [[suggest]] as typed rules, named `<prefix>_<column>_<rule_type>`. */
   def suggestRules(df: DataFrame, columns: Seq[String] = Nil,
       maxNullRate: Double = 0.05, maxAllowedValues: Int = 10,

@@ -1058,20 +1058,56 @@ class Validator(
     * session zone — the same interpretation columnHistogram's NTZ parse
     * uses). */
   private def driftBucket(schema: org.apache.spark.sql.types.StructType,
-      rule: ValidationRule): org.apache.spark.sql.Column =
+      rule: ValidationRule): org.apache.spark.sql.Column = {
+    val isTs = schema.find(_.name.equalsIgnoreCase(rule.column)).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) => true
+      case _ => false
+    }
     rule.param("method").getOrElse("chi_square") match {
       case "ks" | "emd" =>
+        if (rule.param("values").isDefined) throw new IllegalArgumentException(
+          s"drift rule '${rule.name}': values is a categorical projection; " +
+            "ks/emd bin numeric ranges — drop values or use a categorical method")
         Checks.numericBucket(col(rule.column).cast("double"),
           rule.paramDouble("lo").getOrElse(0.0),
           rule.paramDouble("hi").getOrElse(1000.0),
           rule.param("bins").map(_.toInt).getOrElse(64))
       case _ =>
-        schema.find(_.name.equalsIgnoreCase(rule.column)).map(_.dataType) match {
-          case Some(org.apache.spark.sql.types.TimestampType) |
-               Some(org.apache.spark.sql.types.TimestampNTZType) =>
-            unix_micros(col(rule.column).cast("timestamp"))
-          case _ => col(rule.column)
+        driftValues(rule) match {
+          // bounded-categorical tier: the analyst names the expected
+          // category set and everything outside it folds into ONE
+          // "__other__" bucket (NULLs keep their own bucket) — the
+          // histogram space is values+2 at ANY cardinality, so a junk
+          // tail of millions of distinct labels reads as other-mass
+          // drift instead of tripping the bucket guard. Comparison on
+          // cast-to-string, the allowed_values convention; a literal
+          // "__other__" category folds into the other-mass (harmless
+          // for drift — its frequency still lands in the same bucket
+          // on both sides).
+          case Some(vals) =>
+            if (isTs) throw new IllegalArgumentException(
+              s"drift rule '${rule.name}': values projection compares cast-to-string, " +
+                "but timestamp columns canonicalize to epoch micros — drop values " +
+                "or use a categorical column")
+            Checks.boundedCategory(col(rule.column), vals)
+          case None =>
+            if (isTs) unix_micros(col(rule.column).cast("timestamp"))
+            else col(rule.column)
         }
+    }
+  }
+
+  /** Parsed `values` category set of a bounded-categorical drift rule
+    * (comma-split, trimmed — the allowed_values spelling). Fail-loud: a
+    * `values` that names no categories would project EVERYTHING into
+    * `__other__` and read zero drift forever. */
+  private def driftValues(rule: ValidationRule): Option[Seq[String]] =
+    rule.param("values").map { csv =>
+      val vs = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (vs.isEmpty) throw new IllegalArgumentException(
+        s"drift rule '${rule.name}': values is set but names no categories")
+      vs
     }
 
   /** All drift rules in one scan per table side. With `partitionExpr`, the
@@ -1103,8 +1139,18 @@ class Validator(
       // fails individually and the healthy rest re-run without it — the
       // retry costs one extra scan per offender, on the error path only
       // (the outlier batch's excluded-column pattern).
-      var active = driftRules
       var overflowFailures = Map.empty[String, ValidationResult]
+      // per-rule param validation BEFORE the shared scan: a malformed
+      // bucket spec (bad values list, values on ks/emd or a timestamp
+      // column) fails only ITS rule — without this, the spec-building
+      // throw would land in the outer catch and take the whole batch down
+      var active = driftRules.flatMap { r =>
+        try { driftBucket(df.schema, r); Some(r) }
+        catch {
+          case e: Throwable =>
+            overflowFailures += r.name -> ValidationResult.failure(r, e, ms); None
+        }
+      }
       var scanned: Option[(Map[String, Map[String, Long]], Map[String, Map[String, Map[String, Long]]])] = None
       while (scanned.isEmpty && active.nonEmpty) {
         val specs = active.map(r => r.name -> driftBucket(df.schema, r))
@@ -1191,8 +1237,14 @@ class Validator(
                         s"by string form and support string/integral/boolean/timestamp " +
                         s"columns; '${r.column}' is ${other.simpleString} — use ref_table")
                   }
-                  r.name -> Profiler.columnHistogram(st, r.column,
-                    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone")))
+                  // bounded-categorical projection applied to the sketch's
+                  // value keys too (driver-side fold) — both faces must
+                  // bucket identically or member/other mass would misread
+                  // as drift
+                  r.name -> Checks.projectHistogram(
+                    Profiler.columnHistogram(st, r.column,
+                      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))),
+                    driftValues(r))
                 }
               }.toMap
             case (Some(refTable), None) =>

@@ -239,4 +239,51 @@ class SuggestSpec extends SparkSpec {
       .executeRules(graft.io.SnapTable.read(spark, dir), rules, "t")
       .results.filterNot(_.passed) shouldBe empty
   }
+
+  test("transitionGrammar: learns the DFA from data, prunes with a floored threshold, refuses non-grammar columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0, "u"), ("a", 1, "v"), ("a", 2, "u"), // u→v→u
+      ("b", 0, "u"), ("b", 1, "v"),                // u→v
+      ("c", 0, "u"), ("c", 1, "x")                 // u→x: the rare edge
+    ).toDF("k", "i", "r")
+    val v = new Validator(spark, ValidationConfig())
+
+    // minSupport=1: every observed fact is allowed — exact grammar, no
+    // threshold, and the rule passes on its own source with zero failures
+    val full = Suggest.transitionGrammar(df, Seq("k"), "i", "r").get
+    full.ruleType shouldBe RuleType.Transition
+    full.parameters("pairs") shouldBe "u->v,u->x,v->u"
+    full.parameters("first") shouldBe "u"
+    full.parameters("last") shouldBe "u,v,x"
+    full.threshold shouldBe None
+    val r1 = v.executeRules(df, Seq(full), "t").results.head
+    r1.passed shouldBe true
+    r1.failed_count shouldBe 0L
+
+    // minSupport=2 prunes u→x and every last state (all support 1): the
+    // grammar keeps u→v + first=u, omits last, and the threshold floors to
+    // the observed pass rate under the PRUNED grammar (a: v→u bad, c: u→x
+    // bad → 1 of 3 groups pass → floor(100/3)/100)
+    val pruned = Suggest.transitionGrammar(df, Seq("k"), "i", "r", minSupport = 2L).get
+    pruned.parameters("pairs") shouldBe "u->v"
+    pruned.parameters("first") shouldBe "u"
+    pruned.parameters.get("last") shouldBe None
+    pruned.threshold shouldBe Some(0.33)
+    val r2 = v.executeRules(df, Seq(pruned), "t").results.head
+    r2.passed shouldBe true // self-consistency survives pruning
+    r2.failed_count shouldBe 2L
+    r2.total_count shouldBe 3L
+
+    // refusals — None, never an unusable rule
+    Suggest.transitionGrammar(df, Seq("k"), "i", "r", maxStates = 2) shouldBe None
+    Suggest.transitionGrammar(df.limit(0), Seq("k"), "i", "r") shouldBe None
+    Suggest.transitionGrammar(df, Seq("k"), "i", "r", minSupport = 100L) shouldBe None
+    Suggest.transitionGrammar(
+      Seq(("a", 0, "p->q"), ("a", 1, "z")).toDF("k", "i", "r"),
+      Seq("k"), "i", "r") shouldBe None
+    Suggest.transitionGrammar(
+      Seq(("a", 0, "p,q"), ("a", 1, "z")).toDF("k", "i", "r"),
+      Seq("k"), "i", "r") shouldBe None
+  }
 }

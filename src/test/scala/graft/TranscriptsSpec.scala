@@ -94,7 +94,8 @@ class TranscriptsSpec extends SparkSpec {
     rows.map(_.getString(0)).distinct.length shouldBe rows.length // one row per rule
     val families = rows.map(_.getString(1)).toSet
     families should contain allOf (RuleType.Completeness, RuleType.Uniqueness,
-      RuleType.Referential, RuleType.Sequence, RuleType.FunctionalDependency)
+      RuleType.Referential, RuleType.Sequence, RuleType.Transition,
+      RuleType.FunctionalDependency)
     // verdict columns are populated (no -1/-1 error sentinels in the
     // flagship suite — every rule executed for real)
     rows.count(_.getLong(3) < 0L) shouldBe 0

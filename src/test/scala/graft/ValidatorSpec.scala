@@ -109,6 +109,81 @@ class ValidatorSpec extends SparkSpec {
     byPart.getMessage should include ("high-cardinality")
   }
 
+  test("drift values projection: bounded-categorical tier survives unbounded label spaces") {
+    import graft.engine.Profiler
+    // the SAME column shape the bucket guard rejects raw (junk tail wider
+    // than maxHistogramBuckets): naming the expected vocabulary folds the
+    // junk into __other__ — the raw rule errors, the bounded one verdicts
+    val n = 3L * (Checks.maxHistogramBuckets + 10L)
+    val wide = spark.range(n).selectExpr(
+      "case when id % 3 = 0 then 'a' when id % 3 = 1 then 'b' else cast(id as string) end as cat")
+    val raw = ValidationRule("raw_drift", RuleType.drift, Seq("cat"),
+      parameters = Map("method" -> "tvd", "ref_table" -> "baseline", "critical" -> "0.2"))
+    val bounded = ValidationRule("bounded_drift", RuleType.drift, Seq("cat"),
+      parameters = Map("method" -> "tvd", "ref_table" -> "baseline",
+        "values" -> "a, b", "critical" -> "0.2"))
+    val v = new Validator(spark, ValidationConfig(),
+      nm => if (nm == "baseline") Some(wide) else None)
+    val res = v.executeRules(wide, Seq(raw, bounded), "t").results
+      .map(r => r.rule_name -> r).toMap
+    res("raw_drift").failed_count shouldBe -1L
+    res("bounded_drift").passed shouldBe true
+    res("bounded_drift").metadata("statistic").toDouble shouldBe 0.0 +- 1e-12
+    // junk-share drift reads as OTHER-MASS movement: 1/3 junk → 2/3 junk
+    val drifted = spark.range(n).selectExpr(
+      "case when id % 3 = 0 then 'a' else cast(id as string) end as cat")
+    val loud = v.executeRules(drifted, Seq(bounded), "t").results.head
+    loud.passed shouldBe false
+    loud.metadata("statistic").toDouble should be > 0.2
+    // NULL keeps its OWN bucket — only non-member non-null values fold
+    val buckets = Seq(Some("a"), Some("zzz"), None).toDF("c")
+      .select(Checks.boundedCategory(org.apache.spark.sql.functions.col("c"), Seq("a", "b")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+    buckets shouldBe Set("a", Checks.OtherBucket, null)
+    // rejections fail ONLY their own rule (pre-scan isolation): values on
+    // a numeric-binned method, values naming nothing, values on a ts column
+    val small = Seq(("a", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("cat", "num", "ts")
+    val vs = new Validator(spark, ValidationConfig(),
+      nm => if (nm == "baseline") Some(small) else None)
+    val bad = Seq(
+      ValidationRule("ks_vals", RuleType.drift, Seq("num"),
+        parameters = Map("method" -> "ks", "ref_table" -> "baseline",
+          "values" -> "a", "critical" -> "0.3", "lo" -> "0", "hi" -> "10")),
+      ValidationRule("empty_vals", RuleType.drift, Seq("cat"),
+        parameters = Map("method" -> "tvd", "ref_table" -> "baseline",
+          "values" -> " , ", "critical" -> "0.2")),
+      ValidationRule("ts_vals", RuleType.drift, Seq("ts"),
+        parameters = Map("method" -> "tvd", "ref_table" -> "baseline",
+          "values" -> "2024-01-01 00:00:00", "critical" -> "0.2")),
+      ValidationRule("healthy", RuleType.drift, Seq("cat"),
+        parameters = Map("method" -> "tvd", "ref_table" -> "baseline",
+          "values" -> "a,b", "critical" -> "0.2")))
+    val mixed = vs.executeRules(small, bad, "t").results.map(r => r.rule_name -> r).toMap
+    mixed("ks_vals").failed_count shouldBe -1L
+    mixed("empty_vals").failed_count shouldBe -1L
+    mixed("ts_vals").failed_count shouldBe -1L
+    mixed("healthy").passed shouldBe true
+    // ref_state baselines project the SKETCH keys identically: the
+    // zero-scan verdict equals the ref_table one bit-for-bit (both exact)
+    val dir = java.nio.file.Files.createTempDirectory("refstate_vals").toString
+    val base = (Seq.fill(40)(Some("a")) ++ Seq.fill(40)(Some("b")) ++
+      (1 to 15).map(i => Some(s"junk$i")) ++ Seq.fill(5)(Option.empty[String])).toDF("cat")
+    Profiler.writeState(Profiler.profileState(base), s"$dir/cat.bin")
+    val cur = (Seq.fill(30)(Some("a")) ++ Seq.fill(30)(Some("b")) ++
+      (1 to 35).map(i => Some(s"other$i")) ++ Seq.fill(5)(Option.empty[String])).toDF("cat")
+    def statOf(params: Map[String, String]): Double =
+      new Validator(spark, ValidationConfig(),
+        nm => if (nm == "baseline") Some(base) else None)
+        .executeRules(cur, Seq(ValidationRule("d", RuleType.drift, Seq("cat"),
+          parameters = params + ("method" -> "tvd") + ("critical" -> "0.2") +
+            ("values" -> "a,b"))), "t").results.head.metadata("statistic").toDouble
+    val viaState = statOf(Map("ref_state" -> s"$dir/cat.bin"))
+    val viaTable = statOf(Map("ref_table" -> "baseline"))
+    viaState shouldBe viaTable +- 1e-12
+    viaState should be > 0.2 // the junk share tripled: other-mass drift
+  }
+
   test("drift ref_state: baseline from a persisted profile state, zero baseline scan") {
     import graft.engine.Profiler
     val dir = java.nio.file.Files.createTempDirectory("refstate").toString

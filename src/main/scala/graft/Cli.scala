@@ -150,14 +150,13 @@ object Cli {
       val incremental = opts.contains("incremental")
 
       // incremental tier (--incremental, snap: sources + --config state_file):
-      // validate only the rows committed since the checkpoint's recorded
-      // snapshot version — the batch analogue of the streaming micro-batch
-      // tier, with the same semantics: row-level families see exactly the
-      // new rows; cross-row families (uniqueness, referential, …) hold
-      // WITHIN the delta (run the full pass nightly for global guarantees).
-      // An up-to-date table is skipped entirely (zero Spark jobs); a table
-      // whose history crosses an overwrite/restore falls back to a full
-      // read (its delta is not expressible as added rows).
+      // validate the rows committed since the checkpoint's recorded snapshot
+      // version with family-aware frames (validateTableIncremental): row
+      // rules see exactly the new rows, group-unit families see the affected
+      // groups in full, absolute families the whole table. An up-to-date
+      // table is skipped entirely (zero Spark jobs); a table whose history
+      // crosses an overwrite/restore falls back to a full read (its delta
+      // is not expressible as added rows).
       // the skip-completed arm mirrors Validator.validateAllTables (the
       // library face, contract-pinned in CheckpointSpec) with the
       // incremental hook threaded in front — keep the two in step
@@ -304,13 +303,20 @@ object Cli {
     checkpoint.flatMap(_.recordedSnapCursor(t)) match {
       case Some((recId, v)) if recId == snap.tableId && v == cur => None
       case recorded =>
-        val df = recorded match {
+        val delta = recorded match {
           case Some((recId, v)) if recId == snap.tableId && v < cur =>
-            scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur)))
-              .getOrElse(graft.io.SnapTable.read(spark, dir))
-          case _ => graft.io.SnapTable.read(spark, dir)
+            scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur))).toOption
+          case _ => None
         }
-        val summary = validator.validateTable(df, t)
+        val summary = delta match {
+          // appended-rows fast path: family-aware frames — row rules on the
+          // delta, group-unit rules on the affected groups in full (whole
+          // conversations revalidated, cross-batch duplicates caught),
+          // absolute families on the full table (Validator scaladoc)
+          case Some(d) => validator.validateTableIncremental(
+            graft.io.SnapTable.read(spark, dir), d, t)
+          case None => validator.validateTable(graft.io.SnapTable.read(spark, dir), t)
+        }
         checkpoint.foreach(_.recordSnapshot(t, Checkpoint.snapCursor(snap.tableId, cur)))
         Some(summary)
     }

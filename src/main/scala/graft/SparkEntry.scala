@@ -318,6 +318,63 @@ object SparkEntry {
         CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
         CAST(SUM(n) AS BIGINT) AS distinct_pairs FROM g""")),
 
+    // ---- incremental tier: family-aware frames over an append delta ------
+    // validateTableIncremental end-to-end: the "appended" rows are the
+    // high line numbers; row rules must see ONLY them, group-unit rules the
+    // whole affected orders (semi-join), absolute rules the whole table.
+    // The oracle re-derives each frame and verdict count in plain SQL, so
+    // the frame routing itself is hash-checked, not just spec-asserted.
+    Q("q_incremental_frames_lineitem",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val delta = li.filter(col("l_linenumber") >= 6)
+        val rules = Seq(
+          ValidationRule("flag_complete", RuleType.Completeness, Seq("l_returnflag"),
+            threshold = Some(0.0)),
+          ValidationRule("line_seq", RuleType.Sequence, Seq("l_orderkey"),
+            parameters = Map("index" -> "l_linenumber", "start" -> "1"),
+            threshold = Some(0.0)),
+          ValidationRule("line_key", RuleType.Uniqueness, Seq("l_orderkey", "l_linenumber"),
+            threshold = Some(0.0)),
+          ValidationRule("size", RuleType.RowCount, Seq(),
+            parameters = Map("min_rows" -> "1")))
+        val v = new Validator(s,
+          ValidationConfig(tables = Seq(TableConfig("li", rules = rules))))
+        val summary = v.validateTableIncremental(li, delta, "li")
+        import s.implicits._
+        summary.results
+          .map(r => (r.rule_name, r.metadata("incremental"), r.failed_count, r.total_count))
+          .toDF("rule_name", "frame", "failed_count", "total_count")
+          .orderBy("rule_name")
+      },
+      Some("""WITH delta AS (SELECT * FROM lineitem WHERE l_linenumber >= 6),
+        key_frame AS (SELECT l.* FROM lineitem l
+          JOIN (SELECT DISTINCT l_orderkey, l_linenumber FROM delta) d
+          USING (l_orderkey, l_linenumber)),
+        seq_frame AS (SELECT l.* FROM lineitem l
+          JOIN (SELECT DISTINCT l_orderkey FROM delta) d USING (l_orderkey)),
+        seq_g AS (SELECT l_orderkey, COUNT(DISTINCT l_linenumber) AS n,
+            MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+          FROM seq_frame WHERE l_linenumber IS NOT NULL GROUP BY 1)
+        SELECT 'flag_complete' AS rule_name, 'delta' AS frame,
+          CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
+          CAST(COUNT(*) AS BIGINT) AS total_count FROM delta
+        UNION ALL
+        SELECT 'line_key', 'affected_groups',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM key_frame) -
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM key_frame)),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM key_frame)
+        UNION ALL
+        SELECT 'line_seq', 'affected_groups',
+          CAST(SUM(CASE WHEN NOT (n = mx - mn + 1 AND mn = 1) THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT) FROM seq_g
+        UNION ALL
+        SELECT 'size', 'full',
+          CAST(CASE WHEN COUNT(*) >= 1 THEN 0 ELSE 1 END AS BIGINT),
+          CAST(1 AS BIGINT) FROM lineitem
+        ORDER BY rule_name""")),
+
     // ---- conversation assembly (ordered parts → one document per key) ----
     Q("q_assemble_lineitem",
       (s, d) => graft.operators.Curation.assembleByKey(

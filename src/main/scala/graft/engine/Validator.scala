@@ -1933,18 +1933,27 @@ class Validator(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.global
-    def runSet(rs: Seq[ValidationRule], df: => DataFrame, tag: String)
-        : Future[Seq[ValidationResult]] = Future {
+    def runSet(rs: Seq[ValidationRule], df: => DataFrame, tag: String,
+        cache: Boolean = false): Future[Seq[ValidationResult]] = Future {
       // frame construction (the semi-join's column resolution) sits outside
       // executeRules' per-rule isolation — a misconfigured rule must still
       // fail as ITS OWN error result, not abort the table, so fall back to
       // the full frame and let the rule re-raise the real analysis error
       // inside the isolated path
-      val (frame, frameTag) = scala.util.Try((df, tag)).getOrElse((full, "full"))
-      if (rs.isEmpty) Nil
-      else executeRules(frame, rs, tableName).results
-        .map(r => if (r.failed_count < 0) r
-          else r.copy(metadata = r.metadata + ("incremental" -> frameTag)))
+      val (frame0, frameTag) = scala.util.Try((df, tag)).getOrElse((full, "full"))
+      // the affected-groups frame is small (delta growth × group size) but
+      // each rule's aggregate and the shared total would otherwise re-run
+      // its full-table semi-join — materialize it once
+      val doCache = cache && (frameTag eq tag)
+      val frame = if (doCache)
+        frame0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else frame0
+      try {
+        if (rs.isEmpty) Nil
+        else executeRules(frame, rs, tableName).results
+          .map(r => if (r.failed_count < 0) r
+            else r.copy(metadata = r.metadata + ("incremental" -> frameTag)))
+      } finally if (doCache) frame.unpersist(blocking = false)
     }(global)
     val deltaF = runSet(sliceSafe, delta, "delta")
     val fullF = runSet(absolute, full, "full")
@@ -1957,8 +1966,22 @@ class Validator(
         case (None, rs) => runSet(rs, full, "full")
         case (Some(_), rs) =>
           val keys = if (rs.head.columns.nonEmpty) rs.head.columns else Seq(rs.head.column)
-          runSet(rs, full.join(delta.select(keys.map(col): _*).distinct(),
-            keys, "left_semi"), "affected_groups")
+          // prune the table side to the columns this rule set actually
+          // reads (keys + the families' column-bearing params) BEFORE the
+          // semi-join: the group families never touch the wide text
+          // columns, so the full-table scan feeding the join reads a few
+          // narrow columns instead of every byte. Any unresolvable name →
+          // no pruning, and the rule raises its real error inside
+          // executeRules
+          val referenced = (keys ++ rs.flatMap(r =>
+            Seq("index", "order_by", "value").flatMap(r.param) ++
+              r.param("dependent").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+            .map(_.trim).distinct
+          val resolved = referenced.flatMap(c => full.columns.find(_.equalsIgnoreCase(c)))
+          val base = if (resolved.size == referenced.size)
+            full.select(resolved.map(col): _*) else full
+          runSet(rs, base.join(delta.select(keys.map(col): _*).distinct(),
+            keys, "left_semi"), "affected_groups", cache = true)
       }
     val results = (Await.result(deltaF, Duration.Inf) ++
       Await.result(fullF, Duration.Inf) ++

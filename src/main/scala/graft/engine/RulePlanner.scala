@@ -150,6 +150,35 @@ object RulePlanner {
     case _ => false
   }
 
+  /** Admission guard for every job SHARED across fusible rules (the fused
+    * verdict pass, row annotation): the rule must be [[fusible]], reference
+    * only resolvable columns, and a predicate rule's expression must
+    * analyze to a Boolean — one misconfigured rule must fail (or be
+    * omitted) ALONE, never poison the shared job for the healthy rules. */
+  private[engine] def admissible(df: DataFrame, rule: ValidationRule): Boolean =
+    fusible(rule) &&
+      rule.columns.forall(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c))) &&
+      (rule.ruleType != RuleType.Predicate || analyzableBooleanPredicate(df, rule))
+
+  /** True when the predicate rule's expression analyzes against `df` to a
+    * row-level Boolean — driver-side analysis only, no job. Must be a plain
+    * Project: an aggregate or window expression ("count(*) >= 1") analyzes
+    * fine in a SELECT but is illegal nested inside the fused
+    * `sum(when(...))`, so admitting it would kill the shared job. Rules
+    * failing this are excluded from the fused pass and routed to
+    * executeSingle, whose single-rule job isolates the real error to the
+    * rule. (Runtime ANSI raises remain undetectable here — the fused
+    * failure-recovery path covers those.) */
+  private[engine] def analyzableBooleanPredicate(df: DataFrame, rule: ValidationRule): Boolean =
+    try {
+      rule.expression.exists { e =>
+        val ds = df.select(expr(e))
+        ds.schema.head.dataType == BooleanType &&
+          ds.queryExecution.analyzed.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Project]
+      }
+    } catch { case _: Throwable => false }
+
   def failCondition(schema: StructType, rule: ValidationRule): Column = rule.ruleType match {
     case RuleType.Completeness    => completenessFailCond(schema, rule.column)
     case RuleType.Range           => rangeFailCond(rule)
@@ -366,23 +395,33 @@ object RulePlanner {
     * empty array): NULL compresses to nothing at rest and `IS NULL` is the
     * natural "clean" predicate. Array order = rule order, deterministic.
     *
-    * Exactly the row-level rule set participates ([[fusible]] — the same
-    * predicates the fused verdict pass counts), so annotate/verdict/filter
-    * can never disagree about what a row violation is. Group/table families
-    * (uniqueness, drift, row_count, …) have no per-row predicate and are
-    * omitted, like [[dltExpectations]]; disabled rules are omitted like
-    * every other execution path. One fused projection — no shuffle, no
+    * Exactly the fused verdict pass's rule set participates
+    * ([[admissible]] — the same predicates it counts), so annotate/verdict/
+    * filter can never disagree about what a row violation is. Group/table
+    * families (uniqueness, drift, row_count, …) have no per-row predicate
+    * and are omitted, like [[dltExpectations]]; disabled rules are omitted
+    * like every other execution path; a rule the fused pass would bounce
+    * (missing column, non-Boolean predicate) is omitted too — annotation
+    * has no per-row way to represent a rule error, and the verdict face
+    * surfaces it as that rule's own error result. One fused projection — no shuffle, no
     * extra scan, whole-stage-codegen'd — so annotation at 100 TB costs one
     * pass regardless of rule count. */
   def annotate(df: DataFrame, rules: Seq[ValidationRule],
                errorsCol: String = "_dq_errors",
                warningsCol: String = "_dq_warnings"): DataFrame = {
     val schema = df.schema
+    require(errorsCol != warningsCol,
+      s"annotate: errors and warnings columns must differ, both are '$errorsCol'")
     Seq(errorsCol, warningsCol).foreach { c =>
       require(!df.columns.contains(c),
         s"annotate: input already has a column named '$c'")
     }
-    val rowRules = rules.filter(_.enabled).filter(fusible)
+    // same admission guard as the fused verdict pass: a rule referencing a
+    // missing column (or a predicate that doesn't analyze to a Boolean)
+    // must not poison this SHARED projection for every other rule — it is
+    // OMITTED here (annotation has no per-row way to represent a rule
+    // error; the verdict face surfaces it as the rule's own error result)
+    val rowRules = rules.filter(_.enabled).filter(r => admissible(df, r))
     def tagArray(rs: Seq[ValidationRule]): Column =
       if (rs.isEmpty) lit(null).cast("array<string>")
       else {

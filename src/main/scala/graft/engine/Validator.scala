@@ -64,15 +64,11 @@ class Validator(
     val t0 = System.nanoTime()
     val schema = df.schema
 
-    val wellFormedFusible = rules.filter { r =>
-      RulePlanner.fusible(r) &&
-        r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))) &&
-        // a predicate rule's expression must ANALYZE against this schema to
-        // a Boolean before it may join the fused pass — one broken
-        // predicate must fail ITS OWN rule (via executeSingle, where the
-        // real analysis error surfaces), never the whole fused job
-        (r.ruleType != RuleType.Predicate || analyzableBooleanPredicate(df, r))
-    }
+    // a rule referencing a missing column, or a predicate whose expression
+    // doesn't ANALYZE to a Boolean, must fail ITS OWN rule (via
+    // executeSingle, where the real analysis error surfaces), never the
+    // whole fused job — the shared admission guard
+    val wellFormedFusible = rules.filter(r => RulePlanner.admissible(df, r))
 
     // 1. one fused job for all fusible rules (optionally partition-grouped);
     // the grouped pass also yields per-partition row totals, reused by the
@@ -556,24 +552,6 @@ class Validator(
     } catch { case e: Throwable => Left(e) }
   }
 
-  /** True when the predicate rule's expression analyzes against `df` to a
-    * row-level Boolean — driver-side analysis only, no job. Must be a plain
-    * Project: an aggregate or window expression ("count(*) >= 1") analyzes
-    * fine in a SELECT but is illegal nested inside the fused
-    * `sum(when(...))`, so admitting it would kill the shared job. Rules
-    * failing this are excluded from the fused pass and routed to
-    * executeSingle, whose single-rule job isolates the real error to the
-    * rule. (Runtime ANSI raises remain undetectable here — the fused
-    * failure-recovery path covers those.) */
-  private def analyzableBooleanPredicate(df: DataFrame, rule: ValidationRule): Boolean =
-    try {
-      rule.expression.exists { e =>
-        val ds = df.select(expr(e))
-        ds.schema.head.dataType == org.apache.spark.sql.types.BooleanType &&
-          ds.queryExecution.analyzed.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.logical.Project]
-      }
-    } catch { case _: Throwable => false }
 
   /** ALL bounds of a row_count rule — (min_rows, max_rows,
     * min_partition_rows, max_partition_rows). The global verdict path
@@ -1926,9 +1904,8 @@ class Validator(
       tableName: String): ValidationSummary = {
     val t0 = System.nanoTime()
     val rules = config.enabledRules(tableName)
-    val groupUnit = Set(RuleType.Uniqueness, RuleType.Sequence,
-      RuleType.Monotonic, RuleType.Transition, RuleType.FunctionalDependency)
-    val (grp, rest) = rules.partition(r => groupUnit.contains(r.ruleType))
+    val (grp, rest) = rules.partition(r =>
+      Validator.groupUnitFamilies.contains(r.ruleType))
     val (sliceSafe, absolute) = rest.partition(r => RulePlanner.fusible(r))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -1980,8 +1957,20 @@ class Validator(
           val resolved = referenced.flatMap(c => full.columns.find(_.equalsIgnoreCase(c)))
           val base = if (resolved.size == referenced.size)
             full.select(resolved.map(col): _*) else full
-          runSet(rs, base.join(delta.select(keys.map(col): _*).distinct(),
-            keys, "left_semi"), "affected_groups", cache = true)
+          // NULL-safe equality: NULL keys form their own group on the full
+          // path (distinctKeyCount, sequenceGroups), so an equi-join —
+          // where NULL never matches — would silently drop NULL-key delta
+          // rows from the frame. Aliased sides because the delta is often
+          // derived from the same plan as the table (tests, backfills) and
+          // bare df(col) references would be ambiguous under self-join.
+          def frame = { // by-name into runSet: resolution errors must hit
+            val lhs = base.alias("__incr_tbl") // its fallback, not this map
+            val rhs = delta.select(keys.map(col): _*).distinct().alias("__incr_keys")
+            val joinCond = keys.map(k =>
+              col(s"__incr_tbl.`$k`") <=> col(s"__incr_keys.`$k`")).reduce(_ && _)
+            lhs.join(rhs, joinCond, "left_semi")
+          }
+          runSet(rs, frame, "affected_groups", cache = true)
       }
     val results = (Await.result(deltaF, Duration.Inf) ++
       Await.result(fullF, Duration.Inf) ++
@@ -2021,11 +2010,7 @@ class Validator(
     // same admission guard as executeRulesPartitioned: a rule referencing a
     // missing column or carrying a non-row-level predicate must not poison
     // this SHARED Dataset for every other rule
-    val fusible = rules.filter { r =>
-      RulePlanner.fusible(r) &&
-        r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c))) &&
-        (r.ruleType != RuleType.Predicate || analyzableBooleanPredicate(df, r))
-    }
+    val fusible = rules.filter(r => RulePlanner.admissible(df, r))
     val counters = fusible.zipWithIndex.map { case (r, i) =>
       sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L)).as(s"f_$i")
     }
@@ -2120,14 +2105,21 @@ object Validator {
     * partially-kept conversation fabricates sequence gaps, and an FD
     * violation needs both conflicting rows to survive. Such rules run on
     * the FULL table instead. */
-  private[engine] def sampleExemptRule(r: graft.ValidationRule, sampleKey: String): Boolean = {
-    val groupUnit = Set(graft.RuleType.Uniqueness, graft.RuleType.Sequence,
-      graft.RuleType.Monotonic, graft.RuleType.Transition,
-      graft.RuleType.FunctionalDependency)
+  private[engine] def sampleExemptRule(r: graft.ValidationRule, sampleKey: String): Boolean =
     sampleExempt(r.ruleType) ||
-      (groupUnit.contains(r.ruleType) &&
+      (groupUnitFamilies.contains(r.ruleType) &&
         !r.columns.exists(_.equalsIgnoreCase(sampleKey)))
-  }
+
+  /** Families whose verdict unit is a KEY GROUP, not a row: sampling must
+    * keep/drop whole groups (see [[sampleExemptRule]]) and the incremental
+    * tier must revalidate affected groups in full
+    * ([[Validator.validateTableIncremental]]). ONE definition — the
+    * dispatch sites read it, so the next group-unit family can't be added
+    * to one face and silently missed by the other. */
+  private[engine] val groupUnitFamilies: Set[String] = Set(
+    graft.RuleType.Uniqueness, graft.RuleType.Sequence,
+    graft.RuleType.Monotonic, graft.RuleType.Transition,
+    graft.RuleType.FunctionalDependency)
 
   /** Wilson 95% score interval of the SUCCESS rate given (failed, total) —
     * the sampled tier's "how tight is this estimate" annotation. Preferred

@@ -77,6 +77,25 @@ class IncrementalValidationSpec extends SparkSpec {
     v.partitionVerdictsOf("t") shouldBe empty
   }
 
+  test("NULL-key delta rows stay in the affected-groups frame (null-safe semi-join)") {
+    // NULL keys form their own group on the full path — an equi-join
+    // (where NULL never matches) would silently drop them and the
+    // historical duplicate below would escape
+    val hist = Seq((Option.empty[String], 0L, "user"), (Some("a"), 0L, "user"))
+      .toDF("conv_id", "turn_idx", "role")
+    val d = Seq((Option.empty[String], 0L, "user"))
+      .toDF("conv_id", "turn_idx", "role")
+    val uniq = ValidationRule("turn_key", RuleType.Uniqueness,
+      Seq("conv_id", "turn_idx"))
+    val v = new Validator(spark, cfg(uniq))
+    val r = v.validateTableIncremental(hist.union(d), d, "t").results.head
+    r.metadata("incremental") shouldBe "affected_groups"
+    // frame = both NULL-key rows (the "a" group is unaffected): 2 rows,
+    // 1 distinct key, 1 duplicate caught
+    r.total_count shouldBe 2L
+    r.failed_count shouldBe 1L
+  }
+
   test("a misconfigured group rule errors as its own result, not the table") {
     val bad = ValidationRule("bad_seq", RuleType.Sequence, Seq("no_such_col"),
       parameters = Map("index" -> "turn_idx"))

@@ -416,5 +416,22 @@ class RuleSemanticsSpec extends SparkSpec {
       RulePlanner.annotate(customers.withColumnRenamed("status", "_dq_errors"), rules)
     }
     boom.getMessage should include ("_dq_errors")
+    // ... and the two output columns colliding with EACH OTHER raises too
+    // (the second withColumn would silently clobber the error tags)
+    intercept[IllegalArgumentException] {
+      RulePlanner.annotate(customers, rules, "_dq_issues", "_dq_issues")
+    }.getMessage should include ("_dq_issues")
+    // a rule the fused pass would bounce (missing column / non-Boolean
+    // predicate) is OMITTED — it must not poison the shared projection for
+    // the healthy rules (the verdict face carries its error result)
+    val mixed = RulePlanner.annotate(customers, Seq(
+      ValidationRule("ghost", RuleType.Completeness, Seq("no_such_col")),
+      ValidationRule("broken_pred", RuleType.Predicate, Seq(),
+        expression = Some("count(*) >= 1")),
+      ValidationRule("name_completeness", RuleType.Completeness, Seq("name"))))
+    mixed.filter(expr("array_contains(_dq_errors, 'name_completeness')"))
+      .count() should be > 0L
+    mixed.filter(expr("array_contains(_dq_errors, 'ghost') OR " +
+      "array_contains(_dq_errors, 'broken_pred')")).count() shouldBe 0
   }
 }

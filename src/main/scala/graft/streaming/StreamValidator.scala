@@ -47,6 +47,24 @@ object StreamValidator {
     *                       state instead of double-counting: the lifetime
     *                       profile is effectively-once even though
     *                       foreachBatch is at-least-once
+    * @param historyFrames  cross-batch group-unit guarantees (requires a
+    *                       `snap:` validatedSink — the accumulated clean
+    *                       table IS the history): each micro-batch is
+    *                       validated with the family-aware incremental
+    *                       frames ([[graft.engine.Validator
+    *                       .validateTableIncremental]] over accumulated ∪
+    *                       batch) — row rules exact on the batch, group-unit
+    *                       rules on the affected groups across ALL batches
+    *                       (a turn extending a conversation committed three
+    *                       batches ago revalidates that whole conversation;
+    *                       a key duplicating any historical clean row is
+    *                       caught), absolute families on the whole
+    *                       accumulated table. The default per-batch path
+    *                       holds group-unit guarantees only WITHIN a batch.
+    *                       A REPLAYED batch (id ≤ the sink's committed
+    *                       high-water mark) runs the plain per-batch path:
+    *                       its rows are already in the table and the union
+    *                       would double-count them
     */
   def start(
       spark: SparkSession,
@@ -59,9 +77,13 @@ object StreamValidator {
       onResult: BatchOutcome => Unit = _ => (),
       tableResolver: String => Option[DataFrame] = _ => None,
       metricsSink: Option[String] = None,
-      profileDir: Option[String] = None): StreamingQuery = {
+      profileDir: Option[String] = None,
+      historyFrames: Boolean = false): StreamingQuery = {
 
     val rules = config.enabledRules(tableName)
+    val snapSink = validatedSink.filter(_.startsWith("snap:")).map(_.stripPrefix("snap:"))
+    require(!historyFrames || snapSink.isDefined,
+      "historyFrames requires a snap: validatedSink — the accumulated clean table is the history")
 
     // one-time upgrade hygiene, BEFORE the stream starts (not per batch):
     // migrate any legacy unpadded state names so filename order equals
@@ -73,7 +95,17 @@ object StreamValidator {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val validator = new Validator(spark, config, tableResolver)
-        val summary = validator.executeRules(batch, rules, tableName)
+        val summary = snapSink match {
+          case Some(dir) if historyFrames &&
+              graft.io.SnapTable.versions(spark, dir).nonEmpty &&
+              !graft.io.SnapTable.snapshot(spark, dir).batchSeq.exists(batchId <= _) =>
+            // accumulated ∪ batch: the batch's rows are NOT yet committed
+            // (clean rows append below), so the union is the current truth
+            // the group-unit semi-joins must see
+            validator.validateTableIncremental(
+              graft.io.SnapTable.read(spark, dir).unionByName(batch), batch, tableName)
+          case _ => validator.executeRules(batch, rules, tableName)
+        }
         onResult(BatchOutcome(batchId, summary))
         metricsSink.foreach(path =>
           graft.io.MetricsSink.appendSummary(spark, summary, path, s"batch-$batchId"))

@@ -91,6 +91,59 @@ class StreamingSpec extends SparkSpec {
     graft.io.SnapTable.read(spark, tbl, asOf = Some(1L)).count() shouldBe 2L
   }
 
+  test("historyFrames: group-unit rules see across micro-batches via the snap sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Long, Option[String])]
+    val input = stream.toDF().toDF("conv_id", "turn_idx", "role")
+    val config = ValidationConfig(tables = Seq(TableConfig("turns", Seq(
+      ValidationRule("role_complete", RuleType.Completeness, Seq("role"),
+        threshold = Some(0.4)),
+      ValidationRule("turn_key", RuleType.Uniqueness, Seq("conv_id", "turn_idx")),
+      ValidationRule("turn_seq", RuleType.Sequence, Seq("conv_id"),
+        parameters = Map("index" -> "turn_idx", "start" -> "0"))))))
+
+    val outcomes = mutable.Buffer[StreamValidator.BatchOutcome]()
+    val tbl = Files.createTempDirectory("stream_hist").toString + "/clean"
+    val chk = Files.createTempDirectory("stream_hist_chk").toString
+    val query = StreamValidator.start(spark, input, config, "turns",
+      checkpointDir = chk, validatedSink = Some(s"snap:$tbl"), triggerMs = 100L,
+      onResult = o => outcomes.synchronized { outcomes += o },
+      historyFrames = true)
+
+    // batch 0: no history yet — plain per-batch path (no frame markers)
+    stream.addData(("a", 0L, Some("user")), ("a", 1L, Some("assistant")),
+      ("b", 0L, Some("user")))
+    query.processAllAvailable()
+    // batch 1: a CONTINUATION of conversation a (must not read as a start
+    // gap), plus a row duplicating b's HISTORICAL key (must be caught —
+    // within this batch alone it is unique)
+    stream.addData(("a", 2L, Some("user")), ("b", 0L, Some("tool")))
+    query.processAllAvailable()
+    query.stop()
+
+    outcomes.size shouldBe 2
+    val b0 = outcomes(0).summary.results.map(r => r.rule_name -> r).toMap
+    b0("turn_key").metadata.get("incremental") shouldBe None // no history yet
+    b0.values.count(_.passed) shouldBe 3
+
+    val b1 = outcomes(1).summary.results.map(r => r.rule_name -> r).toMap
+    // row rule: exactly the batch's 2 rows
+    b1("role_complete").metadata("incremental") shouldBe "delta"
+    b1("role_complete").total_count shouldBe 2L
+    // uniqueness across batches: the historical duplicate of (b, 0) is
+    // caught — frame = accumulated ∪ batch rows sharing the batch's keys
+    b1("turn_key").metadata("incremental") shouldBe "affected_groups"
+    b1("turn_key").failed_count shouldBe 1L
+    b1("turn_key").passed shouldBe false
+    // sequence across batches: conversation a is 0,1 (history) + 2 (batch)
+    // — dense, NOT a gap; b is 0 twice — still dense. Affected groups a, b.
+    b1("turn_seq").metadata("incremental") shouldBe "affected_groups"
+    b1("turn_seq").total_count shouldBe 2L
+    b1("turn_seq").failed_count shouldBe 0L
+  }
+
   test("streaming incremental profile: lifetime profile.json covers every micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * --stream-source <dir-or-table> --checkpoint-location <dir>
   * [--trigger-interval 60] [--table t] [--validated-sink dir]
   * [--metrics-dir dir] [--profile-dir dir] [--source-format parquet]
-  * [--tags hourly,critical] [--await-seconds n]`.
+  * [--tags hourly,critical] [--await-seconds n] [--history-frames]`.
   *
   * Mirrors the parameter surface of the reference's generated streaming job
   * (`/root/reference/src/data_validator/databricks_utils.py:125-135`:
@@ -72,7 +72,11 @@ object StreamCli {
       // refreshed lifetime profile.json covering all data ever streamed,
       // without re-reading history (batchId-keyed states make replays
       // overwrite, not double-count)
-      profileDir = opts.get("profile-dir"))
+      profileDir = opts.get("profile-dir"),
+      // --history-frames (bare flag; needs a snap: --validated-sink):
+      // cross-batch group-unit guarantees via the family-aware incremental
+      // frames against the accumulated clean table
+      historyFrames = opts.contains("history-frames"))
 
     // --await-seconds bounds the run (tests, smoke checks); absent = forever
     opts.get("await-seconds") match {
@@ -84,6 +88,10 @@ object StreamCli {
 
   private def parseArgs(args: List[String], acc: Map[String, String] = Map.empty): Map[String, String] =
     args match {
+      // bare flag (no value operand): cross-batch frames — same convention
+      // as the batch CLI's --incremental
+      case "--history-frames" :: rest =>
+        parseArgs(rest, acc + ("history-frames" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
       case Nil => acc

@@ -4,7 +4,7 @@ import graft.config.ConfigLoader
 import graft.engine.Validator
 import graft.io.Tables
 import graft.state.Checkpoint
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 
 /** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
@@ -160,10 +160,17 @@ object Cli {
       // the skip-completed arm mirrors Validator.validateAllTables (the
       // library face, contract-pinned in CheckpointSpec) with the
       // incremental hook threaded in front — keep the two in step
+      // the rows NEW to this run per table (the incremental tier's delta, or
+      // the full read when the tier fell back) — the slice --profile-dir
+      // must profile: per-run states are MERGED into the lifetime profile,
+      // so re-profiling the whole table under --incremental would count
+      // history once per run
+      val newSlices = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
       def validateOne(t: String, skipCompleted: Boolean): Option[ValidationSummary] = {
         val src = sources.getOrElse(t, t)
         if (incremental && src.startsWith("snap:") && !src.contains("@v"))
           validateSnapIncremental(spark, validator, checkpoint, t, src.stripPrefix("snap:"))
+            .map { case (summary, slice) => newSlices(t) = slice; summary }
         else if (skipCompleted && checkpoint.exists(_.isCompleted(t))) None
         else Some(validator.validateTable(Tables.load(spark, src), t))
       }
@@ -213,8 +220,12 @@ object Cli {
       // every compatible run state, covering all data ever processed
       // without re-reading any prior run's rows (states from an older
       // schema are skipped and counted, not blended)
+      // under --incremental the profiled slice is exactly what was NEW this
+      // run (the snap delta; full read on first sight / fallback) — the
+      // ingest-slice model the mergeable states assume. Tables skipped as
+      // up to date aren't in `summaries`, so nothing re-profiles.
       for (profileDir <- opts.get("profile-dir").toSeq; t <- summaries.keys.toSeq.sorted) {
-        val df = Tables.load(spark, sources.getOrElse(t, t))
+        val df = newSlices.getOrElse(t, Tables.load(spark, sources.getOrElse(t, t)))
         val res = graft.engine.Profiler.profileRun(df, s"$profileDir/$t", runId)
         Files.writeString(Paths.get(s"$profileDir/$t/profile.json"),
           Json.writeProfile(t, runId, res))
@@ -288,16 +299,18 @@ object Cli {
 
   /** One table of the incremental tier: None when the checkpoint already
     * covers the table's current snapshot (zero Spark jobs); otherwise
-    * validates exactly the rows committed since the recorded version and
-    * advances the cursor. Falls back to a FULL read whenever the recorded
-    * cursor cannot prove it describes this table's lineage: first sight,
-    * lineage-id mismatch (the snap dir was wiped and recreated — its
-    * version counter restarting must not let a stale cursor skip or
-    * empty-validate the new data), a cursor ahead of the table, or an
-    * overwrite/restore inside the range. */
+    * validates exactly the rows committed since the recorded version,
+    * advances the cursor, and returns the summary WITH the new-rows slice
+    * it validated (the delta, or the full read on fallback — the frame
+    * `--profile-dir` profiles as this run's ingest slice). Falls back to a
+    * FULL read whenever the recorded cursor cannot prove it describes this
+    * table's lineage: first sight, lineage-id mismatch (the snap dir was
+    * wiped and recreated — its version counter restarting must not let a
+    * stale cursor skip or empty-validate the new data), a cursor ahead of
+    * the table, or an overwrite/restore inside the range. */
   private[graft] def validateSnapIncremental(spark: SparkSession,
       validator: Validator, checkpoint: Option[Checkpoint],
-      t: String, dir: String): Option[ValidationSummary] = {
+      t: String, dir: String): Option[(ValidationSummary, DataFrame)] = {
     val snap = graft.io.SnapTable.snapshot(spark, dir)
     val cur = snap.version
     checkpoint.flatMap(_.recordedSnapCursor(t)) match {
@@ -308,17 +321,19 @@ object Cli {
             scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur))).toOption
           case _ => None
         }
-        val summary = delta match {
+        val out = delta match {
           // appended-rows fast path: family-aware frames — row rules on the
           // delta, group-unit rules on the affected groups in full (whole
           // conversations revalidated, cross-batch duplicates caught),
           // absolute families on the full table (Validator scaladoc)
-          case Some(d) => validator.validateTableIncremental(
-            graft.io.SnapTable.read(spark, dir), d, t)
-          case None => validator.validateTable(graft.io.SnapTable.read(spark, dir), t)
+          case Some(d) => (validator.validateTableIncremental(
+            graft.io.SnapTable.read(spark, dir), d, t), d)
+          case None =>
+            val full = graft.io.SnapTable.read(spark, dir)
+            (validator.validateTable(full, t), full)
         }
         checkpoint.foreach(_.recordSnapshot(t, Checkpoint.snapCursor(snap.tableId, cur)))
-        Some(summary)
+        Some(out)
     }
   }
 

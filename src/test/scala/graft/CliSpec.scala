@@ -519,7 +519,8 @@ class CliSpec extends SparkSpec {
 
     // first sight: full read, cursor recorded at v1
     val first = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
-    first.get.results.head.total_count shouldBe 500L
+    first.get._1.results.head.total_count shouldBe 500L
+    first.get._2.count() shouldBe 500L // first sight: the slice IS the full read
     checkpoint.get.recordedSnapVersion("ev") shouldBe Some(1L)
 
     // nothing new: zero work, summary absent (even though table is completed)
@@ -528,13 +529,14 @@ class CliSpec extends SparkSpec {
     // growth: exactly the appended rows are revalidated; cursor advances
     graft.io.SnapTable.append(spark, tbl, rows(500, 800))
     val delta = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
-    delta.get.results.head.total_count shouldBe 300L
+    delta.get._1.results.head.total_count shouldBe 300L
+    delta.get._2.count() shouldBe 300L // the profile-facing slice is the delta alone
     checkpoint.get.recordedSnapVersion("ev") shouldBe Some(2L)
 
     // an overwrite in the range degrades to a full read of the new truth
     graft.io.SnapTable.overwrite(spark, tbl, rows(0, 100))
     val after = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
-    after.get.results.head.total_count shouldBe 100L
+    after.get._1.results.head.total_count shouldBe 100L
     checkpoint.get.recordedSnapVersion("ev") shouldBe Some(3L)
 
     // the flag parses bare (no value operand)
@@ -549,7 +551,7 @@ class CliSpec extends SparkSpec {
     rm(new java.io.File(tbl))
     graft.io.SnapTable.create(spark, tbl, rows(0, 42))
     val recreated = graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl)
-    recreated.get.results.head.total_count shouldBe 42L
+    recreated.get._1.results.head.total_count shouldBe 42L
     graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl) shouldBe None
   }
 }

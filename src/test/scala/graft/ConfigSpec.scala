@@ -180,7 +180,7 @@ class ConfigSpec extends AnyFunSuite with Matchers {
       RuleType.Monotonic, RuleType.RowCount, RuleType.Cardinality,
       RuleType.Predicate, RuleType.Correlation, RuleType.Entropy,
       RuleType.Reconciliation, RuleType.FunctionalDependency, RuleType.Quantile,
-      RuleType.Diff)
+      RuleType.Diff, RuleType.Transition)
     // the drift rules in the shipped example cover every implemented method
     val methods = c.enabledRules("transcripts").filter(_.ruleType == RuleType.drift)
       .flatMap(_.param("method")).toSet

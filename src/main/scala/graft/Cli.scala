@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point: `spark-submit --class graft.Cli app.jar --config c.yaml
   * --sources s.yaml --output report.json [--table t] [--clean-dir DIR]
-  * [--metrics-dir DIR] [--profile-dir DIR] [--anomaly-gate alerts.json
+  * [--annotate-dir DIR] [--metrics-dir DIR] [--profile-dir DIR]
+  * [--anomaly-gate alerts.json
   * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
   * [--emit-job-spec spec.json] [--tags hourly,critical] [--incremental]
   * [--set key=value]...`.
@@ -191,6 +192,21 @@ object Cli {
         val df = Tables.load(spark, sources.getOrElse(table.name, table.name))
         validator.cleanTable(df, table.name)
           .write.mode("overwrite").parquet(s"$cleanDir/${table.name}")
+      }
+
+      // row-annotation mode (--annotate-dir DIR): every validated table is
+      // written WITH the _dq_errors/_dq_warnings tag columns
+      // (RulePlanner.annotate — the DQX apply_checks face): rows are
+      // ROUTED by issue, never dropped — the keep-everything counterpart
+      // of the filter-mode clean sink, for pipelines that quarantine with
+      // context instead of discarding
+      for {
+        annDir <- opts.get("annotate-dir").toSeq
+        table <- config.tables if summaries.contains(table.name)
+      } {
+        val df = Tables.load(spark, sources.getOrElse(table.name, table.name))
+        graft.engine.RulePlanner.annotate(df, config.enabledRules(table.name))
+          .write.mode("overwrite").parquet(s"$annDir/${table.name}")
       }
 
       // metrics sink: append this run's per-rule results as a time-series

@@ -3,7 +3,6 @@ package graft.bench
 import graft.{RuleType, TableConfig, ValidationConfig, ValidationRule}
 import graft.engine.Validator
 import graft.io.{SnapTable, TranscriptConfig, Transcripts}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Design-point probe for the incremental tier (SnapBench's sibling): ingest
@@ -23,19 +22,9 @@ object IncrBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1600000").toLong
     val dir = sys.env.getOrElse("SPARK_GRAFT_INCRBENCH_DIR", "/tmp/graft_incrbench")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-incrbench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+    val spark = BenchSessions.local("graft-incrbench", cpus)
     val tbl = s"$dir/turns_snap"
-    val fs = new org.apache.hadoop.fs.Path(tbl)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    BenchSessions.wipe(spark, tbl)
 
     val cfg = TranscriptConfig(numConvs = convs, hotConvExtraTurns = convs / 10)
     SnapTable.create(spark, tbl, Transcripts.turns(spark, cfg))

@@ -1,7 +1,6 @@
 package graft.bench
 
 import graft.io.{SnapTable, TranscriptConfig, Transcripts}
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Design-point probe for manifest-level pruning at the bench scale (the
@@ -19,19 +18,9 @@ object SnapBench {
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1600000").toLong
     val dir = sys.env.getOrElse("SPARK_GRAFT_SNAPBENCH_DIR", "/tmp/graft_snapbench")
     val files = sys.env.getOrElse("SPARK_GRAFT_SNAP_FILES", "64").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-snapbench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+    val spark = BenchSessions.local("graft-snapbench", cpus)
     val tbl = s"$dir/turns_snap"
-    val fs = new org.apache.hadoop.fs.Path(tbl)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    BenchSessions.wipe(spark, tbl)
 
     val cfg = TranscriptConfig(numConvs = convs, hotConvExtraTurns = convs / 10)
     val turns = Transcripts.turns(spark, cfg)

@@ -403,9 +403,9 @@ object RulePlanner {
     * like every other execution path; a rule the fused pass would bounce
     * (missing column, non-Boolean predicate) is omitted too — annotation
     * has no per-row way to represent a rule error, and the verdict face
-    * surfaces it as that rule's own error result. One fused projection — no shuffle, no
-    * extra scan, whole-stage-codegen'd — so annotation at 100 TB costs one
-    * pass regardless of rule count. */
+    * surfaces it as that rule's own error result. One fused projection —
+    * no shuffle, no extra scan, whole-stage-codegen'd — so annotation at
+    * 100 TB costs one pass regardless of rule count. */
   def annotate(df: DataFrame, rules: Seq[ValidationRule],
                errorsCol: String = "_dq_errors",
                warningsCol: String = "_dq_warnings"): DataFrame = {

@@ -552,7 +552,6 @@ class Validator(
     } catch { case e: Throwable => Left(e) }
   }
 
-
   /** ALL bounds of a row_count rule — (min_rows, max_rows,
     * min_partition_rows, max_partition_rows). The global verdict path
     * parses the partition params too, so a malformed partition bound
@@ -1917,11 +1916,13 @@ class Validator(
       // fail as ITS OWN error result, not abort the table, so fall back to
       // the full frame and let the rule re-raise the real analysis error
       // inside the isolated path
-      val (frame0, frameTag) = scala.util.Try((df, tag)).getOrElse((full, "full"))
+      val (frame0, frameTag, doCache) = scala.util.Try(df).toOption match {
+        case Some(d) => (d, tag, cache)
+        case None    => (full, "full", false)
+      }
       // the affected-groups frame is small (delta growth × group size) but
       // each rule's aggregate and the shared total would otherwise re-run
       // its full-table semi-join — materialize it once
-      val doCache = cache && (frameTag eq tag)
       val frame = if (doCache)
         frame0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else frame0
@@ -1937,12 +1938,11 @@ class Validator(
     // one semi-join per distinct key set (rules on the same keys share it);
     // a rule whose key can't even be named (no columns) rides the full frame
     val grpFs = grp.groupBy(r =>
-        scala.util.Try(
-          (if (r.columns.nonEmpty) r.columns else Seq(r.column)).map(_.toLowerCase)).toOption)
+        scala.util.Try(Validator.ruleKeys(r).map(_.toLowerCase)).toOption)
       .toSeq.map {
         case (None, rs) => runSet(rs, full, "full")
         case (Some(_), rs) =>
-          val keys = if (rs.head.columns.nonEmpty) rs.head.columns else Seq(rs.head.column)
+          val keys = Validator.ruleKeys(rs.head)
           // prune the table side to the columns this rule set actually
           // reads (keys + the families' column-bearing params) BEFORE the
           // semi-join: the group families never touch the wide text
@@ -2120,6 +2120,12 @@ object Validator {
     graft.RuleType.Uniqueness, graft.RuleType.Sequence,
     graft.RuleType.Monotonic, graft.RuleType.Transition,
     graft.RuleType.FunctionalDependency)
+
+  /** A rule's key column set: `columns`, or the single `column` — which
+    * RAISES when no column is named, so wrap in Try where a keyless rule
+    * must fall back instead of aborting. */
+  private[engine] def ruleKeys(r: graft.ValidationRule): Seq[String] =
+    if (r.columns.nonEmpty) r.columns else Seq(r.column)
 
   /** Wilson 95% score interval of the SUCCESS rate given (failed, total) —
     * the sampled tier's "how tight is this estimate" annotation. Preferred

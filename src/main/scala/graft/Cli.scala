@@ -341,9 +341,15 @@ object Cli {
           // appended-rows fast path: family-aware frames — row rules on the
           // delta, group-unit rules on the affected groups in full (whole
           // conversations revalidated, cross-batch duplicates caught),
-          // absolute families on the full table (Validator scaladoc)
+          // absolute families on the full table (Validator scaladoc). The
+          // table side of each group semi-join goes through readTouchedBy:
+          // on a key-clustered layout only the files whose key range the
+          // delta touches are scanned — "revalidate the affected
+          // conversations" reads O(affected files), not the table
           case Some(d) => (validator.validateTableIncremental(
-            graft.io.SnapTable.read(spark, dir), d, t), d)
+            graft.io.SnapTable.read(spark, dir), d, t,
+            tableFrameForKeys = Some(keys =>
+              graft.io.SnapTable.readTouchedBy(spark, dir, keys.head, d))), d)
           case None =>
             val full = graft.io.SnapTable.read(spark, dir)
             (validator.validateTable(full, t), full)

@@ -27,7 +27,8 @@ object IncrBench {
     BenchSessions.wipe(spark, tbl)
 
     val cfg = TranscriptConfig(numConvs = convs, hotConvExtraTurns = convs / 10)
-    SnapTable.create(spark, tbl, Transcripts.turns(spark, cfg))
+    val turns = Transcripts.turns(spark, cfg)
+    SnapTable.create(spark, tbl, turns)
 
     // the nightly growth batch: 4 continuation turns for 1% of conversations,
     // indices picking up where the generator's per-conv length left off (same
@@ -82,10 +83,32 @@ object IncrBench {
     val (incrSec, incrFailed) = best(2)(
       validator.validateTableIncremental(full, changed, "turns"))
 
+    // the composed 100 TB shape: same table CLUSTERED by conversation key +
+    // the readTouchedBy hook — the group semi-joins' table side reads only
+    // the files whose conv_id range the delta touches (the delta extends
+    // the LOW 1% of conversations, so a 64-file clustered layout keeps ~1)
+    val ctbl = s"$dir/turns_snap_clustered"
+    BenchSessions.wipe(spark, ctbl)
+    SnapTable.create(spark, ctbl, SnapTable.clustered(turns, "conv_id", files = 64))
+    SnapTable.append(spark, ctbl, delta)
+    val cChanged = SnapTable.changes(spark, ctbl, 1L, Some(2L))
+    val cFull = SnapTable.read(spark, ctbl)
+    val hook = (keys: Seq[String]) =>
+      SnapTable.readTouchedBy(spark, ctbl, keys.head, cChanged)
+    val (prunedSec, prunedFailed) = best(2)(validator.validateTableIncremental(
+      cFull, cChanged, "turns", tableFrameForKeys = Some(hook)))
+    require(prunedFailed == incrFailed,
+      s"pruned-frame verdicts diverged: $prunedFailed vs $incrFailed failed rules")
+    val cSnap = SnapTable.snapshot(spark, ctbl)
+    val keyLo = f"conv-${1L}%08x"; val keyHi = f"conv-${deltaConvs}%08x"
+    val (kept, _) = SnapTable.planPrune(spark, ctbl, "conv_id", Some(keyLo), Some(keyHi))
+
     println(
       f"""{"metric":"incr_validate","rows_total":$rowsTotal,"rows_delta":$rowsDelta,""" +
       f""""full_sec":$fullSec%.2f,"incr_sec":$incrSec%.2f,""" +
       f""""speedup":${fullSec / incrSec}%.2f,""" +
+      f""""incr_pruned_sec":$prunedSec%.2f,"pruned_speedup":${fullSec / prunedSec}%.2f,""" +
+      f""""files_total":${cSnap.files.size},"files_touched":${kept.size},""" +
       f""""full_failed_rules":$fullFailed,"incr_failed_rules":$incrFailed,""" +
       f""""cpus":$cpus,"convs":$convs}""")
     spark.stop()

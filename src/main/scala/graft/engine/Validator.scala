@@ -1898,9 +1898,19 @@ class Validator(
     * concurrently. Results keep rule order and carry an `incremental`
     * marker naming the frame each rule saw (`delta` / `affected_groups` /
     * `full`). Global verdicts only — per-partition verdicts belong to the
-    * full-validation tier. */
+    * full-validation tier.
+    *
+    * `tableFrameForKeys` (optional) supplies the TABLE side of a group
+    * family's semi-join given its key columns — the storage layer's chance
+    * to prune: a snap-table caller passes
+    * [[graft.io.SnapTable.readTouchedBy]] so only files whose key range
+    * intersects the delta's are scanned. The hook MUST return a superset
+    * of the rows whose key appears in the delta (plus the NULL-key rows
+    * whenever the delta has NULL keys); any hook failure falls back to
+    * `full` via the frame's per-rule error path. */
   def validateTableIncremental(full: DataFrame, delta: DataFrame,
-      tableName: String): ValidationSummary = {
+      tableName: String,
+      tableFrameForKeys: Option[Seq[String] => DataFrame] = None): ValidationSummary = {
     val t0 = System.nanoTime()
     val rules = config.enabledRules(tableName)
     val (grp, rest) = rules.partition(r =>
@@ -1943,28 +1953,32 @@ class Validator(
         case (None, rs) => runSet(rs, full, "full")
         case (Some(_), rs) =>
           val keys = Validator.ruleKeys(rs.head)
-          // prune the table side to the columns this rule set actually
-          // reads (keys + the families' column-bearing params) BEFORE the
-          // semi-join: the group families never touch the wide text
-          // columns, so the full-table scan feeding the join reads a few
-          // narrow columns instead of every byte. Any unresolvable name →
-          // no pruning, and the rule raises its real error inside
-          // executeRules
-          val referenced = (keys ++ rs.flatMap(r =>
-            Seq("index", "order_by", "value").flatMap(r.param) ++
-              r.param("dependent").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
-            .map(_.trim).distinct
-          val resolved = referenced.flatMap(c => full.columns.find(_.equalsIgnoreCase(c)))
-          val base = if (resolved.size == referenced.size)
-            full.select(resolved.map(col): _*) else full
-          // NULL-safe equality: NULL keys form their own group on the full
-          // path (distinctKeyCount, sequenceGroups), so an equi-join —
-          // where NULL never matches — would silently drop NULL-key delta
-          // rows from the frame. Aliased sides because the delta is often
-          // derived from the same plan as the table (tests, backfills) and
-          // bare df(col) references would be ambiguous under self-join.
-          def frame = { // by-name into runSet: resolution errors must hit
-            val lhs = base.alias("__incr_tbl") // its fallback, not this map
+          def frame = { // by-name into runSet: resolution/hook errors must
+            // hit its fallback, not this map
+            // storage-level file pruning first (when the caller provided
+            // the hook), then prune the table side to the columns this
+            // rule set actually reads (keys + the families' column-bearing
+            // params) BEFORE the semi-join: the group families never touch
+            // the wide text columns, so the scan feeding the join reads a
+            // few narrow columns of a few files instead of every byte. Any
+            // unresolvable name → no pruning, and the rule raises its real
+            // error inside executeRules
+            val table = tableFrameForKeys.map(_(keys)).getOrElse(full)
+            val referenced = (keys ++ rs.flatMap(r =>
+              Seq("index", "order_by", "value").flatMap(r.param) ++
+                r.param("dependent").toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+              .map(_.trim).distinct
+            val resolved = referenced.flatMap(c => table.columns.find(_.equalsIgnoreCase(c)))
+            val base = if (resolved.size == referenced.size)
+              table.select(resolved.map(col): _*) else table
+            // NULL-safe equality: NULL keys form their own group on the
+            // full path (distinctKeyCount, sequenceGroups), so an equi-join
+            // — where NULL never matches — would silently drop NULL-key
+            // delta rows from the frame. Aliased sides because the delta is
+            // often derived from the same plan as the table (tests,
+            // backfills) and bare df(col) references would be ambiguous
+            // under self-join.
+            val lhs = base.alias("__incr_tbl")
             val rhs = delta.select(keys.map(col): _*).distinct().alias("__incr_keys")
             val joinCond = keys.map(k =>
               col(s"__incr_tbl.`$k`") <=> col(s"__incr_keys.`$k`")).reduce(_ && _)

@@ -727,6 +727,44 @@ object SnapTable {
     else base.filter(boundPredicate(snap, column, lower, upper))
   }
 
+  /** Table read pruned to the files a small keyed `delta` could TOUCH — the
+    * incremental tier's table-side frame: the delta's [min, max] over
+    * `column` (one tiny aggregate — the delta is small by definition)
+    * becomes a [[readWhere]] bound, so on a key-clustered layout
+    * "revalidate the affected conversations" reads the few files holding
+    * them instead of the whole table. SOUND BY CONSTRUCTION: the result is
+    * a superset of every row whose `column` value equals some delta value —
+    * any row outside the delta's range can match no delta key. Falls back
+    * to the plain read (never wrong, just unpruned) when:
+    *   - the delta carries NULL key values (NULL keys form their own group
+    *     downstream and the residual bound would drop the table's NULL
+    *     rows), or the delta is empty;
+    *   - the column's type has no bound domain (readWhere's contract);
+    *   - the bounds can't be computed for any reason. */
+  def readTouchedBy(spark: SparkSession, dir: String, column: String,
+      delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min, sum, unix_micros, when}
+    import org.apache.spark.sql.types._
+    try {
+      val kcol = delta.schema.fieldNames.find(_.equalsIgnoreCase(column))
+        .getOrElse(return read(spark, dir))
+      // stats are keyed by the TABLE's spelling of the column
+      val tcol = StructType.fromDDL(snapshot(spark, dir).schemaDdl)
+        .fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(return read(spark, dir))
+      val keyExpr = delta.schema(kcol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => col(kcol)
+        case TimestampType => unix_micros(col(kcol)) // the footer stats' domain
+        case _ => return read(spark, dir)
+      }
+      val row = delta.agg(min(keyExpr), max(keyExpr),
+        sum(when(col(kcol).isNull, 1L).otherwise(0L))).head()
+      val nullKeys = if (row.isNullAt(2)) 0L else row.getLong(2)
+      if (row.isNullAt(0) || nullKeys > 0) read(spark, dir)
+      else readWhere(spark, dir, tcol,
+        Some(row.get(0).toString), Some(row.get(1).toString))
+    } catch { case scala.util.control.NonFatal(_) => read(spark, dir) }
+  }
+
   // ---------------------------------------------------------------- lifecycle
 
   /** Garbage-collect history: keep the last `keepLast` versions, delete

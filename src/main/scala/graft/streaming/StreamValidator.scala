@@ -101,9 +101,15 @@ object StreamValidator {
               !graft.io.SnapTable.snapshot(spark, dir).batchSeq.exists(batchId <= _) =>
             // accumulated ∪ batch: the batch's rows are NOT yet committed
             // (clean rows append below), so the union is the current truth
-            // the group-unit semi-joins must see
+            // the group-unit semi-joins must see. The accumulated side is
+            // file-pruned to the batch's key range (readTouchedBy) — on a
+            // key-clustered layout each micro-batch reads only the files
+            // holding the conversations it extends
             validator.validateTableIncremental(
-              graft.io.SnapTable.read(spark, dir).unionByName(batch), batch, tableName)
+              graft.io.SnapTable.read(spark, dir).unionByName(batch), batch, tableName,
+              tableFrameForKeys = Some(keys =>
+                graft.io.SnapTable.readTouchedBy(spark, dir, keys.head, batch)
+                  .unionByName(batch)))
           case _ => validator.executeRules(batch, rules, tableName)
         }
         onResult(BatchOutcome(batchId, summary))

@@ -96,6 +96,37 @@ class IncrementalValidationSpec extends SparkSpec {
     r.failed_count shouldBe 1L
   }
 
+  test("tableFrameForKeys hook: a pruned superset gives identical verdicts; a throwing hook falls back") {
+    val uniq = ValidationRule("turn_key", RuleType.Uniqueness,
+      Seq("conv_id", "turn_idx"))
+    val seqr = ValidationRule("turn_seq", RuleType.Sequence, Seq("conv_id"),
+      parameters = Map("index" -> "turn_idx", "start" -> "0"))
+    val v = new Validator(spark, cfg(uniq, seqr))
+    val base = v.validateTableIncremental(full, delta, "t")
+      .results.map(r => r.rule_name -> (r.failed_count, r.total_count)).toMap
+
+    // the hook contract: any SUPERSET of the delta-key rows — here the
+    // storage layer "pruned" conversation groups the delta can't touch
+    var calls = 0
+    val pruned = v.validateTableIncremental(full, delta, "t",
+      tableFrameForKeys = Some { keys =>
+        calls += 1
+        full.filter(col("conv_id").isin("a", "b", "c"))
+      }).results.map(r => r.rule_name -> (r.failed_count, r.total_count)).toMap
+    pruned shouldBe base
+    calls shouldBe 2 // one frame per distinct key set
+
+    // a hook that throws must not abort the table: the frame falls back to
+    // the FULL table — correct but unpruned (larger totals, same failures)
+    val thrown = v.validateTableIncremental(full, delta, "t",
+      tableFrameForKeys = Some(_ => sys.error("storage hiccup"))).results
+    thrown.filter(_.failed_count < 0) shouldBe empty
+    thrown.map(r => r.rule_name -> r.metadata("incremental")).toMap shouldBe
+      Map("turn_key" -> "full", "turn_seq" -> "full")
+    thrown.map(r => r.rule_name -> r.failed_count).toMap shouldBe
+      Map("turn_key" -> 1L, "turn_seq" -> 0L)
+  }
+
   test("a misconfigured group rule errors as its own result, not the table") {
     val bad = ValidationRule("bad_seq", RuleType.Sequence, Seq("no_such_col"),
       parameters = Map("index" -> "turn_idx"))

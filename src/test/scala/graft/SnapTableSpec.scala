@@ -223,6 +223,37 @@ class SnapTableSpec extends SparkSpec {
     keep.map(_.rowCount).sum should be < 4000L
   }
 
+  test("readTouchedBy: delta key range prunes files; NULL/unbounded keys fall back whole") {
+    val dir = freshDir("touched")
+    SnapTable.create(spark, dir, rows(0, 250).coalesce(1))
+    SnapTable.append(spark, dir, rows(250, 500).coalesce(1))
+    SnapTable.append(spark, dir, rows(500, 750).coalesce(1))
+    SnapTable.append(spark, dir, rows(750, 1000).coalesce(1))
+    val all = SnapTable.read(spark, dir)
+
+    // a delta touching ids 300..420: the frame is a SUPERSET of every row
+    // sharing a delta key and reads only the one file that can hold them
+    val delta = rows(300, 421).filter(col("id") % 2 === 0)
+    val frame = SnapTable.readTouchedBy(spark, dir, "id", delta)
+    frame.count() shouldBe 121L // [300, 420] — range superset, file-pruned
+    frame.join(delta.select("id"), Seq("id"), "left_semi").count() shouldBe
+      all.join(delta.select("id"), Seq("id"), "left_semi").count()
+    // string keys prune too (UTF8 order = footer stat order)
+    SnapTable.readTouchedBy(spark, dir, "name",
+      delta.select(col("name"))).count() shouldBe 121L
+
+    // NULL keys in the delta → plain read: the residual bound would drop
+    // the table's NULL-key rows, which form their own group downstream
+    val withNull = delta.select(when(col("id") === 300, lit(null).cast("long"))
+      .otherwise(col("id")).as("id"))
+    SnapTable.readTouchedBy(spark, dir, "id", withNull).count() shouldBe 1000L
+    // empty delta, unknown column, unsupported type → plain read, no throw
+    SnapTable.readTouchedBy(spark, dir, "id", delta.filter(lit(false))).count() shouldBe 1000L
+    SnapTable.readTouchedBy(spark, dir, "no_such", delta).count() shouldBe 1000L
+    SnapTable.readTouchedBy(spark, dir, "id",
+      delta.select(col("id").cast("double").as("id"))).count() shouldBe 1000L
+  }
+
   test("pruning never drops a file it cannot bound (missing column, all-null chunk)") {
     val dir = freshDir("prune-safe")
     SnapTable.create(spark, dir, rows(0, 100).coalesce(1))

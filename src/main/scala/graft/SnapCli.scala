@@ -28,7 +28,7 @@ object SnapCli {
   def main(args: Array[String]): Unit = {
     val (cmd, opts) = args.toList match {
       case c :: rest if !c.startsWith("--") => (c, Cli.parseArgs(rest))
-      case _ => sys.error("usage: SnapCli <create|append|overwrite|restore|expire|describe> --table DIR ...")
+      case _ => sys.error("usage: SnapCli <create|append|overwrite|merge|delete|compact|restore|expire|describe> --table DIR ...")
     }
     val dir = opts.getOrElse("table", sys.error("--table DIR is required"))
     // the validation CLI's session recipe, verbatim — the ingest side must

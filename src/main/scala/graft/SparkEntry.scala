@@ -1637,10 +1637,11 @@ object SparkEntry {
           .select(col("doc_id"), concat(col("text"), lit(" "),
             expr("repeat('dup ', CAST(doc_id % 5 AS INT))"), lit("END")).as("text"))
         docs
-          .withColumn("clean", TextAnalysis.collapseTokenRuns(col("text")))
-          .select(col("doc_id"), col("clean"),
-            (size(split(trim(col("text")), "\\s+")) -
-              size(split(col("clean"), " "))).as("removed"))
+          // struct projected once → ONE text scan yields the collapsed
+          // string AND both token counts (no re-split for `removed`)
+          .select(col("doc_id"), TextAnalysis.collapseRunsStats(col("text")).as("__cr"))
+          .select(col("doc_id"), col("__cr.clean").as("clean"),
+            (col("__cr.total") - col("__cr.kept")).as("removed"))
           .orderBy("doc_id")
       },
       Some("""WITH docs AS (

@@ -476,6 +476,77 @@ case class DupStatsExpr(child: Expression) extends StringUnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass token-run collapse: struct<clean, total, kept> where `clean`
+  * is the text with runs of consecutively repeated whitespace tokens
+  * collapsed to one and whitespace normalized to single spaces, `total`
+  * the token count before collapsing and `kept` after — so
+  * `total − kept` is the removed-token count without re-splitting either
+  * string. Token semantics are pinned to the split formulation
+  * ([[graft.operators.TextAnalysis.collapseTokenRunsSplit]], the DuckDB
+  * oracle's shape): tokens = `split(trim(text), "\\s+")` with Spark
+  * semantics — `trim` strips 0x20 SPACES only, split keeps a leading
+  * empty token when the trimmed text starts with other whitespace and a
+  * trailing empty token when it ends with one (Java limit −1), and the
+  * empty text is one empty token. Previous-token comparison is by exact
+  * string equality over the source region — no token array is ever
+  * materialized. */
+case class CollapseRunsExpr(child: Expression) extends StringUnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("total", IntegerType, nullable = false),
+    StructField("kept", IntegerType, nullable = false)))
+  // Java regex \s (the split pattern's class, ASCII-only by default)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  override protected def ofString(s: String): Any = {
+    // Spark trim(): strips 0x20 spaces only (NOT the full \s class)
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val sb = new java.lang.StringBuilder(hi - lo)
+    var total = 0
+    var kept = 0
+    var pStart = 0
+    var pEnd = -1 // previous token [pStart, pEnd); pEnd < pStart = none yet
+    @inline def emit(start: Int, end: Int): Unit = {
+      total += 1
+      val same = pEnd >= pStart && (pEnd - pStart) == (end - start) && {
+        var j = 0
+        val len = end - start
+        while (j < len && s.charAt(pStart + j) == s.charAt(start + j)) j += 1
+        j == len
+      }
+      if (!same) {
+        if (kept > 0) sb.append(' ')
+        sb.append(s, start, end)
+        kept += 1
+      }
+      pStart = start; pEnd = end
+    }
+    if (lo == hi) emit(lo, hi) // empty text = one empty token
+    else {
+      var i = lo
+      if (isWs(s.charAt(i))) {
+        emit(i, i) // leading whitespace = leading empty token (limit −1)
+        while (i < hi && isWs(s.charAt(i))) i += 1
+        if (i == hi) emit(hi, hi) // all-whitespace text splits to ["", ""]
+      }
+      while (i < hi) {
+        val start = i
+        while (i < hi && !isWs(s.charAt(i))) i += 1
+        emit(start, i)
+        if (i < hi) {
+          while (i < hi && isWs(s.charAt(i))) i += 1
+          if (i == hi) emit(hi, hi) // trailing whitespace = trailing empty token
+        }
+      }
+    }
+    InternalRow(UTF8String.fromString(sb.toString), total, kept)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bottom-k sketch of character-shingle hashes (winnowing-style rolling
   * fingerprint): the k smallest xxh64 values, sorted ascending. */
 case class RollingFingerprintExpr(child: Expression, shingleSize: Int, k: Int)

@@ -52,6 +52,9 @@ package object functions {
     * struct<n_lines,n_distinct_lines,n_words,n_distinct_words>. */
   def dup_stats(text: Column): Column = toColumn(DupStatsExpr(toExpr(text)))
 
+  /** One-pass token-run collapse struct<clean,total,kept>. */
+  def collapse_runs(text: Column): Column = toColumn(CollapseRunsExpr(toExpr(text)))
+
   /** Exact Jaccard of two distinct-element string arrays (one-pass). */
   def jaccard_sim(a: Column, b: Column): Column =
     toColumn(JaccardSimExpr(toExpr(a), toExpr(b)))

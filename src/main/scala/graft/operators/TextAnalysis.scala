@@ -130,18 +130,38 @@ object TextAnalysis {
     * Gopher-style repetition SIGNALS below (dup fractions gate whole
     * documents; this repairs the elongation/stutter artifacts worth
     * keeping). Whitespace-token runs only: non-adjacent repeats are
-    * legitimate prose and stay. Implemented as a pure higher-order-function
-    * expression — split, keep token i iff it differs from token i−1,
-    * rejoin — so it stays per-row, codegen-planned, shuffle-free; the
-    * DuckDB oracle states the identical keep rule via `list_filter`'s
-    * (element, index) lambda. Normalizes runs of whitespace to one space
-    * (the [[stripMarkup]] convention), trims, and preserves NULL. */
-  def collapseTokenRuns(text: Column): Column = {
+    * legitimate prose and stay. Split, keep token i iff it differs from
+    * token i−1, rejoin — per-row, shuffle-free; the DuckDB oracle states
+    * the identical keep rule via `list_filter`'s (element, index) lambda.
+    * Normalizes runs of whitespace to one space (the [[stripMarkup]]
+    * convention), trims, and preserves NULL.
+    *
+    * Runs as ONE native scan ([[graft.functions.CollapseRunsExpr]]) — the
+    * struct also carries before/after token counts so "how much was
+    * removed" costs no re-split. Two earlier higher-order-function
+    * formulations live on as [[collapseTokenRunsSplit]], the semantic pin
+    * the native expression is spec-tested against; the first of them,
+    * `filter(toks, (t, i) => t =!= element_at(toks, i))`, was O(tokens²)
+    * per document — everything inside an HOF lambda re-evaluates PER
+    * ELEMENT, so the captured `toks` re-ran the full split for every
+    * token (q_collapse_runs_docs: 5.6 s quadratic → 2.2 s linear HOF →
+    * native). */
+  def collapseRunsStats(text: Column): Column = graft.functions.collapse_runs(text)
+
+  def collapseTokenRuns(text: Column): Column =
+    collapseRunsStats(text).getField("clean")
+
+  /** The split/HOF formulation of [[collapseTokenRuns]] — kept as the
+    * executable semantic definition (native ≡ split spec, DupStatsExpr
+    * convention). The previous-token array is built ONCE per row and
+    * zipped against the tokens; dropped positions become NULL and
+    * `array_join` omits them. */
+  def collapseTokenRunsSplit(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
-    // Spark lambda index i is 0-based; element_at is 1-based, so
-    // element_at(toks, i) IS the previous token at position i ≥ 1.
-    val kept = filter(toks, (t: Column, i: Column) =>
-      (i === 0) || t =!= element_at(toks, i))
+    // prev(i) = toks(i−1), NULL at position 0 (null-safe inequality keeps
+    // the first token unconditionally and never collides with a real token)
+    val prev = slice(concat(array(lit(null).cast("string")), toks), lit(1), size(toks))
+    val kept = zip_with(toks, prev, (t, p) => when(!(t <=> p), t))
     array_join(kept, " ")
   }
 

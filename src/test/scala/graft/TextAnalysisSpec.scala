@@ -305,4 +305,35 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.collapseTokenRuns(col("text"))).head().getString(0) shouldBe
       "The the end. end"
   }
+
+  test("CollapseRunsExpr native ≡ split formulation; counts consistent") {
+    // nasty edges: Spark trim strips 0x20 only, split(…, "\\s+") keeps a
+    // leading empty token after non-space whitespace and a trailing one
+    // before it (Java limit −1) — the native scan must reproduce all of it
+    val texts = Seq(
+      "batch batch batch job", "a b a b a", "", " ", "\t", "\n\nx", "x\n\n",
+      "  lead space", "trail space  ", "\tlead tab", "trail tab\t",
+      "x\u000By \f z\r\nz", "a  a   a", "solo", "\t\t", " \t ", "a\tb\tb",
+      "üü üü ok", "tok tok\ttok  tok"
+    )
+    val df = texts.toDF("text")
+    val rows = df.select(
+        TextAnalysis.collapseTokenRunsSplit(col("text")).as("split_clean"),
+        TextAnalysis.collapseRunsStats(col("text")).as("cr"),
+        org.apache.spark.sql.functions.size(split(trim(col("text")), "\\s+")).as("split_total"))
+      .collect()
+    for ((r, t) <- rows.zip(texts)) {
+      withClue(s"text=${t.replace("\t", "\\t").replace("\n", "\\n")}: ") {
+        val cr = r.getStruct(1)
+        cr.getString(0) shouldBe r.getString(0)          // clean ≡ split
+        cr.getInt(1) shouldBe r.getInt(2)                // total ≡ size(split)
+        val keptTokens = // kept ≡ token count of clean under the join rule
+          if (cr.getString(0).isEmpty) 1 else cr.getString(0).split(" ", -1).length
+        cr.getInt(2) shouldBe keptTokens
+      }
+    }
+    // NULL in → NULL struct out
+    Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.collapseRunsStats(col("text"))).head().isNullAt(0) shouldBe true
+  }
 }

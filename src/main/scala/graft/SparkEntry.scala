@@ -1473,6 +1473,62 @@ object SparkEntry {
           CAST(min_user_id AS DOUBLE), CAST(max_user_id AS DOUBLE) FROM t
         ORDER BY col_name, rule_type""")),
 
+    // ---- stats-tier validation: verdicts decided from the snap manifest's
+    // footer statistics (completeness/row_count zero-scan; range/freshness
+    // scan only boundary-straddling files). The oracle re-derives every
+    // count with full SQL scans AND pins each rule's tier routing as a
+    // literal — if a decidable rule ever silently fell back to scanning
+    // (or an undecidable one got "decided"), the tier column mismatches ---
+    Q("q_stats_tier_events",
+      (s, d) => {
+        import s.implicits._
+        val dir = snapScratch(s, d, "statstier")
+        val ev = t(s, d, "events")
+        graft.io.SnapTable.create(s, dir,
+          graft.io.SnapTable.clustered(ev, "event_id", 8))
+        val cfg = ValidationConfig(tables = Seq(TableConfig("events", rules = Seq(
+          ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
+          ValidationRule("value_complete", RuleType.Completeness, Seq("value")),
+          ValidationRule("id_inside", RuleType.Range, Seq("event_id"),
+            parameters = Map("min" -> "0", "max" -> "9000000000000000000")),
+          ValidationRule("id_band", RuleType.Range, Seq("event_id"),
+            parameters = Map("min" -> "100", "max" -> "20000")),
+          ValidationRule("user_low", RuleType.Range, Seq("user_id"),
+            parameters = Map("min" -> "500")),
+          ValidationRule("size", RuleType.RowCount, Seq(),
+            parameters = Map("min_rows" -> "1")),
+          ValidationRule("fresh", RuleType.Freshness, Seq("ts"),
+            parameters = Map("max_age_seconds" -> "0",
+              "reference_time" -> "2024-01-01T00:00:00Z"))))))
+        new Validator(s, cfg).validateSnapStatsFirst(dir, "events")
+          .results
+          .map(r => (r.rule_name, r.rule_type, r.failed_count, r.total_count,
+            r.passed, r.metadata.getOrElse("tier", "scan")))
+          .toDF("rule_name", "rule_type", "failed_count", "total_count",
+            "passed", "tier")
+          .orderBy("rule_name")
+      },
+      Some("""WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+          CAST(COUNT(*) - COUNT(props) AS BIGINT) AS null_props,
+          CAST(COUNT(*) - COUNT(value)
+            + COALESCE(SUM(CASE WHEN value IS NOT NULL AND isnan(value) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS miss_value,
+          CAST(COALESCE(SUM(CASE WHEN event_id < 100 OR event_id > 20000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS out_band,
+          CAST(COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id < 500 THEN 1 ELSE 0 END), 0) AS BIGINT) AS low_user,
+          CAST(COALESCE(SUM(CASE WHEN ts IS NOT NULL AND ts < TIMESTAMP '2024-01-01 00:00:00' THEN 1 ELSE 0 END), 0) AS BIGINT) AS stale
+          FROM events)
+        SELECT * FROM (
+          SELECT 'fresh' AS rule_name, 'freshness' AS rule_type,
+            stale AS failed_count, total AS total_count, stale = 0 AS passed,
+            'stats' AS tier FROM f
+          UNION ALL SELECT 'id_band', 'range', out_band, total, out_band = 0, 'stats' FROM f
+          UNION ALL SELECT 'id_inside', 'range', 0, total, true, 'stats' FROM f
+          UNION ALL SELECT 'props_complete', 'completeness', null_props, total, null_props = 0, 'stats' FROM f
+          UNION ALL SELECT 'size', 'row_count', CASE WHEN total < 1 THEN 1 ELSE 0 END, 1, total >= 1, 'stats' FROM f
+          UNION ALL SELECT 'user_low', 'range', low_user, total, low_user = 0, 'stats' FROM f
+          UNION ALL SELECT 'value_complete', 'completeness', miss_value, total, miss_value = 0, 'scan' FROM f
+        ) ORDER BY rule_name""")),
+
     // ---- schema drift (contract check): a mutated view of documents vs
     // the live table — the oracle pins the exact expected diff rows, which
     // the operator must re-derive from the real schemas -------------------

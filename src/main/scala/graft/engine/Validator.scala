@@ -2001,6 +2001,138 @@ class Validator(
     summary
   }
 
+  /** Stats-tier validation of a snap table: every rule whose verdict the
+    * manifest's per-file footer statistics can PROVE is answered with the
+    * EXACT counts and zero (or near-zero) data scanned —
+    *
+    *   - completeness on non-floating columns: failed = Σ per-file
+    *     nullCount (exact; floating columns fall back to the engine —
+    *     footer stats cannot see the NaNs the rule counts as missing);
+    *   - row_count: the manifest's total row count IS the verdict input;
+    *   - range on integral columns: files whose footer range lies inside
+    *     the bounds contribute zero failures, files entirely outside
+    *     contribute all their non-null rows, and ONLY the files straddling
+    *     a bound are scanned — at 10^12 turns "turn_idx ∈ [0, 2^20]" reads
+    *     a handful of boundary files, usually none;
+    *   - freshness on timestamp columns: the same decomposition against
+    *     the cutoff instant in epoch micros, the footer stats' own domain.
+    *
+    * Every other rule (and every malformed-parameter case — error results
+    * keep their single source of truth) runs through [[executeRules]] over
+    * the table read, unchanged. Decided results carry metadata
+    * `tier=stats` + `files_scanned`/`files_total`; their failed/total/
+    * message are byte-identical to the scanning path's (StatsTierSpec pins
+    * the equivalence on data with NULLs, NaNs, boundary values and evolved
+    * schemas). Exactness of the zero-scan counts relies on the table being
+    * written by this format's own writer — Spark's parquet writer always
+    * records footer null counts ([[graft.io.SnapTable]]'s commit contract).
+    * Global verdicts only; per-partition verdicts belong to the full tier. */
+  def validateSnapStatsFirst(dir: String, tableName: String): ValidationSummary = {
+    val t0 = System.nanoTime()
+    val snap = graft.io.SnapTable.snapshot(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    val rules = config.enabledRules(tableName)
+    val decided = rules.flatMap(r =>
+      statsVerdict(dir, snap, schema, r).map(r.name -> _)).toMap
+    val rest = rules.filterNot(r => decided.contains(r.name))
+    val restByName =
+      if (rest.isEmpty) Map.empty[String, ValidationResult]
+      else executeRules(graft.io.SnapTable.read(spark, dir), rest, tableName)
+        .results.map(r => r.rule_name -> r).toMap
+    ValidationSummary.from(tableName,
+      rules.map(r => decided.getOrElse(r.name, restByName(r.name))),
+      (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** The stats tier's attempt at one rule — Some(result) when the manifest
+    * (plus, for range/freshness, a scan of only the boundary files) decides
+    * it; None routes the rule to the engine path untouched. Any raise here
+    * (malformed params, missing column) also returns None: the engine path
+    * owns every error result, so both tiers fail identically. */
+  private def statsVerdict(dir: String, snap: graft.io.Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
+      rule: ValidationRule): Option[ValidationResult] = {
+    import org.apache.spark.sql.types._
+    val t0 = System.nanoTime()
+    def meta(scanned: Int) = Map(
+      "tier" -> "stats",
+      "files_scanned" -> scanned.toString,
+      "files_total" -> snap.files.size.toString)
+    def field = schema.fields.find(_.name.equalsIgnoreCase(rule.column))
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    try {
+      rule.ruleType match {
+        case RuleType.Completeness =>
+          field.filterNot(f =>
+              f.dataType == DoubleType || f.dataType == FloatType).map { f =>
+            // a file with no stat entry for the column predates it (schema
+            // evolution): every row reads as NULL there
+            val failed = snap.files.map(df =>
+              df.stats.get(f.name).map(_.nullCount).getOrElse(df.rowCount)).sum
+            ValidationResult.verdict(rule, failed, snap.totalRows,
+              (System.nanoTime() - t0) / 1e6, meta(0))
+          }
+        case RuleType.RowCount =>
+          val (minR, maxR, _, _) = rowCountBounds(rule)
+          val n = snap.totalRows
+          val failed = if (n < minR || n > maxR) 1L else 0L
+          Some(ValidationResult.verdict(rule, failed, 1L,
+            (System.nanoTime() - t0) / 1e6,
+            Map("row_count" -> n.toString, "min_rows" -> minR.toString) ++
+              rule.param("max_rows").map("max_rows" -> _) ++ meta(0)))
+        case RuleType.Range =>
+          val lo = rule.paramDouble("min").orElse(rule.paramDouble("min_value"))
+          val hi = rule.paramDouble("max").orElse(rule.paramDouble("max_value"))
+          field.filter(f => integral(f.dataType) && (lo.nonEmpty || hi.nonEmpty))
+            .map { f =>
+              decideBounded(dir, snap, rule,
+                StatsTier.classifyRange(_, f.name, lo, hi),
+                RulePlanner.rangeFailCond(rule), t0, meta)
+            }
+        case RuleType.Freshness =>
+          // TZ timestamps store UTC-adjusted micros — the footer stat IS the
+          // engine's comparison value. NTZ stores wall-clock micros, which
+          // the engine's cast reinterprets in the SESSION zone: only under
+          // UTC is that reinterpretation the identity, so NTZ is decidable
+          // exactly there and scans everywhere else.
+          val utcSession = java.time.ZoneId
+            .of(spark.sessionState.conf.sessionLocalTimeZone)
+            .normalized() == java.time.ZoneOffset.UTC
+          field.filter(f => (f.dataType == TimestampType ||
+              (f.dataType == TimestampNTZType && utcSession)) &&
+              rule.paramDouble("max_age_seconds").nonEmpty).map { f =>
+            val cutoff = RulePlanner.freshnessCutoffMicros(rule)
+            decideBounded(dir, snap, rule,
+              StatsTier.classifyFreshness(_, f.name, cutoff),
+              col(f.name).isNotNull &&
+                unix_micros(col(f.name).cast(TimestampType)) < lit(cutoff),
+              t0, meta)
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fold [[StatsTier.FileClass]]es over the snapshot's files and scan only
+    * the undecidable remainder with the rule's own failure condition. */
+  private def decideBounded(dir: String, snap: graft.io.Snapshot,
+      rule: ValidationRule, classify: graft.io.DataFile => StatsTier.FileClass,
+      scanCond: Column, t0: Long,
+      meta: Int => Map[String, String]): ValidationResult = {
+    val classes = snap.files.map(f => f -> classify(f))
+    val decidedFailed = classes.collect { case (_, StatsTier.AllFail(n)) => n }.sum
+    val boundary = classes.collect { case (f, StatsTier.NeedsScan) => f }
+    val scanFailed =
+      if (boundary.isEmpty) 0L
+      else graft.io.SnapTable.readSubset(spark, dir, snap, boundary)
+        .where(scanCond).count()
+    ValidationResult.verdict(rule, decidedFailed + scanFailed, snap.totalRows,
+      (System.nanoTime() - t0) / 1e6, meta(boundary.size))
+  }
+
   /** Validate all configured tables, skipping those already completed in the
     * checkpoint (reference `validator.py:101-131`; skip contract asserted in
     * `tests/test_state.py:60-65` — a fully-completed rerun returns empty). */

@@ -609,6 +609,14 @@ object SnapTable {
     else spark.read.schema(schema).parquet(files.map(f => s"$dir/${f.path}"): _*)
   }
 
+  /** Read an explicit file subset of a committed snapshot — the stats
+    * tier's boundary-file scan ([[graft.engine.Validator]]
+    * `validateSnapStatsFirst`): files the manifest already decided never
+    * reach Spark's scan planner. */
+  private[graft] def readSubset(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[DataFile]): DataFrame =
+    readFiles(spark, dir, snap.schemaDdl, files)
+
   /** Read a committed version (default: current). The manifest schema is
     * applied, so files written before a column existed read as NULL. */
   def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {

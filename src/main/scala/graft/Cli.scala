@@ -13,7 +13,7 @@ import java.nio.file.{Files, Paths}
   * [--anomaly-gate alerts.json
   * [--anomaly-window N] [--anomaly-max-z Z] [--anomaly-min-delta D]]
   * [--emit-job-spec spec.json] [--tags hourly,critical] [--incremental]
-  * [--set key=value]...`.
+  * [--stats-tier] [--set key=value]...`.
   * Mirrors the reference CLI contract (`/root/reference/src/data_validator/
   * cli.py:15-74`): sources YAML maps table name → path; report JSON written
   * to --output or stdout. Repeated `--set engine__type=duckdb` args form the
@@ -173,6 +173,12 @@ object Cli {
           validateSnapIncremental(spark, validator, checkpoint, t, src.stripPrefix("snap:"))
             .map { case (summary, slice) => newSlices(t) = slice; summary }
         else if (skipCompleted && checkpoint.exists(_.isCompleted(t))) None
+        // stats tier (--stats-tier, snap: sources; --incremental wins when
+        // both are given — its delta frames subsume the stats shortcut):
+        // manifest-provable verdicts cost zero data read, the rest scan
+        else if (opts.contains("stats-tier") &&
+            src.startsWith("snap:") && !src.contains("@v"))
+          Some(validator.validateSnapStatsFirst(src.stripPrefix("snap:"), t))
         else Some(validator.validateTable(Tables.load(spark, src), t))
       }
 
@@ -391,6 +397,11 @@ object Cli {
       // the checkpoint's recorded snapshot version
       case "--incremental" :: rest =>
         parseArgs(rest, acc + ("incremental" -> "true"))
+      // bare flag: snap: sources decide stats-provable verdicts from the
+      // manifest (completeness/row_count zero-scan; range/freshness scan
+      // only boundary files) — Validator.validateSnapStatsFirst
+      case "--stats-tier" :: rest =>
+        parseArgs(rest, acc + ("stats-tier" -> "true"))
       case flag :: value :: rest if flag.startsWith("--") =>
         parseArgs(rest, acc + (flag.stripPrefix("--") -> value))
       case Nil => acc

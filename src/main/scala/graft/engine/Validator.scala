@@ -2039,9 +2039,17 @@ class Validator(
       if (rest.isEmpty) Map.empty[String, ValidationResult]
       else executeRules(graft.io.SnapTable.read(spark, dir), rest, tableName)
         .results.map(r => r.rule_name -> r).toMap
-    ValidationSummary.from(tableName,
+    val summary = ValidationSummary.from(tableName,
       rules.map(r => decided.getOrElse(r.name, restByName(r.name))),
       (System.nanoTime() - t0) / 1e6)
+    // same bookkeeping as validateTable/Incremental: no partition verdicts
+    // from this tier (clear the slot so sinks never re-read a previous full
+    // run's), and checkpoint completion recorded for the resume contract
+    this.synchronized { lastVerdicts = lastVerdicts + (tableName -> Nil) }
+    checkpoint.foreach(_.markCompleted(tableName,
+      Map("passed_rules" -> summary.passed_rules.toString,
+          "failed_rules" -> summary.failed_rules.toString)))
+    summary
   }
 
   /** The stats tier's attempt at one rule — Some(result) when the manifest

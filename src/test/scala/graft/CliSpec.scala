@@ -554,4 +554,41 @@ class CliSpec extends SparkSpec {
     recreated.get._1.results.head.total_count shouldBe 42L
     graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl) shouldBe None
   }
+
+  test("--stats-tier on a snap: source decides manifest-provable verdicts, keeps the resume contract") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cli-stats").toString
+    val tbl = s"$dir/events_snap"
+    val ckpt = s"$dir/state.json"
+    val df = spark.range(0, 400).select(col("id"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("v"))
+    graft.io.SnapTable.create(spark, tbl, graft.io.SnapTable.clustered(df, "id", 4))
+
+    val config = graft.config.ConfigLoader.fromYamlString(
+      s"""tables:
+         |  - name: ev
+         |    rules:
+         |      - { name: v_complete, rule_type: completeness, column: v, threshold: 0.5 }
+         |      - { name: id_band, rule_type: range, column: id, parameters: { min: "100", max: "299" } }
+         |state_file: $ckpt
+         |""".stripMargin, env = Map.empty)
+    val checkpoint = Some(new graft.state.Checkpoint(ckpt))
+    val validator = new graft.engine.Validator(spark, config, checkpoint = checkpoint)
+
+    // the CLI arm's target face: exact counts, stats-decided
+    val summary = validator.validateSnapStatsFirst(tbl, "ev")
+    val byName = summary.results.map(r => r.rule_name -> r).toMap
+    byName("v_complete").failed_count shouldBe 80L
+    byName("v_complete").metadata("tier") shouldBe "stats"
+    byName("v_complete").passed shouldBe true // rate 0.8 ≥ threshold 0.5
+    byName("id_band").failed_count shouldBe 200L
+    byName("id_band").metadata("tier") shouldBe "stats"
+    // id-clustered layout: at most the two bound-straddling files scanned
+    byName("id_band").metadata("files_scanned").toInt should be <= 2
+    // resume contract: completion recorded, so the skip-completed arm fires
+    // on the next run exactly like the full tier
+    checkpoint.get.isCompleted("ev") shouldBe true
+    // the flag parses bare (no value operand)
+    graft.Cli.parseArgs(List("--stats-tier", "--output", "r.json"))("stats-tier") shouldBe "true"
+  }
 }

@@ -169,6 +169,36 @@ class StatsTierSpec extends SparkSpec {
     }
   }
 
+  test("author-from-manifest + validate-from-manifest: a full rule cycle, zero Spark jobs") {
+    // Suggest.fromSnapManifest emits exactly the stats tier's decidable
+    // families (completeness under the NULL budget, ranges only on integral
+    // columns at observed bounds) — so a table never read can be given a
+    // rule suite AND have it verified green, both from the one manifest JSON
+    val dir = freshDir("loop")
+    messyTable(dir)
+    val snap = SnapTable.snapshot(spark, dir)
+    val rules = Suggest.fromSnapManifest(snap).map(_.rule("auto"))
+    rules should not be empty
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = new Validator(spark, cfg(rules: _*)).validateSnapStatsFirst(dir, "t")
+      res.results should not be empty
+      res.results.foreach { r =>
+        withClue(r.rule_name) {
+          r.passed shouldBe true // self-consistent by construction
+          r.metadata.get("tier") shouldBe Some("stats")
+          r.metadata("files_scanned") shouldBe "0"
+        }
+      }
+      Thread.sleep(1000) // listener bus delivery
+      jobs.get shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pure classification: every FileClass branch") {
     def file(stats: Map[String, ColumnStat], rows: Long = 100L) =
       DataFile("f", 1L, rows, stats)

@@ -1529,6 +1529,63 @@ object SparkEntry {
           UNION ALL SELECT 'value_complete', 'completeness', miss_value, total, miss_value = 0, 'scan' FROM f
         ) ORDER BY rule_name""")),
 
+    // ---- stats-tier PER-FILE verdicts: the manifest's lineage unit as the
+    // partition — each data file's pass/fail decided from its own footer
+    // stats (plus the boundary-file scan). The table is built with one
+    // append per equal-width event_id bucket, so file membership is pure
+    // arithmetic and the oracle re-derives every per-file count from the
+    // same bucket formula — a misattributed boundary count that still sums
+    // to the right global total hash-mismatches here ----------------------
+    Q("q_stats_file_verdicts_events",
+      (s, d) => {
+        import s.implicits._
+        val dir = snapScratch(s, d, "statsfiles")
+        val ev = t(s, d, "events")
+        val maxId = ev.agg(max("event_id")).head.getLong(0)
+        val step = maxId / 8 + 1 // bucket b holds event_id ∈ [b·step, (b+1)·step)
+        (0L until 8L).foreach { b =>
+          val slice = ev.where(col("event_id") >= b * step &&
+            col("event_id") < (b + 1) * step).coalesce(1)
+          if (b == 0) graft.io.SnapTable.create(s, dir, slice)
+          else graft.io.SnapTable.append(s, dir, slice)
+        }
+        val cfg = ValidationConfig(tables = Seq(TableConfig("events", rules = Seq(
+          ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
+          ValidationRule("id_band", RuleType.Range, Seq("event_id"),
+            parameters = Map("min" -> "100", "max" -> "20000")),
+          ValidationRule("user_low", RuleType.Range, Seq("user_id"),
+            parameters = Map("min" -> "500"))))))
+        val v = new Validator(s, cfg)
+        v.validateSnapStatsFirst(dir, "events")
+        val snap = graft.io.SnapTable.snapshot(s, dir)
+        // file path → bucket via the file's own footer min (each file covers
+        // exactly one bucket, so min/step IS the bucket id)
+        val bucketOf = snap.files.map(f =>
+          f.path -> f.stats("event_id").min.toLong / step).toMap
+        v.partitionVerdictsOf("events")
+          .filter(_.total_count > 0)
+          .map(pv => (bucketOf(pv.partition), pv.rule_name,
+            pv.failed_count, pv.total_count, pv.passed))
+          .toDF("bucket", "rule_name", "failed_count", "total_count", "passed")
+          .orderBy("rule_name", "bucket")
+      },
+      Some("""WITH s AS (SELECT MAX(event_id) // 8 + 1 AS step FROM events),
+        b AS (SELECT event_id // (SELECT step FROM s) AS bucket,
+              event_id, user_id, props FROM events)
+        SELECT CAST(bucket AS BIGINT) AS bucket, rule_name,
+          CAST(failed AS BIGINT) AS failed_count,
+          CAST(total AS BIGINT) AS total_count, failed = 0 AS passed
+        FROM (
+          SELECT bucket, 'id_band' AS rule_name,
+            COALESCE(SUM(CASE WHEN event_id < 100 OR event_id > 20000 THEN 1 ELSE 0 END), 0) AS failed,
+            COUNT(*) AS total FROM b GROUP BY bucket
+          UNION ALL SELECT bucket, 'props_complete',
+            COUNT(*) - COUNT(props), COUNT(*) FROM b GROUP BY bucket
+          UNION ALL SELECT bucket, 'user_low',
+            COALESCE(SUM(CASE WHEN user_id IS NOT NULL AND user_id < 500 THEN 1 ELSE 0 END), 0),
+            COUNT(*) FROM b GROUP BY bucket
+        ) ORDER BY rule_name, bucket""")),
+
     // ---- schema drift (contract check): a mutated view of documents vs
     // the live table — the oracle pins the exact expected diff rows, which
     // the operator must re-derive from the real schemas -------------------

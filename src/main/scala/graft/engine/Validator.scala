@@ -2026,7 +2026,17 @@ class Validator(
     * schemas). Exactness of the zero-scan counts relies on the table being
     * written by this format's own writer — Spark's parquet writer always
     * records footer null counts ([[graft.io.SnapTable]]'s commit contract).
-    * Global verdicts only; per-partition verdicts belong to the full tier. */
+    *
+    * Per-PARTITION verdicts come for free at this tier with the DATA FILE
+    * as the partition unit — the manifest's own lineage granularity (the
+    * north rule's "per-partition lineage + metrics", decided from metadata):
+    * completeness splits its nullCount sum per file, range/freshness fold
+    * each file's [[StatsTier.FileClass]], and the boundary scan groups its
+    * failure count by `input_file_name` — same bytes read as the global
+    * verdict, one extra O(boundary-files) collect. Available via
+    * [[partitionVerdictsOf]] keyed by the manifest-relative file path;
+    * rules that fall back to the engine scan contribute none (their
+    * partition unit is a ROW expression, not a file — use the full tier). */
   def validateSnapStatsFirst(dir: String, tableName: String): ValidationSummary = {
     val t0 = System.nanoTime()
     val snap = graft.io.SnapTable.snapshot(spark, dir)
@@ -2040,26 +2050,38 @@ class Validator(
       else executeRules(graft.io.SnapTable.read(spark, dir), rest, tableName)
         .results.map(r => r.rule_name -> r).toMap
     val summary = ValidationSummary.from(tableName,
-      rules.map(r => decided.getOrElse(r.name, restByName(r.name))),
+      rules.map(r => decided.get(r.name).map(_._1).getOrElse(restByName(r.name))),
       (System.nanoTime() - t0) / 1e6)
-    // same bookkeeping as validateTable/Incremental: no partition verdicts
-    // from this tier (clear the slot so sinks never re-read a previous full
-    // run's), and checkpoint completion recorded for the resume contract
-    this.synchronized { lastVerdicts = lastVerdicts + (tableName -> Nil) }
+    // per-file verdicts from the decided rules replace any previous full
+    // run's partition slot (scan-fallback rules contribute none); checkpoint
+    // completion recorded for the resume contract
+    val fileVerdicts = rules.flatMap(r => decided.get(r.name).toSeq.flatMap(_._2))
+    this.synchronized { lastVerdicts = lastVerdicts + (tableName -> fileVerdicts) }
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
           "failed_rules" -> summary.failed_rules.toString)))
     summary
   }
 
-  /** The stats tier's attempt at one rule — Some(result) when the manifest
-    * (plus, for range/freshness, a scan of only the boundary files) decides
-    * it; None routes the rule to the engine path untouched. Any raise here
-    * (malformed params, missing column) also returns None: the engine path
-    * owns every error result, so both tiers fail identically. */
+  /** One data file's verdict row — the stats tier's partition unit, keyed
+    * by the manifest-relative file path; threshold semantics identical to
+    * [[partitionVerdicts]]. */
+  private def fileVerdict(rule: ValidationRule, path: String,
+      failed: Long, total: Long): PartitionVerdict = {
+    val rate = if (total == 0) 1.0 else (total - failed).toDouble / total
+    PartitionVerdict(path, rule.name,
+      ValidationResult.passedOf(rule.threshold, failed, rate), failed, total, rate)
+  }
+
+  /** The stats tier's attempt at one rule — Some((result, per-file
+    * verdicts)) when the manifest (plus, for range/freshness, a scan of
+    * only the boundary files) decides it; None routes the rule to the
+    * engine path untouched. Any raise here (malformed params, missing
+    * column) also returns None: the engine path owns every error result,
+    * so both tiers fail identically. */
   private def statsVerdict(dir: String, snap: graft.io.Snapshot,
       schema: org.apache.spark.sql.types.StructType,
-      rule: ValidationRule): Option[ValidationResult] = {
+      rule: ValidationRule): Option[(ValidationResult, Seq[PartitionVerdict])] = {
     import org.apache.spark.sql.types._
     val t0 = System.nanoTime()
     def meta(scanned: Int) = Map(
@@ -2078,19 +2100,22 @@ class Validator(
               f.dataType == DoubleType || f.dataType == FloatType).map { f =>
             // a file with no stat entry for the column predates it (schema
             // evolution): every row reads as NULL there
-            val failed = snap.files.map(df =>
-              df.stats.get(f.name).map(_.nullCount).getOrElse(df.rowCount)).sum
-            ValidationResult.verdict(rule, failed, snap.totalRows,
-              (System.nanoTime() - t0) / 1e6, meta(0))
+            val perFile = snap.files.map(df => fileVerdict(rule, df.path,
+              df.stats.get(f.name).map(_.nullCount).getOrElse(df.rowCount),
+              df.rowCount))
+            (ValidationResult.verdict(rule, perFile.map(_.failed_count).sum,
+              snap.totalRows, (System.nanoTime() - t0) / 1e6, meta(0)), perFile)
           }
         case RuleType.RowCount =>
           val (minR, maxR, _, _) = rowCountBounds(rule)
           val n = snap.totalRows
           val failed = if (n < minR || n > maxR) 1L else 0L
-          Some(ValidationResult.verdict(rule, failed, 1L,
+          // a TABLE-level rule: no per-file unit (a file's row count is not
+          // the rule's contract), so it contributes no partition verdicts
+          Some((ValidationResult.verdict(rule, failed, 1L,
             (System.nanoTime() - t0) / 1e6,
             Map("row_count" -> n.toString, "min_rows" -> minR.toString) ++
-              rule.param("max_rows").map("max_rows" -> _) ++ meta(0)))
+              rule.param("max_rows").map("max_rows" -> _) ++ meta(0)), Nil))
         case RuleType.Range =>
           val lo = rule.paramDouble("min").orElse(rule.paramDouble("min_value"))
           val hi = rule.paramDouble("max").orElse(rule.paramDouble("max_value"))
@@ -2125,20 +2150,38 @@ class Validator(
   }
 
   /** Fold [[StatsTier.FileClass]]es over the snapshot's files and scan only
-    * the undecidable remainder with the rule's own failure condition. */
+    * the undecidable remainder with the rule's own failure condition. The
+    * boundary scan groups its failure count by source file (same bytes
+    * read, O(boundary-files) collect), so the per-file verdicts cost
+    * nothing beyond the global count they sum to. */
   private def decideBounded(dir: String, snap: graft.io.Snapshot,
       rule: ValidationRule, classify: graft.io.DataFile => StatsTier.FileClass,
       scanCond: Column, t0: Long,
-      meta: Int => Map[String, String]): ValidationResult = {
+      meta: Int => Map[String, String]): (ValidationResult, Seq[PartitionVerdict]) = {
     val classes = snap.files.map(f => f -> classify(f))
-    val decidedFailed = classes.collect { case (_, StatsTier.AllFail(n)) => n }.sum
     val boundary = classes.collect { case (f, StatsTier.NeedsScan) => f }
-    val scanFailed =
-      if (boundary.isEmpty) 0L
+    // file NAMES are unique by construction (nonce-tagged at write), so the
+    // absolute scan paths join back to manifest-relative paths by last segment
+    val scanByName: Map[String, Long] =
+      if (boundary.isEmpty) Map.empty
       else graft.io.SnapTable.readSubset(spark, dir, snap, boundary)
-        .where(scanCond).count()
-    ValidationResult.verdict(rule, decidedFailed + scanFailed, snap.totalRows,
-      (System.nanoTime() - t0) / 1e6, meta(boundary.size))
+        .where(scanCond)
+        .groupBy(input_file_name().as("__file")).count()
+        .collect()
+        .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+          -> r.getLong(1)).toMap
+    val perFile = classes.map { case (f, cls) =>
+      val failed = cls match {
+        case StatsTier.AllPass => 0L
+        case StatsTier.AllFail(n) => n
+        case StatsTier.NeedsScan =>
+          scanByName.getOrElse(f.path.substring(f.path.lastIndexOf('/') + 1), 0L)
+      }
+      fileVerdict(rule, f.path, failed, f.rowCount)
+    }
+    (ValidationResult.verdict(rule, perFile.map(_.failed_count).sum,
+      snap.totalRows, (System.nanoTime() - t0) / 1e6, meta(boundary.size)),
+      perFile)
   }
 
   /** Validate all configured tables, skipping those already completed in the

@@ -588,6 +588,16 @@ class CliSpec extends SparkSpec {
     // resume contract: completion recorded, so the skip-completed arm fires
     // on the next run exactly like the full tier
     checkpoint.get.isCompleted("ev") shouldBe true
+    // per-FILE verdicts populated for the decided rules (the metrics sink
+    // reads this same accessor, so --metrics-dir ships them unchanged):
+    // one row per data file per decided rule, summing to the global counts
+    val snap = graft.io.SnapTable.snapshot(spark, tbl)
+    val pv = validator.partitionVerdictsOf("ev")
+    pv.map(_.rule_name).toSet shouldBe Set("v_complete", "id_band")
+    pv.count(_.rule_name == "id_band") shouldBe snap.files.size
+    pv.filter(_.rule_name == "id_band").map(_.failed_count).sum shouldBe 200L
+    pv.filter(_.rule_name == "v_complete").map(_.failed_count).sum shouldBe 80L
+    pv.foreach(_.partition should startWith("data/"))
     // the flag parses bare (no value operand)
     graft.Cli.parseArgs(List("--stats-tier", "--output", "r.json"))("stats-tier") shouldBe "true"
   }

@@ -199,6 +199,66 @@ class StatsTierSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("per-file verdicts: manifest-decided partitions sum to the global and match per-file recounts") {
+    val dir = freshDir("perfile")
+    messyTable(dir)
+    val v = new Validator(spark, cfg(suite: _*))
+    val res = v.validateSnapStatsFirst(dir, "t")
+    val verdicts = v.partitionVerdictsOf("t")
+    val snap = SnapTable.snapshot(spark, dir)
+    // row-unit decided rules get one verdict per data file; row_count (a
+    // table-level rule) and engine-path rules contribute none
+    val decided = Set("name_complete", "score_complete", "id_inside",
+      "id_boundary", "score_low", "fresh")
+    val byRule = verdicts.groupBy(_.rule_name)
+    byRule.keySet shouldBe decided
+    val globals = res.results.map(r => r.rule_name -> r).toMap
+    decided.foreach { rn =>
+      withClue(rn) {
+        byRule(rn).map(_.partition).toSet shouldBe snap.files.map(_.path).toSet
+        byRule(rn).map(_.failed_count).sum shouldBe globals(rn).failed_count
+        byRule(rn).map(_.total_count).sum shouldBe globals(rn).total_count
+      }
+    }
+    // ground truth per file: recount straight from each parquet file —
+    // catches a misattributed boundary-scan count that still sums right
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+    snap.files.foreach { f =>
+      val fdf = spark.read.schema(schema).parquet(s"$dir/${f.path}")
+      def of(rn: String) = byRule(rn).find(_.partition == f.path).get
+      withClue(f.path) {
+        of("name_complete").failed_count shouldBe fdf.where(col("name").isNull).count()
+        of("id_boundary").failed_count shouldBe
+          fdf.where(col("id") < 150 || col("id") > 320).count()
+        of("fresh").failed_count shouldBe fdf.where(col("ts").isNotNull &&
+          unix_micros(col("ts")) < lit(1700000200L * 1000000L)).count()
+        of("id_inside").failed_count shouldBe 0L
+        of("id_inside").passed shouldBe true
+      }
+    }
+  }
+
+  test("per-file verdicts: pre-evolution files carry their full row count as completeness failures") {
+    val dir = freshDir("evolvepv")
+    SnapTable.create(spark, dir, spark.range(0, 100).select(col("id")))
+    SnapTable.append(spark, dir, spark.range(100, 150).select(
+      col("id"), concat(lit("x"), col("id")).as("extra")))
+    val v = new Validator(spark, cfg(
+      ValidationRule("extra_complete", RuleType.Completeness, Seq("extra"))))
+    v.validateSnapStatsFirst(dir, "t")
+    val snap = SnapTable.snapshot(spark, dir)
+    val pv = v.partitionVerdictsOf("t")
+    pv.size shouldBe snap.files.size
+    // files written before the column existed fail every row; sum = the 100
+    // pre-evolution rows — per-file lineage names exactly WHERE the gap is
+    val pre = snap.files.filterNot(_.stats.contains("extra"))
+    pre should not be empty
+    pre.foreach { f =>
+      pv.find(_.partition == f.path).get.failed_count shouldBe f.rowCount
+    }
+    pv.map(_.failed_count).sum shouldBe 100L
+  }
+
   test("pure classification: every FileClass branch") {
     def file(stats: Map[String, ColumnStat], rows: Long = 100L) =
       DataFile("f", 1L, rows, stats)

@@ -173,12 +173,14 @@ object Cli {
           validateSnapIncremental(spark, validator, checkpoint, t, src.stripPrefix("snap:"))
             .map { case (summary, slice) => newSlices(t) = slice; summary }
         else if (skipCompleted && checkpoint.exists(_.isCompleted(t))) None
-        // stats tier (--stats-tier, snap: sources; --incremental wins when
-        // both are given — its delta frames subsume the stats shortcut):
-        // manifest-provable verdicts cost zero data read, the rest scan
-        else if (opts.contains("stats-tier") &&
-            src.startsWith("snap:") && !src.contains("@v"))
-          Some(validator.validateSnapStatsFirst(src.stripPrefix("snap:"), t))
+        // stats tier (--stats-tier, snap: sources incl. @vN time travel;
+        // --incremental wins when both are given — its delta frames
+        // subsume the stats shortcut): manifest-provable verdicts cost
+        // zero data read, the rest scan
+        else if (opts.contains("stats-tier") && src.startsWith("snap:")) {
+          val (d, asOf) = Tables.snapSpec(src.stripPrefix("snap:"))
+          Some(validator.validateSnapStatsFirst(d, t, asOf))
+        }
         else Some(validator.validateTable(Tables.load(spark, src), t))
       }
 

@@ -2037,9 +2037,14 @@ class Validator(
     * [[partitionVerdictsOf]] keyed by the manifest-relative file path;
     * rules that fall back to the engine scan contribute none (their
     * partition unit is a ROW expression, not a file — use the full tier). */
-  def validateSnapStatsFirst(dir: String, tableName: String): ValidationSummary = {
+  def validateSnapStatsFirst(dir: String, tableName: String,
+      asOf: Option[Long] = None): ValidationSummary = {
     val t0 = System.nanoTime()
-    val snap = graft.io.SnapTable.snapshot(spark, dir)
+    // version-aware throughout: the manifest, the boundary-file subsets
+    // (decideBounded reads via THIS snapshot's file list) and the
+    // rest-rules read all see the same asOf version — time travel costs
+    // the tier nothing because it never looks past the manifest anyway
+    val snap = graft.io.SnapTable.snapshot(spark, dir, asOf)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
     val rules = config.enabledRules(tableName)
     val decided = rules.flatMap(r =>
@@ -2047,7 +2052,7 @@ class Validator(
     val rest = rules.filterNot(r => decided.contains(r.name))
     val restByName =
       if (rest.isEmpty) Map.empty[String, ValidationResult]
-      else executeRules(graft.io.SnapTable.read(spark, dir), rest, tableName)
+      else executeRules(graft.io.SnapTable.read(spark, dir, asOf), rest, tableName)
         .results.map(r => r.rule_name -> r).toMap
     val summary = ValidationSummary.from(tableName,
       rules.map(r => decided.get(r.name).map(_._1).getOrElse(restByName(r.name))),

@@ -44,13 +44,21 @@ object Tables extends TableProvider {
     case name                          => spark.table(name)
   }
 
+  /** Split a snap table spec (WITHOUT the `snap:` prefix) into
+    * (dir, asOf): `/path@v7` → (`/path`, Some(7)), `/path` → (None). The
+    * one parse every `snap:`-consuming surface shares. */
+  private[graft] def snapSpec(spec: String): (String, Option[Long]) = {
+    val at = spec.lastIndexOf("@v")
+    if (at > 0 && spec.drop(at + 2).forall(_.isDigit) && spec.length > at + 2)
+      (spec.take(at), Some(spec.drop(at + 2).toLong))
+    else (spec, None)
+  }
+
   /** `snap:/path` reads the current version of a [[SnapTable]];
     * `snap:/path@v7` time-travels to version 7. */
   private def snap(spark: SparkSession, spec: String): DataFrame = {
-    val at = spec.lastIndexOf("@v")
-    if (at > 0 && spec.drop(at + 2).forall(_.isDigit) && spec.length > at + 2)
-      SnapTable.read(spark, spec.take(at), Some(spec.drop(at + 2).toLong))
-    else SnapTable.read(spark, spec)
+    val (dir, asOf) = snapSpec(spec)
+    SnapTable.read(spark, dir, asOf)
   }
 
   private def csv(spark: SparkSession, path: String): DataFrame =

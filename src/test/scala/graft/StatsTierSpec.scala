@@ -238,6 +238,42 @@ class StatsTierSpec extends SparkSpec {
     }
   }
 
+  test("time travel: stats-first at @vN matches the full scan of that version") {
+    val dir = freshDir("asof")
+    SnapTable.create(spark, dir, spark.range(0, 100).select(col("id"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id")).as("v")))
+    // v2 appends rows that change BOTH verdicts — time travel must not see them
+    SnapTable.append(spark, dir, spark.range(1000, 1100).select(
+      col("id"), lit(null).cast("long").as("v")))
+    val rules = Seq(
+      ValidationRule("v_complete", RuleType.Completeness, Seq("v")),
+      ValidationRule("id_band", RuleType.Range, Seq("id"),
+        parameters = Map("min" -> "0", "max" -> "199")))
+    val s1 = new Validator(spark, cfg(rules: _*))
+      .validateSnapStatsFirst(dir, "t", asOf = Some(1L))
+    val f1 = new Validator(spark, cfg(rules: _*))
+      .validateTable(SnapTable.read(spark, dir, Some(1L)), "t")
+    s1.results.zip(f1.results).foreach { case (a, b) =>
+      withClue(a.rule_name) {
+        a.failed_count shouldBe b.failed_count
+        a.total_count shouldBe b.total_count
+        a.passed shouldBe b.passed
+      }
+    }
+    val v1 = s1.results.map(r => r.rule_name -> r).toMap
+    v1("v_complete").failed_count shouldBe 25L // id % 4 == 0
+    v1("id_band").failed_count shouldBe 0L
+    v1("id_band").metadata("tier") shouldBe "stats"
+    // the current version sees v2's violations — and the out-of-band append
+    // is decided as whole-file AllFail from its footer range, zero scans
+    val now = new Validator(spark, cfg(rules: _*))
+      .validateSnapStatsFirst(dir, "t")
+      .results.map(r => r.rule_name -> r).toMap
+    now("id_band").failed_count shouldBe 100L
+    now("id_band").metadata("files_scanned") shouldBe "0"
+    now("v_complete").failed_count shouldBe 125L
+  }
+
   test("per-file verdicts: pre-evolution files carry their full row count as completeness failures") {
     val dir = freshDir("evolvepv")
     SnapTable.create(spark, dir, spark.range(0, 100).select(col("id")))

@@ -172,7 +172,8 @@ object Cli {
         if (incremental && src.startsWith("snap:") && !src.contains("@v"))
           validateSnapIncremental(spark, validator, checkpoint, t, src.stripPrefix("snap:"))
             .map { case (summary, slice) => newSlices(t) = slice; summary }
-        else if (skipCompleted && checkpoint.exists(_.isCompleted(t))) None
+        else if (skipCompleted &&
+                 checkpoint.exists(_.isCompleted(t, validator.suiteHash(t)))) None
         // stats tier (--stats-tier, snap: sources incl. @vN time travel;
         // --incremental wins when both are given — its delta frames
         // subsume the stats shortcut): manifest-provable verdicts cost
@@ -337,11 +338,22 @@ object Cli {
       t: String, dir: String): Option[(ValidationSummary, DataFrame)] = {
     val snap = graft.io.SnapTable.snapshot(spark, dir)
     val cur = snap.version
+    // the cursor only carries meaning under the suite that advanced it:
+    // rows validated up to version v were validated by THAT suite. If the
+    // suite changed since (threshold edit, new rule), both the skip and
+    // the delta-only fast path would leave history unvalidated under the
+    // new rules — fall back to a full run, which re-stamps the hash.
+    // Hash-less entries (legacy checkpoints) keep the old trust-the-cursor
+    // contract.
+    val suiteUnchanged = checkpoint.flatMap(_.tableState(t))
+      .map(_.suiteHash).forall(h => h.isEmpty || h == validator.suiteHash(t))
     checkpoint.flatMap(_.recordedSnapCursor(t)) match {
-      case Some((recId, v)) if recId == snap.tableId && v == cur => None
+      case Some((recId, v)) if recId == snap.tableId && v == cur
+                            && suiteUnchanged => None
       case recorded =>
         val delta = recorded match {
-          case Some((recId, v)) if recId == snap.tableId && v < cur =>
+          case Some((recId, v)) if recId == snap.tableId && v < cur
+                                && suiteUnchanged =>
             scala.util.Try(graft.io.SnapTable.changes(spark, dir, v, Some(cur))).toOption
           case _ => None
         }

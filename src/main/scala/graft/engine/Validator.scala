@@ -1789,6 +1789,14 @@ class Validator(
     * rule_name via the rule's global result, which does. At 10^12 turns
     * this is the hourly tier: rate-quality rules on the slice for
     * 1/permille the cost, the full pass nightly. */
+  /** Fingerprint of `tableName`'s effective suite under THIS config —
+    * what completion entries are stamped with and skips are gated on
+    * ([[Validator.suiteFingerprint]]). Public so external orchestrators
+    * driving [[graft.state.Checkpoint]] directly can stamp consistently. */
+  def suiteHash(tableName: String): String =
+    Validator.suiteFingerprint(config.enabledRules(tableName),
+      config.tableConfig(tableName))
+
   def validateTable(df: DataFrame, tableName: String): ValidationSummary = {
     val rules = config.enabledRules(tableName)
     val tcfg = config.tables.find(_.name == tableName)
@@ -1867,7 +1875,8 @@ class Validator(
     this.synchronized { lastVerdicts = lastVerdicts + (tableName -> verdicts) }
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
-          "failed_rules" -> summary.failed_rules.toString)))
+          "failed_rules" -> summary.failed_rules.toString),
+      suiteHash(tableName)))
     summary
   }
 
@@ -1997,7 +2006,8 @@ class Validator(
     this.synchronized { lastVerdicts = lastVerdicts + (tableName -> Nil) }
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
-          "failed_rules" -> summary.failed_rules.toString)))
+          "failed_rules" -> summary.failed_rules.toString),
+      suiteHash(tableName)))
     summary
   }
 
@@ -2064,7 +2074,8 @@ class Validator(
     this.synchronized { lastVerdicts = lastVerdicts + (tableName -> fileVerdicts) }
     checkpoint.foreach(_.markCompleted(tableName,
       Map("passed_rules" -> summary.passed_rules.toString,
-          "failed_rules" -> summary.failed_rules.toString)))
+          "failed_rules" -> summary.failed_rules.toString),
+      suiteHash(tableName)))
     summary
   }
 
@@ -2194,7 +2205,11 @@ class Validator(
     * `tests/test_state.py:60-65` — a fully-completed rerun returns empty). */
   def validateAllTables(load: String => DataFrame): Map[String, ValidationSummary] =
     config.tables.flatMap { t =>
-      if (checkpoint.exists(_.isCompleted(t.name))) None
+      // suite-aware skip: a completion recorded under a DIFFERENT rule
+      // suite (edited threshold, added rule, tag selection) is stale and
+      // re-validates; hash-less legacy entries keep the reference's
+      // unconditional skip
+      if (checkpoint.exists(_.isCompleted(t.name, suiteHash(t.name)))) None
       else Some(t.name -> validateTable(load(t.name), t.name))
     }.toMap
 
@@ -2287,6 +2302,44 @@ class Validator(
 }
 
 object Validator {
+  /** Deterministic fingerprint of a table's EFFECTIVE validation suite:
+    * every enabled rule's identity-bearing fields (in execution order —
+    * the order is observable in results) plus the table-level knobs that
+    * change verdicts (partitioning of the verdict surface, the sampled
+    * tier, filter mode). Stored in the checkpoint at completion and
+    * compared before a skip ([[graft.state.Checkpoint.isCompleted]]):
+    * "this table was validated" is only a reason not to validate it again
+    * while THIS is still what validating it would mean. Tag selection is
+    * covered for free — [[graft.ValidationConfig.selectTags]] rewrites the
+    * rule lists, so the selected suite hashes differently from the full
+    * one. MD5 over a control-character-delimited canonical string (field
+    * separator \u0001, record separator \u0002 — values can't contain
+    * them, so no quoting is needed). */
+  def suiteFingerprint(rules: Seq[graft.ValidationRule],
+                       tcfg: Option[graft.TableConfig]): String = {
+    val sb = new StringBuilder
+    rules.foreach { r =>
+      sb.append(r.name).append('\u0001')
+        .append(r.ruleType).append('\u0001')
+        .append(r.columns.mkString(",")).append('\u0001')
+        .append(r.expression.getOrElse("")).append('\u0001')
+        .append(r.threshold.map(_.toString).getOrElse("")).append('\u0001')
+        .append(r.severity).append('\u0001')
+        .append(r.parameters.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(";"))
+        .append('\u0002')
+    }
+    tcfg.foreach { t =>
+      sb.append(t.partitionBy.getOrElse("")).append('\u0001')
+        .append(t.partitionBuckets).append('\u0001')
+        .append(t.sampleBy.getOrElse("")).append('\u0001')
+        .append(t.samplePermille).append('\u0001')
+        .append(t.filterMode)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Families whose verdicts measure ABSOLUTE quantities of the whole
     * table — cross-table comparisons (reconciliation, diff), size bounds
     * (row_count), distinct-count bounds (cardinality; sampling

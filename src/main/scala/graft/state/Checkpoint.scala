@@ -29,7 +29,17 @@ final case class TableState(
     status: String,
     snapshotId: String = "",
     partitions: Map[String, PartitionState] = Map.empty,
-    metrics: Map[String, String] = Map.empty)
+    metrics: Map[String, String] = Map.empty,
+    /** Fingerprint of the rule suite the completion was computed under
+      * ([[graft.engine.Validator.suiteFingerprint]]). A "completed" entry
+      * only authorizes a skip while the suite is UNCHANGED: edit a
+      * threshold, add a rule, or re-tag the selection and the stored hash
+      * no longer matches, so the table re-validates instead of serving a
+      * verdict nobody computed. Empty = legacy/unfingerprinted completion
+      * (pre-hash checkpoint files, or callers outside the validator) —
+      * those keep the reference's unconditional-skip contract
+      * (`state.py:9-40` has no notion of suite identity). */
+    suiteHash: String = "")
 
 class Checkpoint(path: String) {
   private implicit val formats: Formats = DefaultFormats
@@ -57,6 +67,15 @@ class Checkpoint(path: String) {
   def isCompleted(table: String): Boolean =
     tables.get(table).exists(_.status == "completed")
 
+  /** Completed UNDER THIS RULE SUITE: the skip is only sound if the suite
+    * that produced the recorded verdicts is the suite this run would
+    * execute. Either side empty means "suite identity unknown" and falls
+    * back to the legacy unconditional skip (old checkpoint files keep
+    * working; a caller that never fingerprints is unaffected). */
+  def isCompleted(table: String, suiteHash: String): Boolean =
+    tables.get(table).exists(ts => ts.status == "completed" &&
+      (ts.suiteHash.isEmpty || suiteHash.isEmpty || ts.suiteHash == suiteHash))
+
   def isPartitionCompleted(table: String, partition: String): Boolean =
     tables.get(table).exists(_.partitions.get(partition).exists(_.status == "completed"))
 
@@ -69,9 +88,14 @@ class Checkpoint(path: String) {
       case _ => all
     }
 
-  def markCompleted(table: String, metrics: Map[String, String] = Map.empty): Unit = synchronized {
+  def markCompleted(table: String, metrics: Map[String, String] = Map.empty,
+                    suiteHash: String = ""): Unit = synchronized {
     val prev = tables.getOrElse(table, TableState("pending"))
-    tables += table -> prev.copy(status = "completed", metrics = prev.metrics ++ metrics)
+    // the hash is overwritten (not merged): it describes THIS completion.
+    // An empty hash from a fingerprint-less caller deliberately downgrades
+    // the entry to legacy skip semantics — honest about what was recorded.
+    tables += table -> prev.copy(status = "completed",
+      metrics = prev.metrics ++ metrics, suiteHash = suiteHash)
     save()
   }
 

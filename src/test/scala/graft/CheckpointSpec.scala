@@ -40,6 +40,40 @@ class CheckpointSpec extends SparkSpec {
     second shouldBe empty
   }
 
+  test("suite change invalidates a completed checkpoint entry; same suite still skips") {
+    val path = tmpState()
+    def configWith(threshold: Double) = ValidationConfig(
+      tables = Seq(
+        TableConfig("a", Seq(ValidationRule("r", RuleType.Completeness, Seq("v"),
+          threshold = Some(threshold))))),
+      stateFile = Some(path))
+    val df = Seq[Integer](1, 2, null).toDF("v")
+    def run(threshold: Double) =
+      new Validator(spark, configWith(threshold), _ => None, Some(new Checkpoint(path)))
+        .validateAllTables(_ => df)
+
+    run(0.5).keySet shouldBe Set("a")          // first run validates
+    run(0.5) shouldBe empty                    // unchanged suite → skip holds
+    // a threshold edit is a different suite: the completion is stale and
+    // the table re-validates under the NEW rules
+    val rerun = run(0.9)
+    rerun.keySet shouldBe Set("a")
+    rerun("a").failed_rules shouldBe 1         // 1/3 null fails the 0.9 bar
+    run(0.9) shouldBe empty                    // and the new hash skips again
+  }
+
+  test("hash-less legacy checkpoint entries keep the unconditional skip") {
+    val path = tmpState()
+    // simulate a pre-fingerprint state file: completed, no suiteHash
+    Files.writeString(java.nio.file.Paths.get(path),
+      """{"a": {"status": "completed", "snapshotId": "", "partitions": {}, "metrics": {}}}""")
+    val config = ValidationConfig(
+      tables = Seq(TableConfig("a", Seq(ValidationRule("r", RuleType.Completeness, Seq("v"))))),
+      stateFile = Some(path))
+    new Validator(spark, config, _ => None, Some(new Checkpoint(path)))
+      .validateAllTables(_ => Seq(1).toDF("v")) shouldBe empty
+  }
+
   test("per-partition lineage: resume validates only pending partitions") {
     val path = tmpState()
     val cp = new Checkpoint(path)

@@ -555,6 +555,44 @@ class CliSpec extends SparkSpec {
     graft.Cli.validateSnapIncremental(spark, validator, checkpoint, "ev", tbl) shouldBe None
   }
 
+  test("--incremental: a suite edit invalidates the cursor — full re-validation, not a skip or delta") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cli-incr-suite").toString
+    val tbl = s"$dir/events_snap"
+    val ckpt = s"$dir/state.json"
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"), when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("v"))
+    graft.io.SnapTable.create(spark, tbl, rows(0, 500))
+    def configWith(threshold: Double) = graft.config.ConfigLoader.fromYamlString(
+      s"""tables:
+         |  - name: ev
+         |    rules:
+         |      - { name: v_complete, rule_type: completeness, column: v, threshold: $threshold }
+         |state_file: $ckpt
+         |""".stripMargin, env = Map.empty)
+    val checkpoint = Some(new graft.state.Checkpoint(ckpt))
+    def validatorWith(threshold: Double) =
+      new graft.engine.Validator(spark, configWith(threshold), checkpoint = checkpoint)
+
+    // run at 0.5, cursor current → same suite skips
+    graft.Cli.validateSnapIncremental(spark, validatorWith(0.5), checkpoint, "ev", tbl)
+      .get._1.results.head.total_count shouldBe 500L
+    graft.Cli.validateSnapIncremental(spark, validatorWith(0.5), checkpoint, "ev", tbl) shouldBe None
+
+    // threshold edit: the cursor was earned by a DIFFERENT suite — the run
+    // must fully re-validate under the new rules (history was never judged
+    // by them), and the fresh completion re-arms the skip for the new suite
+    val rerun = graft.Cli.validateSnapIncremental(spark, validatorWith(0.9), checkpoint, "ev", tbl)
+    rerun.get._1.results.head.total_count shouldBe 500L
+    rerun.get._1.results.head.passed shouldBe false // 100/500 null fails 0.9
+    graft.Cli.validateSnapIncremental(spark, validatorWith(0.9), checkpoint, "ev", tbl) shouldBe None
+
+    // and with the suite stable again, growth takes the delta fast path
+    graft.io.SnapTable.append(spark, tbl, rows(500, 800))
+    graft.Cli.validateSnapIncremental(spark, validatorWith(0.9), checkpoint, "ev", tbl)
+      .get._1.results.head.total_count shouldBe 300L
+  }
+
   test("--stats-tier on a snap: source decides manifest-provable verdicts, keeps the resume contract") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("cli-stats").toString

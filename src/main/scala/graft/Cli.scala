@@ -143,11 +143,8 @@ object Cli {
       val sources: Map[String, String] = opts.get("sources")
         .map(p => loadSources(p)).getOrElse(Map.empty)
 
-      def resolver(name: String) =
-        sources.get(name).map(Tables.load(spark, _))
-          .orElse(scala.util.Try(spark.table(name)).toOption)
-
-      val validator = new Validator(spark, config, resolver, checkpoint)
+      val validator =
+        new Validator(spark, config, sourceResolver(spark, sources), checkpoint)
       val incremental = opts.contains("incremental")
 
       // incremental tier (--incremental, snap: sources + --config state_file):
@@ -321,6 +318,21 @@ object Cli {
       if (report.overall_stats.total_failed > 0 || anomalyAlerts.nonEmpty) sys.exit(1)
     } finally spark.stop()
   }
+
+  /** The run's table-name resolver, in precedence order: the `--sources`
+    * mapping (logical names win — a config can rebind anything), then an
+    * EXPLICIT source spec loaded directly (so a rule param can say
+    * `ref_table: snap:/warehouse/events@v12` and drift/diff/reconciliation
+    * compare against a time-traveled snapshot with no sources entry),
+    * else the session catalog. Under Try: an unresolvable name is the
+    * rule's own error path ("unknown ref_table"), never a CLI abort. */
+  private[graft] def sourceResolver(spark: SparkSession,
+      sources: Map[String, String])(name: String): Option[org.apache.spark.sql.DataFrame] =
+    sources.get(name).map(Tables.load(spark, _))
+      .orElse(
+        if (Tables.isExplicitSpec(name))
+          scala.util.Try(Tables.load(spark, name)).toOption
+        else scala.util.Try(spark.table(name)).toOption)
 
   /** One table of the incremental tier: None when the checkpoint already
     * covers the table's current snapshot (zero Spark jobs); otherwise

@@ -44,6 +44,18 @@ object Tables extends TableProvider {
     case name                          => spark.table(name)
   }
 
+  /** True when `source` is an EXPLICIT source spec — a format prefix, a
+    * known file suffix, or a path — rather than a logical table name.
+    * What lets `ref_table`-style rule params carry a spec directly
+    * (`ref_table: snap:/warehouse/events@v12` → drift/diff/reconciliation
+    * against a time-traveled snapshot) while bare and dotted names keep
+    * resolving through `--sources` and the catalog. */
+  def isExplicitSpec(source: String): Boolean =
+    Seq("snap:", "parquet:", "csv:", "json:", "orc:", "table:")
+      .exists(source.startsWith) ||
+    Seq(".parquet", ".csv", ".json", ".orc").exists(source.endsWith) ||
+    source.contains("/")
+
   /** Split a snap table spec (WITHOUT the `snap:` prefix) into
     * (dir, asOf): `/path@v7` → (`/path`, Some(7)), `/path` → (None). The
     * one parse every `snap:`-consuming surface shares. */

@@ -593,6 +593,39 @@ class CliSpec extends SparkSpec {
       .get._1.results.head.total_count shouldBe 300L
   }
 
+  test("ref_table accepts an explicit source spec — diff/drift against a time-traveled snapshot") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("cli-refspec").toString
+    val tbl = s"$dir/events_snap"
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"), (col("id") % 7).as("v"))
+    graft.io.SnapTable.create(spark, tbl, rows(0, 500))   // version 1
+    graft.io.SnapTable.append(spark, tbl, rows(500, 800)) // version 2 (current)
+
+    // the PRODUCTION resolver with no --sources: specs load directly
+    val v = new graft.engine.Validator(spark, ValidationConfig(),
+      graft.Cli.sourceResolver(spark, Map.empty))
+    val cur = graft.io.SnapTable.read(spark, tbl)
+
+    // keyed diff vs the table's own version 1: exactly the appended keys
+    val diff = v.executeRules(cur, Seq(ValidationRule("vs_v1", RuleType.Diff,
+      Seq("id"), parameters = Map("ref_table" -> s"snap:$tbl@v1"))), "t").results.head
+    diff.total_count shouldBe 800L // keys in the union
+    diff.failed_count shouldBe 300L // all 300 new keys read as added
+
+    // drift vs version 1: id%7 is near-uniform in both versions → no drift
+    val drift = v.executeRules(cur, Seq(ValidationRule("drift_v1", RuleType.drift,
+      Seq("v"), parameters = Map("ref_table" -> s"snap:$tbl@v1",
+        "method" -> "tvd", "critical" -> "0.05"))), "t").results.head
+    drift.failed_count shouldBe 0L
+    drift.passed shouldBe true
+
+    // a bare unresolvable name still takes the rule's own error path
+    val bad = v.executeRules(cur, Seq(ValidationRule("nope", RuleType.Diff,
+      Seq("id"), parameters = Map("ref_table" -> "no_such_table"))), "t").results.head
+    bad.failed_count shouldBe -1L
+  }
+
   test("--stats-tier on a snap: source decides manifest-provable verdicts, keeps the resume contract") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("cli-stats").toString

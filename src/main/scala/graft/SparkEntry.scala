@@ -1399,6 +1399,30 @@ object SparkEntry {
         FROM events WHERE event_id % 10 >= 8
         GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- ref_table as an explicit source spec: the PRODUCTION CLI resolver
+    // (Cli.sourceResolver, no --sources mapping) loads `snap:DIR@v1`
+    // directly, so a diff rule compares the current table against a
+    // time-traveled version of its own history; violations must be exactly
+    // the keys the v2 append introduced, which the oracle re-derives from
+    // the same parquet split ------------------------------------------------
+    Q("q_ref_spec_diff_events",
+      (s, d) => {
+        val dir = snapScratch(s, d, "refspec")
+        val ev = t(s, d, "events").select("event_id", "event_type", "value")
+        graft.io.SnapTable.create(s, dir, ev.filter(col("event_id") % 10 < 8))
+        graft.io.SnapTable.append(s, dir, ev.filter(col("event_id") % 10 >= 8))
+        val v = new Validator(s, ValidationConfig(),
+          graft.Cli.sourceResolver(s, Map.empty))
+        val rule = ValidationRule("vs_v1", RuleType.Diff, Seq("event_id"),
+          parameters = Map("ref_table" -> s"snap:$dir@v1"))
+        v.violations(graft.io.SnapTable.read(s, dir), rule)
+          .orderBy("event_id", "status")
+      },
+      Some("""SELECT event_id, 'added' AS status,
+          CAST(COUNT(*) AS BIGINT) AS cnt_left, CAST(NULL AS BIGINT) AS cnt_right
+        FROM events WHERE event_id % 10 >= 8
+        GROUP BY event_id ORDER BY event_id, status""")),
+
     Q("q_snap_prune_events",
       (s, d) => {
         val dir = snapScratch(s, d, "prune")

@@ -307,22 +307,57 @@ case class PrefixShinglesExpr(
     extends UnaryExpression with CodegenFallback {
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // hotDf re-keyed by UTF8String once per expression instance so the hot
+  // loop never materializes java Strings (the tuple-ArrayBuffer +
+  // toString-per-shingle formulation was the measured single-task hot spot
+  // of the PPJoin prefix stage — ~2.6 ms/doc on 1k-shingle docs)
+  @transient private lazy val hotU: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](hotDf.size * 2)
+    hotDf.foreach { case (k, v) => m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    m
+  }
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val prefixLen = n - math.ceil(minJaccard * n - 1e-9).toInt + 1
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val ss = new Array[UTF8String](n)
+    val dfs = new Array[Long](n)
+    val hs = new Array[Long](n)
+    val hot = if (hotDf.isEmpty) null else hotU
+    var m = 0
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i).toString
-      val df = hotDf.getOrElse(s, 0L)
-      if (cap <= 0 || df <= cap)
-        kept += ((df, TextExpressions.hash64(s, 0L), s))
+      val u = arr.getUTF8String(i)
+      val df = if (hot == null) 0L else { val v = hot.get(u); if (v == null) 0L else v.longValue() }
+      if (cap <= 0 || df <= cap) {
+        ss(m) = u
+        dfs(m) = df
+        // identical to hash64(u.toString, 0): XXH64 over the UTF-8 bytes
+        hs(m) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0L)
+        m += 1
+      }
       i += 1
     }
-    val sorted = kept.sortBy(identity).take(prefixLen)
-    new GenericArrayData(sorted.map(t => UTF8String.fromString(t._3).asInstanceOf[Any]).toArray)
+    // index sort under the (df, hash, bytes) total order — primitive
+    // comparisons; the byte-wise tiebreak fires only on 64-bit hash
+    // collisions and any consistent global order keeps the prefix theorem
+    // exact (df/hash ordering is pruning, not semantics)
+    val idx = new Array[Integer](m)
+    i = 0; while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val x = a.intValue(); val y = b.intValue()
+        var c = java.lang.Long.compare(dfs(x), dfs(y))
+        if (c == 0) c = java.lang.Long.compare(hs(x), hs(y))
+        if (c == 0) c = ss(x).compareTo(ss(y))
+        c
+      }
+    })
+    val keep = math.min(prefixLen, m)
+    val out = new Array[Any](math.max(keep, 0))
+    i = 0; while (i < keep) { out(i) = ss(idx(i).intValue()).clone(); i += 1 }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -352,6 +387,37 @@ case class JaccardSimExpr(left: Expression, right: Expression)
     var inter = 0
     i = 0
     while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+    java.lang.Double.valueOf(inter.toDouble / (nx + ny - inter).toDouble)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact Jaccard similarity of two SORTED distinct-element string arrays
+  * (binary UTF8 order — what Spark's `sort_array` produces): intersection
+  * counted by a single merge walk, zero allocation per pair. Semantically
+  * identical to [[JaccardSimExpr]] on the same sets; the sort is hoisted to
+  * the doc side (once per document) so the per-CANDIDATE-PAIR cost drops
+  * from a HashSet build (~10 µs at 50 shingles) to ~50 byte-compares —
+  * the candidate-verification join evaluates this once per candidate, and
+  * candidates outnumber documents by orders of magnitude. */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (nx == 0 && ny == 0) return java.lang.Double.valueOf(1.0)
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
     java.lang.Double.valueOf(inter.toDouble / (nx + ny - inter).toDouble)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -59,6 +59,11 @@ package object functions {
   def jaccard_sim(a: Column, b: Column): Column =
     toColumn(JaccardSimExpr(toExpr(a), toExpr(b)))
 
+  /** Exact Jaccard of two SORTED distinct-element string arrays (merge
+    * walk, no per-pair allocation) — hoist the sort to the doc side. */
+  def jaccard_sim_sorted(a: Column, b: Column): Column =
+    toColumn(JaccardSortedExpr(toExpr(a), toExpr(b)))
+
   /** PPJoin prefix of a shingle array under the (df, hash, shingle) order. */
   def prefix_shingles(shingles: Column, hotDf: Map[String, Long],
       cap: Long, minJaccard: Double): Column =

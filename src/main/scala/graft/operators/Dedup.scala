@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** "Broadcast the side that fits" gate, decided from Catalyst plan
+    * STATISTICS (no job): true when the optimized-plan size estimate of `df`
+    * is inside the session's broadcast threshold. The near-dup pipelines use
+    * it to pick join strategy per corpus: a small corpus broadcasts its
+    * doc/prefix side (zero exchanges on the candidate and verification
+    * joins), a warehouse-scale corpus keeps the shuffle-hash shape whose
+    * scale reasoning is documented at each site. The estimate is the scan's
+    * file size (conservative: compressed bytes underestimate the in-memory
+    * arrays, so the factor-of-a-few blow-up of shingle arrays still lands
+    * well inside executor memory at a 10 MB source threshold). */
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
+      case s if s.toLowerCase.endsWith("mb") => s.dropRight(2).trim.toLong << 20
+      case s if s.toLowerCase.endsWith("kb") => s.dropRight(2).trim.toLong << 10
+      case s if s.toLowerCase.endsWith("gb") => s.dropRight(2).trim.toLong << 30
+      case s if s.toLowerCase.endsWith("b")  => s.dropRight(1).trim.toLong
+      case s => s.trim.toLong
+    }
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
+  }
+
+  /** Apply the adaptive strategy to a verification/docs side: broadcast when
+    * the corpus fits, otherwise the documented shuffle-hash hint. */
+  private def sideHint(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df.hint("shuffle_hash")
+
+  /** Small-corpus parallelism fix: a corpus under the broadcast threshold is
+    * typically one or two input splits, so every derived stage — shingling,
+    * the candidate join, verification — would run as a SINGLE task while the
+    * rest of the cluster idles (and AQE coalesces the tiny-byte shuffles to
+    * one partition even though the per-row verification work is heavy).
+    * Spreading it across `defaultParallelism` costs one exchange of a corpus
+    * that fits in a broadcast — noise — and parallelizes the whole pipeline.
+    * At warehouse scale `small` is false and no exchange is added. */
+  private def spread(df: DataFrame, small: Boolean): DataFrame =
+    if (small) df.repartition(df.sparkSession.sparkContext.defaultParallelism) else df
+
   // ------------------------------------------------------------- shingling
   // Native expressions (graft.functions) — the higher-order-function
   // formulation (`transform`+`slice`+`concat_ws`) is interpreted per element
@@ -76,6 +114,7 @@ object Dedup {
       minJaccard: Double = 0.5, charGrams: Boolean = false,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
     val rowsPerBand = numHashes / bands
+    val small = fitsBroadcast(df)
     val sh = if (charGrams) charShingles(col(textCol), shingleSize)
              else wordShingles(col(textCol), shingleSize)
     // the signature "index" feeds the band join (both sides) and the
@@ -83,7 +122,7 @@ object Dedup {
     // persisted once instead of re-shingling up to 4x, and the scope owner
     // releases the blocks (see CacheScope contract). At warehouse scale this
     // table is what you'd materialize to storage once per corpus snapshot.
-    val docs = scope.cache(df
+    val docs = scope.cache(spread(df, small)
       .select(col(idCol).as("id"), sh.as("shingles"))
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes)))
@@ -93,19 +132,26 @@ object Dedup {
 
     val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+    // small corpus: broadcast the build side of the band self-join — the
+    // bucket join and its two exchanges vanish (fitsBroadcast gate above);
+    // spread(candidates) keeps verification parallel (AQE would coalesce
+    // the byte-small pair set to one task despite its per-row cost)
+    val candidates = spread(a.join(if (small) broadcast(b) else b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct(), small)
 
-    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    // verification joins carry the full shingle arrays — shuffle-hash, not
-    // sort-merge: sorting array payloads costs more than hashing the doc
-    // side, and the per-partition doc slice always fits an executor (the
-    // referential large-dim reasoning)
-    candidates.join(shA.hint("shuffle_hash"), "id_a")
-      .join(shB.hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+    // sorted once per DOC so verification pays a merge walk per pair, not
+    // a hash-set build (see JaccardSortedExpr)
+    val shA = docs.select(col("id").as("id_a"), sort_array(col("shingles")).as("sh_a"))
+    val shB = docs.select(col("id").as("id_b"), sort_array(col("shingles")).as("sh_b"))
+    // verification joins carry the full shingle arrays — broadcast when the
+    // corpus fits (guide's "broadcast the side that fits": no exchange at
+    // all), else shuffle-hash, not sort-merge: sorting array payloads costs
+    // more than hashing the doc side, and the per-partition doc slice
+    // always fits an executor (the referential large-dim reasoning)
+    candidates.join(sideHint(shA, small), "id_a")
+      .join(sideHint(shB, small), "id_b")
+      .withColumn("jaccard", graft.functions.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -141,7 +187,8 @@ object Dedup {
     // the shingle-set "index" feeds the hot-shingle pass, the prefix build
     // and the verification join (both sides); persisted only under an
     // active CacheScope, whose owner releases the blocks
-    val docs = scope.cache(df
+    val small = fitsBroadcast(df)
+    val docs = scope.cache(spread(df, small)
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")))
     // ONE map-side-combined groupBy finds the hot shingles; only they need a
     // real df for the prefix order (everything colder sorts by hash), so the
@@ -179,10 +226,13 @@ object Dedup {
       .collect().map(r => r.getString(0) -> r.getLong(1) * dfScale).toMap
     // posexplode: a prefix element's index IS its rank in the doc's full
     // sorted shingle order (the prefix is the head of that order), which
-    // enables PPJoin's POSITIONAL filter below
-    val prefix = docs.select(col("id"), size(col("shingles")).as("n_sh"),
+    // enables PPJoin's POSITIONAL filter below. Cached under the scope:
+    // BOTH sides of the candidate self-join scan it, and the prefix sort is
+    // the pipeline's per-doc hot spot — without the cache each side paid it
+    // again (two identical 1.3 s single-task stages in the job probe).
+    val prefix = scope.cache(docs.select(col("id"), size(col("shingles")).as("n_sh"),
       posexplode(graft.functions.prefix_shingles(col("shingles"), hotDf, maxShingleDf, minJaccard))
-        .as(Seq("pos", "sh")))
+        .as(Seq("pos", "sh"))))
     val a = prefix.select(col("sh"), col("id").as("id_a"), col("n_sh").as("n_a"), col("pos").as("p_a"))
     val b = prefix.select(col("sh"), col("id").as("id_b"), col("n_sh").as("n_b"), col("pos").as("p_b"))
     // Jaccard ≥ t ⟺ |A∩B| ≥ t·(|A|+|B|)/(1+t); the POSITIONAL filter bounds
@@ -196,22 +246,27 @@ object Dedup {
     // (Xiao et al., WWW'08, the ppjoin position filter.)
     val requiredOverlap =
       ceil((col("n_a") + col("n_b")) * lit(minJaccard / (1.0 + minJaccard)) - lit(1e-9))
-    val candidates = a.join(b, "sh")
+    // spread(candidates): keep verification parallel — AQE coalesces the
+    // byte-small distinct pair set to one task despite its per-row cost
+    val candidates = spread(a.join(if (small) broadcast(b) else b, "sh")
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") >= col("n_a") * lit(minJaccard) - lit(1e-9) &&
         col("n_a") >= col("n_b") * lit(minJaccard) - lit(1e-9))
       .filter(lit(1) + least(col("n_a") - 1 - col("p_a"), col("n_b") - 1 - col("p_b"))
         >= requiredOverlap)
-      .select("id_a", "id_b").distinct()
-    val shA = docs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = docs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    // verification joins carry the full shingle arrays — shuffle-hash, not
+      .select("id_a", "id_b").distinct(), small)
+    // sorted once per DOC so verification pays a merge walk per pair, not
+    // a hash-set build (see JaccardSortedExpr)
+    val shA = docs.select(col("id").as("id_a"), sort_array(col("shingles")).as("sh_a"))
+    val shB = docs.select(col("id").as("id_b"), sort_array(col("shingles")).as("sh_b"))
+    // verification joins carry the full shingle arrays — broadcast when the
+    // corpus fits (fitsBroadcast: no exchange), else shuffle-hash, not
     // sort-merge: sorting array payloads costs more than hashing the doc
     // side, and the per-partition doc slice always fits an executor (the
     // referential large-dim reasoning)
-    candidates.join(shA.hint("shuffle_hash"), "id_a")
-      .join(shB.hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+    candidates.join(sideHint(shA, small), "id_a")
+      .join(sideHint(shB, small), "id_b")
+      .withColumn("jaccard", graft.functions.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -463,9 +518,9 @@ object Dedup {
       .filter(col("id_new") =!= col("id_index"))
       .select("id_new", "id_index").distinct()
     candidates
-      .join(fresh.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
-      .join(idxDocs.select(col("id").as("id_index"), col("shingles").as("sh_b")), "id_index")
-      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .join(fresh.select(col("id").as("id_new"), sort_array(col("shingles")).as("sh_a")), "id_new")
+      .join(idxDocs.select(col("id").as("id_index"), sort_array(col("shingles")).as("sh_b")), "id_index")
+      .withColumn("jaccard", graft.functions.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_new", "id_index", "jaccard")
   }
@@ -476,16 +531,17 @@ object Dedup {
     * SAME batch pair here, since neither is in the stored index yet.
     * Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def pairsWithinIndex(index: DataFrame, minJaccard: Double): DataFrame = {
+    val small = fitsBroadcast(index)
     val banded = index.select(col("id"), explode(col("bands")).as("band_hash"))
     val a = banded.select(col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_hash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band_hash"))
+    val candidates = a.join(if (small) broadcast(b) else b, Seq("band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     candidates
-      .join(index.select(col("id").as("id_a"), col("shingles").as("sh_a")).hint("shuffle_hash"), "id_a")
-      .join(index.select(col("id").as("id_b"), col("shingles").as("sh_b")).hint("shuffle_hash"), "id_b")
-      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .join(sideHint(index.select(col("id").as("id_a"), sort_array(col("shingles")).as("sh_a")), small), "id_a")
+      .join(sideHint(index.select(col("id").as("id_b"), sort_array(col("shingles")).as("sh_b")), small), "id_b")
+      .withColumn("jaccard", graft.functions.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -512,9 +568,9 @@ object Dedup {
       .filter(col("id_new") =!= col("id_index"))
       .select("id_new", "id_index").distinct()
     candidates
-      .join(fresh.select(col("id").as("id_new"), col("shingles").as("sh_a")), "id_new")
-      .join(index.select(col("id").as("id_index"), col("shingles").as("sh_b")), "id_index")
-      .withColumn("jaccard", graft.functions.jaccard_sim(col("sh_a"), col("sh_b")))
+      .join(fresh.select(col("id").as("id_new"), sort_array(col("shingles")).as("sh_a")), "id_new")
+      .join(index.select(col("id").as("id_index"), sort_array(col("shingles")).as("sh_b")), "id_index")
+      .withColumn("jaccard", graft.functions.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_new", "id_index", "jaccard")
   }
@@ -645,7 +701,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val docs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val small = fitsBroadcast(df)
+    val docs = spread(df, small).select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
     val banded = docs.select(col("id"), col("sim"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("sim"), c * bitsPer)
@@ -654,7 +711,9 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("chunk_idx"), col("chunk_val"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    // small corpus: broadcast the build side — the chunk-bucket join's two
+    // exchanges vanish (fitsBroadcast gate; scale keeps the shuffle join)
+    a.join(if (small) broadcast(b) else b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
@@ -672,11 +731,14 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95,
       planes: Int = 12, seed: Long = 42L): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val small = fitsBroadcast(df)
+    val docs = spread(df, small).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), dim, planes, seed))
     val a = docs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = docs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, "bucket")
+    // small corpus: broadcast the build side (fitsBroadcast gate) — the
+    // bucket self-join runs exchange-free; scale keeps the shuffle join
+    a.join(if (small) broadcast(b) else b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
@@ -698,12 +760,15 @@ object Dedup {
   def semanticNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       cells: Int = 64, threshold: Double = 0.95, iters: Int = 2): DataFrame = {
+    val small = fitsBroadcast(df)
     val centroids = Similarity.kMeansCentroids(df, idCol, vecCol, cells, iters)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+    val assigned = Similarity.ivfAssign(spread(df, small), idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, "cell")
+    // small corpus: broadcast the build side (fitsBroadcast gate) — the
+    // cell self-join runs exchange-free; scale keeps the shuffle join
+    a.join(if (small) broadcast(b) else b, "cell")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

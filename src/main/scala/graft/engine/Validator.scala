@@ -155,6 +155,7 @@ class Validator(
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = Validator.sectionPool
     val driftF: Future[(Map[String, ValidationResult], Seq[PartitionVerdict])] = Future {
+      spark.sparkContext.setJobDescription(s"$tableName drift-batch")
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount,
         partitionExpr.filter(_ => partTotalsEarly.nonEmpty), partTotalsEarly)
     }
@@ -164,6 +165,7 @@ class Validator(
     // referencing missing columns fall through to executeSingle, which
     // surfaces the real analysis error per rule.
     val outlierF: Future[(Map[String, ValidationResult], Seq[PartitionVerdict])] = Future {
+      spark.sparkContext.setJobDescription(s"$tableName outlier-batch")
       executeOutlierBatch(df,
         rules.filter(r => r.ruleType == RuleType.Outlier &&
           r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))),
@@ -194,6 +196,7 @@ class Validator(
         : Future[(String, Option[ValidationResult], Seq[PartitionVerdict])] =
       Future {
         val tu = System.nanoTime()
+        spark.sparkContext.setJobDescription(s"$tableName rule:${r.name}")
         // outer try: paramBool in the promotion check is fail-loud, and its
         // raise must land in THIS rule's failure result, not kill the await
         try {
@@ -221,7 +224,10 @@ class Validator(
     val (refFs, uniqFs) = partitionExpr match {
       case Some(p) if partTotals.nonEmpty =>
         val rf = rules.filter(_.ruleType == RuleType.Referential).map { r =>
-          r.name -> Future(referentialPartitioned(df, r, p, partTotals, totalCount))
+          r.name -> Future {
+            spark.sparkContext.setJobDescription(s"$tableName rule:${r.name}")
+            referentialPartitioned(df, r, p, partTotals, totalCount)
+          }
         }
         val uf = rules.filter(_.ruleType == RuleType.Uniqueness).map { r =>
           groupedRuleFuture(r, () => uniquenessPartitionVerdicts(df, r, p, partTotals),
@@ -303,6 +309,42 @@ class Validator(
           } catch { case _: Throwable => Nil }
         }
       else Nil
+    // 3. remaining rules (uniqueness/referential on the UNPARTITIONED path,
+    // custom SQL, stragglers) — each is an independent Spark job, submitted
+    // HERE, BEFORE any section await, so single-rule jobs overlap the drift
+    // and grouped sections instead of starting after the last of them
+    // completed (on the unpartitioned path EVERY non-fused family is a
+    // single, so the old post-await submission serialized the whole middle
+    // of the suite behind the drift batch). Which rules end up uncovered is
+    // exactly predictable from the section routing above: the fused map
+    // (already resolved), drift/outlier by type, and — when the grouped
+    // sections are active — referential plus the grouped families that
+    // promote their roll-up via partition_covers_key. The results list
+    // still preserves overall rule order (assembled by name), and per-rule
+    // error isolation is unchanged: executeSingle catches into a failure
+    // result, so a Future here never fails.
+    val groupedActive = partitionExpr.isDefined && partTotals.nonEmpty
+    val groupedFamilies = Set(RuleType.Uniqueness, RuleType.Sequence,
+      RuleType.Monotonic, RuleType.Transition, RuleType.FunctionalDependency,
+      RuleType.Diff)
+    val coveredPredicted = (r: ValidationRule) =>
+      fusedResults.contains(r.name) ||
+        r.ruleType == RuleType.drift ||
+        (r.ruleType == RuleType.Outlier &&
+          r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))) ||
+        (groupedActive && (r.ruleType == RuleType.Referential ||
+          (groupedFamilies(r.ruleType) &&
+            // a malformed flag means the grouped future owns the (failure)
+            // result — covered; parse errors surface there, not here
+            (try r.paramBool("partition_covers_key")
+             catch { case _: Throwable => true }))))
+    val singleFs: Map[String, Future[ValidationResult]] = rules
+      .filterNot(coveredPredicted)
+      .map(r => r.name -> Future {
+        spark.sparkContext.setJobDescription(s"$tableName rule:${r.name}")
+        executeSingle(df, r, tableName, totalCount)
+      }).toMap
+
     val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
     val (outlierResults, outlierVerdicts) = Await.result(outlierF, Duration.Inf)
     val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
@@ -314,24 +356,17 @@ class Validator(
         uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
         refPairs.flatMap(_._2._2) ++ uniqPairs.flatMap(_._3) ++ rowCountVerdicts)
 
-    // 3. remaining rules (uniqueness/referential on the UNPARTITIONED path,
-    // custom SQL, stragglers) — each is an independent Spark job, so they
-    // are submitted CONCURRENTLY like the partitioned sections; the results
-    // list still preserves overall rule order (assembled by name). Per-rule
-    // error isolation is unchanged: executeSingle catches into a failure
-    // result, so a Future here never fails.
-    val covered = (r: ValidationRule) =>
-      fusedResults.contains(r.name) || driftResults.contains(r.name) ||
-        outlierResults.contains(r.name) || specialResults.contains(r.name)
-    val singleFs: Map[String, Future[ValidationResult]] = rules
-      .filterNot(covered)
-      .map(r => r.name -> Future(executeSingle(df, r, tableName, totalCount))).toMap
     val results: Seq[ValidationResult] = rules.map { r =>
       fusedResults.getOrElse(r.name,
         driftResults.getOrElse(r.name,
           outlierResults.getOrElse(r.name,
             specialResults.getOrElse(r.name,
-              Await.result(singleFs(r.name), Duration.Inf)))))
+              singleFs.get(r.name)
+                .map(f => Await.result(f, Duration.Inf))
+                // misprediction safety net (a section dropped a rule it was
+                // expected to own): run the isolated job now — correctness
+                // over latency on this path, which no current section hits
+                .getOrElse(executeSingle(df, r, tableName, totalCount))))))
     }
 
     // opt-in violation EXAMPLES (`examples: N`, capped at 20 rows × 256

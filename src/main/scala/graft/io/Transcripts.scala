@@ -83,7 +83,13 @@ object Transcripts {
     // rows (text identical → the per-turn text-equality invariant holds)
     val dups = rows.filter(
       chan(cfg.seed, "dup", col("conv_id"), col("turn_idx")) < lit(cfg.dupKeyPerMille.toLong))
-    rows.unionByName(dups)
+    val all = rows.unionByName(dups)
+    // the unions stack partitions (range ∪ hot ∪ dups ⇒ up to 4× the session
+    // parallelism of near-empty slices); every downstream job over a cached
+    // copy would launch that many tasks. Coalesce back to the session's
+    // parallelism — pure task merging, no exchange, rows unchanged.
+    val par = math.max(spark.sparkContext.defaultParallelism, 1)
+    all.coalesce(par)
   }
 
   private def decorate(ct: DataFrame, cfg: TranscriptConfig): DataFrame = {

@@ -444,7 +444,7 @@ object SparkEntry {
     // violating-groups face — every order whose return flag is inconsistent
     // across its line items, with the distinct-flag count -----------------
     Q("q_fd_lineitem",
-      (s, d) => Checks.fdViolations(t(s, d, "lineitem"),
+      (s, d) => Checks.fdViolations(Checks.spreadSmall(t(s, d, "lineitem")),
         Seq("l_orderkey"), Seq("l_returnflag")).orderBy("l_orderkey"),
       Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_values FROM (
           SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
@@ -1564,14 +1564,25 @@ object SparkEntry {
       (s, d) => {
         import s.implicits._
         val dir = snapScratch(s, d, "statsfiles")
-        val ev = t(s, d, "events")
+        // cached: the fixture reads 8 slices + maxId from the same table
+        val ev = graft.operators.CacheScope.ambient.cache(t(s, d, "events"))
         val maxId = ev.agg(max("event_id")).head.getLong(0)
         val step = maxId / 8 + 1 // bucket b holds event_id ∈ [b·step, (b+1)·step)
-        (0L until 8L).foreach { b =>
-          val slice = ev.where(col("event_id") >= b * step &&
-            col("event_id") < (b + 1) * step).coalesce(1)
-          if (b == 0) graft.io.SnapTable.create(s, dir, slice)
-          else graft.io.SnapTable.append(s, dir, slice)
+        def slice(b: Long) = ev.where(col("event_id") >= b * step &&
+          col("event_id") < (b + 1) * step).coalesce(1)
+        graft.io.SnapTable.create(s, dir, slice(0))
+        // appends 1..7 are independent write jobs; SnapTable's commit rebase
+        // is built for racing writers, so they run CONCURRENTLY (overlap
+        // independent jobs) — the table's file set, per-file footer stats
+        // and therefore every verdict below are identical to the serial
+        // build, only commit order (which nothing reads) varies
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.global
+          (1L until 8L).map(b => Future(graft.io.SnapTable.append(s, dir, slice(b))))
+            .foreach(f => Await.result(f, Duration.Inf))
         }
         val cfg = ValidationConfig(tables = Seq(TableConfig("events", rules = Seq(
           ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
@@ -1731,7 +1742,9 @@ object SparkEntry {
     // same order ('g' flag). ----------------------------------------------
     Q("q_redact_docs",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        // spreadSmall: the four sequential PII regex replaces are the one
+        // text pipeline heavy enough to beat the extra exchange (A/B'd)
+        val docs = Checks.spreadSmall(t(s, d, "documents")).filter(col("text").isNotNull)
           .select(col("doc_id"), concat(
             col("text"), lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
             lit(" from 10.0."), pmod(col("doc_id"), lit(200)), lit(".17 "),
@@ -2297,8 +2310,11 @@ object SparkEntry {
     Q("q_minhash_incremental_docs",
       (s, d) => {
         val corpus = t(s, d, "documents")
-        val index = Dedup.buildSignatureIndex(corpus, "doc_id", "text",
-          shingleSize = 3, numHashes = 64, bands = 16)
+        // cached: both bucketed index writes (bands + docs) scan this frame —
+        // without the cache each write re-ran the full shingle+sign pass
+        val index = graft.operators.CacheScope.ambient.cache(
+          Dedup.buildSignatureIndex(corpus, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_" + Dedup.stableSuffix(d)
         Dedup.writeSignatureIndex(index, dir, buckets = 16)
         // "new" batch = a deterministic slice of the corpus re-ingested:

@@ -15,6 +15,19 @@ import org.apache.spark.sql.types._
   */
 object Checks {
 
+  /** Single-split small-input parallelism fix: when the Catalyst size
+    * estimate fits the session broadcast threshold, the input is typically
+    * ONE file split, so a heavy per-row pipeline over it runs as one task
+    * while the rest of the cluster idles. Repartition to the session
+    * parallelism — one exchange of a broadcast-sized input, noise next to
+    * the per-row work it parallelizes. Identity at scale, where inputs
+    * carry many splits and the exchange would be a regression. */
+  def spreadSmall(df: DataFrame): DataFrame =
+    if (graft.operators.Dedup.fitsBroadcast(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+
   /** True when collected values of `dt` stringify driver-side EXACTLY as
     * Spark's cast-to-string would (numbers, strings, booleans, dates;
     * timestamps differ — `java.sql.Timestamp.toString` appends ".0").

@@ -117,6 +117,14 @@ object Suggest {
       if (columns.nonEmpty) columns
       else schema.fields.toSeq.filter(f => sweepable(f.dataType)).map(_.name)
 
+    // single-split small inputs: both sweep scans are map-side-heavy
+    // (HLL + try_cast per row; Expand for the exact distincts) — spread
+    // them across the session parallelism (identity at scale). Every
+    // aggregate here is partitioning-invariant: HLL register-max merge,
+    // exact count_distinct, and the allowed-values set is sorted before
+    // the slice.
+    val dfS = Checks.spreadSmall(df)
+
     // ---- scan 1: the fused facts pass -------------------------------------
     val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { name =>
       val dt = schema(name).dataType
@@ -147,7 +155,7 @@ object Suggest {
         approx_count_distinct(c, 0.05).as(s"__ad_$name"),
         castable.as(s"__cast_$name"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = dfS.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(0)
     if (total == 0) return Nil
 
@@ -180,7 +188,7 @@ object Suggest {
           exactCols.map(n => count_distinct(col(n)).as(s"__d_$n")) ++
             avCands.map(n => slice(sort_array(collect_set(col(n))),
               1, maxAllowedValues + 1).as(s"__vals_$n"))
-        val r2 = df.agg(exactAggs.head, exactAggs.tail: _*).head()
+        val r2 = dfS.agg(exactAggs.head, exactAggs.tail: _*).head()
         val d = exactCols.zipWithIndex.map { case (n, i) =>
           n -> (if (r2.isNullAt(i)) 0L else r2.getLong(i))
         }.toMap

@@ -284,7 +284,9 @@ object Dedup {
       charGrams: Boolean = false): DataFrame = {
     val sh = if (charGrams) charShingles(col(textCol), shingleSize)
              else wordShingles(col(textCol), shingleSize)
-    df.select(col(idCol).as("id"), sh.as("shingles"))
+    // spread: shingle+sign is the dominant per-doc cost — don't run it as
+    // one task when the batch is a single small split (identity at scale)
+    spread(df, fitsBroadcast(df)).select(col(idCol).as("id"), sh.as("shingles"))
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
       .withColumn("bands", bandHashes(col("sig"), bands, numHashes / bands))
@@ -314,21 +316,36 @@ object Dedup {
     val suffix = suffixOf(dir)
     val bands = index
       .select(explode(col("bands")).as("band_hash"), col("id"))
+    val docs = index.select(col("id"), col("shingles"))
     spark.sql(s"DROP TABLE IF EXISTS graft_sig_bands_$suffix")
-    // repartition on the bucket key first: same murmur3 hash as the bucket
-    // spec → one file per bucket, no small-file explosion
-    bands.repartition(buckets, col("band_hash"))
-      .write.bucketBy(buckets, "band_hash")
-      .option("path", s"$dir/bands").mode("overwrite")
-      .saveAsTable(s"graft_sig_bands_$suffix")
+    spark.sql(s"DROP TABLE IF EXISTS graft_sig_docs_$suffix")
+    // the two bucketed writes are INDEPENDENT jobs over the same index
+    // frame — submitted concurrently so the second doesn't idle behind the
+    // first's write tail (overlap independent jobs). Callers that didn't
+    // cache `index` would otherwise also serialize two full shingle+sign
+    // passes back to back.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val bandsF = Future {
+      // repartition on the bucket key first: same murmur3 hash as the bucket
+      // spec → one file per bucket, no small-file explosion
+      bands.repartition(buckets, col("band_hash"))
+        .write.bucketBy(buckets, "band_hash")
+        .option("path", s"$dir/bands").mode("overwrite")
+        .saveAsTable(s"graft_sig_bands_$suffix")
+    }
+    val docsF = Future {
+      docs.repartition(buckets, col("id"))
+        .write.bucketBy(buckets, "id")
+        .option("path", s"$dir/docs").mode("overwrite")
+        .saveAsTable(s"graft_sig_docs_$suffix")
+    }
+    Await.result(bandsF, Duration.Inf)
+    Await.result(docsF, Duration.Inf)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/bands_schema.ddl"), bands.schema.toDDL)
-    val docs = index.select(col("id"), col("shingles"))
-    spark.sql(s"DROP TABLE IF EXISTS graft_sig_docs_$suffix")
-    docs.repartition(buckets, col("id"))
-      .write.bucketBy(buckets, "id")
-      .option("path", s"$dir/docs").mode("overwrite")
-      .saveAsTable(s"graft_sig_docs_$suffix")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/docs_schema.ddl"), docs.schema.toDDL)
     java.nio.file.Files.writeString(

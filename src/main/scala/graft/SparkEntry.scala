@@ -1571,19 +1571,9 @@ object SparkEntry {
         def slice(b: Long) = ev.where(col("event_id") >= b * step &&
           col("event_id") < (b + 1) * step).coalesce(1)
         graft.io.SnapTable.create(s, dir, slice(0))
-        // appends 1..7 are independent write jobs; SnapTable's commit rebase
-        // is built for racing writers, so they run CONCURRENTLY (overlap
-        // independent jobs) — the table's file set, per-file footer stats
-        // and therefore every verdict below are identical to the serial
-        // build, only commit order (which nothing reads) varies
-        locally {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.global
-          (1L until 8L).map(b => Future(graft.io.SnapTable.append(s, dir, slice(b))))
-            .foreach(f => Await.result(f, Duration.Inf))
-        }
+        // appends 1..7: data writes concurrent, commits sequential — same
+        // table (file set, footer stats, verdicts) as the serial build
+        graft.io.SnapTable.appendMany(s, dir, (1L until 8L).map(slice))
         val cfg = ValidationConfig(tables = Seq(TableConfig("events", rules = Seq(
           ValidationRule("props_complete", RuleType.Completeness, Seq("props")),
           ValidationRule("id_band", RuleType.Range, Seq("event_id"),

@@ -70,16 +70,26 @@ class Validator(
     // whole fused job — the shared admission guard
     val wellFormedFusible = rules.filter(r => RulePlanner.admissible(df, r))
 
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+
     // 1. one fused job for all fusible rules (optionally partition-grouped);
     // the grouped pass also yields per-partition row totals, reused by the
-    // uniqueness/referential verdicts below
+    // uniqueness/referential verdicts below. The fused job runs as a FUTURE
+    // (on its own executor, so the bounded section pool can never deadlock
+    // against it): the grouped per-family jobs below only need the
+    // partition totals AFTER their own collect, so their Spark jobs now
+    // OVERLAP the fused scan instead of queueing behind it — at the
+    // 28M-turn bench shape the fused pass is ~40% of the suite wall and
+    // every other section used to start only when it finished.
     val fusedStart = System.nanoTime()
-    val fusedOutcome: Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict], Map[String, Long])] =
+    val fusedF: Future[Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict], Map[String, Long])]] = Future {
+      spark.sparkContext.setJobDescription(s"$tableName fused-stats")
       try {
         partitionExpr match {
           case None =>
             val (total, failed) = RulePlanner.runFused(df, wellFormedFusible)
-            Right((total, failed, Nil, Map.empty))
+            Right((total, failed, Nil: Seq[PartitionVerdict], Map.empty[String, Long]))
           case Some(p) =>
             val counters = wellFormedFusible.zipWithIndex.map { case (r, i) =>
               sum(when(RulePlanner.failCondition(schema, r), 1L).otherwise(0L))
@@ -117,9 +127,15 @@ class Validator(
             Right((total, failedByRule, verdicts, partTotals))
         }
       } catch { case e: Throwable => Left(e) }
-    val fusedMs = (System.nanoTime() - fusedStart) / 1e6
+    }(Validator.fusedPool)
+    // every consumer below takes the fused outcome through these lazies —
+    // a section that needs the totals blocks HERE (after its own Spark job
+    // has already run), never before submitting it
+    lazy val fusedOutcome: Either[Throwable, (Long, Map[String, Long], Seq[PartitionVerdict], Map[String, Long])] =
+      Await.result(fusedF, Duration.Inf)
+    lazy val fusedMs = (System.nanoTime() - fusedStart) / 1e6
 
-    val fusedResults: Map[String, ValidationResult] = fusedOutcome match {
+    lazy val fusedResults: Map[String, ValidationResult] = fusedOutcome match {
       case Right((total, failedByRule, _, _)) =>
         wellFormedFusible.map { r =>
           r.name -> ValidationResult.verdict(r, failedByRule(r.name), total, fusedMs,
@@ -134,7 +150,7 @@ class Validator(
         // reference's per-rule cost, paid only on this failure path.
         Map.empty
     }
-    val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
+    lazy val totalCount: Option[Long] = fusedOutcome.toOption.map(_._1)
 
     // 2. all drift rules batched: one multi-histogram job over df + one per
     // distinct baseline table (instead of 2 jobs per rule). With a partition
@@ -150,10 +166,14 @@ class Validator(
     // cluster scheduler makes; results are assembled by rule name, so
     // ordering semantics are unchanged. Each section still catches its own
     // errors into per-rule failure results.
-    val partTotalsEarly: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    // the fused pass's partition totals — forcing this AWAITS the fused job
+    // (sections do it after their own Spark jobs have been submitted/run)
+    lazy val partTotalsEarly: Map[String, Long] = fusedOutcome.toOption.map(_._4).getOrElse(Map.empty)
     implicit val ec: scala.concurrent.ExecutionContext = Validator.sectionPool
+    // drift/outlier need the fused totals BEFORE their scan (the grouping
+    // decision and cached total feed the scan shape), so they await inside
+    // their futures — serialized after fused like before, but overlapping
+    // every other section
     val driftF: Future[(Map[String, ValidationResult], Seq[PartitionVerdict])] = Future {
       spark.sparkContext.setJobDescription(s"$tableName drift-batch")
       executeDriftBatch(df, rules.filter(_.ruleType == RuleType.drift), totalCount,
@@ -178,7 +198,7 @@ class Validator(
     // expression is a function of a subset of its key columns, so equal
     // keys are always co-partitioned) also gets its GLOBAL verdict from the
     // roll-up — the table-wide distinct shuffle disappears.
-    val partTotals: Map[String, Long] = partTotalsEarly
+    def partTotals: Map[String, Long] = partTotalsEarly
     // per-rule futures, FLAT (no nested awaits on the bounded pool): every
     // referential and uniqueness rule's grouped job overlaps the drift scan
     // and each other
@@ -221,8 +241,13 @@ class Validator(
               (System.nanoTime() - tu) / 1e6)), Nil: Seq[PartitionVerdict])
         }
       }
+    // OPTIMISTIC submission: grouped jobs no longer wait for the fused scan
+    // (they consume partTotals by-name, after their own collect). When the
+    // fused pass yields NO totals (empty table or fused failure) their
+    // results are DISCARDED at assembly below, reproducing the old gate's
+    // observable behavior on those paths.
     val (refFs, uniqFs) = partitionExpr match {
-      case Some(p) if partTotals.nonEmpty =>
+      case Some(p) =>
         val rf = rules.filter(_.ruleType == RuleType.Referential).map { r =>
           r.name -> Future {
             spark.sparkContext.setJobDescription(s"$tableName rule:${r.name}")
@@ -242,7 +267,7 @@ class Validator(
     // the global total is the verdicts' own group-count sum, not the
     // row-count partTotals)
     val seqFs = partitionExpr match {
-      case Some(p) if partTotals.nonEmpty =>
+      case Some(p) =>
         rules.filter(r => r.ruleType == RuleType.Sequence ||
             r.ruleType == RuleType.Monotonic ||
             r.ruleType == RuleType.Transition ||
@@ -265,7 +290,7 @@ class Validator(
     // per-partition binary verdicts; the GLOBAL verdict always runs its own
     // job (none of these metrics roll up) via the straggler path below
     val cardFs = partitionExpr match {
-      case Some(p) if partTotals.nonEmpty =>
+      case Some(p) =>
         rules.filter(r => r.ruleType == RuleType.Cardinality ||
             r.ruleType == RuleType.Correlation ||
             r.ruleType == RuleType.Entropy ||
@@ -290,7 +315,7 @@ class Validator(
     // buckets of a healthy table whose min_rows exceeds table_size/32.
     // Parse errors fall through to the global executeSingle, which
     // surfaces them as the rule's failure result.
-    val rowCountVerdicts: Seq[PartitionVerdict] =
+    lazy val rowCountVerdicts: Seq[PartitionVerdict] =
       if (partTotals.nonEmpty)
         rules.filter(_.ruleType == RuleType.RowCount).flatMap { r =>
           try {
@@ -323,12 +348,19 @@ class Validator(
     // still preserves overall rule order (assembled by name), and per-rule
     // error isolation is unchanged: executeSingle catches into a failure
     // result, so a Future here never fails.
-    val groupedActive = partitionExpr.isDefined && partTotals.nonEmpty
+    // prediction must not force the fused future: fusible coverage comes
+    // from the (driver-side) admission list, grouped coverage optimistically
+    // from the partition expression alone. A misprediction — the fused job
+    // failed, or it yielded no totals and the grouped results get discarded
+    // below — lands in the assembly safety net (inline executeSingle),
+    // which is exactly the old behavior's error path.
+    val fusibleNames = wellFormedFusible.map(_.name).toSet
+    val groupedActive = partitionExpr.isDefined
     val groupedFamilies = Set(RuleType.Uniqueness, RuleType.Sequence,
       RuleType.Monotonic, RuleType.Transition, RuleType.FunctionalDependency,
       RuleType.Diff)
     val coveredPredicted = (r: ValidationRule) =>
-      fusedResults.contains(r.name) ||
+      fusibleNames.contains(r.name) ||
         r.ruleType == RuleType.drift ||
         (r.ruleType == RuleType.Outlier &&
           r.columns.forall(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))) ||
@@ -347,10 +379,17 @@ class Validator(
 
     val (driftResults, driftVerdicts) = Await.result(driftF, Duration.Inf)
     val (outlierResults, outlierVerdicts) = Await.result(outlierF, Duration.Inf)
-    val refPairs = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
-    val uniqPairs = uniqFs.map(f => Await.result(f, Duration.Inf)) ++
+    val refPairsAll = refFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+    val uniqPairsAll = uniqFs.map(f => Await.result(f, Duration.Inf)) ++
       seqFs.map(f => Await.result(f, Duration.Inf)) ++
       cardFs.map(f => Await.result(f, Duration.Inf))
+    // discard the optimistically-run grouped results when the fused pass
+    // yielded no partition totals (empty table or fused failure) — the old
+    // submission gate's observable behavior on those paths: the affected
+    // rules fall through to isolated single jobs in the assembly below
+    val keepGrouped = partTotals.nonEmpty
+    val refPairs = if (keepGrouped) refPairsAll else Nil
+    val uniqPairs = if (keepGrouped) uniqPairsAll else Nil
     val (specialResults, specialVerdicts): (Map[String, ValidationResult], Seq[PartitionVerdict]) =
       (refPairs.map { case (n, (res, _)) => n -> res }.toMap ++
         uniqPairs.collect { case (n, Some(res), _) => n -> res }.toMap,
@@ -444,8 +483,8 @@ class Validator(
     * partition counts always sum to the global). */
   private def referentialPartitioned(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long],
-      cachedTotal: Option[Long]): (ValidationResult, Seq[PartitionVerdict]) = {
+      partTotals: => Map[String, Long],
+      cachedTotal: => Option[Long]): (ValidationResult, Seq[PartitionVerdict]) = {
     val t0 = System.nanoTime()
     def ms = (System.nanoTime() - t0) / 1e6
     try {
@@ -475,7 +514,7 @@ class Validator(
     * levels agree exactly. */
   private def uniquenessPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       // the first groupBy runs over the WHOLE table — raw partition key
@@ -500,7 +539,7 @@ class Validator(
     * job. */
   private def sequencePartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val idx = rule.param("index").getOrElse(throw new IllegalArgumentException(
@@ -540,7 +579,7 @@ class Validator(
     * determinant (groups never straddle partitions). */
   private def fdPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val (keys, dep) = fdSpec(rule)
       Right(groupUnitVerdicts(rule,
@@ -953,7 +992,7 @@ class Validator(
     * per-partition reconciliation contract. */
   private def diffPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val (refDf, keys, compare) = diffSpec(df, rule)
       val joined = Checks.tableDiff(df, refDf, keys, compare)
@@ -993,7 +1032,7 @@ class Validator(
     * contract as sequence/uniqueness. */
   private def monotonicPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val (orderCol, valueCol, strict, desc) = monotonicParams(rule)
@@ -1009,7 +1048,7 @@ class Validator(
     * same partition_covers_key contract as sequence/monotonic. */
   private def transitionPartitionVerdicts(
       df: DataFrame, rule: ValidationRule, p: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
+      partTotals: => Map[String, Long]): Either[Throwable, Seq[PartitionVerdict]] =
     try {
       val keys = if (rule.columns.nonEmpty) rule.columns else Seq(rule.column)
       val (orderCol, valueCol, pairs, first, last) = RulePlanner.transitionParams(rule)
@@ -1028,7 +1067,7 @@ class Validator(
     * would be indistinguishable from "never evaluated" downstream. */
   private def groupUnitVerdicts(rule: ValidationRule, groupStats: DataFrame,
       violCond: org.apache.spark.sql.Column,
-      partTotals: Map[String, Long]): Seq[PartitionVerdict] = {
+      partTotals: => Map[String, Long]): Seq[PartitionVerdict] = {
     // limit-before-collect: for sequence/monotonic/fd the partition space
     // was already bounded by the fused pass's guard over the same rows,
     // but the DIFF family's key frame includes reference-side keys the
@@ -1444,7 +1483,7 @@ class Validator(
 
   private def executeSingle(
       df: DataFrame, rule: ValidationRule, tableName: String,
-      cachedTotal: Option[Long]): ValidationResult = {
+      cachedTotal: => Option[Long]): ValidationResult = {
     val t0 = System.nanoTime()
     def ms = (System.nanoTime() - t0) / 1e6
     try {
@@ -2442,6 +2481,21 @@ object Validator {
       java.util.concurrent.Executors.newFixedThreadPool(8,
         (r: Runnable) => {
           val t = new Thread(r, "graft-rule-section")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Dedicated pool for the fused-stats job. Sections on [[sectionPool]]
+    * BLOCK awaiting the fused future (after their own Spark jobs), so the
+    * fused job must never compete for those threads — a shared bounded pool
+    * could deadlock with every thread parked on the await. Cached (not
+    * fixed): concurrent executeRulesPartitioned calls (incremental frames,
+    * validateAllTables) each get a thread immediately. */
+  private[engine] lazy val fusedPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-fused-stats")
           t.setDaemon(true)
           t
         }))

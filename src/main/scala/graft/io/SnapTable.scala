@@ -354,6 +354,13 @@ object SnapTable {
       seq: Option[Long]): Snapshot = {
     snapshot(spark, dir) // fail fast (and loud) on a non-table before writing data
     val added = writeDataFiles(spark, dir, df)
+    appendCommit(spark, dir, df.schema, added, seq)
+  }
+
+  /** Commit PRE-WRITTEN data files as an append version (the commit half of
+    * [[appendWith]], shared with [[appendMany]]). */
+  private def appendCommit(spark: SparkSession, dir: String,
+      dfSchema: StructType, added: Seq[DataFile], seq: Option[Long]): Snapshot =
     commit(spark, dir, v => {
       // rebase per attempt: the parent (files, schema, watermark, id) is
       // re-read fresh so a lost commit race can never drop the winner's
@@ -362,18 +369,38 @@ object SnapTable {
         throw new IllegalStateException(s"append raced a table wipe at $dir"))
       val prevSchema = StructType.fromDDL(prev.schemaDdl)
       val byName = prevSchema.fields.map(f => f.name -> f).toMap
-      df.schema.fields.foreach { f =>
+      dfSchema.fields.foreach { f =>
         byName.get(f.name).foreach { old =>
           require(old.dataType == f.dataType,
             s"append schema conflict on '${f.name}': table has ${old.dataType.sql}, append has ${f.dataType.sql}")
         }
       }
-      val evolved = StructType(prevSchema.fields ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+      val evolved = StructType(prevSchema.fields ++ dfSchema.fields.filterNot(f => byName.contains(f.name)))
       Snapshot(v, v - 1, "append",
         evolved.toDDL, prev.files ++ added, added.map(_.path),
         batchSeq = (prev.batchSeq.toSeq ++ seq).maxOption,
         tableId = prev.tableId)
     })
+
+  /** Append several independent frames as consecutive versions: the data
+    * writes (the expensive Spark jobs) run CONCURRENTLY, the manifest
+    * commits apply SEQUENTIALLY in the given order. Result is identical to
+    * calling [[append]] once per frame — this exists because data-file
+    * staging is safely concurrent (distinct nonce staging dirs) while the
+    * commit protocol must not race itself inside one process on
+    * filesystems whose rename silently overwrites an existing destination
+    * (raw local FS: the winner's manifest bytes can pair with the loser's
+    * checksum sidecar). */
+  def appendMany(spark: SparkSession, dir: String, dfs: Seq[DataFrame]): Seq[Snapshot] = {
+    snapshot(spark, dir) // fail fast (and loud) on a non-table before writing data
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val staged = dfs.map(df => df.schema -> Future(writeDataFiles(spark, dir, df)))
+    staged.map { case (schema, f) =>
+      appendCommit(spark, dir, schema, Await.result(f, Duration.Inf), seq = None)
+    }
   }
 
   /** Idempotent sequenced append — the EXACTLY-ONCE sink contract for

@@ -1331,7 +1331,9 @@ object SparkEntry {
     Q("q_csv_roundtrip_events",
       (s, d) => {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_" + Dedup.stableSuffix(d)
-        t(s, d, "events").select("event_id", "event_type", "value")
+        // spreadSmall: single-split source → the CSV serialization, the
+        // inference pass AND the read-back all run one task otherwise
+        Checks.spreadSmall(t(s, d, "events")).select("event_id", "event_type", "value")
           .write.mode("overwrite").option("header", "true").csv(dir)
         graft.io.Tables.load(s, s"csv:$dir")
           .groupBy("event_type")
@@ -1345,7 +1347,7 @@ object SparkEntry {
     Q("q_json_roundtrip_events",
       (s, d) => {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_events_" + Dedup.stableSuffix(d)
-        t(s, d, "events").select("event_id", "event_type", "value")
+        Checks.spreadSmall(t(s, d, "events")).select("event_id", "event_type", "value")
           .write.mode("overwrite").json(dir)
         graft.io.Tables.load(s, s"json:$dir")
           .groupBy("event_type")

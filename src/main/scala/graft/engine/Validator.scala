@@ -2146,10 +2146,14 @@ class Validator(
     // completion recorded for the resume contract
     val fileVerdicts = rules.flatMap(r => decided.get(r.name).toSeq.flatMap(_._2))
     this.synchronized { lastVerdicts = lastVerdicts + (tableName -> fileVerdicts) }
-    checkpoint.foreach(_.markCompleted(tableName,
-      Map("passed_rules" -> summary.passed_rules.toString,
-          "failed_rules" -> summary.failed_rules.toString),
-      suiteHash(tableName)))
+    // checkpoint completion only for the LIVE table: a time-traveled @vN run
+    // validated historical content, and recording it under the current suite
+    // hash would let a later --skip-completed run skip the live table
+    if (asOf.isEmpty)
+      checkpoint.foreach(_.markCompleted(tableName,
+        Map("passed_rules" -> summary.passed_rules.toString,
+            "failed_rules" -> summary.failed_rules.toString),
+        suiteHash(tableName)))
     summary
   }
 

@@ -61,8 +61,15 @@ object Tables extends TableProvider {
     * one parse every `snap:`-consuming surface shares. */
   private[graft] def snapSpec(spec: String): (String, Option[Long]) = {
     val at = spec.lastIndexOf("@v")
+    // toLongOption: an all-digit suffix that overflows Long (e.g.
+    // @v99999999999999999999) is treated as part of the path, matching the
+    // existing non-numeric behavior, instead of escaping as a
+    // NumberFormatException outside the rule/CLI error paths
     if (at > 0 && spec.drop(at + 2).forall(_.isDigit) && spec.length > at + 2)
-      (spec.take(at), Some(spec.drop(at + 2).toLong))
+      spec.drop(at + 2).toLongOption match {
+        case Some(v) => (spec.take(at), Some(v))
+        case None    => (spec, None)
+      }
     else (spec, None)
   }
 

@@ -169,6 +169,27 @@ object SparkEntry {
       Seq((-1L, -1L, recall, -1)).toDF("query_id", "id", "cosine", "rank"))
   }
 
+  /** Pool for [[forceConcurrently]] — daemon threads, unbounded (a query
+    * forces at most a couple of frames at once). */
+  private lazy val overlapPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-query-overlap"); t.setDaemon(true); t
+      }))
+
+  /** Materialize a CACHED frame on a background thread (guide §2.6 —
+    * overlap independent jobs) so the calling thread can meanwhile run an
+    * independent pipeline's driver-blocking actions (a mid-plan collect, an
+    * index write, a k-means build). Returns an await closure the caller
+    * MUST invoke before consuming `df`; it rethrows any failure there, so
+    * error behavior matches the sequential formulation. The frame must
+    * already be under a CacheScope: the forced blocks are what every later
+    * consumer reads. */
+  private def forceConcurrently(df: DataFrame): () => Unit = {
+    val f = scala.concurrent.Future { df.count(); () }(overlapPool)
+    () => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+  }
+
   /** Certification stats for two DISTINCT row sets sharing `keys`:
     * (rows only in `found`, rows in both, total rows in `ref`) — ONE
     * full-outer-join aggregate job, so each upstream pipeline executes
@@ -199,17 +220,27 @@ object SparkEntry {
     * unsound_count MUST be 0 (every emitted pair carries its exact cosine ≥
     * threshold), recall estimates completeness on the stratum. */
   private def withPairRecallRow(
-      s: SparkSession, found0: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
+      s: SparkSession, found0: DataFrame, emb: DataFrame, threshold: Double): DataFrame =
+    withPairRecallRowPrebuilt(s, found0, stratumBrutePairs(emb, threshold))
+
+  /** The exact reference pair list for [[withPairRecallRow]] — split out so
+    * a query whose found-pipeline needs driver-blocking index builds
+    * (k-means) can materialize this INDEPENDENT subtree concurrently. */
+  private def stratumBrutePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  private def withPairRecallRowPrebuilt(
+      s: SparkSession, found0: DataFrame, brute: DataFrame): DataFrame = {
     import s.implicits._
     // the found pairs feed both the cert join and the query output —
     // materialized once under the harness CacheScope
     val found = graft.operators.CacheScope.ambient.cache(found0)
-    val a = emb.filter(col("vec_id") < 200)
-      .select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
-      .select("id_a", "id_b")
     val (unsound, hits, total) =
       setStats(found.filter(col("id_a") < 200), brute, Seq("id_a", "id_b"))
     val recall = if (total == 0) 1.0 else hits.toDouble / total
@@ -1937,11 +1968,21 @@ object SparkEntry {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val lsh = graft.operators.CacheScope.ambient.cache(
-          Dedup.minHashLshPairs(docs, "doc_id", "text",
-            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5))
-        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleSize = 3, minJaccard = 0.5)
+        // BOTH pipelines (LSH and the exact PPJoin it is certified against)
+        // start from the same (id, shingles) frame — shingled ONCE under the
+        // scope instead of twice; the LSH side then materializes on a
+        // background thread while the exact side's hot-df pass (a driver-
+        // blocking mid-plan collect) runs on this one (guide §2.6)
+        val scope = graft.operators.CacheScope.ambient
+        val small = Dedup.fitsBroadcast(docs)
+        val shingled = scope.cache(Dedup.shingleDocs(docs, "doc_id", "text", 3))
+        val lsh = scope.cache(Dedup.minHashLshPairsFromShingles(shingled,
+          numHashes = 64, bands = 16, minJaccard = 0.5, small = small, scope = scope))
+        val awaitLsh = forceConcurrently(lsh)
+        val exact = Dedup.ngramJaccardPairsFromShingles(shingled,
+          minJaccard = 0.5, maxShingleDf = 0L, hotDfThreshold = 64L,
+          small = small, scope = scope)
+        awaitLsh()
         val (unsound, hits, total) = setStats(lsh, exact, Seq("id_a", "id_b"))
         val recall = if (total == 0) 1.0 else hits.toDouble / total
         lsh.unionByName(Seq((-1L, unsound, recall)).toDF("id_a", "id_b", "jaccard"))
@@ -2082,9 +2123,17 @@ object SparkEntry {
       (s, d) => {
         import s.implicits._
         val emb = t(s, d, "embeddings")
+        // the exact-reference cert subtree is independent of the found
+        // pipeline — materialize it on a background thread while the
+        // k-means index build (sample + 2 Lloyd rounds = 4 driver-blocking
+        // collects) runs here (guide §2.6)
+        val brute = graft.operators.CacheScope.ambient.cache(
+          stratumBrutePairs(emb, 0.4))
+        val awaitBrute = forceConcurrently(brute)
         val found = Dedup.semanticNearDups(emb, "vec_id", "embedding",
           cells = 16, threshold = 0.4)
-        withPairRecallRow(s, found, emb, 0.4)
+        awaitBrute()
+        withPairRecallRowPrebuilt(s, found, brute)
           .orderBy("id_a", "id_b")
       },
       None),
@@ -2308,15 +2357,22 @@ object SparkEntry {
           Dedup.buildSignatureIndex(corpus, "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 16))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_" + Dedup.stableSuffix(d)
-        Dedup.writeSignatureIndex(index, dir, buckets = 16)
         // "new" batch = a deterministic slice of the corpus re-ingested:
         // every slice doc must rediscover itself is NOT possible (self
-        // pairs excluded) but near-dups of slice docs must surface
+        // pairs excluded) but near-dups of slice docs must surface. Its
+        // signature build is independent of the index write — materialized
+        // on a background thread while the two bucketed writes run here
+        // (guide §2.6)
         val fresh = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
           .select(col("doc_id") + lit(1000000L) as "doc_id", col("text"))
+        val freshIdx = graft.operators.CacheScope.ambient.cache(
+          Dedup.buildSignatureIndex(fresh, "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16))
+        val awaitFresh = forceConcurrently(freshIdx)
+        Dedup.writeSignatureIndex(index, dir, buckets = 16)
+        awaitFresh()
         val pairs = graft.operators.CacheScope.ambient.cache(
-          Dedup.minHashLshPairsAgainstStoredIndex(fresh, "doc_id", "text", dir,
-            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.99))
+          Dedup.storedIndexPairs(freshIdx, dir, minJaccard = 0.99))
         // embedded CERTIFICATION row (id_new = −1, id_index = missing-self
         // count): every re-ingested doc is byte-identical to its original,
         // so its signature matches ALL bands and the exact-Jaccard verify

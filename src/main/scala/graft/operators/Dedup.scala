@@ -100,6 +100,18 @@ object Dedup {
   def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
     graft.functions.band_hashes(signature, bands, rowsPerBand)
 
+  /** The (id, shingles) frame every near-dup pipeline starts from, spread
+    * for small corpora like the operators themselves do. Exposed so a
+    * caller running SEVERAL pipelines over one corpus (the certification
+    * queries run MinHash AND the exact PPJoin) can shingle once: cache the
+    * result and hand it to the `*FromShingles` variants. */
+  def shingleDocs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, charGrams: Boolean = false): DataFrame = {
+    val sh = if (charGrams) charShingles(col(textCol), shingleSize)
+             else wordShingles(col(textCol), shingleSize)
+    spread(df, fitsBroadcast(df)).select(col(idCol).as("id"), sh.as("shingles"))
+  }
+
   /** End-to-end MinHash+LSH near-duplicate pairs.
     *
     * Plan shape: shingle+sign (narrow, codegen) → posexplode bands →
@@ -112,18 +124,26 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       minJaccard: Double = 0.5, charGrams: Boolean = false,
+      scope: CacheScope = CacheScope.ambient): DataFrame =
+    minHashLshPairsFromShingles(
+      shingleDocs(df, idCol, textCol, shingleSize, charGrams),
+      numHashes, bands, minJaccard, fitsBroadcast(df), scope)
+
+  /** [[minHashLshPairs]] over a PRE-SHINGLED (id, shingles) frame — the
+    * caller owns shingling (and should cache the frame when several
+    * pipelines share it). `small` is the broadcast-strategy gate the caller
+    * evaluated on the source corpus. */
+  def minHashLshPairsFromShingles(
+      shingled: DataFrame, numHashes: Int, bands: Int,
+      minJaccard: Double, small: Boolean,
       scope: CacheScope = CacheScope.ambient): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val small = fitsBroadcast(df)
-    val sh = if (charGrams) charShingles(col(textCol), shingleSize)
-             else wordShingles(col(textCol), shingleSize)
     // the signature "index" feeds the band join (both sides) and the
     // verification join (both sides) — under an active CacheScope it is
     // persisted once instead of re-shingling up to 4x, and the scope owner
     // releases the blocks (see CacheScope contract). At warehouse scale this
     // table is what you'd materialize to storage once per corpus snapshot.
-    val docs = scope.cache(spread(df, small)
-      .select(col(idCol).as("id"), sh.as("shingles"))
+    val docs = scope.cache(shingled
       .filter(col("shingles").isNotNull && size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes)))
 
@@ -188,8 +208,21 @@ object Dedup {
     // and the verification join (both sides); persisted only under an
     // active CacheScope, whose owner releases the blocks
     val small = fitsBroadcast(df)
-    val docs = scope.cache(spread(df, small)
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")))
+    ngramJaccardPairsFromShingles(
+      scope.cache(spread(df, small)
+        .select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles"))),
+      minJaccard, maxShingleDf, hotDfThreshold, small, scope)
+  }
+
+  /** [[ngramJaccardPairs]] over a PRE-SHINGLED (id, shingles) frame the
+    * caller already CACHED (it feeds the hot-shingle pass, the prefix build
+    * and both verification sides) — lets a certification query share one
+    * shingle scan with the MinHash pipeline. `small` is the caller's
+    * broadcast-strategy gate for the source corpus. */
+  def ngramJaccardPairsFromShingles(
+      docs: DataFrame, minJaccard: Double,
+      maxShingleDf: Long, hotDfThreshold: Long, small: Boolean,
+      scope: CacheScope = CacheScope.ambient): DataFrame = {
     // ONE map-side-combined groupBy finds the hot shingles; only they need a
     // real df for the prefix order (everything colder sorts by hash), so the
     // collected map is tiny and ships as a plan constant — no df-join-back,

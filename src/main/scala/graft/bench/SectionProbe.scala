@@ -72,8 +72,14 @@ object SectionProbe {
       .collect()
 
     def drift(): Unit = {
+      // mirrors the suite's CURRENT drift routing: role goes through the
+      // bounded-categorical fold (the raw column carries the numeric-string
+      // injections — unbounded distinct at bench scale, which is exactly
+      // what the bounded tier exists for), text_len through the fixed-width
+      // bucketing — one multi-histogram scan, like the validator's batch
       Checks.multiHistogramByPartition(turns, Seq(
-        "role" -> col("role"),
+        "role" -> Checks.boundedCategory(col("role"),
+          Seq("user", "assistant", "system", "tool")),
         "text_len" -> Checks.numericBucket(col("text_len"), 0.0, 2000.0, 64)), part)
       ()
     }

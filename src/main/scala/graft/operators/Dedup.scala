@@ -54,6 +54,22 @@ object Dedup {
   private def spread(df: DataFrame, small: Boolean): DataFrame =
     if (small) df.repartition(df.sparkSession.sparkContext.defaultParallelism) else df
 
+  /** Distinct candidate pairs, kept parallel for verification. At scale the
+    * classic `distinct()` (partial agg → exchange → final agg) dedupes
+    * before the shuffle — every shared shingle/band emits one candidate
+    * occurrence, so map-side combine is what bounds the exchange. On a
+    * small corpus those occurrences are byte-noise and each exchange is
+    * pure latency: repartition BY THE PAIR KEY and let the dedupe ride that
+    * same exchange (the aggregate's clustering requirement is already
+    * satisfied → one exchange, one stage, same rows), which also replaces
+    * the round-robin spread — diverse pair keys spread just as evenly. */
+  private def distinctPairs(cands: DataFrame, left: String, right: String,
+      small: Boolean): DataFrame =
+    if (small)
+      cands.repartition(cands.sparkSession.sparkContext.defaultParallelism,
+        col(left), col(right)).dropDuplicates(Seq(left, right))
+    else cands.distinct()
+
   // ------------------------------------------------------------- shingling
   // Native expressions (graft.functions) — the higher-order-function
   // formulation (`transform`+`slice`+`concat_ws`) is interpreted per element
@@ -156,9 +172,10 @@ object Dedup {
     // bucket join and its two exchanges vanish (fitsBroadcast gate above);
     // spread(candidates) keeps verification parallel (AQE would coalesce
     // the byte-small pair set to one task despite its per-row cost)
-    val candidates = spread(a.join(if (small) broadcast(b) else b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct(), small)
+    val candidates = distinctPairs(
+      a.join(if (small) broadcast(b) else b, Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b"), "id_a", "id_b", small)
 
     // sorted once per DOC so verification pays a merge walk per pair, not
     // a hash-set build (see JaccardSortedExpr)
@@ -281,13 +298,14 @@ object Dedup {
       ceil((col("n_a") + col("n_b")) * lit(minJaccard / (1.0 + minJaccard)) - lit(1e-9))
     // spread(candidates): keep verification parallel — AQE coalesces the
     // byte-small distinct pair set to one task despite its per-row cost
-    val candidates = spread(a.join(if (small) broadcast(b) else b, "sh")
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("n_b") >= col("n_a") * lit(minJaccard) - lit(1e-9) &&
-        col("n_a") >= col("n_b") * lit(minJaccard) - lit(1e-9))
-      .filter(lit(1) + least(col("n_a") - 1 - col("p_a"), col("n_b") - 1 - col("p_b"))
-        >= requiredOverlap)
-      .select("id_a", "id_b").distinct(), small)
+    val candidates = distinctPairs(
+      a.join(if (small) broadcast(b) else b, "sh")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("n_b") >= col("n_a") * lit(minJaccard) - lit(1e-9) &&
+          col("n_a") >= col("n_b") * lit(minJaccard) - lit(1e-9))
+        .filter(lit(1) + least(col("n_a") - 1 - col("p_a"), col("n_b") - 1 - col("p_b"))
+          >= requiredOverlap)
+        .select("id_a", "id_b"), "id_a", "id_b", small)
     // sorted once per DOC so verification pays a merge walk per pair, not
     // a hash-set build (see JaccardSortedExpr)
     val shA = docs.select(col("id").as("id_a"), sort_array(col("shingles")).as("sh_a"))
@@ -660,22 +678,28 @@ object Dedup {
       pairs: DataFrame, maxIter: Int = 30, maxDriverEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // the pair pipeline (often an expensive candidate+verify join chain) is
+    // materialized ONCE here and every consumer — the path decision, the
+    // driver collect, the distributed edge list — reads the blocks: the
+    // former limit-before-collect ran executeTake's incremental partition
+    // ramp (1, 4, 16, … = a chain of sequential mini-jobs over the final
+    // stage) and the over-threshold path re-executed the whole pipeline for
+    // the edge list. Released in the finally.
     val p = pairs.select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
-    // ONE pass decides the path AND feeds the local algorithm: a separate
-    // count() would execute the (possibly expensive) upstream pair pipeline
-    // twice. Collected through the TYPED encoder into specialized
-    // Tuple2[Long,Long] (32 B/edge with headers — ~32 MB at the default
-    // threshold), not boxed Rows. The real driver footprint is the
-    // union-find map below: worst case every edge introduces two NEW ids →
-    // up to 2·maxDriverEdges boxed HashMap entries ≈ 90 B each ≈ 180 MB at
-    // the default — sized for a 4 GB driver with headroom, which is why the
-    // threshold is 1M edges (a near-dup pair list this large usually means
-    // the thresholds are wrong, not that the corpus has 1M genuine dups).
-    // In the rare over-threshold case this pulls maxDriverEdges+1 rows
-    // before falling through — bounded waste.
-    val head = p.as[(Long, Long)]
-      .limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
-    if (head.length <= maxDriverEdges) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // ONE clean parallel count decides the path (no take ramp); the collect
+    // below reads the already-materialized blocks. Collected through the
+    // TYPED encoder into specialized Tuple2[Long,Long] (32 B/edge with
+    // headers — ~32 MB at the default threshold), not boxed Rows. The real
+    // driver footprint is the union-find map below: worst case every edge
+    // introduces two NEW ids → up to 2·maxDriverEdges boxed HashMap entries
+    // ≈ 90 B each ≈ 180 MB at the default — sized for a 4 GB driver with
+    // headroom, which is why the threshold is 1M edges (a near-dup pair
+    // list this large usually means the thresholds are wrong, not that the
+    // corpus has 1M genuine dups).
+    if (p.count() <= maxDriverEdges) {
+      val head = p.as[(Long, Long)].collect()
       // union-by-min with path compression: the root of every set stays the
       // component minimum because union always attaches the larger root
       val parent = new java.util.HashMap[Long, Long]()
@@ -724,6 +748,7 @@ object Dedup {
     }
     edges.unpersist()
     labels
+    } finally p.unpersist(false)
   }
 
   /** Collapse a corpus by near-duplicate clusters: every doc maps to its

@@ -1364,7 +1364,8 @@ object SparkEntry {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_" + Dedup.stableSuffix(d)
         // spreadSmall: single-split source → the CSV serialization, the
         // inference pass AND the read-back all run one task otherwise
-        Checks.spreadSmall(t(s, d, "events")).select("event_id", "event_type", "value")
+        Checks.spreadSmall(t(s, d, "events"), maxPartitions = 8)
+          .select("event_id", "event_type", "value")
           .write.mode("overwrite").option("header", "true").csv(dir)
         graft.io.Tables.load(s, s"csv:$dir")
           .groupBy("event_type")
@@ -1378,7 +1379,8 @@ object SparkEntry {
     Q("q_json_roundtrip_events",
       (s, d) => {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_events_" + Dedup.stableSuffix(d)
-        Checks.spreadSmall(t(s, d, "events")).select("event_id", "event_type", "value")
+        Checks.spreadSmall(t(s, d, "events"), maxPartitions = 8)
+          .select("event_id", "event_type", "value")
           .write.mode("overwrite").json(dir)
         graft.io.Tables.load(s, s"json:$dir")
           .groupBy("event_type")

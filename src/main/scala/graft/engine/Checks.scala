@@ -22,9 +22,10 @@ object Checks {
     * parallelism — one exchange of a broadcast-sized input, noise next to
     * the per-row work it parallelizes. Identity at scale, where inputs
     * carry many splits and the exchange would be a regression. */
-  def spreadSmall(df: DataFrame): DataFrame =
+  def spreadSmall(df: DataFrame, maxPartitions: Int = Int.MaxValue): DataFrame =
     if (graft.operators.Dedup.fitsBroadcast(df))
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(
+        math.min(df.sparkSession.sparkContext.defaultParallelism, maxPartitions))
     else df
 
 

@@ -117,13 +117,21 @@ object Suggest {
       if (columns.nonEmpty) columns
       else schema.fields.toSeq.filter(f => sweepable(f.dataType)).map(_.name)
 
-    // single-split small inputs: both sweep scans are map-side-heavy
-    // (HLL + try_cast per row; Expand for the exact distincts) — spread
-    // them across the session parallelism (identity at scale). Every
-    // aggregate here is partitioning-invariant: HLL register-max merge,
-    // exact count_distinct, and the allowed-values set is sorted before
-    // the slice.
-    val dfS = Checks.spreadSmall(df)
+    // Parallelism, bisected per scan (SweepProbe) on a single-split 100k-row
+    // input: scan 1 is a pure fold (HLL register-max, min/max, counters) —
+    // ~0.2 µs/row once the castable check is the native digit walk — so a
+    // sub-broadcast-threshold input (≤10 MB) runs FASTER as its natural
+    // split than spread across an exchange: every added agg task pays a
+    // fixed execution-memory page-allocation cost that dwarfs its share of
+    // rows (measured 0.12 vs 3.4 executor-CPU-sec, and the exchange's wall
+    // on top). Scan 2's Expand (×distinct-aggregates) multiplies the rows,
+    // so it does profit from a BOUNDED fan-out: ≤10 MB of input needs at
+    // most a few ~MB-sized tasks — min(8, defaultParallelism) — where the
+    // full session width only multiplied the per-task fixed costs
+    // (measured 0.64 s wall / 1.2 CPU at 8-way vs 1.1 s / 10.2 CPU at
+    // 32-way, 1.8 s unspread). At scale both scans see many natural splits
+    // and neither branch adds an exchange.
+    val dfS1 = df
 
     // ---- scan 1: the fused facts pass -------------------------------------
     val aggs: Seq[Column] = count(lit(1)).as("__total") +: cols.flatMap { name =>
@@ -140,10 +148,11 @@ object Suggest {
       }
       val castable = dt match {
         case StringType =>
-          // backticks in the name are escaped by doubling (a raw backtick
-          // would break the parsed expression)
-          val quoted = name.replace("`", "``")
-          sum(when(c.isNotNull && expr(s"try_cast(`$quoted` AS bigint)").isNotNull, 1L)
+          // native digit walk, not try_cast: ANSI TryCast throws (and
+          // catches) a JVM exception per NON-numeric row — on a mostly
+          // non-numeric column that is the sweep's dominant CPU (measured
+          // ~20 µs/row vs ~0.1; same acceptance set, see LongCastableExpr)
+          sum(when(c.isNotNull && graft.functions.long_castable(c), 1L)
             .otherwise(0L))
         case _ => lit(0L)
       }
@@ -155,7 +164,7 @@ object Suggest {
         approx_count_distinct(c, 0.05).as(s"__ad_$name"),
         castable.as(s"__cast_$name"))
     }
-    val row = dfS.agg(aggs.head, aggs.tail: _*).head()
+    val row = dfS1.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(0)
     if (total == 0) return Nil
 
@@ -188,7 +197,8 @@ object Suggest {
           exactCols.map(n => count_distinct(col(n)).as(s"__d_$n")) ++
             avCands.map(n => slice(sort_array(collect_set(col(n))),
               1, maxAllowedValues + 1).as(s"__vals_$n"))
-        val r2 = dfS.agg(exactAggs.head, exactAggs.tail: _*).head()
+        val r2 = Checks.spreadSmall(df, maxPartitions = 8)
+          .agg(exactAggs.head, exactAggs.tail: _*).head()
         val d = exactCols.zipWithIndex.map { case (n, i) =>
           n -> (if (r2.isNullAt(i)) 0L else r2.getLong(i))
         }.toMap

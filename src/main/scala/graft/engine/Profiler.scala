@@ -60,6 +60,11 @@ object Profiler {
       val c = col(name)
       val nullCond = if (isFloating(dt)) c.isNull || isnan(c) else c.isNull
       val conform = expectedTypes.get(name) match {
+        // bigint: the native digit walk (same accept set as try_cast —
+        // see LongCastableExpr) instead of ANSI TryCast's per-non-numeric-
+        // row exception throw/catch, the dominant CPU on text columns
+        case Some(t) if t.trim.equalsIgnoreCase("bigint") && dt == StringType =>
+          sum(when(c.isNotNull && graft.functions.long_castable(c), 1L).otherwise(0L))
         case Some(t) => sum(when(c.isNotNull && expr(s"try_cast(`$name` AS $t)").isNotNull, 1L).otherwise(0L))
         // no expected type: conforming = present (non-null, non-NaN) — keeps
         // builtin and typed paths consistent on floating columns

@@ -357,6 +357,11 @@ object SparkEntry {
     // the frame routing itself is hash-checked, not just spec-asserted.
     Q("q_incremental_frames_lineitem",
       (s, d) => {
+        // deliberately NOT cached: the three validation frames run
+        // concurrently and each re-reads the single-split source — a cache
+        // would serialize all of them behind one single-task build
+        // (measured 1.1 → 2.5 s), while the concurrent parquet re-reads
+        // ride the page cache
         val li = t(s, d, "lineitem")
         val delta = li.filter(col("l_linenumber") >= 6)
         val rules = Seq(
@@ -2067,15 +2072,24 @@ object SparkEntry {
     // ---- ANN: IVF top-k (rows-only + embedded recall row, as LSH) --------
     Q("q_knn_ivf_embeddings",
       (s, d) => {
+        // source deliberately NOT cached (single split: a cache build is
+        // one task and serializes the concurrent subtrees; page-cached
+        // parquet re-reads are effectively free). The brute-force cert
+        // subtree is independent of the index build's driver-blocking
+        // collects, so it materializes on a background thread meanwhile
+        // (guide §2.6)
         val emb = t(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
+        val brute = graft.operators.CacheScope.ambient.cache(
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", k = 10))
+        val awaitBrute = forceConcurrently(brute)
         val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
         val indexed = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
         val ann = Similarity.ivfTopK(indexed, "vec_id", "embedding",
           queries, "vec_id", "embedding", centroids, k = 10, nprobe = 6)
-        withRecallRow(s, ann,
-          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-            queries, "vec_id", "embedding", k = 10))
+        awaitBrute()
+        withRecallRow(s, ann, brute)
           .orderBy("query_id", "rank")
       },
       None),
